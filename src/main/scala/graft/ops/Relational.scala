@@ -1,0 +1,394 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational operator library over the TPC-H-ish fixtures.
+  *
+  * The reference (qntfy/frinesis) contains no relational operators at all
+  * (SURVEY.md §2.2) — everything here is the Catalyst-native capability
+  * surface the new engine exposes: scans with pushdown, filters,
+  * projections, hash/broadcast joins, partial+final aggregation, window
+  * functions, sorts/top-k, set operations, rollup, semi/anti joins, and
+  * the scalar function library.
+  *
+  * Correctness-gate conventions (driver hashes Spark output vs DuckDB):
+  *  - every double-typed aggregate is `round(..., n)`-ed identically in
+  *    the Spark plan and the oracle SQL, because float summation order
+  *    differs between engines;
+  *  - every sort and every limit has a total-order tiebreaker so row
+  *    selection is deterministic;
+  *  - column names are aliased identically on both sides.
+  *
+  * Scale notes (100 TB posture): fact-fact joins shuffle on their join
+  * keys and aggregate partially map-side (Catalyst default); dimension
+  * joins (`nation`, `region`, per-group averages) are explicitly
+  * `broadcast()` so they never shuffle the fact table more than once.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q1 shape: scan + filter (pushed to parquet) + hash agg.
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "q02_revenue_by_nation" -> { (s, dir) =>
+      import s.implicits._
+      // 3-way fact join + broadcast dim join + agg. customer/orders/
+      // lineitem shuffle on their keys; nation (25 rows) broadcasts.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+
+    "q03_top_orders" -> { (s, dir) =>
+      import s.implicits._
+      // agg + join + deterministic top-k (sort with tiebreaker + limit).
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+      rev.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderkey", $"o_orderdate", $"revenue")
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    "q04_customer_order_stats" -> { (s, dir) =>
+      import s.implicits._
+      // groupBy + HAVING.
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total_spent"),
+          round(max($"o_totalprice"), 2).as("max_order"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    },
+
+    "q05_suppliers_by_region" -> { (s, dir) =>
+      import s.implicits._
+      // star-schema dim chain: supplier ⋈ nation ⋈ region, both dims
+      // broadcast — zero shuffles of the fact side beyond the final agg.
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          round(sum($"s_acctbal"), 2).as("total_acctbal"))
+        .orderBy($"r_name")
+    },
+
+    "q06_forecast_revenue" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q6 shape: highly selective filter, all predicates pushed
+      // to the parquet scan; global agg.
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+        .agg(
+          round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q07_top_parts_per_brand" -> { (s, dir) =>
+      import s.implicits._
+      // window function: row_number partitioned by brand, total order.
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"p_brand", $"p_partkey",
+          round($"p_retailprice", 2).as("price"), $"rn")
+        .orderBy($"p_brand", $"rn")
+    },
+
+    "q08_set_ops" -> { (s, dir) =>
+      import s.implicits._
+      // INTERSECT / EXCEPT / UNION over aligned single-column sets.
+      val custNations = t(s, dir, "customer")
+        .filter($"c_acctbal" > 8000).select($"c_nationkey".as("nk"))
+      val suppNations = t(s, dir, "supplier")
+        .filter($"s_acctbal" > 5000).select($"s_nationkey".as("nk"))
+      val poorNations = t(s, dir, "customer")
+        .filter($"c_acctbal" < -900).select($"c_nationkey".as("nk"))
+      custNations.intersect(suppNations).except(poorNations)
+        .orderBy($"nk")
+    },
+
+    "q09_customers_without_orders" -> { (s, dir) =>
+      import s.implicits._
+      // anti join (NOT EXISTS) against a filtered fact.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    "q10_big_spenders_semi" -> { (s, dir) =>
+      import s.implicits._
+      // semi join (EXISTS) against a filtered fact.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_totalprice" > 400000),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
+        .orderBy($"c_custkey")
+    },
+
+    "q11_scalar_functions" -> { (s, dir) =>
+      import s.implicits._
+      // scalar function library: string, date, math, conditional — all
+      // codegen'd builtins, no UDFs.
+      t(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 0)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          quarter($"o_orderdate").as("qtr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          upper($"o_orderstatus").as("status_u"),
+          length($"o_orderpriority").as("prio_len"),
+          substring($"o_orderpriority", 1, 1).as("prio_code"),
+          concat_ws("#", $"o_orderstatus", $"o_orderpriority").as("tag"),
+          round(sqrt($"o_totalprice"), 4).as("sqrt_price"),
+          round(log10($"o_totalprice"), 6).as("log10_price"),
+          when($"o_totalprice" > 250000, lit("big"))
+            .when($"o_totalprice" > 100000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))
+        .orderBy($"o_orderkey")
+    },
+
+    "q12_conditional_agg" -> { (s, dir) =>
+      import s.implicits._
+      // pivot-style conditional aggregation by year.
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("yr"))
+        .agg(
+          round(sum(when($"o_orderstatus" === "F", $"o_totalprice")
+            .otherwise(lit(0.0))), 2).as("f_total"),
+          round(sum(when($"o_orderstatus" === "O", $"o_totalprice")
+            .otherwise(lit(0.0))), 2).as("o_total"),
+          count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("n_urgent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"yr")
+    },
+
+    "q13_above_brand_avg" -> { (s, dir) =>
+      import s.implicits._
+      // decorrelated scalar subquery: per-brand average joined back.
+      // The per-brand avg (at most |brands| rows) is broadcast so the
+      // big side is never shuffled.
+      val brandAvg = t(s, dir, "part")
+        .groupBy($"p_brand".as("b"))
+        .agg(round(avg($"p_retailprice"), 4).as("brand_avg"))
+      t(s, dir, "part")
+        .join(broadcast(brandAvg), $"p_brand" === $"b")
+        .filter($"p_retailprice" > $"brand_avg" * 1.03)
+        .select($"p_partkey", $"p_brand",
+          round($"p_retailprice", 2).as("price"), $"brand_avg")
+        .orderBy($"p_partkey")
+    },
+
+    "q14_rollup" -> { (s, dir) =>
+      import s.implicits._
+      // ROLLUP grouping sets with subtotals and a grand total.
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+
+    "q15_running_totals" -> { (s, dir) =>
+      import s.implicits._
+      // analytic windows: lag + running sum + rank over event-less data.
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_custkey" <= 50)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate",
+          round($"o_totalprice", 2).as("price"),
+          round(sum($"o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_total"),
+          round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+          rank().over(Window.partitionBy($"o_custkey")
+            .orderBy($"o_totalprice".desc, $"o_orderkey")).as("price_rank"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, revenue FROM (
+        |  SELECT l_orderkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_customer_order_stats" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total_spent,
+        |round(max(o_totalprice), 2) AS max_order
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+
+    "q05_suppliers_by_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |round(sum(s_acctbal), 2) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, price, rn FROM (
+        |  SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) x
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q08_set_ops" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 8000
+        |  INTERSECT
+        |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+        |) i
+        |EXCEPT
+        |SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
+        |ORDER BY nk""".stripMargin,
+
+    "q09_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_big_spenders_semi" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_scalar_functions" ->
+      """SELECT o_orderkey,
+        |year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |month(o_orderdate) AS mo, dayofmonth(o_orderdate) AS dom,
+        |upper(o_orderstatus) AS status_u,
+        |length(o_orderpriority) AS prio_len,
+        |substr(o_orderpriority, 1, 1) AS prio_code,
+        |concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+        |round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |round(log10(o_totalprice), 6) AS log10_price,
+        |CASE WHEN o_totalprice > 250000 THEN 'big'
+        |     WHEN o_totalprice > 100000 THEN 'mid'
+        |     ELSE 'small' END AS bucket
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_conditional_agg" ->
+      """SELECT year(o_orderdate) AS yr,
+        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
+        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS o_total,
+        |count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+
+    "q13_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price, brand_avg
+        |FROM part JOIN (
+        |  SELECT p_brand AS b, round(avg(p_retailprice), 4) AS brand_avg
+        |  FROM part GROUP BY p_brand) a ON p_brand = b
+        |WHERE p_retailprice > brand_avg * 1.03
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q15_running_totals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |round(o_totalprice, 2) AS price,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        |rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+}

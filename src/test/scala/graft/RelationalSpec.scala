@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant tests for the relational operator registry. The
+  * authoritative value check is the driver's DuckDB hash compare (and its
+  * local replica, tools/check_oracle.py); these specs guard the contract:
+  * every query runs, returns rows at the verify SF, and every query key
+  * has an oracle entry (or a documented omission).
+  */
+class RelationalSpec extends SparkTestBase {
+
+  test("every relational query runs and is non-empty at sf0.01") {
+    ops.Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfVerify)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() > 0, s"$name returned 0 rows at sf0.01")
+    }
+  }
+
+  test("every relational query has an oracle") {
+    val missing = ops.Relational.queries.keySet -- ops.Relational.oracle.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphans = ops.Relational.oracle.keySet -- ops.Relational.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("q01 aggregates are grouped correctly") {
+    val df = ops.Relational.queries("q01_pricing_summary")(spark, sfSmoke)
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length, "duplicate group keys")
+  }
+
+  test("q03 top-k is sorted descending by revenue") {
+    val rev = ops.Relational.queries("q03_top_orders")(spark, sfSmoke)
+      .select("revenue").collect().map(_.getDouble(0))
+    assert(rev.length == 10)
+    assert(rev.sliding(2).forall(p => p(0) >= p(1)), "not sorted desc")
+  }
+
+  test("q09 anti join excludes exactly the semi-join complement") {
+    val c = Tables.load(spark, sfSmoke, "customer")
+    val o = Tables.load(spark, sfSmoke, "orders")
+      .filter(col("o_totalprice") > 300000)
+    val anti = ops.Relational.queries("q09_customers_without_orders")(
+      spark, sfSmoke).count()
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi == c.count())
+  }
+}

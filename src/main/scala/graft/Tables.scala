@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the read-only parquet fixtures described in FIXTURES.md.
   *
@@ -21,6 +23,19 @@ object Tables {
     * region is 5 rows and nation 25 at every SF (FIXTURES.md §B). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
+    * outright (PARQUET_TYPE_ILLEGAL) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is set — every session
+    * builder in this repo sets it. With the flag the column arrives as
+    * LongType nanos; convert to TimestampType micros here (floor
+    * division) so downstream operators see a real timestamp. DuckDB
+    * keeps ns precision, so oracle SQL over `events.ts` must truncate to
+    * ≥1 µs granularity before comparing (FIXTURES.md).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+    else df
+  }
 }

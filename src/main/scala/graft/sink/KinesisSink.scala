@@ -1,0 +1,143 @@
+package graft.sink
+
+import scala.collection.mutable
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.util.LongAccumulator
+
+/** The Kinesis sink, re-expressing the reference's `Sink` facade
+  * (/root/reference/sink.go) on Structured Streaming:
+  *
+  *  - `Send(msg, topic)` (sink.go:66-77) → rows flowing through a
+  *    streaming query; the topic is either a per-query `stream` option or
+  *    a per-row `stream` column (dynamic routing — the per-topic producer
+  *    map becomes per-stream grouping inside each write task);
+  *  - UUIDv4 partition keys sprayed per message (utils.go:15-19) →
+  *    `uuid()` projected when no partitionKey column exists;
+  *  - the per-topic producer goroutine and its dual trigger
+  *    (batchproducer.go:244-261) → micro-batch trigger supplies the time
+  *    axis, in-task chunking ≤500 supplies the size axis;
+  *  - `Close()`'s flush-with-timeout (sink.go:111-126) → the final epoch
+  *    commits before `stop()` returns (`spark.sql.streaming.stopTimeout`);
+  *  - `Restart()` (sink.go:128-140) → restart the query on the same
+  *    checkpoint; delivery stays at-least-once across the replayed epoch.
+  *
+  * Scale posture: no driver-side per-record state; every record is
+  * handled inside its partition's task, stats travel on accumulators
+  * (Spark sums them natively across 1000s of tasks), and a batch never
+  * holds more than `batchSize` records in memory per stream per task.
+  */
+object KinesisSink extends Logging {
+
+  /** Task-summed delivery counters, mirroring `StatsBatch`
+    * (batchproducer.go:58-66) — the per-interval snapshot becomes
+    * monotonic accumulators the driver can diff per progress event.
+    */
+  final class Metrics private (
+      val recordsSent: LongAccumulator,
+      val recordsDropped: LongAccumulator,
+      val kinesisErrors: LongAccumulator,
+      val putRequests: LongAccumulator) extends Serializable
+
+  object Metrics {
+    def register(spark: SparkSession, prefix: String = "graft.kinesis"): Metrics = {
+      val sc = spark.sparkContext
+      new Metrics(
+        sc.longAccumulator(s"$prefix.recordsSent"),
+        sc.longAccumulator(s"$prefix.recordsDropped"),
+        sc.longAccumulator(s"$prefix.kinesisErrors"),
+        sc.longAccumulator(s"$prefix.putRequests"))
+    }
+  }
+
+  /** Normalize any input frame to the wire schema
+    * `(stream string, partitionKey string, data binary)`:
+    * missing partitionKey → fresh `uuid()` per row (utils.go:15-19);
+    * missing stream column → the query-level default; string `data` is
+    * cast to binary (the reference's payloads are opaque bytes).
+    */
+  def toWire(df: DataFrame, defaultStream: Option[String]): DataFrame = {
+    val cols = df.columns.toSet
+    require(cols.contains("data"), "input must have a 'data' column")
+    val withStream =
+      if (cols.contains("stream")) df
+      else df.withColumn("stream", lit(defaultStream.getOrElse(
+        throw new IllegalArgumentException(
+          "no 'stream' column and no default stream option"))))
+    val withPk =
+      if (cols.contains("partitionKey")) withStream
+      else withStream.withColumn("partitionKey", expr("uuid()"))
+    withPk.select(
+      col("stream").cast(StringType),
+      col("partitionKey").cast(StringType),
+      col("data").cast(BinaryType))
+  }
+
+  /** Write one (micro-)batch. Runs one [[KinesisRecordWriter]] flush per
+    * stream per partition; per-stream buffers hold at most `batchSize`
+    * rows, so task memory is O(streams · batchSize) regardless of
+    * partition size.
+    */
+  def writeBatch(wire: DataFrame, o: KinesisSinkOptions, m: Metrics): Unit = {
+    wire.foreachPartition { rows: Iterator[Row] =>
+      val client = KinesisSinkOptions.resolveClient(o)
+      val listener: KinesisEventListener = new KinesisEventListener {
+        override def onError(msg: String): Unit = logWarning(s"kinesis-sink: $msg")
+      }
+      val writers = mutable.Map.empty[String, KinesisRecordWriter]
+      val buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[KinesisRecord]]
+      def flush(stream: String): Unit = {
+        val buf = buffers(stream)
+        if (buf.nonEmpty) {
+          val w = writers.getOrElseUpdate(stream,
+            new KinesisRecordWriter(client, stream, o.writer, listener))
+          val stats = w.write(buf.iterator)
+          m.recordsSent.add(stats.recordsSent)
+          m.recordsDropped.add(stats.recordsDropped)
+          m.kinesisErrors.add(stats.kinesisErrors)
+          m.putRequests.add(stats.putRequests)
+          buf.clear()
+        }
+      }
+      rows.foreach { r =>
+        val stream = r.getString(0)
+        val buf = buffers.getOrElseUpdate(stream,
+          new mutable.ArrayBuffer[KinesisRecord](o.writer.batchSize))
+        buf += KinesisRecord(r.getString(1), r.getAs[Array[Byte]](2))
+        if (buf.size >= o.writer.batchSize) flush(stream)
+      }
+      buffers.keys.foreach(flush)
+    }
+  }
+
+  /** Batch-mode write (the library surface for non-streaming callers). */
+  def write(df: DataFrame, options: Map[String, String]): Metrics = {
+    val o = KinesisSinkOptions.fromMap(options)
+    val m = Metrics.register(df.sparkSession)
+    writeBatch(toWire(df, o.stream), o, m)
+    m
+  }
+
+  /** Streaming-mode write — the `Send` surface (S3). Validates options at
+    * start, like `New` (batchproducer.go:143-153). Stop/restart on the
+    * same checkpoint dir gives `Close`/`Restart` (S6/S7) semantics.
+    */
+  def start(df: DataFrame, options: Map[String, String],
+      checkpointDir: String, queryName: String = "kinesis-graft",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val o = KinesisSinkOptions.fromMap(options) // fail fast
+    val m = Metrics.register(df.sparkSession)
+    df.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(toWire(batch, o.stream), o, m)
+      }
+      .start()
+  }
+}

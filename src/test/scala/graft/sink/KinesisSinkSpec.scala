@@ -1,0 +1,153 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.GraftQueryEvents
+
+/** Round-trip parity with the reference's integration suite
+  * (/root/reference/integration_test.go): TestSend (send → close → read
+  * back, :159-173) and TestRestart (send → close → restart → send →
+  * verify all, :175-198), with order-insensitive multiset comparison
+  * (:151-157) against the in-memory FakeKinesis instead of localstack.
+  */
+class KinesisSinkSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def payloads(msgs: Seq[String]) = {
+    import spark.implicits._
+    msgs.toDF("s").select(col("s").cast("binary").as("data"))
+  }
+
+  test("toWire: uuid partition keys per record (utils.go:15-19), " +
+      "default stream, binary data") {
+    val wire = KinesisSink.toWire(payloads(Seq("a", "b", "c")), Some("t"))
+    val rows = wire.collect()
+    assert(wire.columns.toSeq == Seq("stream", "partitionKey", "data"))
+    assert(rows.map(_.getString(0)).forall(_ == "t"))
+    val pks = rows.map(_.getString(1))
+    assert(pks.distinct.length == 3, "partition keys must be unique uuids")
+    assert(pks.forall(_.matches("[0-9a-f-]{36}")))
+  }
+
+  test("toWire rejects input without data column / without any stream") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      KinesisSink.toWire(Seq("x").toDF("notdata"), Some("t"))
+    }
+    intercept[IllegalArgumentException] {
+      KinesisSink.toWire(Seq("x").toDF("data"), None)
+    }
+  }
+
+  test("batch write round-trip: multiset equality like TestSend " +
+      "(integration_test.go:159-173)") {
+    val fake = FakeKinesis.named("rt1")
+    fake.clear()
+    val msgs = (0 until 1234).map(i => s"msg-$i")
+    val m = KinesisSink.write(payloads(msgs),
+      Map("aws_region_name" -> "us-east-1", "stream" -> "topic-a",
+        "client" -> "fake:rt1"))
+    assert(fake.storedPayloads("topic-a").sorted == msgs.sorted)
+    assert(m.recordsSent.value == 1234 && m.recordsDropped.value == 0)
+    // ≤500/request ⇒ at least ceil(1234/500) requests
+    assert(m.putRequests.value >= 3)
+  }
+
+  test("dynamic multi-topic routing via stream column (sink.go:66-77's " +
+      "per-topic producers)") {
+    val fake = FakeKinesis.named("rt2")
+    fake.clear()
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"t${i % 3}", s"m$i")).toDF("stream", "s")
+      .select(col("stream"), col("s").cast("binary").as("data"))
+    KinesisSink.write(df,
+      Map("aws_region_name" -> "us-east-1", "client" -> "fake:rt2"))
+    assert(fake.streamNames == Set("t0", "t1", "t2"))
+    val got = (0 until 3).flatMap(t => fake.storedPayloads(s"t$t"))
+    assert(got.sorted == (0 until 100).map(i => s"m$i").sorted)
+    assert(fake.storedPayloads("t1").forall(m =>
+      m.stripPrefix("m").toInt % 3 == 1), "record routed to wrong stream")
+  }
+
+  test("streaming TestSend parity: memory source → sink → stop → verify") {
+    val fake = FakeKinesis.named("rt3")
+    fake.clear()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[String]
+    val df = source.toDF().select(col("value").cast("binary").as("data"))
+    val ckpt = Files.createTempDirectory("ckpt-send").toString
+    val events = GraftQueryEvents.attach(spark)
+    val q = KinesisSink.start(df,
+      Map("aws_region_name" -> "us-east-1", "stream" -> "it-topic",
+        "client" -> "fake:rt3"), ckpt, queryName = "send-parity")
+    val msgs = (0 until 5).map(i => s"test message $i")
+    source.addData(msgs)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30000)
+    assert(fake.storedPayloads("it-topic").sorted == msgs.sorted)
+    val seen = events.drain()
+    assert(seen.exists { case GraftQueryEvents.Started("send-parity") => true
+      case _ => false })
+    assert(seen.exists { case p: GraftQueryEvents.Progress =>
+      p.queryName == "send-parity" && p.numInputRows > 0
+      case _ => false }, s"no progress event with rows in $seen")
+    events.detach(spark)
+  }
+
+  test("streaming TestRestart parity: stop, restart on same checkpoint, " +
+      "send more, verify all (integration_test.go:175-198)") {
+    val fake = FakeKinesis.named("rt4")
+    fake.clear()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[String]
+    val df = source.toDF().select(col("value").cast("binary").as("data"))
+    val ckpt = Files.createTempDirectory("ckpt-restart").toString
+    val opts = Map("aws_region_name" -> "us-east-1",
+      "stream" -> "restart-topic", "client" -> "fake:rt4")
+
+    val q1 = KinesisSink.start(df, opts, ckpt)
+    val first = (0 until 5).map(i => s"before-$i")
+    source.addData(first)
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination(30000)
+    assert(fake.storedPayloads("restart-topic").sorted == first.sorted)
+
+    // Restart on the same checkpoint — S7 (sink.go:128-140).
+    val q2 = KinesisSink.start(df, opts, ckpt)
+    val second = (0 until 5).map(i => s"after-$i")
+    source.addData(second)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30000)
+    assert(fake.storedPayloads("restart-topic").sorted ==
+      (first ++ second).sorted,
+      "restart must deliver new records exactly; committed epoch not replayed")
+  }
+
+  test("sink option validation fails fast (batchproducer.go:143-153)") {
+    intercept[IllegalArgumentException] {
+      KinesisSinkOptions.fromMap(Map("stream" -> "s")) // region missing
+    }
+    intercept[IllegalArgumentException] {
+      KinesisSinkOptions.fromMap(Map("aws_region_name" -> "r",
+        "batch_size" -> "501"))
+    }
+    intercept[IllegalArgumentException] {
+      KinesisSinkOptions.fromMap(Map("aws_region_name" -> "r",
+        "on_persistent_error" -> "explode"))
+    }
+    val o = KinesisSinkOptions.fromMap(Map("aws_region_name" -> "r",
+      "kinesis_endpoint" -> "localhost:4568"))
+    assert(o.endpoint.contains("http://localhost:4568")) // utils.go:33-37
+    assert(o.flushTimeoutMs == 30000L) // sink.go:19
+    assert(o.writer.batchSize == 500) // sink.go:51
+  }
+}

@@ -34,8 +34,10 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Integer division: `/` on columns is double division and would
+    // round half-up where DuckDB's ns→µs read truncates — 1 µs skew.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` fixture: tumbling windows,
+  * sessionization (both Spark-native `session_window` and the
+  * SQL-expressible islands formulation), JSON extraction, and a
+  * Structured-Streaming window aggregation whose result is checked
+  * against the same DuckDB oracle as its batch twin — demonstrating that
+  * the streaming path computes the batch-equivalent answer.
+  *
+  * The reference has no event-time semantics at all (SURVEY.md §2.3 —
+  * its only time axis is the flush ticker), so everything here is
+  * extension surface (§2.4), designed Spark-first: event-time windows are
+  * hash-partition-friendly aggregations; sessionization uses window
+  * functions (one shuffle per user partition) rather than any
+  * driver-side loop.
+  *
+  * Timestamp precision: `events.ts` is ns in parquet; both Spark (via
+  * Tables.load's nanos→micros conversion) and DuckDB (native ns→µs
+  * truncation) floor to microseconds, so raw `ts`-derived outputs agree.
+  * Gap comparisons use integer epoch-microseconds on both sides to avoid
+  * interval-semantics differences.
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Shared 30-minute session gap in microseconds. */
+  private val GapUs = 1800L * 1000 * 1000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_hourly_type_counts" -> { (s, dir) =>
+      import s.implicits._
+      // Tumbling 1h event-time window per type. window() start aligns to
+      // the epoch hour, so DuckDB's date_trunc('hour', ts) is identical.
+      ev(s, dir)
+        .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hour_start", $"event_type")
+    },
+
+    "e02_json_stats" -> { (s, dir) =>
+      import s.implicits._
+      // JSON extraction from the props payload (schema-on-read).
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg($"k"), 4).as("avg_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+
+    "e03_user_sessions" -> { (s, dir) =>
+      import s.implicits._
+      // Islands sessionization: new session when the gap to the previous
+      // event of the same user is >= 30 min. One shuffle (by user), two
+      // window passes — no per-user driver state, scales with users.
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" >= GapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum($"new_sess")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id")
+        .agg(
+          max($"sess_id").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id")
+    },
+
+    "e04_session_window" -> { (s, dir) =>
+      import s.implicits._
+      // Spark-native session_window: sessions close after a 30-min gap;
+      // window.start is the first event's ts (µs-exact on both engines).
+      // The session_window call must be the grouping column itself —
+      // projecting .start before the agg defeats the merge phase and
+      // yields one "session" per event.
+      ev(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("session_start"), $"user_id",
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    "e05_daily_type_share" -> { (s, dir) =>
+      import s.implicits._
+      // Two-level aggregation + window share-of-total.
+      val daily = ev(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("day_total", sum($"n").over(Window.partitionBy($"day")))
+        .select($"day", $"event_type", $"n",
+          round($"n" / $"day_total", 6).as("share"))
+        .orderBy($"day", $"event_type")
+    },
+
+    "e06_top_users_by_value" -> { (s, dir) =>
+      import s.implicits._
+      // Per-type top-3 users by purchase value: agg + ranked window.
+      val sums = ev(s, dir)
+        .groupBy($"event_type", $"user_id")
+        .agg(round(sum($"value"), 2).as("total_value"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"total_value".desc, $"user_id")
+      sums.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .orderBy($"event_type", $"rnk")
+    },
+
+    "e07_stream_hourly_counts" -> { (s, dir) =>
+      import s.implicits._
+      // The SAME aggregation as e01, computed through Structured
+      // Streaming: file-stream source over the fixture, complete-mode
+      // window aggregation into a memory sink, then returned as a
+      // DataFrame the driver hash-compares against the batch oracle.
+      // Proves batch/streaming result parity on the engine's own gate.
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val streamed = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "e07_out_" + math.abs(dir.hashCode).toString
+      val q = streamed
+        .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
+      s.table(name).orderBy($"hour_start", $"event_type")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "e01_hourly_type_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e02_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        |min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e03_user_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e04_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "e05_daily_type_share" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE), 6) AS share
+        |FROM daily ORDER BY day, event_type""".stripMargin,
+
+    "e06_top_users_by_value" ->
+      """SELECT event_type, user_id, total_value, n, rnk FROM (
+        |  SELECT event_type, user_id,
+        |         round(sum(value), 2) AS total_value, count(*) AS n,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY round(sum(value), 2) DESC, user_id) AS rnk
+        |  FROM events GROUP BY event_type, user_id) x
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "e07_stream_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

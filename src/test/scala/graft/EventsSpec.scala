@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkTestBase {
+
+  test("every events query runs non-empty at sf0.001 and has an oracle") {
+    ops.Events.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfSmoke).count() > 0, s"$name empty")
+    }
+    assert(ops.Events.queries.keySet == ops.Events.oracle.keySet)
+  }
+
+  test("sessionization invariants: per-user session count ≤ event count; " +
+      "islands (e03) and session_window (e04) agree on total sessions") {
+    val e03 = ops.Events.queries("e03_user_sessions")(spark, sfSmoke)
+    val bad = e03.filter(col("n_sessions") > col("n_events")).count()
+    assert(bad == 0)
+    val total03 = e03.agg(sum("n_sessions")).collect()(0).getLong(0)
+    val total04 = ops.Events.queries("e04_session_window")(spark, sfSmoke).count()
+    assert(total03 == total04,
+      s"islands=$total03 vs session_window=$total04")
+  }
+
+  test("streaming window counts equal the batch computation (e07 vs e01)") {
+    val batch = ops.Events.queries("e01_hourly_type_counts")(spark, sfSmoke)
+      .select("hour_start", "event_type", "n")
+    val stream = ops.Events.queries("e07_stream_hourly_counts")(spark, sfSmoke)
+    assert(stream.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(stream).count() == 0)
+  }
+}

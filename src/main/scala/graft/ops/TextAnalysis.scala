@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` fixture — the
+  * training-data-pipeline surface (SURVEY.md §2.4): token statistics,
+  * term frequencies, tf-idf, quality scoring, n-gram language scoring,
+  * and content fingerprinting. No counterpart exists in the reference
+  * (its payloads are opaque bytes); everything is built from codegen'd
+  * `functions._` primitives — split/explode/groupBy/join — so Catalyst
+  * plans partial aggregation and pushes column pruning into the scan.
+  *
+  * Cross-engine determinism: token hashing uses the first 8 hex digits
+  * of md5 (identical in Spark `conv(substr(md5(x),1,8),16,10)` and
+  * DuckDB `('0x' || substr(md5(x),1,8))::BIGINT`); every float is
+  * rounded identically on both sides.
+  *
+  * Scale posture (100 TB): all operators are explode → hash-aggregate
+  * pipelines that shuffle once on (term) or (doc) keys; nothing holds
+  * per-corpus state on the driver. tf-idf's document-frequency side is
+  * orders of magnitude smaller than the corpus after aggregation and
+  * broadcasts when small.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      // Whitespace tokenization; fixture text is single-space soup so
+      // avg token length has the closed form (chars - spaces) / tokens.
+      docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .select(
+          $"doc_id",
+          size($"toks").as("n_tokens"),
+          size(array_distinct($"toks")).as("n_unique"),
+          round((length($"text") - size($"toks") + 1) /
+            size($"toks").cast("double"), 4).as("avg_token_len"))
+        .orderBy($"doc_id")
+    },
+
+    "t02_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      // Global term frequencies: explode → hash agg (map-side partial
+      // combine keeps the shuffle at |vocab| not |tokens|).
+      docs(s, dir)
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(20)
+    },
+
+    "t03_tfidf_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      // tf-idf with idf = ln(N / df); top-3 terms per doc, term-asc
+      // tiebreak. df table is |vocab|-sized → broadcast to avoid
+      // re-shuffling the tf side.
+      val d = docs(s, dir)
+      val n = d.count() // corpus size: one tiny job, not per-row state
+      val tf = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term")
+      tf.join(broadcast(df), "term")
+        .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"term", $"tfidf", $"rnk")
+        .orderBy($"doc_id", $"rnk")
+    },
+
+    "t04_quality_scores" -> { (s, dir) =>
+      import s.implicits._
+      // Quality heuristics: stopword ratio, short-token ratio, length
+      // saturation — a deterministic linear score.
+      val stopArr = array(stopwords.map(lit): _*)
+      docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("n_stop",
+          size(filter($"toks", t => array_contains(stopArr, t))))
+        .withColumn("n_short", size(filter($"toks", t => length(t) <= 2)))
+        .select(
+          $"doc_id", $"lang", $"n_tokens",
+          round($"n_stop" / $"n_tokens".cast("double"), 6).as("stopword_ratio"),
+          round($"n_short" / $"n_tokens".cast("double"), 6).as("short_ratio"),
+          round(
+            least($"n_tokens" / lit(100.0), lit(1.0)) *
+              (lit(1.0) - $"n_stop" / $"n_tokens".cast("double")) *
+              (lit(1.0) - $"n_short" / $"n_tokens".cast("double")), 6)
+            .as("quality_score"))
+        .orderBy($"doc_id")
+    },
+
+    "t05_langid_bigram" -> { (s, dir) =>
+      import s.implicits._
+      // n-gram language-ID: per-lang char-bigram profiles (top 20 by
+      // corpus frequency) scored against each doc's distinct bigrams;
+      // prediction = argmax hits (lang-asc tiebreak). Profiles are
+      // corpus-derived (labels as training data) and tiny → broadcast.
+      val d = docs(s, dir).withColumn("head", substring($"text", 1, 200))
+      val bigrams = d.select($"doc_id", $"lang",
+          explode(expr(
+            "transform(sequence(1, length(head) - 1), i -> substring(head, i, 2))"))
+            .as("bg"))
+      val profiles = bigrams
+        .groupBy($"lang".as("p_lang"), $"bg")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"p_lang").orderBy($"n".desc, $"bg")))
+        .filter($"rnk" <= 20)
+        .select($"p_lang", $"bg")
+      val docBigrams = bigrams.select($"doc_id", $"bg").distinct()
+      val scores = docBigrams.join(broadcast(profiles), "bg")
+        .groupBy($"doc_id", $"p_lang")
+        .agg(count(lit(1)).as("hits"))
+      scores
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"hits".desc, $"p_lang")))
+        .filter($"rnk" === 1)
+        .select($"doc_id", $"p_lang".as("predicted_lang"), $"hits")
+        .orderBy($"doc_id")
+    },
+
+    "t06_fingerprint_summary" -> { (s, dir) =>
+      import s.implicits._
+      // Content fingerprinting (md5 of normalized text) + per-source
+      // dedup summary: how many distinct contents, how many dup docs.
+      docs(s, dir)
+        .withColumn("fp", md5(lower($"text")))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_distinct"),
+          (count(lit(1)) - countDistinct($"fp")).as("n_dup_docs"))
+        .orderBy($"source")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |len(string_split(text, ' ')) AS n_tokens,
+        |len(list_distinct(string_split(text, ' '))) AS n_unique,
+        |round((length(text) - len(string_split(text, ' ')) + 1)
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_top_terms" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t03_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "t04_quality_scores" ->
+      """WITH x AS (
+        |  SELECT doc_id, lang,
+        |    string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))
+        |      AS n_stop,
+        |    len(list_filter(toks, t -> length(t) <= 2)) AS n_short
+        |  FROM x)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+        |  round(n_short / CAST(n_tokens AS DOUBLE), 6) AS short_ratio,
+        |  round(least(n_tokens / 100.0, 1.0)
+        |    * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+        |    * (1.0 - n_short / CAST(n_tokens AS DOUBLE)), 6) AS quality_score
+        |FROM y ORDER BY doc_id""".stripMargin,
+
+    "t05_langid_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 200) AS head FROM documents),
+        |bigrams AS (
+        |  SELECT doc_id, lang, substr(head, CAST(i AS INT), 2) AS bg
+        |  FROM d, unnest(range(1, length(head))) AS t(i)),
+        |profiles AS (
+        |  SELECT p_lang, bg FROM (
+        |    SELECT lang AS p_lang, bg, count(*) AS n, row_number() OVER (
+        |      PARTITION BY lang ORDER BY count(*) DESC, bg) AS rnk
+        |    FROM bigrams GROUP BY lang, bg) WHERE rnk <= 20),
+        |doc_bg AS (SELECT DISTINCT doc_id, bg FROM bigrams),
+        |scores AS (
+        |  SELECT doc_id, p_lang, count(*) AS hits
+        |  FROM doc_bg JOIN profiles USING (bg) GROUP BY doc_id, p_lang),
+        |ranked AS (
+        |  SELECT doc_id, p_lang, hits, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rnk
+        |  FROM scores)
+        |SELECT doc_id, p_lang AS predicted_lang, hits FROM ranked
+        |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    "t06_fingerprint_summary" ->
+      """SELECT source, count(*) AS n_docs,
+        |count(DISTINCT md5(lower(text))) AS n_distinct,
+        |count(*) - count(DISTINCT md5(lower(text))) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,287 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Deduplication operators — the training-data-pipeline core
+  * (SURVEY.md §2.4): exact content dedup, MinHash+LSH near-dup over
+  * 3-token shingles, SimHash, exact n-gram Jaccard, and embedding-cosine
+  * near-dup. No counterpart in the reference (opaque byte payloads).
+  *
+  * Cross-engine determinism: every hash is derived from md5 hex — Spark
+  * `conv(substr(md5(x),1,7),16,10)` ≡ DuckDB
+  * `('0x' || substr(md5(x),1,7))::BIGINT` (7 hex digits keep a·h+b well
+  * inside int64) — so DuckDB can replicate MinHash/SimHash signatures
+  * bit-for-bit.
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is one hash-shuffle on the fingerprint;
+  *  - MinHash candidates come from LSH band buckets (equi-join on band
+  *    hash), never an all-pairs comparison; the final verify runs only on
+  *    bucket-mates. At 1000 executors each band join is an ordinary
+  *    shuffle join on a well-distributed key;
+  *  - SimHash reduces each doc to one int64; near-dup = hamming
+  *    neighborhood, again joinable by rotating prefix buckets;
+  *  - n-gram Jaccard is blocked by `source` here (the general blocked
+  *    self-join shape) — the unblocked form is what LSH replaces;
+  *  - embedding-cosine does a within-label blocked self-join; the
+  *    unblocked brute-force and IVF variants live in Similarity.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** MinHash parameters: 6 permutations h_j(x) = (a_j·x + b_j) mod p,
+    * banded 2-at-a-time into 3 LSH bands. Constants are part of the
+    * operator contract (the oracle replicates them).
+    *
+    * The multipliers must be LARGE relative to p: with small a_j,
+    * (a·h+b) mod p is close to order-preserving, every "permutation"
+    * picks the same argmin shingle, and the 6 slots collapse into one
+    * hash function (observed: thousands of false est_jaccard=1.0 pairs).
+    * h < 2^28 (7 md5 hex digits) and a_j < p ≈ 2^30 keep a·h+b < 2^58,
+    * inside int64 for both engines.
+    */
+  private val P = 1000000007L
+  private val As = Seq(968665049L, 725377913L, 858980533L,
+    531441019L, 741103597L, 433024253L)
+  private val Bs = Seq(372700613L, 154365481L, 811961371L,
+    96132089L, 257310181L, 646617851L)
+  private val SimhashBits = 16
+
+  /** Spark-side 3-token shingle array (1-based element_at). */
+  private val shingleExpr =
+    "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
+      "concat_ws(' ', element_at(toks, i), " +
+      "element_at(toks, least(i + 1, size(toks))), " +
+      "element_at(toks, least(i + 2, size(toks)))))"
+
+  /** DuckDB-side equivalent shingle list. */
+  private val shingleSql =
+    "list_transform(range(1, greatest(len(toks) - 1, 2)), i -> " +
+      "toks[i] || ' ' || toks[least(i + 1, len(toks))] || ' ' || " +
+      "toks[least(i + 2, len(toks))])"
+
+  /** doc_id + exploded distinct shingle hashes (Spark side). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
+      .distinct()
+      .withColumn("h", conv(substring(md5($"sh"), 1, 7), 16, 10).cast("long"))
+  }
+
+  /** DuckDB CTE producing (doc_id, h) distinct shingle hashes. */
+  private val shingleHashSql =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest($shingleSql) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |          FROM documents))),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+       |  FROM sh)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Global exact dedup: md5 fingerprint of normalized text, keep the
+      // lowest doc_id of each group. One shuffle on the fingerprint.
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      docs(s, dir)
+        .withColumn("fp", md5(lower($"text")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy($"fp")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"fp", $"n_copies")
+        .orderBy($"doc_id")
+    },
+
+    "d02_minhash_signatures" -> { (s, dir) =>
+      import s.implicits._
+      // 6-permutation MinHash signature per doc over 3-token shingles.
+      val aggs = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+        min((($"h" * a + b) % P)).as(s"mh$j")
+      }
+      shingleHashes(s, dir)
+        .groupBy($"doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy($"doc_id")
+    },
+
+    "d03_minhash_near_dups" -> { (s, dir) =>
+      import s.implicits._
+      // LSH: 3 bands of 2 signature slots; candidate pairs share ≥1
+      // whole band (equi-join per band, NOT all-pairs); verified by
+      // estimated Jaccard = matching slots / 6 ≥ 0.5.
+      val sigs = queries("d02_minhash_signatures")(s, dir)
+      val bands = (0 until 3).map { b =>
+        sigs.select($"doc_id",
+          concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+            .as("band"))
+      }.reduce(_ unionAll _)
+      val a = bands.as("a"); val b = bands.as("b")
+      val cand = a.join(b, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+      val matches = (0 until 6).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est_jaccard", round(matches / lit(6.0), 6))
+        .filter($"est_jaccard" >= 0.5)
+        .select($"a_id", $"b_id", $"est_jaccard")
+        .orderBy($"a_id", $"b_id")
+    },
+
+    "d04_simhash" -> { (s, dir) =>
+      import s.implicits._
+      // 16-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
+      // bit set when the vote is positive. One doc → one small integer.
+      val bitSums = (0 until SimhashBits).map { i =>
+        sum(shiftright($"h", i).bitwiseAND(1) * 2 - 1).as(s"s$i")
+      }
+      val simhash = (0 until SimhashBits).map { i =>
+        when(col(s"s$i") > 0, 1L << i).otherwise(0L)
+      }.reduce(_ + _)
+      shingleHashes(s, dir)
+        .groupBy($"doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", simhash.as("simhash"))
+        .orderBy($"doc_id")
+    },
+
+    "d05_ngram_jaccard_top_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // Exact 3-shingle Jaccard, blocked by source (the blocked
+      // self-join shape; LSH replaces the unblocked form at scale).
+      // Global top-10 most-similar pairs, deterministic tiebreaks.
+      val d = docs(s, dir).select($"doc_id", $"source")
+      val sh = shingleHashes(s, dir).join(d, "doc_id")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("a_id", "sh_a", "h_a", "source")
+      val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
+      val inter = a.join(b,
+          $"source" === $"source_b" && $"h_a" === $"h_b" &&
+            $"sh_a" === $"sh_b" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .withColumn("jaccard",
+          round($"n_inter" / ($"na" + $"nb" - $"n_inter").cast("double"), 6))
+        .select($"a_id", $"b_id", $"jaccard")
+        .orderBy($"jaccard".desc, $"a_id", $"b_id")
+        .limit(10)
+    },
+
+    "d06_embedding_near_dups" -> { (s, dir) =>
+      import s.implicits._
+      // Embedding-cosine near-dup: within-label blocked self-join (the
+      // fixture's clusters), cosine via double-precision zip_with dot.
+      // Threshold 0.45 exercises the operator on this fixture (real
+      // pipelines use ~0.95); unblocked + IVF variants in Similarity.
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(aggregate(
+          zip_with($"v", $"v", (x, y) => x * y), lit(0.0), _ + _)))
+      val a = e.toDF("a_id", "label", "va", "norm_a")
+      val b = e.toDF("b_id", "label_b", "vb", "norm_b")
+      a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
+        .withColumn("cos", round(
+          aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), _ + _)
+            / ($"norm_a" * $"norm_b"), 4))
+        .filter($"cos" >= 0.45)
+        .select($"a_id", $"b_id", $"label", $"cos")
+        .orderBy($"a_id", $"b_id")
+    })
+
+  def oracle: Map[String, String] = {
+    val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS mh$j"
+    }.mkString(", ")
+    val bandSelects = (0 until 3).map { bnd =>
+      s"SELECT doc_id, $bnd || ':' || mh${2 * bnd} || ':' || mh${2 * bnd + 1} AS band FROM sigs"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until 6).map(j =>
+      s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bitSumCols = (0 until SimhashBits).map(i =>
+      s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
+    val simhashExpr = (0 until SimhashBits).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+    Map(
+      "d01_exact_dedup" ->
+        """SELECT doc_id, fp, n_copies FROM (
+          |  SELECT doc_id, md5(lower(text)) AS fp,
+          |    row_number() OVER (PARTITION BY md5(lower(text))
+          |      ORDER BY doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY md5(lower(text))) AS n_copies
+          |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "d02_minhash_signatures" ->
+        s"""WITH $shingleHashSql
+           |SELECT doc_id, $mhCols
+           |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d03_minhash_near_dups" ->
+        s"""WITH $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, round(($matchSum) / 6.0, 6) AS est_jaccard
+           |FROM cand
+           |JOIN sigs sa ON sa.doc_id = a_id
+           |JOIN sigs sb ON sb.doc_id = b_id
+           |WHERE round(($matchSum) / 6.0, 6) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "d04_simhash" ->
+        s"""WITH $shingleHashSql,
+           |bits AS (SELECT doc_id, $bitSumCols FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, $simhashExpr AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin,
+
+      "d05_ngram_jaccard_top_pairs" ->
+        s"""WITH $shingleHashSql,
+           |tagged AS (
+           |  SELECT h.doc_id, h.h, d.source FROM hashed h
+           |  JOIN documents d ON d.doc_id = h.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+           |  FROM tagged a JOIN tagged b
+           |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id,
+           |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+           |    AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |ORDER BY jaccard DESC, a_id, b_id LIMIT 10""".stripMargin,
+
+      "d06_embedding_near_dups" ->
+        """WITH e AS (
+          |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, label, v,
+          |        sqrt(list_dot_product(v, v)) AS nrm FROM e)
+          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+          |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+          |ORDER BY a_id, b_id""".stripMargin)
+  }
+}

@@ -1,0 +1,306 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane LSH approximate variant, and an IVF-style
+  * centroid-probe variant — the two standard scale paths for ANN on a
+  * cluster (SURVEY.md §2.4).
+  *
+  * Everything is oracle-replicable: hyperplanes are derived from md5 (so
+  * DuckDB computes the identical planes), dots are sequential
+  * double-precision folds on both engines, and every emitted float is
+  * rounded identically.
+  *
+  * Scale posture (100 TB):
+  *  - brute force is O(|queries|·|corpus|): fine when the query side is
+  *    small enough to broadcast (it is here, and usually is — the
+  *    corpus side stays partitioned and is scanned once);
+  *  - LSH turns that into an equi-join on an 8-bit bucket key
+  *    (2^8 buckets → ~1/256 of the pairs), the right shape for a
+  *    shuffle join at any corpus size;
+  *  - IVF probes the nprobe nearest coarse cells only; the centroid
+  *    table is tiny and broadcast, and the cell assignment is one pass.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NPlanes = 8   // census bucket width (s02)
+  private val NTables = 4   // LSH tables for ANN (s03)
+  private val TBits = 6     // planes per table
+  private val K = 5
+  private val NProbe = 2
+  private val NQueries = 10 // query set: vec_id < 10
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Deterministic pseudo-random hyperplane j: component i =
+    * (int(md5("j_i")[0:7], 16) mod 1000) / 500 − 1  ∈ [−1, 1).
+    * Constant-folded by Catalyst; DuckDB builds the identical list.
+    */
+  private def planeExpr(j: Int): String =
+    s"transform(sequence(0, ${Dim - 1}), i -> " +
+      s"(cast(conv(substr(md5(concat('${j}_', cast(i as string))), 1, 7), " +
+      s"16, 10) as bigint) % 1000) / 500.0 - 1.0)"
+
+  private def planeSql(j: Int): String =
+    s"list_transform(range(0, $Dim), i -> " +
+      s"(('0x' || substr(md5('${j}_' || i::VARCHAR), 1, 7))::BIGINT % 1000) " +
+      "/ 500.0 - 1.0)"
+
+  /** Sequential double-precision dot product of two array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** 8-bit LSH bucket: sign pattern of the plane dots. */
+  private def bucketCol: Column =
+    concat((0 until NPlanes).map { j =>
+      when(dot(col("v"), expr(planeExpr(j))) > 0, "1").otherwise("0")
+    }: _*)
+
+  private val bucketSql: String =
+    (0 until NPlanes).map { j =>
+      s"CASE WHEN list_dot_product(v, ${planeSql(j)}) > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  /** Multi-table LSH bucket for table t: TBits sign bits from planes
+    * t·TBits … t·TBits+TBits−1, prefixed with the table id. One table
+    * of b bits prunes hard but misses near neighbors that differ in any
+    * bit; L independent tables recover recall (candidate iff bucket
+    * matches in ≥1 table) while keeping the equi-join shape.
+    */
+  private def tableBucketCol(t: Int): Column =
+    concat(lit(s"$t:") +: (0 until TBits).map { j =>
+      when(dot(col("v"), expr(planeExpr(t * TBits + j))) > 0, "1")
+        .otherwise("0")
+    }: _*)
+
+  private def tableBucketSql(t: Int): String =
+    s"'$t:' || " + (0 until TBits).map { j =>
+      s"CASE WHEN list_dot_product(v, ${planeSql(t * TBits + j)}) > 0 " +
+        "THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Brute-force exact top-k: broadcast the small query side, scan
+      // the corpus once, rank per query. The ANN variants are judged
+      // against this baseline.
+      val e = withNorm(emb(s, dir))
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      e.select($"vec_id".as("n_id"), $"v", $"nrm")
+        .join(broadcast(q), $"q_id" =!= $"n_id")
+        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s02_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      // LSH bucket census: bucket id + occupancy + per-bucket label
+      // spread. (The bucket key is what the ANN join equi-joins on.)
+      emb(s, dir)
+        .withColumn("bucket", bucketCol)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct($"label").as("n_labels"))
+        .orderBy($"bucket")
+    },
+
+    "s03_lsh_ann_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Approximate top-k via multi-table LSH: a vector lands in
+      // NTables buckets (one per table); candidates share a bucket in
+      // at least one table — a union of equi-joins, never all-pairs.
+      // Recall vs s01 is measured in the spec (< 1.0 by design).
+      val e = withNorm(emb(s, dir))
+      val tabs = (0 until NTables).map { t =>
+        e.select($"vec_id", $"v", $"nrm", tableBucketCol(t).as("bucket"))
+      }.reduce(_ union _)
+      val q = tabs.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          $"bucket".as("q_bucket"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      tabs.select($"vec_id".as("n_id"), $"v", $"nrm", $"bucket")
+        .join(broadcast(q),
+          $"bucket" === $"q_bucket" && $"q_id" =!= $"n_id")
+        .select($"q_id", $"n_id", $"qv", $"qn", $"v", $"nrm").distinct()
+        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s04_ivf_ann_topk" -> { (s, dir) =>
+      import s.implicits._
+      // IVF-style: coarse cells = label clusters with mean-vector
+      // centroids (computed in one positional-explode pass); each query
+      // probes its NProbe nearest centroids and searches only those
+      // cells. Centroid table is tiny → broadcast everywhere.
+      val e = withNorm(emb(s, dir))
+      // centroid c[label][i] = avg of component i
+      val cents = e.select($"label", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"label", $"i").agg(avg($"x").as("cx"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
+        .select($"label".as("c_label"),
+          expr("transform(pairs, p -> p.cx)").as("cv"))
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      // nearest NProbe cells by (negative) dot with centroid
+      val wProbe = Window.partitionBy($"q_id")
+        .orderBy($"cdot".desc, $"c_label")
+      val probes = q.join(broadcast(cents), lit(true))
+        .withColumn("cdot", round(dot($"qv", $"cv"), 6))
+        .withColumn("p_rnk", row_number().over(wProbe))
+        .filter($"p_rnk" <= NProbe)
+        .select($"q_id", $"qv", $"qn", $"c_label")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      e.select($"vec_id".as("n_id"), $"label", $"v", $"nrm")
+        .join(broadcast(probes),
+          $"label" === $"c_label" && $"q_id" =!= $"n_id")
+        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s05_label_cohesion" -> { (s, dir) =>
+      import s.implicits._
+      // Cluster-quality analytics: mean intra-label cosine per label
+      // (blocked self-join, no global all-pairs).
+      val e = withNorm(emb(s, dir))
+      val a = e.toDF("a_id", "label", "va", "na")
+      val b = e.toDF("b_id", "label_b", "vb", "nb")
+      a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
+        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg($"cos"), 4).as("avg_cos"),
+          round(max($"cos"), 4).as("max_cos"))
+        .orderBy($"label")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |      WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos
+         |  FROM q JOIN e ON q.q_id <> e.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "s02_lsh_buckets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |bucketed AS (SELECT vec_id, label, $bucketSql AS bucket FROM e)
+         |SELECT bucket, count(*) AS n_vectors,
+         |       count(DISTINCT label) AS n_labels
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "s03_lsh_ann_topk" -> {
+      val tabSelects = (0 until NTables).map { t =>
+        s"SELECT vec_id, v, nrm, ${tableBucketSql(t)} AS bucket FROM e"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |tabs AS ($tabSelects),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+         |      FROM tabs WHERE vec_id < $NQueries),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, e.vec_id AS n_id, q.qv, q.qn, e.v, e.nrm
+         |  FROM q JOIN tabs e
+         |    ON e.bucket = q.q_bucket AND q.q_id <> e.vec_id),
+         |scored AS (
+         |  SELECT q_id, n_id,
+         |    round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "s04_ivf_ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |comps AS (
+         |  SELECT label, CAST(i AS INT) AS i, avg(v[CAST(i AS INT)]) AS cx
+         |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)
+         |  GROUP BY label, CAST(i AS INT)),
+         |cents AS (
+         |  SELECT label AS c_label, list(cx ORDER BY i) AS cv
+         |  FROM comps GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, qv, qn, c_label FROM (
+         |    SELECT q.q_id, q.qv, q.qn, c.c_label,
+         |      round(list_dot_product(q.qv, c.cv), 6) AS cdot,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(list_dot_product(q.qv, c.cv), 6) DESC,
+         |                 c.c_label) AS p_rnk
+         |    FROM q CROSS JOIN cents c) WHERE p_rnk <= $NProbe),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id AS n_id,
+         |    round(list_dot_product(p.qv, e.v) / (p.qn * e.nrm), 4) AS cos
+         |  FROM probes p JOIN e
+         |    ON e.label = p.c_label AND p.q_id <> e.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "s05_label_cohesion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.label, count(*) AS n_pairs,
+        |  round(avg(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4)
+        |    AS avg_cos,
+        |  round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4)
+        |    AS max_cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label""".stripMargin)
+}

@@ -1,0 +1,194 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.4): media as opaque `binary`
+  * content plus a typed metadata struct, with decode / feature-extract /
+  * resize / frame-sample stages. The real Spark-side machinery — schema,
+  * per-partition batched processing via `mapPartitions` over a typed
+  * `Dataset`, metadata transforms, deterministic outputs — is genuine
+  * and oracle-tested; only the *codec* is stubbed (no image/audio libs
+  * in this container) with a deterministic md5-derived fake, clearly
+  * marked in [[FakeCodec]]. Swapping in a real decoder changes one
+  * function, not the pipeline.
+  *
+  * The media table is synthesized per-query from the `documents` fixture
+  * (content = UTF-8 text bytes, metadata derived deterministically), so
+  * both engines see identical bytes and DuckDB can replicate every
+  * output.
+  *
+  * Scale posture (100 TB of media): content never leaves its partition —
+  * decode runs inside `mapPartitions` (one codec instance per task, not
+  * per row), features are fixed-width columns, and every stage is a
+  * narrow map (no shuffle until the analytical groupBy at the end).
+  */
+object Multimodal {
+
+  /** One media row: binary payload + typed metadata. */
+  final case class Media(media_id: Long, content: Array[Byte],
+      format: String, width: Int, height: Int)
+
+  final case class MediaFeatures(media_id: Long, f0: Double, f1: Double,
+      f2: Double, f3: Double, f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** STUB CODEC — deterministic fake standing in for an image/audio
+    * decoder (none available in this container). Feature j of a payload
+    * is the first 7 md5 hex digits of (payload ++ "_j"), mod 1000,
+    * scaled to [0, 1). A real implementation would decode pixels and
+    * pool; the call shape (bytes in, fixed-width floats out, one
+    * instance per partition) is the contract the pipeline tests.
+    */
+  object FakeCodec {
+    val NFeatures = 8
+
+    def features(md: MessageDigest, content: Array[Byte]): Array[Double] =
+      (0 until NFeatures).map { j =>
+        md.reset()
+        md.update(content)
+        md.update(s"_$j".getBytes("UTF-8"))
+        val hex = md.digest().map("%02x".format(_)).mkString.substring(0, 7)
+        (java.lang.Long.parseLong(hex, 16) % 1000) / 1000.0
+      }.toArray
+  }
+
+  /** The synthesized media catalog: deterministic metadata from doc
+    * attributes (format cycles over 4 codecs; dims derived from length).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id".as("media_id"),
+        $"text".cast("binary").as("content"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
+          ($"doc_id" % 4 + 1).cast("int")).as("format"),
+        ($"n_chars" % 640 + 16).cast("int").as("width"),
+        ($"n_chars" % 480 + 16).cast("int").as("height"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_catalog" -> { (s, dir) =>
+      import s.implicits._
+      // Catalog stats per format: byte sizes + dimension aggregates over
+      // the typed metadata.
+      mediaTable(s, dir)
+        .groupBy($"format")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(length($"content")).as("total_bytes"),
+          round(avg($"width" * $"height"), 2).as("avg_pixels"),
+          max($"width").as("max_width"))
+        .orderBy($"format")
+    },
+
+    "m02_feature_extract" -> { (s, dir) =>
+      import s.implicits._
+      // Decode + feature extraction through mapPartitions: one codec
+      // per partition, rows processed as a batch stream — the real
+      // decode shape with the stub codec.
+      val media: Dataset[Media] = mediaTable(s, dir).as[Media]
+      media.mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5") // per-task, reused
+        rows.map { m =>
+          val f = FakeCodec.features(md, m.content)
+          MediaFeatures(m.media_id, f(0), f(1), f(2), f(3),
+            f(4), f(5), f(6), f(7))
+        }
+      }.toDF()
+        .filter($"media_id" < 100)
+        .orderBy($"media_id")
+    },
+
+    "m03_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Frame sampling: treat content as fixed-width 32-byte frames,
+      // keep every 4th frame, fingerprint each — pure narrow map, the
+      // shape of video keyframe extraction.
+      mediaTable(s, dir)
+        .filter($"format" === "mp4")
+        .select($"media_id", $"content".cast("string").as("txt"))
+        .select($"media_id", posexplode(expr(
+          "transform(sequence(0, int(floor((length(txt) - 1) / 32))," +
+            " 4), i -> substring(txt, i * 32 + 1, 32))"))
+          .as(Seq("frame_no", "frame")))
+        .select($"media_id", $"frame_no", md5($"frame").as("frame_fp"))
+        .orderBy($"media_id", $"frame_no")
+    },
+
+    "m04_thumbnail_plan" -> { (s, dir) =>
+      import s.implicits._
+      // Resize as metadata transform: halve dims (min 16), emit the
+      // thumbnail cache key (content + target dims) — the bookkeeping
+      // half of a resize stage, decode-free.
+      mediaTable(s, dir)
+        .filter($"format".isin("png", "jpeg"))
+        .select(
+          $"media_id", $"format",
+          greatest(floor($"width" / 2), lit(16)).cast("int").as("thumb_w"),
+          greatest(floor($"height" / 2), lit(16)).cast("int").as("thumb_h"),
+          md5(concat($"content".cast("string"), lit("_"),
+            greatest(floor($"width" / 2), lit(16)).cast("int"), lit("x"),
+            greatest(floor($"height" / 2), lit(16)).cast("int")))
+            .as("thumb_key"))
+        .orderBy($"media_id")
+    })
+
+  /** DuckDB media-catalog CTE mirroring [[mediaTable]] (content stays a
+    * VARCHAR on the DuckDB side; the bytes are identical UTF-8).
+    */
+  private val mediaSql =
+    """media AS (
+      |  SELECT doc_id AS media_id, text AS content,
+      |    ['png', 'jpeg', 'wav', 'mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
+      |    CAST(n_chars % 640 + 16 AS INT) AS width,
+      |    CAST(n_chars % 480 + 16 AS INT) AS height
+      |  FROM documents)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "m01_media_catalog" ->
+      s"""WITH $mediaSql
+         |SELECT format, count(*) AS n_media,
+         |  sum(length(content)) AS total_bytes,
+         |  round(avg(width * height), 2) AS avg_pixels,
+         |  max(width) AS max_width
+         |FROM media GROUP BY format ORDER BY format""".stripMargin,
+
+    "m02_feature_extract" -> {
+      val fCols = (0 until FakeCodec.NFeatures).map { j =>
+        s"(('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT % 1000)" +
+          s" / 1000.0 AS f$j"
+      }.mkString(", ")
+      s"""WITH $mediaSql
+         |SELECT media_id, $fCols
+         |FROM media WHERE media_id < 100 ORDER BY media_id""".stripMargin
+    },
+
+    "m03_frame_sample" ->
+      s"""WITH $mediaSql,
+         |frames AS (
+         |  SELECT media_id, CAST(i AS INT) AS idx,
+         |    substr(content, CAST(i AS INT) * 32 + 1, 32) AS frame
+         |  FROM media,
+         |    unnest(range(0, CAST(floor((length(content) - 1) / 32) AS BIGINT)
+         |      + 1, 4)) AS t(i)
+         |  WHERE format = 'mp4')
+         |SELECT media_id,
+         |  CAST(idx / 4 AS INT) AS frame_no, md5(frame) AS frame_fp
+         |FROM frames ORDER BY media_id, frame_no""".stripMargin,
+
+    "m04_thumbnail_plan" ->
+      s"""WITH $mediaSql
+         |SELECT media_id, format,
+         |  CAST(greatest(floor(width / 2), 16) AS INT) AS thumb_w,
+         |  CAST(greatest(floor(height / 2), 16) AS INT) AS thumb_h,
+         |  md5(content || '_' ||
+         |      CAST(greatest(floor(width / 2), 16) AS INT) || 'x' ||
+         |      CAST(greatest(floor(height / 2), 16) AS INT)) AS thumb_key
+         |FROM media WHERE format IN ('png', 'jpeg')
+         |ORDER BY media_id""".stripMargin)
+}

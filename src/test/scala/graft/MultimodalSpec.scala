@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("every multimodal query runs non-empty at sf0.001 and has an oracle") {
+    Multimodal.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfSmoke).count() > 0, s"$name empty")
+    }
+    assert(Multimodal.queries.keySet == Multimodal.oracle.keySet)
+  }
+
+  test("media table has the full typed schema and covers all docs") {
+    val m = Multimodal.mediaTable(spark, sfSmoke)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("media_id", "content", "format", "width", "height"))
+    assert(m.count() == Tables.load(spark, sfSmoke, "documents").count())
+    assert(m.select("format").distinct().count() == 4)
+  }
+
+  test("feature extraction is deterministic and bounded [0,1)") {
+    val f1 = Multimodal.queries("m02_feature_extract")(spark, sfSmoke)
+    val f2 = Multimodal.queries("m02_feature_extract")(spark, sfSmoke)
+    assert(f1.exceptAll(f2).count() == 0, "codec must be deterministic")
+    (0 until Multimodal.FakeCodec.NFeatures).foreach { j =>
+      assert(f1.filter(col(s"f$j") < 0 || col(s"f$j") >= 1).count() == 0)
+    }
+  }
+
+  test("frame sampling keeps every 4th 32-byte frame") {
+    val frames = Multimodal.queries("m03_frame_sample")(spark, sfSmoke)
+    // frame numbers per media are contiguous 0..k
+    val bad = frames.groupBy("media_id")
+      .agg(max("frame_no").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(bad == 0)
+  }
+}

@@ -183,6 +183,29 @@ object Dedup {
         .limit(10)
     },
 
+    "d07_simhash_near_dups" -> { (s, dir) =>
+      import s.implicits._
+      // SimHash near-dup: candidates via pigeonhole buckets — split the
+      // 16-bit hash into 4 nibbles; any pair within Hamming distance 3
+      // must agree on ≥1 whole nibble, so candidates come from 4
+      // equi-joins on (nibble_id, nibble_value), never all-pairs. The
+      // verify step uses the native codegen'd hamming64 expression.
+      val sim = queries("d04_simhash")(s, dir)
+      val chunks = (0 until 4).map { c =>
+        sim.select($"doc_id", $"simhash",
+          concat_ws(":", lit(c),
+            shiftright($"simhash", c * 4).bitwiseAND(15)).as("chunk"))
+      }.reduce(_ union _)
+      val a = chunks.toDF("a_id", "sim_a", "chunk")
+      val b = chunks.toDF("b_id", "sim_b", "chunk_b")
+      a.join(b, $"chunk" === $"chunk_b" && $"a_id" < $"b_id")
+        .select($"a_id", $"b_id", $"sim_a", $"sim_b").distinct()
+        .withColumn("dist", graft.functions.Hamming64($"sim_a", $"sim_b"))
+        .filter($"dist" <= 3)
+        .select($"a_id", $"b_id", $"dist")
+        .orderBy($"a_id", $"b_id")
+    },
+
     "d06_embedding_near_dups" -> { (s, dir) =>
       import s.implicits._
       // Embedding-cosine near-dup: within-label blocked self-join (the
@@ -271,6 +294,25 @@ object Dedup {
            |JOIN sizes sa ON sa.doc_id = a_id
            |JOIN sizes sb ON sb.doc_id = b_id
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 10""".stripMargin,
+
+      "d07_simhash_near_dups" -> {
+        val chunkSelects = (0 until 4).map { c =>
+          s"SELECT doc_id, simhash, '$c:' || ((simhash >> ${c * 4}) & 15) " +
+            "AS chunk FROM sim"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleHashSql,
+           |bits AS (SELECT doc_id, $bitSumCols FROM hashed GROUP BY doc_id),
+           |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM bits),
+           |chunks AS ($chunkSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.simhash AS sim_a, b.simhash AS sim_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, bit_count(xor(sim_a, sim_b)) AS dist
+           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      },
 
       "d06_embedding_near_dups" ->
         """WITH e AS (

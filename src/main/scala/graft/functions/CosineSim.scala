@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two double arrays in
+  * ONE fused pass — dot product and both norms accumulate in a single
+  * loop over the vectors.
+  *
+  * The composed form `aggregate(zip_with(a,b,*)) / (sqrt(...)·sqrt(...))`
+  * walks the arrays three times and allocates an intermediate array per
+  * pair; on an ANN candidate join at 100 TB that triples the inner-loop
+  * cost of the hottest operator in the engine. This expression generates
+  * a single fused loop via `doGenCode` and stays inside whole-stage
+  * codegen.
+  *
+  * Semantics: accumulation is sequential in array order with double
+  * precision — identical to the composed form and to DuckDB's
+  * `list_dot_product`-based oracle, so swapping it into an operator does
+  * not change any oracle-checked value. Nulls: null array → null;
+  * mismatched lengths → error; zero norm → null (no NaN leakage).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: length mismatch ($n vs ${y.numElements()})")
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: length mismatch (" + $n + " vs " +
+         |    $b.numElements() + ")");
+         |}
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = $a.getDouble($i);
+         |  final double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |final double $denom = java.lang.Math.sqrt($nx) *
+         |  java.lang.Math.sqrt($ny);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  private lazy val (toColumn, toExpression) = {
+    val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+    (cls.getMethod("column", classOf[Expression]),
+      cls.getMethod("expression", classOf[Column]))
+  }
+
+  /** Column API: `CosineSim(colA, colB)`. */
+  def apply(a: Column, b: Column): Column =
+    toColumn.invoke(null, CosineSim(
+      toExpression.invoke(null, a).asInstanceOf[Expression],
+      toExpression.invoke(null, b).asInstanceOf[Expression]))
+      .asInstanceOf[Column]
+
+  /** SQL registration: `SELECT cosine_sim(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+}

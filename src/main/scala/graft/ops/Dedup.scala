@@ -214,14 +214,10 @@ object Dedup {
       // pipelines use ~0.95); unblocked + IVF variants in Similarity.
       val e = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-        .withColumn("norm", sqrt(aggregate(
-          zip_with($"v", $"v", (x, y) => x * y), lit(0.0), _ + _)))
-      val a = e.toDF("a_id", "label", "va", "norm_a")
-      val b = e.toDF("b_id", "label_b", "vb", "norm_b")
+      val a = e.toDF("a_id", "label", "va")
+      val b = e.toDF("b_id", "label_b", "vb")
       a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
-        .withColumn("cos", round(
-          aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), _ + _)
-            / ($"norm_a" * $"norm_b"), 4))
+        .withColumn("cos", round(graft.functions.CosineSim($"va", $"vb"), 4))
         .filter($"cos" >= 0.45)
         .select($"a_id", $"b_id", $"label", $"cos")
         .orderBy($"a_id", $"b_id")

@@ -98,13 +98,13 @@ object Similarity {
       // Brute-force exact top-k: broadcast the small query side, scan
       // the corpus once, rank per query. The ANN variants are judged
       // against this baseline.
-      val e = withNorm(emb(s, dir))
+      val e = emb(s, dir)
       val q = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      e.select($"vec_id".as("n_id"), $"v", $"nrm")
+      e.select($"vec_id".as("n_id"), $"v")
         .join(broadcast(q), $"q_id" =!= $"n_id")
-        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= K)
         .select($"q_id", $"n_id", $"cos", $"rnk")
@@ -129,19 +129,19 @@ object Similarity {
       // NTables buckets (one per table); candidates share a bucket in
       // at least one table — a union of equi-joins, never all-pairs.
       // Recall vs s01 is measured in the spec (< 1.0 by design).
-      val e = withNorm(emb(s, dir))
+      val e = emb(s, dir)
       val tabs = (0 until NTables).map { t =>
-        e.select($"vec_id", $"v", $"nrm", tableBucketCol(t).as("bucket"))
+        e.select($"vec_id", $"v", tableBucketCol(t).as("bucket"))
       }.reduce(_ union _)
       val q = tabs.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        .select($"vec_id".as("q_id"), $"v".as("qv"),
           $"bucket".as("q_bucket"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      tabs.select($"vec_id".as("n_id"), $"v", $"nrm", $"bucket")
+      tabs.select($"vec_id".as("n_id"), $"v", $"bucket")
         .join(broadcast(q),
           $"bucket" === $"q_bucket" && $"q_id" =!= $"n_id")
-        .select($"q_id", $"n_id", $"qv", $"qn", $"v", $"nrm").distinct()
-        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .select($"q_id", $"n_id", $"qv", $"v").distinct()
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= K)
         .select($"q_id", $"n_id", $"cos", $"rnk")
@@ -154,7 +154,7 @@ object Similarity {
       // centroids (computed in one positional-explode pass); each query
       // probes its NProbe nearest centroids and searches only those
       // cells. Centroid table is tiny → broadcast everywhere.
-      val e = withNorm(emb(s, dir))
+      val e = emb(s, dir)
       // centroid c[label][i] = avg of component i
       val cents = e.select($"label", posexplode($"v").as(Seq("i", "x")))
         .groupBy($"label", $"i").agg(avg($"x").as("cx"))
@@ -163,7 +163,7 @@ object Similarity {
         .select($"label".as("c_label"),
           expr("transform(pairs, p -> p.cx)").as("cv"))
       val q = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
       // nearest NProbe cells by (negative) dot with centroid
       val wProbe = Window.partitionBy($"q_id")
         .orderBy($"cdot".desc, $"c_label")
@@ -171,12 +171,12 @@ object Similarity {
         .withColumn("cdot", round(dot($"qv", $"cv"), 6))
         .withColumn("p_rnk", row_number().over(wProbe))
         .filter($"p_rnk" <= NProbe)
-        .select($"q_id", $"qv", $"qn", $"c_label")
+        .select($"q_id", $"qv", $"c_label")
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      e.select($"vec_id".as("n_id"), $"label", $"v", $"nrm")
+      e.select($"vec_id".as("n_id"), $"label", $"v")
         .join(broadcast(probes),
           $"label" === $"c_label" && $"q_id" =!= $"n_id")
-        .withColumn("cos", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 4))
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= K)
         .select($"q_id", $"n_id", $"cos", $"rnk")
@@ -187,11 +187,11 @@ object Similarity {
       import s.implicits._
       // Cluster-quality analytics: mean intra-label cosine per label
       // (blocked self-join, no global all-pairs).
-      val e = withNorm(emb(s, dir))
-      val a = e.toDF("a_id", "label", "va", "na")
-      val b = e.toDF("b_id", "label_b", "vb", "nb")
+      val e = emb(s, dir)
+      val a = e.toDF("a_id", "label", "va")
+      val b = e.toDF("b_id", "label_b", "vb")
       a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
-        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+        .withColumn("cos", graft.functions.CosineSim($"va", $"vb"))
         .groupBy($"label")
         .agg(count(lit(1)).as("n_pairs"),
           round(avg($"cos"), 4).as("avg_cos"),

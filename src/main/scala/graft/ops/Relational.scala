@@ -236,6 +236,92 @@ object Relational {
           $"o_orderpriority".asc_nulls_first)
     },
 
+    "q16_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      // FULL OUTER join of two asymmetric aggregates — null-producing
+      // side coverage (left/right cases are subsumed).
+      val cust = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_rich_cust"))
+      val supp = t(s, dir, "supplier").filter($"s_acctbal" > 9000)
+        .groupBy($"s_nationkey".as("nk2")).agg(count(lit(1)).as("n_rich_supp"))
+      cust.join(supp, $"nk" === $"nk2", "full_outer")
+        .select(coalesce($"nk", $"nk2").as("nationkey"),
+          $"n_rich_cust", $"n_rich_supp")
+        .orderBy($"nationkey")
+    },
+
+    "q17_cube" -> { (s, dir) =>
+      import s.implicits._
+      // CUBE grouping sets: all four combinations of (status, year).
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"yr".asc_nulls_first)
+    },
+
+    "q18_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      // Exact interpolated median + p90 (matches DuckDB median /
+      // quantile_cont).
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(median($"o_totalprice"), 2).as("med_price"),
+          round(percentile($"o_totalprice", lit(0.9)), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    "q19_string_battery" -> { (s, dir) =>
+      import s.implicits._
+      // String function battery over part names; every function has an
+      // exact DuckDB counterpart.
+      t(s, dir, "part")
+        .filter($"p_partkey" % 50 === 0)
+        .select(
+          $"p_partkey",
+          reverse($"p_brand").as("rev_brand"),
+          lpad($"p_brand", 12, ".").as("lpadded"),
+          rpad($"p_brand", 12, ".").as("rpadded"),
+          regexp_replace($"p_name", " ", "_").as("snake_name"),
+          split_part($"p_type", lit(" "), lit(1)).as("type_head"),
+          instr($"p_type", "BRASS").cast("long").as("brass_pos"),
+          substring($"p_name", 3, 6).as("mid"),
+          lower(concat($"p_brand", lit("/"), $"p_type")).as("tag"),
+          length(trim(lit(s"  padded  "))).as("trimmed_len"))
+        .orderBy($"p_partkey")
+    },
+
+    "q20_pivot" -> { (s, dir) =>
+      import s.implicits._
+      // Pivot: one column per order status, totals per year.
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum($"o_totalprice"), 2))
+        .orderBy($"yr")
+    },
+
+    "q21_frame_functions" -> { (s, dir) =>
+      import s.implicits._
+      // first/last/nth frame functions with explicit window frames.
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_orderkey" % 20 === 0)
+        .select(
+          $"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice", 2).as("price"),
+          round(first_value($"o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+            2).as("max_in_prio"),
+          round(last_value($"o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+            2).as("min_in_prio"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"o_orderkey")
+    },
+
     "q15_running_totals" -> { (s, dir) =>
       import s.implicits._
       // analytic windows: lag + running sum + rank over event-less data.
@@ -378,6 +464,66 @@ object Relational {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q16_outer_join" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey,
+        |       c.n_rich_cust, s.n_rich_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+        |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk2, count(*) AS n_rich_supp
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+        |  ON c.nk = s.nk2
+        |ORDER BY nationkey""".stripMargin,
+
+    "q17_cube" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS yr, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT o_orderpriority,
+        |round(median(o_totalprice), 2) AS med_price,
+        |round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_string_battery" ->
+      """SELECT p_partkey,
+        |reverse(p_brand) AS rev_brand,
+        |lpad(p_brand, 12, '.') AS lpadded,
+        |rpad(p_brand, 12, '.') AS rpadded,
+        |replace(p_name, ' ', '_') AS snake_name,
+        |split_part(p_type, ' ', 1) AS type_head,
+        |strpos(p_type, 'BRASS') AS brass_pos,
+        |substr(p_name, 3, 6) AS mid,
+        |lower(p_brand || '/' || p_type) AS tag,
+        |length(trim('  padded  ')) AS trimmed_len
+        |FROM part WHERE p_partkey % 50 = 0
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q20_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+
+    "q21_frame_functions" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |round(o_totalprice, 2) AS price,
+        |round(first_value(o_totalprice) OVER w_full, 2) AS max_in_prio,
+        |round(last_value(o_totalprice) OVER w_full, 2) AS min_in_prio,
+        |ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey),
+        |  w_full AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q15_running_totals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

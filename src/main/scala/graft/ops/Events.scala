@@ -35,6 +35,23 @@ object Events {
   private val GapUs = 1800L * 1000 * 1000
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      // Skew-safe two-phase aggregation: event_type has only 5 values,
+      // so a direct groupBy concentrates each key on one reducer at
+      // scale. Phase 1 groups on (key, salt) — 16-way fan-out of each
+      // hot key — phase 2 combines the partials. Result is identical to
+      // the direct aggregation (the oracle IS the direct form).
+      val salted = ev(s, dir)
+        .withColumn("salt", pmod(crc32($"event_id".cast("string")), lit(16)))
+        .groupBy($"event_type", $"salt")
+        .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
+      salted
+        .groupBy($"event_type")
+        .agg(sum($"pn").as("n"), round(sum($"pv"), 2).as("total_value"))
+        .orderBy($"event_type")
+    },
+
     "e01_hourly_type_counts" -> { (s, dir) =>
       import s.implicits._
       // Tumbling 1h event-time window per type. window() start aligns to
@@ -123,6 +140,30 @@ object Events {
         .orderBy($"event_type", $"rnk")
     },
 
+    "e08_asof_attribution" -> { (s, dir) =>
+      import s.implicits._
+      // AS-OF join (purchase → latest strictly-prior click of the same
+      // user), composed from built-ins per SURVEY §4.3 preference (a):
+      // one shuffle on user_id, then a running last-click window — no
+      // custom plan node needed, and it scales as an ordinary
+      // partition-sorted window. Oracle uses DuckDB's native ASOF JOIN,
+      // pinning our composition to the standard operator's semantics.
+      val ev2 = ev(s, dir).filter($"event_type".isin("click", "purchase"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev2
+        .withColumn("prev_click",
+          last(when($"event_type" === "click",
+            struct($"event_id", $"ts")), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select(
+          $"event_id".as("purchase_id"),
+          $"user_id",
+          $"prev_click.event_id".as("click_id"),
+          (unix_micros($"ts") - unix_micros($"prev_click.ts")).as("gap_us"))
+        .orderBy($"purchase_id")
+    },
+
     "e07_stream_hourly_counts" -> { (s, dir) =>
       import s.implicits._
       // The SAME aggregation as e01, computed through Structured
@@ -148,6 +189,11 @@ object Events {
     })
 
   def oracle: Map[String, String] = Map(
+    "e09_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "e01_hourly_type_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
@@ -210,6 +256,18 @@ object Events {
         |           ORDER BY round(sum(value), 2) DESC, user_id) AS rnk
         |  FROM events GROUP BY event_type, user_id) x
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "e08_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "e07_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

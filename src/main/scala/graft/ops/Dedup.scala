@@ -66,7 +66,9 @@ object Dedup {
       "toks[i] || ' ' || toks[least(i + 1, len(toks))] || ' ' || " +
       "toks[least(i + 2, len(toks))])"
 
-  /** doc_id + exploded distinct shingle hashes (Spark side). */
+  /** doc_id + exploded distinct shingle hashes (Spark side) — for the
+    * operators that genuinely need shingle-level rows (pair joins).
+    */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
@@ -74,6 +76,23 @@ object Dedup {
       .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
       .distinct()
       .withColumn("h", conv(substring(md5($"sh"), 1, 7), 16, 10).cast("long"))
+  }
+
+  /** doc_id + per-row array of distinct shingle hashes — signatures are
+    * per-document, so MinHash/SimHash need NO explode and NO shuffle:
+    * this keeps the whole signature computation a narrow map, which at
+    * 100 TB is the difference between zero shuffles and shuffling a
+    * 50×-multiplied shingle stream. Values are identical to the exploded
+    * form (array_distinct preserves the shingle SET).
+    */
+  private def shingleHashArr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("hs", expr(
+        s"transform(array_distinct($shingleExpr), " +
+          "sh -> cast(conv(substr(md5(sh), 1, 7), 16, 10) as bigint))"))
+      .select($"doc_id", $"hs")
   }
 
   /** DuckDB CTE producing (doc_id, h) distinct shingle hashes. */
@@ -104,13 +123,15 @@ object Dedup {
 
     "d02_minhash_signatures" -> { (s, dir) =>
       import s.implicits._
-      // 6-permutation MinHash signature per doc over 3-token shingles.
-      val aggs = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
-        min((($"h" * a + b) % P)).as(s"mh$j")
+      // 6-permutation MinHash signature per doc over 3-token shingles,
+      // computed as a pure projection (array_min over the hash array) —
+      // no explode, no shuffle; one narrow map over the corpus.
+      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+        array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${P}L)"))
+          .as(s"mh$j")
       }
-      shingleHashes(s, dir)
-        .groupBy($"doc_id")
-        .agg(aggs.head, aggs.tail: _*)
+      shingleHashArr(s, dir)
+        .select($"doc_id" +: sigCols: _*)
         .orderBy($"doc_id")
     },
 
@@ -144,16 +165,15 @@ object Dedup {
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
       // 16-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
-      // bit set when the vote is positive. One doc → one small integer.
-      val bitSums = (0 until SimhashBits).map { i =>
-        sum(shiftright($"h", i).bitwiseAND(1) * 2 - 1).as(s"s$i")
-      }
+      // bit set when the vote is positive. Per-document, so again a pure
+      // narrow map (aggregate() over the hash array per bit) — no
+      // explode, no shuffle.
       val simhash = (0 until SimhashBits).map { i =>
-        when(col(s"s$i") > 0, 1L << i).otherwise(0L)
+        when(expr(
+          s"aggregate(hs, 0L, (acc, h) -> acc + ((h >> $i) & 1) * 2 - 1)")
+          > 0, 1L << i).otherwise(0L)
       }.reduce(_ + _)
-      shingleHashes(s, dir)
-        .groupBy($"doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
+      shingleHashArr(s, dir)
         .select($"doc_id", simhash.as("simhash"))
         .orderBy($"doc_id")
     },

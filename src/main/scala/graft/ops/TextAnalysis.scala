@@ -135,6 +135,42 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t07_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic stratified sampling: ~20% per lang via an
+      // md5-derived hash threshold — reproducible across engines and
+      // runs (unlike rand()-based sampling), and a pure narrow map, the
+      // way a training-data pipeline downsamples at 100 TB.
+      docs(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5($"doc_id".cast("string")), 1, 7), 16, 10)
+            .cast("long") % 100)
+        .filter($"bucket" < 20)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg($"n_chars"), 4).as("avg_chars"))
+        .orderBy($"lang")
+    },
+
+    "t08_regex_token_counts" -> { (s, dir) =>
+      import s.implicits._
+      // BPE-ish regex tokenization (word runs vs non-space symbols) on
+      // the JSON props payloads — counts both token classes per event
+      // type. regexp_extract_all with the same RE2-safe pattern on both
+      // engines.
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          size(expr("regexp_extract_all(props, '[a-zA-Z0-9]+', 0)"))
+            .as("word_toks"),
+          size(expr("regexp_extract_all(props, '[^a-zA-Z0-9 ]', 0)"))
+            .as("sym_toks"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"word_toks").as("total_word_toks"),
+          sum($"sym_toks").as("total_sym_toks"))
+        .orderBy($"event_type")
+    },
+
     "t06_fingerprint_summary" -> { (s, dir) =>
       import s.implicits._
       // Content fingerprinting (md5 of normalized text) + per-source
@@ -222,6 +258,20 @@ object TextAnalysis {
         |  FROM scores)
         |SELECT doc_id, p_lang AS predicted_lang, hits FROM ranked
         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    "t07_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |      % 100 < 20
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t08_regex_token_counts" ->
+      """SELECT event_type, count(*) AS n,
+        |sum(len(regexp_extract_all(props, '[a-zA-Z0-9]+'))) AS total_word_toks,
+        |sum(len(regexp_extract_all(props, '[^a-zA-Z0-9 ]'))) AS total_sym_toks
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t06_fingerprint_summary" ->
       """SELECT source, count(*) AS n_docs,

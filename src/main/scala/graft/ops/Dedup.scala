@@ -110,13 +110,13 @@ object Dedup {
     "d01_exact_dedup" -> { (s, dir) =>
       import s.implicits._
       // Global exact dedup: md5 fingerprint of normalized text, keep the
-      // lowest doc_id of each group. One shuffle on the fingerprint.
-      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      // lowest doc_id of each group. One hash aggregation (with map-side
+      // partial min/count) — no window sort; same single shuffle on the
+      // fingerprint but cheaper per row.
       docs(s, dir)
         .withColumn("fp", md5(lower($"text")))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy($"fp")))
-        .filter($"rn" === 1)
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select($"doc_id", $"fp", $"n_copies")
         .orderBy($"doc_id")
     },

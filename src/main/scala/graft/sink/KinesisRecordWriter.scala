@@ -91,8 +91,7 @@ final class KinesisRecordWriter(
     config: KinesisWriterConfig = KinesisWriterConfig(),
     listener: KinesisEventListener = KinesisEventListener.noop,
     sleep: Long => Unit = Thread.sleep) extends Serializable {
-
-  private final case class Attempt(record: KinesisRecord, attempts: Int)
+  import KinesisRecordWriter.Attempt
 
   /** Write everything in `records`; returns the stats. Throws after
     * `maxConsecutiveErrors` request-level failures unless configured to
@@ -159,4 +158,8 @@ final class KinesisRecordWriter(
     }
     stats
   }
+}
+
+private object KinesisRecordWriter {
+  private final case class Attempt(record: KinesisRecord, attempts: Int)
 }

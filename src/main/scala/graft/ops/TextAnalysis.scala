@@ -171,6 +171,26 @@ object TextAnalysis {
         .orderBy($"event_type")
     },
 
+    "t09_bottomk_sample" -> { (s, dir) =>
+      import s.implicits._
+      // Typed-Aggregator path: per language, the 3 docs with the
+      // smallest md5(doc_id) — a deterministic reservoir sample through
+      // the Dataset API (groupByKey + custom Aggregator with bounded
+      // buffer and shuffle-safe merge).
+      val hashed = docs(s, dir)
+        .select($"lang",
+          conv(substring(md5($"doc_id".cast("string")), 1, 7), 16, 10)
+            .cast("long").as("h"),
+          $"doc_id")
+        .as[(String, Long, Long)]
+      hashed
+        .groupByKey(_._1)
+        .agg(new graft.functions.BottomKAgg[(String, Long, Long)](
+          3, r => (r._2, r._3)).toColumn.name("sample_ids"))
+        .toDF("lang", "sample_ids")
+        .orderBy($"lang")
+    },
+
     "t06_fingerprint_summary" -> { (s, dir) =>
       import s.implicits._
       // Content fingerprinting (md5 of normalized text) + per-source
@@ -272,6 +292,17 @@ object TextAnalysis {
         |sum(len(regexp_extract_all(props, '[a-zA-Z0-9]+'))) AS total_word_toks,
         |sum(len(regexp_extract_all(props, '[^a-zA-Z0-9 ]'))) AS total_sym_toks
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t09_bottomk_sample" ->
+      """SELECT lang, string_agg(doc_id, ',' ORDER BY h, doc_id) AS sample_ids
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t06_fingerprint_summary" ->
       """SELECT source, count(*) AS n_docs,

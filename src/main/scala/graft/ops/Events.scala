@@ -52,6 +52,34 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e10_sliding_windows" -> { (s, dir) =>
+      import s.implicits._
+      // Sliding event-time windows (1 h length, 30 min slide): each
+      // event lands in two buckets. Oracle replicates via an explicit
+      // two-offset unnest — pinning Spark's window() bucket assignment
+      // to first principles.
+      ev(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("win_start"), $"event_type", $"n")
+        .orderBy($"win_start", $"event_type")
+    },
+
+    "e11_sketch_cardinality" -> { (s, dir) =>
+      import s.implicits._
+      // HLL++ sketch cardinalities (approx_count_distinct). DELIBERATELY
+      // NO ORACLE: DuckDB's approx_count_distinct uses a different
+      // sketch, so values can't hash-match — the driver records the
+      // weaker rows-only check. Deterministic within Spark (same sketch,
+      // same data), which the spec asserts.
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          approx_count_distinct($"props", 0.02).as("approx_props"))
+        .orderBy($"event_type")
+    },
+
     "e01_hourly_type_counts" -> { (s, dir) =>
       import s.implicits._
       // Tumbling 1h event-time window per type. window() start aligns to
@@ -193,6 +221,14 @@ object Events {
       """SELECT event_type, count(*) AS n,
         |round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e10_sliding_windows" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    to_timestamp(
+        |      (floor(epoch(ts) / 1800) - off) * 1800)::TIMESTAMP AS win_start
+        |  FROM events, unnest([0, 1]) AS t(off)) x
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "e01_hourly_type_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

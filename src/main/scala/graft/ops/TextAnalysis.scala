@@ -191,6 +191,23 @@ object TextAnalysis {
         .orderBy($"lang")
     },
 
+    "t10_levenshtein_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // Edit-distance near-match: part names within the same brand with
+      // Levenshtein ≤ 2 — blocked self-join (brand) so the quadratic
+      // stays within blocks; Spark and DuckDB implement the identical
+      // classic DP distance.
+      val p = Tables.load(s, dir, "part")
+        .select($"p_partkey", $"p_brand", $"p_name")
+      val a = p.toDF("a_id", "brand", "a_name")
+      val b = p.toDF("b_id", "brand_b", "b_name")
+      a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id")
+        .withColumn("dist", levenshtein($"a_name", $"b_name"))
+        .filter($"dist" <= 2)
+        .select($"a_id", $"b_id", $"brand", $"dist")
+        .orderBy($"a_id", $"b_id")
+    },
+
     "t06_fingerprint_summary" -> { (s, dir) =>
       import s.implicits._
       // Content fingerprinting (md5 of normalized text) + per-source
@@ -303,6 +320,14 @@ object TextAnalysis {
         |               doc_id) AS rn
         |  FROM documents) x
         |WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t10_levenshtein_pairs" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "t06_fingerprint_summary" ->
       """SELECT source, count(*) AS n_docs,

@@ -322,6 +322,21 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    "q22_native_topk" -> { (s, dir) =>
+      import s.implicits._
+      // The custom TopKPerKey operator (LogicalPlan + Strategy +
+      // bounded-heap SparkPlan, graft.plans) — same semantics as the
+      // window formulation in q07 but without sorting any partition.
+      // Descending price encoded by negation inside an ascending struct
+      // (also a total order, so the heap is deterministic).
+      val parts = t(s, dir, "part")
+        .select($"p_brand", $"p_partkey",
+          round($"p_retailprice", 2).as("price"))
+      graft.plans.TopKPerKey(parts, Seq("p_brand"),
+          struct($"price" * -1, $"p_partkey"), 3)
+        .orderBy($"p_brand", $"price".desc, $"p_partkey")
+    },
+
     "q15_running_totals" -> { (s, dir) =>
       import s.implicits._
       // analytic windows: lag + running sum + rank over event-less data.
@@ -524,6 +539,14 @@ object Relational {
         |    ORDER BY o_totalprice DESC, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_native_topk" ->
+      """SELECT p_brand, p_partkey, price FROM (
+        |  SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY round(p_retailprice, 2) DESC, p_partkey) AS rn
+        |  FROM part) x
+        |WHERE rn <= 3 ORDER BY p_brand, price DESC, p_partkey""".stripMargin,
 
     "q15_running_totals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -101,12 +101,17 @@ object Similarity {
       val e = emb(s, dir)
       val q = e.filter($"vec_id" < NQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      e.select($"vec_id".as("n_id"), $"v")
+      val scored = e.select($"vec_id".as("n_id"), $"v")
         .join(broadcast(q), $"q_id" =!= $"n_id")
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"cos")
+      // top-k via the custom bounded-heap operator (graft.plans) — no
+      // per-query sort of the full candidate set; rank recomputed by a
+      // window over just the k survivors.
+      val top = graft.plans.TopKPerKey(scored, Seq("q_id"),
+        struct($"cos" * -1, $"n_id"), K)
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      top.withColumn("rnk", row_number().over(w))
         .select($"q_id", $"n_id", $"cos", $"rnk")
         .orderBy($"q_id", $"rnk")
     },

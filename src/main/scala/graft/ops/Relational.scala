@@ -337,6 +337,24 @@ object Relational {
         .orderBy($"p_brand", $"price".desc, $"p_partkey")
     },
 
+    "q23_ship_delay_histogram" -> { (s, dir) =>
+      import s.implicits._
+      // Date arithmetic over a fact join: days between order and ship
+      // dates, bucketed into a week histogram; null-handling via
+      // coalesce on the outer edge.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .withColumn("delay_days",
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate")))
+        .withColumn("delay_week",
+          floor(coalesce($"delay_days", lit(0)) / 7).cast("long"))
+        .groupBy($"delay_week")
+        .agg(count(lit(1)).as("n"),
+          min($"delay_days").as("min_days"),
+          max($"delay_days").as("max_days"))
+        .orderBy($"delay_week")
+    },
+
     "q15_running_totals" -> { (s, dir) =>
       import s.implicits._
       // analytic windows: lag + running sum + rank over event-less data.
@@ -547,6 +565,18 @@ object Relational {
         |           ORDER BY round(p_retailprice, 2) DESC, p_partkey) AS rn
         |  FROM part) x
         |WHERE rn <= 3 ORDER BY p_brand, price DESC, p_partkey""".stripMargin,
+
+    "q23_ship_delay_histogram" ->
+      """SELECT delay_week, count(*) AS n,
+        |min(delay_days) AS min_days, max(delay_days) AS max_days
+        |FROM (
+        |  SELECT CAST(floor(coalesce(delay_days, 0) / 7) AS BIGINT)
+        |           AS delay_week, delay_days
+        |  FROM (
+        |    SELECT datediff('day', CAST(o_orderdate AS DATE),
+        |                    CAST(l_shipdate AS DATE)) AS delay_days
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) a) b
+        |GROUP BY delay_week ORDER BY delay_week""".stripMargin,
 
     "q15_running_totals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

@@ -73,6 +73,32 @@ class KinesisGraftProviderSpec extends SparkTestBase {
     assert(metrics.get("recordsDropped").toLong == 0)
   }
 
+  test("DSv2 streaming restart on the same checkpoint does not re-deliver") {
+    val fake = FakeKinesis.named("dsv2-restart")
+    fake.clear()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ckpt-dsv2-restart").toString
+    def start() = source.toDF()
+      .select(col("value").cast("binary").as("data"))
+      .writeStream.format("kinesis-graft")
+      .option("aws_region_name", "r").option("stream", "rt")
+      .option("client", "fake:dsv2-restart")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    source.addData((0 until 10).map(i => s"x$i"))
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination(30000)
+    assert(fake.stored("rt").size == 10)
+    val q2 = start()
+    source.addData((10 until 15).map(i => s"x$i"))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30000)
+    assert(fake.storedPayloads("rt").sorted ==
+      (0 until 15).map(i => s"x$i").sorted,
+      "restart must deliver only new data exactly once")
+  }
+
   test("plan-time validation: missing data column / missing stream fail " +
       "before any task runs") {
     import spark.implicits._

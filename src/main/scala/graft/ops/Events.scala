@@ -80,6 +80,19 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e12_props_map" -> { (s, dir) =>
+      import s.implicits._
+      // MapType coverage: parse props into map<string,int>, explode to
+      // key/value rows, aggregate per key per type — schema-on-read over
+      // semi-structured payloads with complex types.
+      ev(s, dir)
+        .withColumn("m", from_json($"props", lit("map<string,int>")))
+        .select($"event_type", explode($"m").as(Seq("k", "v")))
+        .groupBy($"event_type", $"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("total_v"))
+        .orderBy($"event_type", $"k")
+    },
+
     "e01_hourly_type_counts" -> { (s, dir) =>
       import s.implicits._
       // Tumbling 1h event-time window per type. window() start aligns to
@@ -229,6 +242,14 @@ object Events {
         |      (floor(epoch(ts) / 1800) - off) * 1800)::TIMESTAMP AS win_start
         |  FROM events, unnest([0, 1]) AS t(off)) x
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "e12_props_map" ->
+      """SELECT event_type, k, count(*) AS n, sum(v) AS total_v FROM (
+        |  SELECT event_type, k,
+        |    CAST(json_extract_string(props, '$.' || k) AS INT) AS v
+        |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+        |        FROM events)) x
+        |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
 
     "e01_hourly_type_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -355,6 +355,26 @@ object Relational {
         .orderBy($"delay_week")
     },
 
+    "q24_price_tier_range_join" -> { (s, dir) =>
+      import s.implicits._
+      // Non-equi (range) join: orders banded into literal price tiers.
+      // The tier table is tiny → broadcast nested loop, the right plan
+      // for a range join against a small dimension at any fact size.
+      val tiers = s.createDataFrame(Seq(
+        ("bronze", 0.0, 100000.0),
+        ("silver", 100000.0, 250000.0),
+        ("gold", 250000.0, 400000.0),
+        ("platinum", 400000.0, 1e9)))
+        .toDF("tier", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(tiers),
+          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"o_totalprice"), 2).as("avg_price"))
+        .orderBy($"tier")
+    },
+
     "q15_running_totals" -> { (s, dir) =>
       import s.implicits._
       // analytic windows: lag + running sum + rank over event-less data.
@@ -577,6 +597,17 @@ object Relational {
         |                    CAST(l_shipdate AS DATE)) AS delay_days
         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) a) b
         |GROUP BY delay_week ORDER BY delay_week""".stripMargin,
+
+    "q24_price_tier_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('bronze', 0.0, 100000.0),
+        |  ('silver', 100000.0, 250000.0),
+        |  ('gold', 250000.0, 400000.0),
+        |  ('platinum', 400000.0, 1e9))
+        |SELECT tier, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN tiers
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q15_running_totals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

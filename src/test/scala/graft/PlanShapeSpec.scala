@@ -1,0 +1,50 @@
+package graft
+
+/** Regression guards for the plan properties SCALE.md claims — pushdown,
+  * broadcast dimension joins, partial aggregation, shuffle-free
+  * signature pipelines, and the custom top-k node. A future refactor
+  * that silently degrades one of these shapes fails here, not at 100 TB.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfVerify)
+      .queryExecution.executedPlan.toString
+
+  test("q06: all predicates pushed into the parquet scan, columns pruned") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan should not read unused columns: $readSchema")
+  }
+
+  test("q02: dimension joins broadcast; no sort-merge join") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0, p)
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    assert(plan("q01_pricing_summary").contains("partial_sum"))
+  }
+
+  test("d02: minhash signatures plan with NO hash shuffle (narrow map)") {
+    val p = plan("d02_minhash_signatures")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0,
+      s"signature pipeline must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("s01: custom TopKPerKey node is in the plan; no window sort of " +
+      "the candidate set") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("TopKPerKey"), p.take(1500))
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+}

@@ -122,6 +122,26 @@ object KinesisSink extends Logging {
     m
   }
 
+  /** `Close()` parity (S6, sink.go:111-126): stop the query, bounding
+    * the wait for the in-flight epoch by the configured flush timeout
+    * (`kinesis_flush_timeout_ms`, default 30 s like the reference's
+    * `kinesis_flush_timeout`). The reference errors when records remain
+    * after the timeout; Spark's equivalent is the TimeoutException this
+    * rethrows — the epoch either committed fully or will be replayed on
+    * restart (at-least-once, no partial loss).
+    */
+  def stop(query: StreamingQuery, options: Map[String, String]): Unit = {
+    val o = KinesisSinkOptions.fromMap(options)
+    val spark = SparkSession.active
+    val prev = spark.conf.getOption("spark.sql.streaming.stopTimeout")
+    spark.conf.set("spark.sql.streaming.stopTimeout", o.flushTimeoutMs.toString)
+    try query.stop()
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stopTimeout", v)
+      case None => spark.conf.unset("spark.sql.streaming.stopTimeout")
+    }
+  }
+
   /** Streaming-mode write — the `Send` surface (S3). Validates options at
     * start, like `New` (batchproducer.go:143-153). Stop/restart on the
     * same checkpoint dir gives `Close`/`Restart` (S6/S7) semantics.

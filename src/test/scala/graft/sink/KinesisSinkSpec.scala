@@ -132,6 +132,28 @@ class KinesisSinkSpec extends SparkTestBase {
       "restart must deliver new records exactly; committed epoch not replayed")
   }
 
+  test("stop with flush timeout drains the final epoch (Close parity, " +
+      "sink.go:111-126)") {
+    val fake = FakeKinesis.named("rt5")
+    fake.clear()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[String]
+    val df = source.toDF().select(col("value").cast("binary").as("data"))
+    val ckpt = Files.createTempDirectory("ckpt-stop").toString
+    val opts = Map("aws_region_name" -> "r", "stream" -> "stop-topic",
+      "client" -> "fake:rt5", "kinesis_flush_timeout_ms" -> "20000")
+    val q = KinesisSink.start(df, opts, ckpt)
+    source.addData((0 until 50).map(i => s"m$i"))
+    q.processAllAvailable()
+    KinesisSink.stop(q, opts)
+    assert(!q.isActive)
+    assert(fake.stored("stop-topic").size == 50, "final epoch must drain")
+    // conf restored
+    assert(spark.conf.getOption("spark.sql.streaming.stopTimeout").isEmpty ||
+      spark.conf.get("spark.sql.streaming.stopTimeout") != "20000")
+  }
+
   test("sink option validation fails fast (batchproducer.go:143-153)") {
     intercept[IllegalArgumentException] {
       KinesisSinkOptions.fromMap(Map("stream" -> "s")) // region missing

@@ -102,18 +102,10 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  private lazy val (toColumn, toExpression) = {
-    val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-    (cls.getMethod("column", classOf[Expression]),
-      cls.getMethod("expression", classOf[Column]))
-  }
-
   /** Column API: `CosineSim(colA, colB)`. */
   def apply(a: Column, b: Column): Column =
-    toColumn.invoke(null, CosineSim(
-      toExpression.invoke(null, a).asInstanceOf[Expression],
-      toExpression.invoke(null, b).asInstanceOf[Expression]))
-      .asInstanceOf[Column]
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit =

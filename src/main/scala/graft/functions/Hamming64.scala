@@ -43,21 +43,10 @@ case class Hamming64(left: Expression, right: Expression)
 }
 
 object Hamming64 {
-  // Spark 4 removed the public Column <-> Expression constructors; the
-  // classic-module bridge (ExpressionUtils) is private[sql] in Scala but
-  // its static forwarders are public bytecode. Plan-time only, cached.
-  private lazy val (toColumn, toExpression) = {
-    val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-    (cls.getMethod("column", classOf[Expression]),
-      cls.getMethod("expression", classOf[Column]))
-  }
-
   /** Column API: `Hamming64(colA, colB)`. */
   def apply(a: Column, b: Column): Column =
-    toColumn.invoke(null, Hamming64(
-      toExpression.invoke(null, a).asInstanceOf[Expression],
-      toExpression.invoke(null, b).asInstanceOf[Expression]))
-      .asInstanceOf[Column]
+    ColumnBridge.column(Hamming64(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** SQL registration: `SELECT hamming64(a, b)`. */
   def register(spark: SparkSession): Unit =

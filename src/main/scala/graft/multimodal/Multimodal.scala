@@ -91,7 +91,11 @@ object Multimodal {
       // Decode + feature extraction through mapPartitions: one codec
       // per partition, rows processed as a batch stream — the real
       // decode shape with the stub codec.
-      val media: Dataset[Media] = mediaTable(s, dir).as[Media]
+      // Filter BEFORE the typed mapPartitions: Catalyst cannot push a
+      // predicate through the deserialization barrier, so filtering
+      // after would decode the whole corpus to keep 100 rows.
+      val media: Dataset[Media] =
+        mediaTable(s, dir).filter($"media_id" < 100).as[Media]
       media.mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5") // per-task, reused
         rows.map { m =>
@@ -100,7 +104,6 @@ object Multimodal {
             f(4), f(5), f(6), f(7))
         }
       }.toDF()
-        .filter($"media_id" < 100)
         .orderBy($"media_id")
     },
 
@@ -113,7 +116,8 @@ object Multimodal {
         .filter($"format" === "mp4")
         .select($"media_id", $"content".cast("string").as("txt"))
         .select($"media_id", posexplode(expr(
-          "transform(sequence(0, int(floor((length(txt) - 1) / 32))," +
+          // greatest(...) guards empty text: sequence(0, -1, 4) throws
+          "transform(sequence(0, greatest(int(floor((length(txt) - 1) / 32)), 0)," +
             " 4), i -> substring(txt, i * 32 + 1, 32))"))
           .as(Seq("frame_no", "frame")))
         .select($"media_id", $"frame_no", md5($"frame").as("frame_fp"))
@@ -153,7 +157,7 @@ object Multimodal {
     "m01_media_catalog" ->
       s"""WITH $mediaSql
          |SELECT format, count(*) AS n_media,
-         |  sum(length(content)) AS total_bytes,
+         |  sum(strlen(content)) AS total_bytes,
          |  round(avg(width * height), 2) AS avg_pixels,
          |  max(width) AS max_width
          |FROM media GROUP BY format ORDER BY format""".stripMargin,
@@ -174,7 +178,8 @@ object Multimodal {
          |  SELECT media_id, CAST(i AS INT) AS idx,
          |    substr(content, CAST(i AS INT) * 32 + 1, 32) AS frame
          |  FROM media,
-         |    unnest(range(0, CAST(floor((length(content) - 1) / 32) AS BIGINT)
+         |    unnest(range(0, greatest(
+         |      CAST(floor((length(content) - 1) / 32) AS BIGINT), 0)
          |      + 1, 4)) AS t(i)
          |  WHERE format = 'mp4')
          |SELECT media_id,

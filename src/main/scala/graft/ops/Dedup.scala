@@ -188,9 +188,12 @@ object Dedup {
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("a_id", "sh_a", "h_a", "source")
       val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
+      // Join on the shingle STRING, not the 28-bit hash: prefix
+      // collisions between distinct shingles would otherwise count as
+      // intersections in one engine and not the other.
       val inter = a.join(b,
-          $"source" === $"source_b" && $"h_a" === $"h_b" &&
-            $"sh_a" === $"sh_b" && $"a_id" < $"b_id")
+          $"source" === $"source_b" && $"sh_a" === $"sh_b" &&
+            $"a_id" < $"b_id")
         .groupBy($"a_id", $"b_id")
         .agg(count(lit(1)).as("n_inter"))
       inter
@@ -295,13 +298,13 @@ object Dedup {
       "d05_ngram_jaccard_top_pairs" ->
         s"""WITH $shingleHashSql,
            |tagged AS (
-           |  SELECT h.doc_id, h.h, d.source FROM hashed h
-           |  JOIN documents d ON d.doc_id = h.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+           |  SELECT s.doc_id, s.sh, d.source FROM sh s
+           |  JOIN documents d ON d.doc_id = s.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
            |  FROM tagged a JOIN tagged b
-           |    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+           |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
            |  GROUP BY a.doc_id, b.doc_id)
            |SELECT a_id, b_id,
            |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)

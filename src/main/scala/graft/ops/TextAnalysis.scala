@@ -114,7 +114,9 @@ object TextAnalysis {
       val d = docs(s, dir).withColumn("head", substring($"text", 1, 200))
       val bigrams = d.select($"doc_id", $"lang",
           explode(expr(
-            "transform(sequence(1, length(head) - 1), i -> substring(head, i, 2))"))
+            // greatest(..., 1): sequence(1, 0) would yield [1, 0]
+            "transform(sequence(1, greatest(length(head) - 1, 1)), " +
+              "i -> substring(head, i, 2))"))
             .as("bg"))
       val profiles = bigrams
         .groupBy($"lang".as("p_lang"), $"bg")
@@ -279,7 +281,7 @@ object TextAnalysis {
         |  SELECT doc_id, lang, substr(text, 1, 200) AS head FROM documents),
         |bigrams AS (
         |  SELECT doc_id, lang, substr(head, CAST(i AS INT), 2) AS bg
-        |  FROM d, unnest(range(1, length(head))) AS t(i)),
+        |  FROM d, unnest(range(1, greatest(length(head), 2))) AS t(i)),
         |profiles AS (
         |  SELECT p_lang, bg FROM (
         |    SELECT lang AS p_lang, bg, count(*) AS n, row_number() OVER (

@@ -104,11 +104,18 @@ final class KinesisRecordWriter(
     var consecutiveErrors = 0
     records.grouped(config.batchSize).foreach { group =>
       var pending = group.map(Attempt(_, 0)).toSeq
+      // Consecutive partial-failure rounds for THIS batch: per-record
+      // throttling must back off too, or a transiently throttled shard
+      // burns all maxAttemptsPerRecord within milliseconds and drops
+      // records (the reference's re-enqueued records implicitly waited
+      // for the next flush tick; we wait explicitly).
+      var partialRetries = 0
       while (pending.nonEmpty) {
         // Backoff before any attempt that follows an error, mirroring
         // sendBatch's entry delay (batchproducer.go:334-344).
-        if (consecutiveErrors > 0) {
-          val exp = math.min(consecutiveErrors - 1, 20)
+        val errorStreak = math.max(consecutiveErrors, partialRetries)
+        if (errorStreak > 0) {
+          val exp = math.min(errorStreak - 1, 20)
           sleep(math.min(config.baseBackoffMs << exp, config.maxBackoffMs))
         }
         val attempt = pending
@@ -129,6 +136,7 @@ final class KinesisRecordWriter(
           }
           stats = stats.copy(recordsDropped = stats.recordsDropped + dropped.size)
           pending = retry.map(_._1)
+          partialRetries = if (pending.isEmpty) 0 else partialRetries + 1
         } catch {
           case e: KinesisRequestException =>
             stats = stats.copy(

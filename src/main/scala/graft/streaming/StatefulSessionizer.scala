@@ -47,8 +47,17 @@ object StatefulSessionizer {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
-  private def toUs(t: Timestamp): Long = t.getTime * 1000
-  private def toTs(us: Long): Timestamp = new Timestamp(us / 1000)
+  // Full microsecond precision: Timestamp.getTime is ms-truncated, the
+  // sub-second detail lives in getNanos — using getTime*1000 would floor
+  // event times to ms and make gap decisions diverge from the µs-exact
+  // batch operators (e03/e04) near the threshold.
+  private def toUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def toTs(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   private[streaming] def update(userId: Long, events: Iterator[SessionEvent],
       state: GroupState[SessionState]): Iterator[CompletedSession] = {

@@ -145,6 +145,21 @@ class KinesisRecordWriterSpec extends AnyFunSuite {
     assert(fake.storedPayloads("s") == Seq("a", "b"))
   }
 
+  test("per-record (partial) failures back off between retry rounds — a " +
+      "transiently throttled shard must not burn all attempts instantly") {
+    val fake = new FakeKinesis()
+    val sleeps = new ArrayBuffer[Long]()
+    val w = new KinesisRecordWriter(fake, "s",
+      KinesisWriterConfig(batchSize = 10, maxAttemptsPerRecord = 4),
+      sleep = sleeps += _)
+    val stats = w.write(Seq(rec("ok", "a"), rec("fail", "poison")).iterator)
+    // initial send + 3 selective retries of the poison record, each
+    // preceded by growing backoff
+    assert(sleeps.toSeq == Seq(50L, 100L, 200L),
+      s"partial retries must back off, got $sleeps")
+    assert(stats.recordsSent == 1 && stats.recordsDropped == 1)
+  }
+
   test("invariant sweep (seeded): every record is delivered exactly once " +
       "or counted dropped; requests never exceed batchSize") {
     val rnd = new scala.util.Random(42)

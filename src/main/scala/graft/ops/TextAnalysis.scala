@@ -203,11 +203,16 @@ object TextAnalysis {
         .select($"p_partkey", $"p_brand", $"p_name")
       val a = p.toDF("a_id", "brand", "a_name")
       val b = p.toDF("b_id", "brand_b", "b_name")
+      // aggregate per brand: the raw pair list is unbounded (the sf0.1
+      // fixture has 220k same-brand near-dup name pairs)
       a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id")
         .withColumn("dist", levenshtein($"a_name", $"b_name"))
         .filter($"dist" <= 2)
-        .select($"a_id", $"b_id", $"brand", $"dist")
-        .orderBy($"a_id", $"b_id")
+        .groupBy($"brand")
+        .agg(count(lit(1)).as("n_near_pairs"),
+          sum(when($"dist" === 0, 1).otherwise(0)).as("n_exact"),
+          min($"dist").as("min_dist"))
+        .orderBy($"brand")
     },
 
     "t06_fingerprint_summary" -> { (s, dir) =>
@@ -324,12 +329,15 @@ object TextAnalysis {
         |WHERE rn <= 3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t10_levenshtein_pairs" ->
-      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-        |a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY a_id, b_id""".stripMargin,
+      """SELECT brand, count(*) AS n_near_pairs,
+        |sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS n_exact,
+        |min(dist) AS min_dist FROM (
+        |  SELECT a.p_brand AS brand,
+        |         levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2) x
+        |GROUP BY brand ORDER BY brand""".stripMargin,
 
     "t06_fingerprint_summary" ->
       """SELECT source, count(*) AS n_docs,

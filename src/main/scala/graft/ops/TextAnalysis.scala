@@ -118,6 +118,8 @@ object TextAnalysis {
             "transform(sequence(1, greatest(length(head) - 1, 1)), " +
               "i -> substring(head, i, 2))"))
             .as("bg"))
+        // docs shorter than 2 chars contribute no (degenerate) bigrams
+        .filter(length($"bg") === 2)
       val profiles = bigrams
         .groupBy($"lang".as("p_lang"), $"bg")
         .agg(count(lit(1)).as("n"))
@@ -286,7 +288,8 @@ object TextAnalysis {
         |  SELECT doc_id, lang, substr(text, 1, 200) AS head FROM documents),
         |bigrams AS (
         |  SELECT doc_id, lang, substr(head, CAST(i AS INT), 2) AS bg
-        |  FROM d, unnest(range(1, greatest(length(head), 2))) AS t(i)),
+        |  FROM d, unnest(range(1, greatest(length(head), 2))) AS t(i)
+        |  WHERE length(substr(head, CAST(i AS INT), 2)) = 2),
         |profiles AS (
         |  SELECT p_lang, bg FROM (
         |    SELECT lang AS p_lang, bg, count(*) AS n, row_number() OVER (

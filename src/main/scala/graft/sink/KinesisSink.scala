@@ -122,23 +122,43 @@ object KinesisSink extends Logging {
     m
   }
 
-  /** `Close()` parity (S6, sink.go:111-126): stop the query, bounding
-    * the wait for the in-flight epoch by the configured flush timeout
+  /** `Close()` parity (S6, sink.go:111-126): drain-then-stop, bounding
+    * the drain by the configured flush timeout
     * (`kinesis_flush_timeout_ms`, default 30 s like the reference's
-    * `kinesis_flush_timeout`). The reference errors when records remain
-    * after the timeout; Spark's equivalent is the TimeoutException this
-    * rethrows — the epoch either committed fully or will be replayed on
-    * restart (at-least-once, no partial loss).
+    * `kinesis_flush_timeout`).
+    *
+    * `query.stop()` alone is NOT a graceful flush — Spark cancels the
+    * query's jobs immediately — so this first waits (bounded) for the
+    * pending backlog via `processAllAvailable`. On timeout the stop
+    * proceeds anyway: unlike the reference, nothing is lost — the
+    * uncommitted epoch replays from the checkpoint on restart
+    * (at-least-once). The stop-timeout conf is set on the QUERY's own
+    * session (not whatever session is thread-active), under the
+    * session's lock so concurrent stops can't cross-contaminate.
     */
   def stop(query: StreamingQuery, options: Map[String, String]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     val o = KinesisSinkOptions.fromMap(options)
-    val spark = SparkSession.active
-    val prev = spark.conf.getOption("spark.sql.streaming.stopTimeout")
-    spark.conf.set("spark.sql.streaming.stopTimeout", o.flushTimeoutMs.toString)
-    try query.stop()
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stopTimeout", v)
-      case None => spark.conf.unset("spark.sql.streaming.stopTimeout")
+    try Await.result(Future(query.processAllAvailable()),
+      o.flushTimeoutMs.millis)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        logWarning(s"kinesis-sink: backlog not drained within " +
+          s"${o.flushTimeoutMs} ms; stopping anyway (epoch will replay " +
+          "from checkpoint on restart)")
+    }
+    val spark = query.sparkSession
+    spark.synchronized {
+      val prev = spark.conf.getOption("spark.sql.streaming.stopTimeout")
+      spark.conf.set("spark.sql.streaming.stopTimeout",
+        o.flushTimeoutMs.toString)
+      try query.stop()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stopTimeout", v)
+        case None => spark.conf.unset("spark.sql.streaming.stopTimeout")
+      }
     }
   }
 

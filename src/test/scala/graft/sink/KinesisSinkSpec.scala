@@ -145,7 +145,8 @@ class KinesisSinkSpec extends SparkTestBase {
       "client" -> "fake:rt5", "kinesis_flush_timeout_ms" -> "20000")
     val q = KinesisSink.start(df, opts, ckpt)
     source.addData((0 until 50).map(i => s"m$i"))
-    q.processAllAvailable()
+    // NO processAllAvailable here: stop() itself must drain the backlog
+    // within the flush timeout before stopping (Close semantics).
     KinesisSink.stop(q, opts)
     assert(!q.isActive)
     assert(fake.stored("stop-topic").size == 50, "final epoch must drain")

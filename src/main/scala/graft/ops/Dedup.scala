@@ -162,6 +162,43 @@ object Dedup {
         .orderBy($"a_id", $"b_id")
     },
 
+    "d08_dedup_components" -> { (s, dir) =>
+      import s.implicits._
+      // Connected components over the near-dup pairs (d03): transitive
+      // closure assigns each doc in a near-dup cluster the cluster's
+      // minimum doc_id as its canonical — the "which copy do we keep"
+      // step of a dedup pipeline. Iterative min-label propagation: the
+      // driver only loops (converges in O(cluster diameter) rounds,
+      // capped); each round is one distributed join. The pair set and
+      // per-round labels are tiny relative to the corpus, so caching +
+      // localCheckpoint (lineage would otherwise grow exponentially
+      // with iterations) is the right call here, unlike the
+      // single-reuse intermediates SCALE.md measured as net losses.
+      val edges = queries("d03_minhash_near_dups")(s, dir)
+        .select($"a_id", $"b_id").cache()
+      val und = edges.union(
+        edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      var labels = und.select($"a_id".as("id"))
+        .union(und.select($"b_id".as("id")))
+        .distinct().withColumn("lbl", $"id").localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 16) {
+        val nbr = und.join(labels, und("b_id") === labels("id"))
+          .groupBy($"a_id").agg(min($"lbl").as("nlbl"))
+        val next = labels.join(nbr, labels("id") === nbr("a_id"), "left")
+          .select(labels("id"),
+            least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter($"lbl" =!= $"old").count()
+        labels = next
+        iter += 1
+      }
+      labels.select($"id".as("doc_id"), $"lbl".as("canonical_id"))
+        .orderBy($"doc_id")
+    },
+
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
       // 16-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
@@ -288,6 +325,29 @@ object Dedup {
            |JOIN sigs sb ON sb.doc_id = b_id
            |WHERE round(($matchSum) / 6.0, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d08_dedup_components" ->
+        s"""WITH RECURSIVE $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |und AS (SELECT a_id AS a, b_id AS b FROM pairs
+           |        UNION SELECT b_id, a_id FROM pairs),
+           |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+           |reach(a, b) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+           |SELECT a AS doc_id, min(b) AS canonical_id
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
       "d04_simhash" ->
         s"""WITH $shingleHashSql,

@@ -207,7 +207,11 @@ object TextAnalysis {
       val b = p.toDF("b_id", "brand_b", "b_name")
       // aggregate per brand: the raw pair list is unbounded (the sf0.1
       // fixture has 220k same-brand near-dup name pairs)
-      a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id")
+      // |len(a)-len(b)| <= 2 is a necessary condition for edit
+      // distance <= 2: a cheap length-band predicate prunes most of the
+      // within-brand pairs before the O(len^2) DP runs.
+      a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id" &&
+          abs(length($"a_name") - length($"b_name")) <= 2)
         .withColumn("dist", levenshtein($"a_name", $"b_name"))
         .filter($"dist" <= 2)
         .groupBy($"brand")
@@ -339,6 +343,7 @@ object TextAnalysis {
         |         levenshtein(a.p_name, b.p_name) AS dist
         |  FROM part a JOIN part b
         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  WHERE levenshtein(a.p_name, b.p_name) <= 2) x
         |GROUP BY brand ORDER BY brand""".stripMargin,
 

@@ -157,7 +157,7 @@ object Multimodal {
     "m01_media_catalog" ->
       s"""WITH $mediaSql
          |SELECT format, count(*) AS n_media,
-         |  sum(strlen(content)) AS total_bytes,
+         |  CAST(sum(strlen(content)) AS BIGINT) AS total_bytes,
          |  round(avg(width * height), 2) AS avg_pixels,
          |  max(width) AS max_width
          |FROM media GROUP BY format ORDER BY format""".stripMargin,

@@ -244,7 +244,8 @@ object Events {
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "e12_props_map" ->
-      """SELECT event_type, k, count(*) AS n, sum(v) AS total_v FROM (
+      """SELECT event_type, k, count(*) AS n,
+        |CAST(sum(v) AS BIGINT) AS total_v FROM (
         |  SELECT event_type, k,
         |    CAST(json_extract_string(props, '$.' || k) AS INT) AS v
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
@@ -276,7 +277,8 @@ object Events {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM flagged)
-        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -320,8 +320,10 @@ object TextAnalysis {
 
     "t08_regex_token_counts" ->
       """SELECT event_type, count(*) AS n,
-        |sum(len(regexp_extract_all(props, '[a-zA-Z0-9]+'))) AS total_word_toks,
-        |sum(len(regexp_extract_all(props, '[^a-zA-Z0-9 ]'))) AS total_sym_toks
+        |CAST(sum(len(regexp_extract_all(props, '[a-zA-Z0-9]+'))) AS BIGINT)
+        |  AS total_word_toks,
+        |CAST(sum(len(regexp_extract_all(props, '[^a-zA-Z0-9 ]'))) AS BIGINT)
+        |  AS total_sym_toks
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t09_bottomk_sample" ->
@@ -337,7 +339,7 @@ object TextAnalysis {
 
     "t10_levenshtein_pairs" ->
       """SELECT brand, count(*) AS n_near_pairs,
-        |sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS n_exact,
+        |CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
         |min(dist) AS min_dist FROM (
         |  SELECT a.p_brand AS brand,
         |         levenshtein(a.p_name, b.p_name) AS dist

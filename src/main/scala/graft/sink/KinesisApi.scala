@@ -22,6 +22,43 @@ final case class PutResultEntry(errorCode: Option[String] = None,
 /** Request-level failure (whole PutRecords call rejected). */
 final class KinesisRequestException(msg: String) extends RuntimeException(msg)
 
+/** A record as returned by the consumption path: the wire record plus the
+  * shard-relative sequence number `GetRecords` stamps on it.
+  */
+final case class ShardRecord(sequenceNumber: Long, record: KinesisRecord)
+
+/** One `GetRecords` page: records in sequence order plus the iterator for
+  * the next page (an open shard always has a next iterator — the
+  * reference's consumption loop relies on exactly this pair,
+  * /root/reference/integration_test.go:128-139).
+  */
+final case class GetRecordsResult(records: Seq[ShardRecord],
+    nextIterator: String)
+
+/** Read-side client seam, one level above the raw AWS calls the
+  * reference's integration suite consumes with
+  * (`GetShardIterator`/`GetRecords`,
+  * /root/reference/integration_test.go:112-143):
+  *
+  *  - `listShards` — `DescribeStream.Shards` (:99);
+  *  - `getShardIterator` — iterator types `TRIM_HORIZON`, `LATEST`,
+  *    `AT_SEQUENCE_NUMBER` (:113-117);
+  *  - `getRecords` — one page + next iterator (:128-139);
+  *  - `latestSequence` — the shard's current end position; a real SDK
+  *    impl derives it from a `LATEST` iterator probe, the fake reads its
+  *    log length. The micro-batch planner needs this driver-side bound to
+  *    make each batch's contents deterministic under checkpoint replay.
+  *
+  * Iterators are opaque strings; sequence numbers are monotone per shard.
+  */
+trait KinesisGetRecords extends Serializable {
+  def listShards(stream: String): Seq[String]
+  def getShardIterator(stream: String, shardId: String,
+      iteratorType: String, startingSequence: Long = 0L): String
+  def getRecords(iterator: String, limit: Int): GetRecordsResult
+  def latestSequence(stream: String, shardId: String): Long
+}
+
 /** The single-method client seam — the reference's one great testability
   * idea (`BatchingKinesisClient`,
   * /root/reference/batchproducer/batchproducer.go:68-71): everything the
@@ -61,11 +98,14 @@ trait KinesisPutRecords extends Serializable {
   * in local mode share one store with the driver: the task serializes
   * only the name, and resolves the shared instance lazily per-JVM.
   */
-final class FakeKinesis(val latencyMs: Long = 0L) extends KinesisPutRecords {
+final class FakeKinesis(val latencyMs: Long = 0L)
+    extends KinesisPutRecords with KinesisGetRecords {
   val failRequests = new AtomicBoolean(false)
   /** Fail this many requests, then succeed (for backoff-recovery tests). */
   val failNextRequests = new AtomicInteger(0)
   val requestCount = new AtomicInteger(0)
+  /** Virtual shard count for the read API (see [[listShards]]). */
+  val numShards = new AtomicInteger(1)
 
   private val streams = new ConcurrentHashMap[String, ArrayBuffer[KinesisRecord]]()
 
@@ -100,6 +140,62 @@ final class FakeKinesis(val latencyMs: Long = 0L) extends KinesisPutRecords {
   def streamNames: Set[String] = streams.keySet().asScala.toSet
 
   def clear(): Unit = streams.clear()
+
+  // ----- read side (KinesisGetRecords) -------------------------------
+  //
+  // Shards are VIRTUAL: storage stays the single per-stream append log
+  // (so write-side ordering assertions are unaffected), and shard k of N
+  // is the subsequence whose partition-key MD5 falls in bucket k — the
+  // same hash-key routing real Kinesis applies to partition keys. The
+  // global log index doubles as the sequence number: opaque to callers,
+  // strictly increasing within each shard.
+
+  private def shardName(i: Int): String = f"shardId-$i%012d"
+
+  private def shardIndexOf(pk: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(pk.getBytes("UTF-8"))
+    new java.math.BigInteger(1, md).mod(java.math.BigInteger.valueOf(n))
+      .intValueExact()
+  }
+
+  override def listShards(stream: String): Seq[String] =
+    (0 until numShards.get()).map(shardName)
+
+  override def getShardIterator(stream: String, shardId: String,
+      iteratorType: String, startingSequence: Long): String = {
+    val start = iteratorType match {
+      case "TRIM_HORIZON" => 0L
+      case "LATEST" => stored(stream).size.toLong
+      case "AT_SEQUENCE_NUMBER" => startingSequence
+      case "AFTER_SEQUENCE_NUMBER" => startingSequence + 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported iterator type '$other'")
+    }
+    s"$stream|$shardId|$start"
+  }
+
+  override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
+    val Array(stream, shardId, startStr) = iterator.split('|')
+    val shardIdx = shardId.stripPrefix("shardId-").toInt
+    val n = numShards.get()
+    val log = stored(stream) // immutable snapshot
+    val out = Seq.newBuilder[ShardRecord]
+    var i = startStr.toLong.toInt
+    var taken = 0
+    while (i < log.size && taken < limit) {
+      val r = log(i)
+      if (shardIndexOf(r.partitionKey, n) == shardIdx) {
+        out += ShardRecord(i.toLong, r)
+        taken += 1
+      }
+      i += 1
+    }
+    GetRecordsResult(out.result(), s"$stream|$shardId|$i")
+  }
+
+  override def latestSequence(stream: String, shardId: String): Long =
+    stored(stream).size.toLong
 }
 
 object FakeKinesis {

@@ -5,7 +5,8 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.concurrent.atomic.AtomicReference
 
@@ -38,11 +39,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class KinesisGraftProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kinesis-graft"
 
-  // Sink-only: accept whatever schema the query writes (validated in
-  // newWriteBuilder); inferSchema is only called for reads, which we
-  // don't support.
+  // Table schema is the READ schema (the Kafka-connector convention):
+  // writes validate the query's own schema in newWriteBuilder, and
+  // by-name append matches the query's columns into this superset (the
+  // read-only shardId/sequenceNumber columns arrive null and the writer
+  // ignores them).
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KinesisGraftProvider.wireSchema
+    KinesisGraftSource.readSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -57,9 +60,12 @@ object KinesisGraftProvider {
 }
 
 private final class KinesisGraftTable(schema: StructType)
-    extends Table with SupportsWrite with ReportsSinkMetrics {
+    extends Table with SupportsWrite with SupportsRead with ReportsSinkMetrics {
   override def name(): String = "kinesis-graft"
   override def schema(): StructType = schema
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KinesisGraftScanBuilder(options)
 
   // Driver-side running totals, summed from task commit messages by the
   // epoch commit — this is what StreamingQueryProgress.sink.metrics
@@ -76,7 +82,8 @@ private final class KinesisGraftTable(schema: StructType)
       "putRequests" -> t.putRequests.toString).asJava
   }
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = KinesisSinkOptions.fromMap(

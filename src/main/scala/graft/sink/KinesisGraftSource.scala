@@ -1,0 +1,213 @@
+package graft.sink
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** DSv2 *source* half of `format("kinesis-graft")`: completes the
+  * reference's consumption path — its integration suite reads back what
+  * the sink wrote via `GetShardIterator(TRIM_HORIZON)` + a `GetRecords`
+  * loop (/root/reference/integration_test.go:112-143) — as a Structured
+  * Streaming `MicroBatchStream` (plus a convenience batch `Scan`).
+  *
+  * Scale model: one input partition per shard per micro-batch, so read
+  * parallelism is the stream's shard count — on a real cluster each
+  * executor core drains its own shard, exactly how Kinesis consumers
+  * scale. Offsets are per-shard next-sequence-numbers, checkpointed by
+  * Spark; recovery replays the batch from the same `(start, end)` bounds,
+  * so a restarted query never re-delivers records from committed epochs
+  * (the source-side twin of the sink's `TestRestart`,
+  * /root/reference/integration_test.go:175-198).
+  *
+  * Options (same Viper-derived surface as the sink,
+  * [[KinesisSinkOptions]]): `stream` (required here), `aws_region_name`
+  * (required — parity with utils.go:24-26), `client` (`fake:<name>` in
+  * this zero-egress env), `starting_position`
+  * (`trim_horizon` default | `latest`), `max_records_per_fetch`
+  * (GetRecords page size, default 10000 — the AWS cap).
+  */
+private[sink] object KinesisGraftSource {
+  val readSchema: StructType = StructType(Seq(
+    StructField("stream", StringType),
+    StructField("partitionKey", StringType),
+    StructField("data", BinaryType),
+    StructField("shardId", StringType),
+    StructField("sequenceNumber", LongType)))
+
+  def streamName(opts: KinesisSinkOptions): String =
+    opts.stream.getOrElse(throw new IllegalArgumentException(
+      "kinesis-graft source requires the 'stream' option"))
+}
+
+/** Per-shard next-sequence positions, JSON-serialized into the
+  * checkpoint's offset log.
+  */
+private[sink] final case class KinesisSourceOffset(
+    shardOffsets: Map[String, Long]) extends Offset {
+  private implicit val fmts: Formats = DefaultFormats
+  override def json(): String = Serialization.write(shardOffsets)
+}
+
+private[sink] object KinesisSourceOffset {
+  private implicit val fmts: Formats = DefaultFormats
+  def fromJson(json: String): KinesisSourceOffset =
+    KinesisSourceOffset(Serialization.read[Map[String, Long]](json))
+}
+
+private[sink] final class KinesisGraftScanBuilder(
+    options: CaseInsensitiveStringMap) extends ScanBuilder {
+  import scala.jdk.CollectionConverters._
+  private val opts =
+    KinesisSinkOptions.fromMap(options.asCaseSensitiveMap().asScala.toMap)
+  private val startingPosition =
+    options.getOrDefault("starting_position", "trim_horizon")
+      .toUpperCase match {
+      case "TRIM_HORIZON" => "TRIM_HORIZON"
+      case "LATEST" => "LATEST"
+      case other => throw new IllegalArgumentException(
+        s"starting_position must be trim_horizon|latest, got '$other'")
+    }
+  private val fetchLimit =
+    options.getOrDefault("max_records_per_fetch", "10000").toInt
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = KinesisGraftSource.readSchema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new KinesisGraftMicroBatchStream(opts, startingPosition, fetchLimit)
+    override def toBatch: Batch = new KinesisGraftBatch(opts, fetchLimit)
+  }
+}
+
+private[sink] final class KinesisGraftMicroBatchStream(
+    opts: KinesisSinkOptions, startingPosition: String, fetchLimit: Int)
+    extends MicroBatchStream {
+  private val stream = KinesisGraftSource.streamName(opts)
+  // Driver-side client: shard discovery + end-of-shard probes only; the
+  // data plane runs in executor-side partition readers.
+  @transient private lazy val client = KinesisSinkOptions.resolveReadClient(opts)
+
+  override def initialOffset(): Offset = {
+    val positions = client.listShards(stream).map { s =>
+      s -> (if (startingPosition == "LATEST") client.latestSequence(stream, s)
+            else 0L)
+    }.toMap
+    KinesisSourceOffset(positions)
+  }
+
+  /** Shards discovered after the initial offset (resharding) start from
+    * TRIM_HORIZON — their records were never delivered before.
+    */
+  override def latestOffset(): Offset =
+    KinesisSourceOffset(client.listShards(stream)
+      .map(s => s -> client.latestSequence(stream, s)).toMap)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets
+    val to = end.asInstanceOf[KinesisSourceOffset].shardOffsets
+    to.toArray.sortBy(_._1).flatMap { case (shard, endSeq) =>
+      val startSeq = from.getOrElse(shard, 0L)
+      if (endSeq > startSeq)
+        Some(KinesisInputPartition(opts, stream, shard, startSeq, endSeq,
+          fetchLimit): InputPartition)
+      else None
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KinesisReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    KinesisSourceOffset.fromJson(json)
+  // Kinesis retains data by stream retention policy; nothing to trim on
+  // commit (the checkpoint's offset log is the restart cursor).
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Batch read: the full TRIM_HORIZON→current window at planning time. */
+private[sink] final class KinesisGraftBatch(
+    opts: KinesisSinkOptions, fetchLimit: Int) extends Batch {
+  private val stream = KinesisGraftSource.streamName(opts)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val client = KinesisSinkOptions.resolveReadClient(opts)
+    client.listShards(stream).sorted.flatMap { shard =>
+      val end = client.latestSequence(stream, shard)
+      if (end > 0L)
+        Some(KinesisInputPartition(opts, stream, shard, 0L, end,
+          fetchLimit): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KinesisReaderFactory
+}
+
+private[sink] final case class KinesisInputPartition(
+    opts: KinesisSinkOptions, stream: String, shardId: String,
+    startSeq: Long, endSeq: Long, fetchLimit: Int) extends InputPartition
+
+private[sink] final class KinesisReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KinesisPartitionReader(partition.asInstanceOf[KinesisInputPartition])
+}
+
+/** Executor-side shard drain for one micro-batch slice: the reference's
+  * iterator loop (/root/reference/integration_test.go:128-139) bounded by
+  * the planned `[startSeq, endSeq)` window so replays are exact. Streams
+  * pages — per-task memory is one GetRecords page, independent of batch
+  * size.
+  */
+private[sink] final class KinesisPartitionReader(p: KinesisInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val client = KinesisSinkOptions.resolveReadClient(p.opts)
+  private var iterator = client.getShardIterator(
+    p.stream, p.shardId, "AT_SEQUENCE_NUMBER", p.startSeq)
+  private var page: Iterator[ShardRecord] = Iterator.empty
+  private var exhausted = false
+  private var current: ShardRecord = _
+
+  private val streamUtf8 = UTF8String.fromString(p.stream)
+  private val shardUtf8 = UTF8String.fromString(p.shardId)
+
+  @scala.annotation.tailrec
+  private def fetchPage(): Unit = {
+    val res = client.getRecords(iterator, p.fetchLimit)
+    iterator = res.nextIterator
+    if (res.records.isEmpty) {
+      // Caught up to the log end; the planned window is fully drained
+      // (endSeq was a snapshot at plan time, so nothing below it can
+      // still arrive).
+      exhausted = true
+    } else {
+      val inWindow = res.records.takeWhile(_.sequenceNumber < p.endSeq)
+      // Crossing endSeq means records past the planned window exist
+      // already — this slice is done; they belong to the next batch.
+      if (inWindow.size < res.records.size) exhausted = true
+      if (inWindow.nonEmpty) page = inWindow.iterator
+      else if (!exhausted) fetchPage()
+    }
+  }
+
+  override def next(): Boolean = {
+    if (!page.hasNext && !exhausted) fetchPage()
+    if (page.hasNext) { current = page.next(); true } else false
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      streamUtf8,
+      UTF8String.fromString(current.record.partitionKey),
+      current.record.data,
+      shardUtf8,
+      current.sequenceNumber))
+
+  override def close(): Unit = ()
+}

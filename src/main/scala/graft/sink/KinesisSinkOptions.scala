@@ -72,4 +72,13 @@ object KinesisSinkOptions {
     else throw new UnsupportedOperationException(
       "AWS SDK client requires software.amazon.awssdk:kinesis on the " +
         "classpath; this environment is zero-egress — use client=fake:<name>")
+
+  /** Read-side twin of [[resolveClient]] for the DSv2 source's
+    * driver-side planner and executor-side partition readers.
+    */
+  def resolveReadClient(o: KinesisSinkOptions): KinesisGetRecords =
+    if (o.client.startsWith("fake:")) FakeKinesis.named(o.client.stripPrefix("fake:"))
+    else throw new UnsupportedOperationException(
+      "AWS SDK client requires software.amazon.awssdk:kinesis on the " +
+        "classpath; this environment is zero-egress — use client=fake:<name>")
 }

@@ -51,7 +51,19 @@ object Dedup {
     531441019L, 741103597L, 433024253L)
   private val Bs = Seq(372700613L, 154365481L, 811961371L,
     96132089L, 257310181L, 646617851L)
-  private val SimhashBits = 16
+
+  /** 64-bit SimHash (was 16 in round 1): bit i's vote comes from bit i
+    * of a 64-bit shingle hash assembled from two md5 halves (hex digits
+    * 9–16 → bits 0–31, digits 1–8 → bits 32–63; each half < 2^32 so both
+    * engines stay comfortably inside signed int64 — only the assembled
+    * simhash itself uses bit 63). 16-bit chunk buckets then give 65,536
+    * distinct values per chunk instead of round 1's 16, which is what
+    * keeps the d07 candidate join selective as the corpus grows (see
+    * SCALE.md).
+    */
+  private val SimhashBits = 64
+  private val ChunkBits = 16
+  private val NChunks = SimhashBits / ChunkBits
 
   /** Spark-side 3-token shingle array (1-based element_at). */
   private val shingleExpr =
@@ -89,10 +101,17 @@ object Dedup {
     import s.implicits._
     docs(s, dir)
       .withColumn("toks", split($"text", " "))
+      .withColumn("shs", expr(s"array_distinct($shingleExpr)"))
       .withColumn("hs", expr(
-        s"transform(array_distinct($shingleExpr), " +
-          "sh -> cast(conv(substr(md5(sh), 1, 7), 16, 10) as bigint))"))
-      .select($"doc_id", $"hs")
+        "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 7), 16, 10) as bigint))"))
+      // 64-bit hash halves for SimHash: high 32 bits (md5 digits 1-8)
+      // and low 32 bits (digits 9-16); kept as two int32-range columns
+      // so no engine ever shifts into the sign bit of a shingle hash.
+      .withColumn("ha", expr(
+        "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint))"))
+      .withColumn("hb", expr(
+        "transform(shs, sh -> cast(conv(substr(md5(sh), 9, 8), 16, 10) as bigint))"))
+      .select($"doc_id", $"hs", $"ha", $"hb")
   }
 
   /** DuckDB CTE producing (doc_id, h) distinct shingle hashes. */
@@ -103,7 +122,9 @@ object Dedup {
        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |          FROM documents))),
        |hashed AS (
-       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h,
+       |    ('0x' || substr(md5(sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hb
        |  FROM sh)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,31 +204,45 @@ object Dedup {
         .distinct().withColumn("lbl", $"id").localCheckpoint()
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 16) {
+      val maxIters = 32
+      while (changed > 0 && iter < maxIters) {
         val nbr = und.join(labels, und("b_id") === labels("id"))
           .groupBy($"a_id").agg(min($"lbl").as("nlbl"))
+        // One job per iteration: the chg flag rides along, the LAZY
+        // localCheckpoint materializes during the count's job, and the
+        // count is the convergence check — r1 ran a second join+count
+        // job per iteration just to diff labels (≈2× the scheduling).
         val next = labels.join(nbr, labels("id") === nbr("a_id"), "left")
           .select(labels("id"),
-            least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter($"lbl" =!= $"old").count()
-        labels = next
+            least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"),
+            coalesce($"nlbl" < labels("lbl"), lit(false)).as("chg"))
+          .localCheckpoint(false)
+        changed = next.where($"chg").count()
+        labels = next.select($"id", $"lbl")
         iter += 1
       }
+      // A silent non-converged exit would return labels that disagree
+      // with the oracle's exact transitive closure — fail loudly instead
+      // (a chain with diameter > maxIters needs large-star/small-star,
+      // not a truncated answer).
+      if (changed > 0) throw new IllegalStateException(
+        s"d08 label propagation did not converge in $maxIters iterations" +
+          s" ($changed labels still changing)")
       labels.select($"id".as("doc_id"), $"lbl".as("canonical_id"))
         .orderBy($"doc_id")
     },
 
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
-      // 16-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
+      // 64-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
       // bit set when the vote is positive. Per-document, so again a pure
       // narrow map (aggregate() over the hash array per bit) — no
-      // explode, no shuffle.
+      // explode, no shuffle. Bits 0-31 vote from the low md5 half (hb),
+      // bits 32-63 from the high half (ha).
       val simhash = (0 until SimhashBits).map { i =>
+        val (arr, sh) = if (i < 32) ("hb", i) else ("ha", i - 32)
         when(expr(
-          s"aggregate(hs, 0L, (acc, h) -> acc + ((h >> $i) & 1) * 2 - 1)")
+          s"aggregate($arr, 0L, (acc, h) -> acc + ((h >> $sh) & 1) * 2 - 1)")
           > 0, 1L << i).otherwise(0L)
       }.reduce(_ + _)
       shingleHashArr(s, dir)
@@ -246,15 +281,20 @@ object Dedup {
     "d07_simhash_near_dups" -> { (s, dir) =>
       import s.implicits._
       // SimHash near-dup: candidates via pigeonhole buckets — split the
-      // 16-bit hash into 4 nibbles; any pair within Hamming distance 3
-      // must agree on ≥1 whole nibble, so candidates come from 4
-      // equi-joins on (nibble_id, nibble_value), never all-pairs. The
+      // 64-bit hash into 4 16-bit chunks; any pair within Hamming
+      // distance 3 must agree on ≥1 whole chunk, so candidates come from
+      // 4 equi-joins on (chunk_id, chunk_value), never all-pairs. 65,536
+      // values per chunk keep the join selective at corpus scale (the
+      // r1 nibble scheme had 16 → O(n²/16) candidates). Arithmetic
+      // shiftright of a sign-bit simhash is fine: the & 65535 mask
+      // discards the sign-extension bits, both engines agree. The
       // verify step uses the native codegen'd hamming64 expression.
       val sim = queries("d04_simhash")(s, dir)
-      val chunks = (0 until 4).map { c =>
+      val chunks = (0 until NChunks).map { c =>
         sim.select($"doc_id", $"simhash",
           concat_ws(":", lit(c),
-            shiftright($"simhash", c * 4).bitwiseAND(15)).as("chunk"))
+            shiftright($"simhash", c * ChunkBits).bitwiseAND(65535))
+            .as("chunk"))
       }.reduce(_ union _)
       val a = chunks.toDF("a_id", "sim_a", "chunk")
       val b = chunks.toDF("b_id", "sim_b", "chunk_b")
@@ -292,10 +332,17 @@ object Dedup {
     }.mkString(" UNION ALL ")
     val matchSum = (0 until 6).map(j =>
       s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString(" + ")
-    val bitSumCols = (0 until SimhashBits).map(i =>
-      s"sum(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
+    val bitSumCols = (0 until SimhashBits).map { i =>
+      val (arr, sh) = if (i < 32) ("hb", i) else ("ha", i - 32)
+      s"sum((($arr >> $sh) & 1) * 2 - 1) AS s$i"
+    }.mkString(", ")
+    // CAST keeps the bit-63 term (int64 min, a HUGEINT literal in
+    // DuckDB's lexer) a BIGINT so the assembled simhash column matches
+    // Spark's LongType; terms are added low-bit-first, so every partial
+    // sum stays inside int64.
     val simhashExpr = (0 until SimhashBits).map(i =>
-      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
 
     Map(
       "d01_exact_dedup" ->
@@ -375,8 +422,9 @@ object Dedup {
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 10""".stripMargin,
 
       "d07_simhash_near_dups" -> {
-        val chunkSelects = (0 until 4).map { c =>
-          s"SELECT doc_id, simhash, '$c:' || ((simhash >> ${c * 4}) & 15) " +
+        val chunkSelects = (0 until NChunks).map { c =>
+          s"SELECT doc_id, simhash, " +
+            s"'$c:' || ((simhash >> ${c * ChunkBits}) & 65535) " +
             "AS chunk FROM sim"
         }.mkString(" UNION ALL ")
         s"""WITH $shingleHashSql,

@@ -135,17 +135,27 @@ object Similarity {
       // at least one table — a union of equi-joins, never all-pairs.
       // Recall vs s01 is measured in the spec (< 1.0 by design).
       val e = emb(s, dir)
+      // Candidate discovery carries ONLY (vec_id, bucket): the 64-dim
+      // payloads stay out of the union, the join, and the distinct's
+      // dedup key (a pair appearing in several tables dedups on two ids,
+      // not ~1 KB of doubles — the r1 bench's 2nd-worst shuffle).
       val tabs = (0 until NTables).map { t =>
-        e.select($"vec_id", $"v", tableBucketCol(t).as("bucket"))
+        e.select($"vec_id", tableBucketCol(t).as("bucket"))
       }.reduce(_ union _)
-      val q = tabs.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"),
-          $"bucket".as("q_bucket"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      tabs.select($"vec_id".as("n_id"), $"v", $"bucket")
-        .join(broadcast(q),
+      val qb = tabs.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"))
+      val pairs = tabs.select($"vec_id".as("n_id"), $"bucket")
+        .join(broadcast(qb),
           $"bucket" === $"q_bucket" && $"q_id" =!= $"n_id")
-        .select($"q_id", $"n_id", $"qv", $"v").distinct()
+        .select($"q_id", $"n_id").distinct()
+      // Vectors rejoin after dedup: query side broadcast, corpus side
+      // one id-equi-join (the standard ANN rescore shape at any scale).
+      val qv = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      pairs
+        .join(broadcast(qv), "q_id")
+        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= K)

@@ -36,6 +36,33 @@ class DedupSpec extends SparkTestBase {
     // across two evaluations of the same plan
     val again = ops.Dedup.queries("d02_minhash_signatures")(spark, sfSmoke)
     assert(sigs.exceptAll(again).count() == 0)
-    assert(sim.select(min(col("simhash"))).collect()(0).getLong(0) >= 0L)
+    // 64-bit simhash uses the full int64 range (bit 63 = sign bit);
+    // assert determinism and that the high half actually carries
+    // entropy (the r1 16-bit hash left bits 16-63 permanently zero).
+    val simAgain = ops.Dedup.queries("d04_simhash")(spark, sfSmoke)
+    assert(sim.exceptAll(simAgain).count() == 0)
+    val highHalves = sim
+      .select(shiftrightunsigned(col("simhash"), 32).as("hi"))
+      .distinct().count()
+    assert(highHalves > 1, "high 32 simhash bits carry no entropy")
+  }
+
+  test("d07 chunk buckets are selective: no chunk value floods a bucket") {
+    // The scale guarantee of the 16-bit-chunk pigeonhole: bucket
+    // occupancy stays a small fraction of the corpus (16 distinct
+    // values per chunk in r1 meant n/16 per bucket — the O(n²/16)
+    // candidate blowup the widening removed).
+    val sim = ops.Dedup.queries("d04_simhash")(spark, sfSmoke)
+    val n = sim.count()
+    val worst = (0 until 4).map { c =>
+      sim.select(shiftright(col("simhash"), c * 16)
+          .bitwiseAND(65535).as("chunk"))
+        .groupBy("chunk").count()
+        .agg(max("count")).collect()(0).getLong(0)
+    }.max
+    // exact duplicates share all chunks, so allow a small cluster, but
+    // a 1/16-of-corpus bucket would mean the chunk carries ~4 bits
+    assert(worst <= math.max(4L, n / 16),
+      s"worst chunk bucket $worst of $n docs")
   }
 }

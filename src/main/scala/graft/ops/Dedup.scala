@@ -127,6 +127,72 @@ object Dedup {
        |    ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hb
        |  FROM sh)""".stripMargin
 
+  /** Distributed min-label propagation: connected components over an
+    * (a_id, b_id) edge set. The driver only loops; each iteration is ONE
+    * job (the changed-count rides the job that materializes the lazy
+    * localCheckpoint). Fails loudly if not converged — a silent
+    * truncated answer would disagree with the oracle's exact transitive
+    * closure.
+    */
+  private[graft] def components(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edges.cache()
+    val und = e.union(e.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    var labels = und.select($"a_id".as("id"))
+      .union(und.select($"b_id".as("id")))
+      .distinct().withColumn("lbl", $"id").localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    val maxIters = 32
+    while (changed > 0 && iter < maxIters) {
+      val nbr = und.join(labels, und("b_id") === labels("id"))
+        .groupBy($"a_id").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nbr, labels("id") === nbr("a_id"), "left")
+        .select(labels("id"),
+          least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"),
+          coalesce($"nlbl" < labels("lbl"), lit(false)).as("chg"))
+        .localCheckpoint(false)
+      changed = next.where($"chg").count()
+      labels = next.select($"id", $"lbl")
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters iterations" +
+        s" ($changed labels still changing)")
+    labels
+  }
+
+  /** Star candidate edges from LSH band buckets: every bucket member
+    * links to the bucket's minimum doc_id — O(k) edges per bucket
+    * instead of all-pairs' O(k²). This is the skew guard SCALE.md calls
+    * out: a giant near-dup cluster (the classic boilerplate-page case)
+    * floods one band value, and the all-pairs expansion is quadratic in
+    * its occupancy while the star stays linear. Connected components
+    * over star edges equal components over all-pairs edges at the
+    * candidate level (a bucket is one clique either way — via its hub);
+    * the verify step then runs per-edge, so heterogeneous buckets can
+    * split slightly differently than d08's pairwise-verified clusters —
+    * the documented recall trade for boundedness (see the skew spec).
+    */
+  /** LSH bands: 3 bands of 2 MinHash slots, one row per (doc, band). */
+  private[graft] def bandsOf(s: SparkSession, sigs: DataFrame): DataFrame = {
+    import s.implicits._
+    (0 until 3).map { b =>
+      sigs.select($"doc_id",
+        concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+          .as("band"))
+    }.reduce(_ unionAll _)
+  }
+
+  private[graft] def starCandidates(s: SparkSession, bands: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"band")
+    bands.withColumn("hub", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"hub")
+      .select($"hub".as("a_id"), $"doc_id".as("b_id"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> { (s, dir) =>
       import s.implicits._
@@ -162,11 +228,7 @@ object Dedup {
       // whole band (equi-join per band, NOT all-pairs); verified by
       // estimated Jaccard = matching slots / 6 ≥ 0.5.
       val sigs = queries("d02_minhash_signatures")(s, dir)
-      val bands = (0 until 3).map { b =>
-        sigs.select($"doc_id",
-          concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-            .as("band"))
-      }.reduce(_ unionAll _)
+      val bands = bandsOf(s, sigs)
       val a = bands.as("a"); val b = bands.as("b")
       val cand = a.join(b, col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -188,47 +250,39 @@ object Dedup {
       // Connected components over the near-dup pairs (d03): transitive
       // closure assigns each doc in a near-dup cluster the cluster's
       // minimum doc_id as its canonical — the "which copy do we keep"
-      // step of a dedup pipeline. Iterative min-label propagation: the
-      // driver only loops (converges in O(cluster diameter) rounds,
-      // capped); each round is one distributed join. The pair set and
-      // per-round labels are tiny relative to the corpus, so caching +
-      // localCheckpoint (lineage would otherwise grow exponentially
-      // with iterations) is the right call here, unlike the
-      // single-reuse intermediates SCALE.md measured as net losses.
+      // step of a dedup pipeline. The pair set and per-round labels are
+      // tiny relative to the corpus, so caching + localCheckpoint
+      // (lineage would otherwise grow exponentially with iterations) is
+      // the right call here, unlike the single-reuse intermediates
+      // SCALE.md measured as net losses.
       val edges = queries("d03_minhash_near_dups")(s, dir)
-        .select($"a_id", $"b_id").cache()
-      val und = edges.union(
-        edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      var labels = und.select($"a_id".as("id"))
-        .union(und.select($"b_id".as("id")))
-        .distinct().withColumn("lbl", $"id").localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      val maxIters = 32
-      while (changed > 0 && iter < maxIters) {
-        val nbr = und.join(labels, und("b_id") === labels("id"))
-          .groupBy($"a_id").agg(min($"lbl").as("nlbl"))
-        // One job per iteration: the chg flag rides along, the LAZY
-        // localCheckpoint materializes during the count's job, and the
-        // count is the convergence check — r1 ran a second join+count
-        // job per iteration just to diff labels (≈2× the scheduling).
-        val next = labels.join(nbr, labels("id") === nbr("a_id"), "left")
-          .select(labels("id"),
-            least(coalesce($"nlbl", labels("lbl")), labels("lbl")).as("lbl"),
-            coalesce($"nlbl" < labels("lbl"), lit(false)).as("chg"))
-          .localCheckpoint(false)
-        changed = next.where($"chg").count()
-        labels = next.select($"id", $"lbl")
-        iter += 1
-      }
-      // A silent non-converged exit would return labels that disagree
-      // with the oracle's exact transitive closure — fail loudly instead
-      // (a chain with diameter > maxIters needs large-star/small-star,
-      // not a truncated answer).
-      if (changed > 0) throw new IllegalStateException(
-        s"d08 label propagation did not converge in $maxIters iterations" +
-          s" ($changed labels still changing)")
-      labels.select($"id".as("doc_id"), $"lbl".as("canonical_id"))
+        .select($"a_id", $"b_id")
+      components(s, edges)
+        .select($"id".as("doc_id"), $"lbl".as("canonical_id"))
+        .orderBy($"doc_id")
+    },
+
+    "d09_salted_components" -> { (s, dir) =>
+      import s.implicits._
+      // Skew-guarded dedup components: candidates are STAR edges per
+      // band bucket (member → bucket-min hub) instead of d03's
+      // all-pairs-within-bucket, so a boilerplate cluster that floods
+      // one band value costs O(k) candidate rows, not O(k²) — the
+      // bucket-skew failure mode SCALE.md names. Each hub edge is then
+      // verified (est_jaccard ≥ 0.5) and components run over the
+      // verified edges. Same contract on both engines, so hash-gated.
+      val sigs = queries("d02_minhash_signatures")(s, dir)
+      val cand = starCandidates(s, bandsOf(s, sigs))
+      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+      val matches = (0 until 6).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      val edges = cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est_jaccard", round(matches / lit(6.0), 6))
+        .filter($"est_jaccard" >= 0.5)
+        .select($"a_id", $"b_id")
+      components(s, edges)
+        .select($"id".as("doc_id"), $"lbl".as("canonical_id"))
         .orderBy($"doc_id")
     },
 
@@ -381,6 +435,30 @@ object Dedup {
            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM bands a JOIN bands b
            |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |und AS (SELECT a_id AS a, b_id AS b FROM pairs
+           |        UNION SELECT b_id, a_id FROM pairs),
+           |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+           |reach(a, b) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+           |SELECT a AS doc_id, min(b) AS canonical_id
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+      "d09_salted_components" ->
+        s"""WITH RECURSIVE $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a_id, b_id FROM (
+           |    SELECT min(doc_id) OVER (PARTITION BY band) AS a_id,
+           |           doc_id AS b_id
+           |    FROM bands) x WHERE a_id <> b_id),
            |pairs AS (
            |  SELECT a_id, b_id FROM cand
            |  JOIN sigs sa ON sa.doc_id = a_id

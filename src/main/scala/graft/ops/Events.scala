@@ -80,6 +80,21 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e11b_exact_cardinality" -> { (s, dir) =>
+      import s.implicits._
+      // Exact twin of e11: the same cardinalities via count(DISTINCT) —
+      // hash-gated against DuckDB, so e11's semantics are oracle-checked
+      // even though the HLL sketch values themselves can't be (different
+      // sketch per engine). The spec asserts e11's approximations land
+      // within HLL tolerance of these exact counts.
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_users"),
+          countDistinct($"props").as("n_props"))
+        .orderBy($"event_type")
+    },
+
     "e12_props_map" -> { (s, dir) =>
       import s.implicits._
       // MapType coverage: parse props into map<string,int>, explode to
@@ -242,6 +257,11 @@ object Events {
         |      (floor(epoch(ts) / 1800) - off) * 1800)::TIMESTAMP AS win_start
         |  FROM events, unnest([0, 1]) AS t(off)) x
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "e11b_exact_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT props) AS n_props
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e12_props_map" ->
       """SELECT event_type, k, count(*) AS n,

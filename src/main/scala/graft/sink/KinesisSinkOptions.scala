@@ -62,16 +62,19 @@ object KinesisSinkOptions {
   }
 
   /** Resolve the client seam on an executor. `fake:<name>` shares the
-    * JVM-wide named [[FakeKinesis]]; anything else would construct the
-    * AWS SDK v2 client (region + optional endpoint override) — the SDK is
-    * deliberately absent from this environment, so that path reports
-    * itself unrunnable rather than pretending.
+    * JVM-wide named [[FakeKinesis]]; anything else constructs the real
+    * AWS SDK v2 client ([[SdkKinesisClient]], reflection-gated on the
+    * SDK being present at runtime — it is deliberately absent from this
+    * zero-egress build environment, where the path reports itself
+    * unrunnable rather than pretending).
     */
   def resolveClient(o: KinesisSinkOptions): KinesisPutRecords =
     if (o.client.startsWith("fake:")) FakeKinesis.named(o.client.stripPrefix("fake:"))
+    else if (SdkKinesis.isAvailable) new SdkKinesisClient(o.region, o.endpoint)
     else throw new UnsupportedOperationException(
       "AWS SDK client requires software.amazon.awssdk:kinesis on the " +
-        "classpath; this environment is zero-egress — use client=fake:<name>")
+        "runtime classpath; in a zero-egress environment use " +
+        "client=fake:<name>")
 
   /** Read-side twin of [[resolveClient]] for the DSv2 source's
     * driver-side planner and executor-side partition readers.

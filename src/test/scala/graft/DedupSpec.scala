@@ -47,6 +47,47 @@ class DedupSpec extends SparkTestBase {
     assert(highHalves > 1, "high 32 simhash bits carry no entropy")
   }
 
+  test("d09 skew guard: star candidates stay linear in bucket occupancy " +
+      "(all-pairs would be quadratic)") {
+    import spark.implicits._
+    // Deliberately skewed fixture: one band value holding 500 docs (a
+    // boilerplate near-dup cluster flooding its LSH bucket) plus a
+    // handful of healthy buckets.
+    val k = 500
+    val skewed = spark.range(k)
+      .select(col("id").as("doc_id"), lit("0:boiler").as("band"))
+    val healthy = spark.range(k, k + 40)
+      .select(col("id").as("doc_id"),
+        concat(lit("1:"), (col("id") % 10).cast("string")).as("band"))
+    val cand = ops.Dedup.starCandidates(spark, skewed.union(healthy))
+    val fromSkew = cand.filter(col("a_id") < k).count()
+    // star: k-1 edges from the flooded bucket; all-pairs: k(k-1)/2
+    assert(fromSkew == k - 1,
+      s"flooded bucket emitted $fromSkew candidates, want ${k - 1} " +
+        s"(all-pairs would be ${k.toLong * (k - 1) / 2})")
+    val perBucket = cand.join(
+        skewed.union(healthy).withColumnRenamed("doc_id", "b_id"), "b_id")
+      .groupBy("band").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perBucket < k.toLong, "per-bucket candidates must stay sub-k²")
+    // components over star edges: the flooded bucket is one cluster
+    // with the bucket minimum as canonical
+    val comp = ops.Dedup.components(spark,
+      cand.filter(col("a_id") < k))
+    assert(comp.select(countDistinct(col("lbl"))).collect()(0).getLong(0) == 1)
+    assert(comp.agg(min("lbl")).collect()(0).getLong(0) == 0L)
+  }
+
+  test("d09 equals d08 components on the real fixture (tight planted " +
+      "clusters verify through their hubs)") {
+    val d08 = ops.Dedup.queries("d08_dedup_components")(spark, sfSmoke)
+    val d09 = ops.Dedup.queries("d09_salted_components")(spark, sfSmoke)
+    // The star guard trades recall only on heterogeneous buckets; on
+    // the fixture's tight near-dup clusters the partitions coincide.
+    assert(d09.exceptAll(d08).count() == 0 && d08.exceptAll(d09).count() == 0,
+      "star-guarded components diverged from exact components on a " +
+        "fixture with only tight clusters")
+  }
+
   test("d07 chunk buckets are selective: no chunk value floods a bucket") {
     // The scale guarantee of the 16-bit-chunk pigeonhole: bucket
     // occupancy stays a small fraction of the corpus (16 distinct

@@ -19,9 +19,10 @@ class EventsSpec extends SparkTestBase {
     val a = ops.Events.queries("e11_sketch_cardinality")(spark, sfSmoke)
     val b = ops.Events.queries("e11_sketch_cardinality")(spark, sfSmoke)
     assert(a.exceptAll(b).count() == 0, "HLL must be deterministic in-engine")
-    val exact = Tables.load(spark, sfSmoke, "events")
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // e11b is the oracle-hash-gated exact twin; the sketch must land
+    // within HLL tolerance of it, which closes the gate on e11 itself.
+    val exact = ops.Events.queries("e11b_exact_cardinality")(spark, sfSmoke)
+      .select(col("event_type"), col("n_users").as("exact_users"))
     val joined = a.join(exact, "event_type")
     val off = joined.filter(
       abs(col("approx_users") - col("exact_users")) >

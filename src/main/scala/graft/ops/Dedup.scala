@@ -174,14 +174,17 @@ object Dedup {
     * split slightly differently than d08's pairwise-verified clusters —
     * the documented recall trade for boundedness (see the skew spec).
     */
-  /** LSH bands: 3 bands of 2 MinHash slots, one row per (doc, band). */
+  /** LSH bands: 3 bands of 2 MinHash slots, one row per (doc, band).
+    * Bands explode from an array built in ONE pass over the signature
+    * row — a per-band union would re-run the whole shingle+MinHash
+    * subtree once per branch (measured: ~3× the signature compute).
+    */
   private[graft] def bandsOf(s: SparkSession, sigs: DataFrame): DataFrame = {
     import s.implicits._
-    (0 until 3).map { b =>
-      sigs.select($"doc_id",
-        concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
-          .as("band"))
-    }.reduce(_ unionAll _)
+    val bandArr = array((0 until 3).map { b =>
+      concat_ws(":", lit(b), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+    }: _*)
+    sigs.select($"doc_id", explode(bandArr).as("band"))
   }
 
   private[graft] def starCandidates(s: SparkSession, bands: DataFrame): DataFrame = {
@@ -344,12 +347,15 @@ object Dedup {
       // discards the sign-extension bits, both engines agree. The
       // verify step uses the native codegen'd hamming64 expression.
       val sim = queries("d04_simhash")(s, dir)
-      val chunks = (0 until NChunks).map { c =>
-        sim.select($"doc_id", $"simhash",
-          concat_ws(":", lit(c),
-            shiftright($"simhash", c * ChunkBits).bitwiseAND(65535))
-            .as("chunk"))
-      }.reduce(_ union _)
+      // chunks explode from one evaluation of the simhash (the r2 bench
+      // caught the union form re-running the 64 bit-vote aggregates
+      // once per chunk branch: 4× the map work, d07 4.7 s → 8.4 s)
+      val chunkArr = array((0 until NChunks).map { c =>
+        concat_ws(":", lit(c),
+          shiftright($"simhash", c * ChunkBits).bitwiseAND(65535))
+      }: _*)
+      val chunks = sim.select($"doc_id", $"simhash",
+        explode(chunkArr).as("chunk"))
       val a = chunks.toDF("a_id", "sim_a", "chunk")
       val b = chunks.toDF("b_id", "sim_b", "chunk_b")
       a.join(b, $"chunk" === $"chunk_b" && $"a_id" < $"b_id")

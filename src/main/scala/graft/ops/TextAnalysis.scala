@@ -210,10 +210,13 @@ object TextAnalysis {
       // |len(a)-len(b)| <= 2 is a necessary condition for edit
       // distance <= 2: a cheap length-band predicate prunes most of the
       // within-brand pairs before the O(len^2) DP runs.
+      // threshold form: banded DP, O(len·k) per pair with early exit,
+      // instead of the full O(len²) table; returns -1 above the bound,
+      // so values 0..2 are identical to the unbounded distance
       a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id" &&
           abs(length($"a_name") - length($"b_name")) <= 2)
-        .withColumn("dist", levenshtein($"a_name", $"b_name"))
-        .filter($"dist" <= 2)
+        .withColumn("dist", levenshtein($"a_name", $"b_name", 2))
+        .filter($"dist" >= 0)
         .groupBy($"brand")
         .agg(count(lit(1)).as("n_near_pairs"),
           sum(when($"dist" === 0, 1).otherwise(0)).as("n_exact"),

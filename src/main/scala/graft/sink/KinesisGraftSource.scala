@@ -30,7 +30,9 @@ import org.json4s.jackson.Serialization
   * (required — parity with utils.go:24-26), `client` (`fake:<name>` in
   * this zero-egress env), `starting_position`
   * (`trim_horizon` default | `latest`), `max_records_per_fetch`
-  * (GetRecords page size, default 10000 — the AWS cap).
+  * (GetRecords page size, default 10000 — the AWS cap),
+  * `max_records_per_trigger` (admission control: cap per micro-batch,
+  * split across shards; 0 = unbounded).
   */
 private[sink] object KinesisGraftSource {
   val readSchema: StructType = StructType(Seq(
@@ -75,18 +77,27 @@ private[sink] final class KinesisGraftScanBuilder(
     }
   private val fetchLimit =
     options.getOrDefault("max_records_per_fetch", "10000").toInt
+  // Admission control lives at the source, not in a cluster-spanning
+  // buffer: cap how far each micro-batch's end offset may advance (the
+  // maxOffsetsPerTrigger pattern; the scale-correct replacement for the
+  // reference's bounded buffer + Add backpressure, sink.go:84-109 —
+  // see SCALE.md "Sink"). 0 = unbounded.
+  private val maxPerTrigger =
+    options.getOrDefault("max_records_per_trigger", "0").toLong
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = KinesisGraftSource.readSchema
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new KinesisGraftMicroBatchStream(opts, startingPosition, fetchLimit)
+      new KinesisGraftMicroBatchStream(opts, startingPosition, fetchLimit,
+        maxPerTrigger)
     override def toBatch: Batch = new KinesisGraftBatch(opts, fetchLimit)
   }
 }
 
 private[sink] final class KinesisGraftMicroBatchStream(
-    opts: KinesisSinkOptions, startingPosition: String, fetchLimit: Int)
-    extends MicroBatchStream {
+    opts: KinesisSinkOptions, startingPosition: String, fetchLimit: Int,
+    maxPerTrigger: Long) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   private val stream = KinesisGraftSource.streamName(opts)
   // Driver-side client: shard discovery + end-of-shard probes only; the
   // data plane runs in executor-side partition readers.
@@ -106,6 +117,35 @@ private[sink] final class KinesisGraftMicroBatchStream(
   override def latestOffset(): Offset =
     KinesisSourceOffset(client.listShards(stream)
       .map(s => s -> client.latestSequence(stream, s)).toMap)
+
+  /** Admission control: cap each micro-batch's advance at
+    * `max_records_per_trigger` records, split evenly across shards
+    * (each shard's slice is a contiguous, replayable sequence range).
+    * A backlog then drains over several bounded batches instead of one
+    * giant one — the cluster-safe form of the reference's bounded
+    * buffer + `Add` backpressure (sink.go:84-109).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val unlimited = latestOffset().asInstanceOf[KinesisSourceOffset]
+    if (maxPerTrigger <= 0) unlimited
+    else {
+      val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets
+      val perShard = math.max(1L,
+        maxPerTrigger / math.max(1, unlimited.shardOffsets.size))
+      KinesisSourceOffset(unlimited.shardOffsets.map { case (shard, end) =>
+        val s0 = from.getOrElse(shard, 0L)
+        shard -> math.min(end, s0 + perShard)
+      })
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    if (maxPerTrigger > 0)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(maxPerTrigger)
+    else org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets

@@ -47,4 +47,17 @@ class PlanShapeSpec extends SparkTestBase {
   test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
   }
+
+  test("s03: the candidate-dedup shuffle carries ids only, never the " +
+      "64-dim vectors") {
+    // r1 shipped distinct() over (q_id, n_id, qv, v) — ~1 KB of doubles
+    // per candidate pair through the exchange. Guard the slim key.
+    val p = plan("s03_lsh_ann_topk")
+    val badExchange = p.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("qv") || (l.contains("array<double>") &&
+        l.contains("hashpartitioning")))
+    assert(badExchange.isEmpty,
+      s"vector payload in a dedup/partition exchange:\n" +
+        badExchange.mkString("\n"))
+  }
 }

@@ -200,6 +200,39 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     assert(received.toSeq == Seq("after1"))
   }
 
+  test("max_records_per_trigger drains a backlog over bounded " +
+      "micro-batches (backpressure parity, sink.go:84-109)") {
+    val fake = FakeKinesis.named("src-throttle")
+    fake.clear()
+    fake.numShards.set(2)
+    put(fake, "tt", (0 until 100).map(i => s"m$i"))
+    val ckpt = Files.createTempDirectory("ckpt-src-throttle").toString
+    val batches = mutable.ArrayBuffer.empty[Long]
+    val received = mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "tt")
+      .option("client", "fake:src-throttle")
+      .option("max_records_per_trigger", "10")
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getString(0))
+        received.synchronized { received ++= rows; batches += rows.length }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    assert(received.sorted == (0 until 100).map(i => s"m$i").sorted,
+      "throttled drain must still deliver everything exactly once")
+    val nonEmpty = batches.filter(_ > 0)
+    assert(nonEmpty.size > 5,
+      s"backlog should drain over many bounded batches, got $batches")
+    assert(nonEmpty.max <= 10, s"a batch exceeded the cap: $batches")
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

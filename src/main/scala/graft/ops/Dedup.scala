@@ -114,6 +114,36 @@ object Dedup {
       .select($"doc_id", $"hs", $"ha", $"hb")
   }
 
+  /** Unsorted signature cores for composition: d03/d07/d08/d09 join on
+    * these, and a join branch must NOT inherit the presentation
+    * `orderBy` of the registered d02/d04 queries (it plans a useless
+    * range-partition exchange + sort inside every branch).
+    *
+    * The `coalesce(..., 0)` around the fused simhash is load-bearing for
+    * the PLAN, not just null-safety: it keeps the column non-nullable,
+    * exactly like the old when/otherwise form, so join-constraint
+    * inference (`isnotnull(hamming64(sim_a, sim_b))` etc.) cannot
+    * materialize an `isnotnull(simhash64(<entire shingle+md5
+    * pipeline>))` filter pushed into the scan — measured at sf0.1 that
+    * inlined, interpreted re-evaluation made d07 ~6× slower.
+    */
+  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleHashArr(s, dir)
+      .select($"doc_id",
+        coalesce(graft.functions.SimHash64($"ha", $"hb"), lit(0L))
+          .as("simhash"))
+  }
+
+  private def minhashCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
+      array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${P}L)"))
+        .as(s"mh$j")
+    }
+    shingleHashArr(s, dir).select($"doc_id" +: sigCols: _*)
+  }
+
   /** DuckDB CTE producing (doc_id, h) distinct shingle hashes. */
   private val shingleHashSql =
     s"""sh AS (
@@ -216,13 +246,7 @@ object Dedup {
       // 6-permutation MinHash signature per doc over 3-token shingles,
       // computed as a pure projection (array_min over the hash array) —
       // no explode, no shuffle; one narrow map over the corpus.
-      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
-        array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${P}L)"))
-          .as(s"mh$j")
-      }
-      shingleHashArr(s, dir)
-        .select($"doc_id" +: sigCols: _*)
-        .orderBy($"doc_id")
+      minhashCore(s, dir).orderBy($"doc_id")
     },
 
     "d03_minhash_near_dups" -> { (s, dir) =>
@@ -230,7 +254,7 @@ object Dedup {
       // LSH: 3 bands of 2 signature slots; candidate pairs share ≥1
       // whole band (equi-join per band, NOT all-pairs); verified by
       // estimated Jaccard = matching slots / 6 ≥ 0.5.
-      val sigs = queries("d02_minhash_signatures")(s, dir)
+      val sigs = minhashCore(s, dir)
       val bands = bandsOf(s, sigs)
       val a = bands.as("a"); val b = bands.as("b")
       val cand = a.join(b, col("a.band") === col("b.band") &&
@@ -274,7 +298,7 @@ object Dedup {
       // bucket-skew failure mode SCALE.md names. Each hub edge is then
       // verified (est_jaccard ≥ 0.5) and components run over the
       // verified edges. Same contract on both engines, so hash-gated.
-      val sigs = queries("d02_minhash_signatures")(s, dir)
+      val sigs = minhashCore(s, dir)
       val cand = starCandidates(s, bandsOf(s, sigs))
       val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
       val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
@@ -291,20 +315,14 @@ object Dedup {
 
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
-      // 64-bit SimHash over shingle hashes: per bit, sum of ±1 votes;
-      // bit set when the vote is positive. Per-document, so again a pure
-      // narrow map (aggregate() over the hash array per bit) — no
-      // explode, no shuffle. Bits 0-31 vote from the low md5 half (hb),
-      // bits 32-63 from the high half (ha).
-      val simhash = (0 until SimhashBits).map { i =>
-        val (arr, sh) = if (i < 32) ("hb", i) else ("ha", i - 32)
-        when(expr(
-          s"aggregate($arr, 0L, (acc, h) -> acc + ((h >> $sh) & 1) * 2 - 1)")
-          > 0, 1L << i).otherwise(0L)
-      }.reduce(_ + _)
-      shingleHashArr(s, dir)
-        .select($"doc_id", simhash.as("simhash"))
-        .orderBy($"doc_id")
+      // 64-bit SimHash over shingle hashes: per bit, majority vote; bits
+      // 0-31 vote from the low md5 half (hb), 32-63 from the high half
+      // (ha). Per-document → a pure narrow map, no shuffle. The fused
+      // native expression walks each hash array once inside whole-stage
+      // codegen — the composed form (64 aggregate() HOFs) dropped the
+      // projection to interpreted mode AND re-inlined the md5 hashing
+      // into every one of the 64 aggregates (see SimHash64.scala).
+      simhashCore(s, dir).orderBy($"doc_id")
     },
 
     "d05_ngram_jaccard_top_pairs" -> { (s, dir) =>
@@ -346,7 +364,7 @@ object Dedup {
       // shiftright of a sign-bit simhash is fine: the & 65535 mask
       // discards the sign-extension bits, both engines agree. The
       // verify step uses the native codegen'd hamming64 expression.
-      val sim = queries("d04_simhash")(s, dir)
+      val sim = simhashCore(s, dir)
       // chunks explode from one evaluation of the simhash (the r2 bench
       // caught the union form re-running the 64 bit-vote aggregates
       // once per chunk branch: 4× the map work, d07 4.7 s → 8.4 s)

@@ -233,6 +233,65 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     assert(nonEmpty.max <= 10, s"a batch exceeded the cap: $batches")
   }
 
+  test("end-to-end: sink -> Kinesis -> source -> watermarked windowed agg " +
+      "matches the batch computation") {
+    // The full engine loop: analytics over a stream CONSUMED through the
+    // connector, not just delivery parity — JSON event payloads written
+    // via the DSv2 sink, read back via the source, aggregated with an
+    // event-time window, checked against the same aggregation run as a
+    // batch query on the same records.
+    val fake = FakeKinesis.named("src-e2e")
+    fake.clear()
+    fake.numShards.set(4)
+    import spark.implicits._
+    val events = (0 until 600).map { i =>
+      val minute = i % 45 // 45 one-minute buckets over 3 quarter-hours
+      ("""{"t":"2024-03-01 07:%02d:%02d","k":"u%d"}"""
+        .format(minute, i % 60, i % 7), s"pk$i")
+    }
+    events.toDF("payload", "partitionKey")
+      .select($"partitionKey", $"payload".cast("binary").as("data"))
+      .write.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "e2e").option("client", "fake:src-e2e")
+      .mode("append").save()
+
+    def parse(df: org.apache.spark.sql.DataFrame) = df
+      .select(get_json_object($"data".cast("string"), "$.t")
+          .cast("timestamp").as("ts"),
+        get_json_object($"data".cast("string"), "$.k").as("k"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "15 minutes").getField("start").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+
+    val ckpt = Files.createTempDirectory("ckpt-src-e2e").toString
+    val streamed = mutable.Map.empty[(java.sql.Timestamp, String), Long]
+    val q = agg(parse(spark.readStream.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", "e2e").option("client", "fake:src-e2e")
+        .load())
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          streamed.synchronized {
+            streamed((r.getTimestamp(0), r.getString(1))) = r.getLong(2)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+
+    val batch = agg(parse(readBatch("src-e2e", "e2e")))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch.keySet.map(_._1).size == 3)
+    assert(streamed.toMap == batch,
+      s"streamed ${streamed.size} groups vs batch ${batch.size}")
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

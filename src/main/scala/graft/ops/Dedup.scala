@@ -137,9 +137,10 @@ object Dedup {
 
   private def minhashCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fused codegen'd slots (see MinHashSlot.scala) — value-identical
+    // to array_min(transform(hs, h -> (h*a + b) % p)), spec-proven
     val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
-      array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${P}L)"))
-        .as(s"mh$j")
+      graft.functions.MinHashSlot($"hs", a, b, P).as(s"mh$j")
     }
     shingleHashArr(s, dir).select($"doc_id" +: sigCols: _*)
   }

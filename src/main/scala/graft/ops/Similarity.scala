@@ -48,17 +48,20 @@ object Similarity {
     */
   private def planeExpr(j: Int): String =
     s"transform(sequence(0, ${Dim - 1}), i -> " +
-      s"(cast(conv(substr(md5(concat('${j}_', cast(i as string))), 1, 7), " +
-      s"16, 10) as bigint) % 1000) / 500.0 - 1.0)"
+      s"cast((cast(conv(substr(md5(concat('${j}_', cast(i as string))), 1, 7), " +
+      s"16, 10) as bigint) % 1000) / 500.0 - 1.0 as double))"
 
   private def planeSql(j: Int): String =
     s"list_transform(range(0, $Dim), i -> " +
       s"(('0x' || substr(md5('${j}_' || i::VARCHAR), 1, 7))::BIGINT % 1000) " +
       "/ 500.0 - 1.0)"
 
-  /** Sequential double-precision dot product of two array columns. */
+  /** Sequential double-precision dot product of two array columns —
+    * fused codegen'd loop (see DotProduct.scala); bit-identical to the
+    * composed aggregate(zip_with) fold it replaces.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    graft.functions.DotProduct(a, b)
 
   /** 8-bit LSH bucket: sign pattern of the plane dots. */
   private def bucketCol: Column =

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The r2 fused expressions must be bit-identical to the composed
+  * higher-order-function forms they replaced (the oracle SQL still
+  * describes the composed semantics).
+  */
+class FusedExprParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot_product matches aggregate(zip_with) exactly") {
+    val df = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = df.toDF("a_id", "va")
+    val b = df.toDF("b_id", "vb")
+    val composed = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), _ + _)
+    val bad = a.join(b, col("a_id") < col("b_id")).limit(3000)
+      .withColumn("fused", DotProduct(col("va"), col("vb")))
+      .withColumn("ref", composed)
+      .filter(col("fused") =!= col("ref")).count()
+    assert(bad == 0, "fused dot must be bit-identical to composed fold")
+    val e = intercept[Exception] {
+      Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+        .select(DotProduct(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("minhash_slot matches array_min(transform(...)) exactly, incl. " +
+      "empty -> null") {
+    val df = spark.range(400).select(col("id"),
+      expr("transform(sequence(0, cast(id % 29 as int)), j -> " +
+        "cast(conv(substr(md5(concat(id, '_', j)), 1, 7), 16, 10) " +
+        "as bigint))").as("hs"))
+    val (a, b, p) = (968665049L, 372700613L, 1000000007L)
+    val bad = df
+      .withColumn("fused", MinHashSlot(col("hs"), a, b, p))
+      .withColumn("ref",
+        array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${p}L)")))
+      .filter(col("fused") =!= col("ref")).count()
+    assert(bad == 0, "fused slot must be bit-identical to composed form")
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("hs")
+      .select(MinHashSlot(col("hs"), a, b, p)).collect()(0)
+    assert(empty.isNullAt(0), "empty hashes must yield null (array_min parity)")
+  }
+
+  test("SQL registration of the fused expressions") {
+    DotProduct.register(spark)
+    MinHashSlot.register(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +
+      "array(3.0d, 4.0d)) AS d, " +
+      "minhash_slot(array(5L), 7L, 1L, 97L) AS m").collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getLong(1) == 36L)
+  }
+}

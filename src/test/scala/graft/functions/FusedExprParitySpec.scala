@@ -48,12 +48,16 @@ class FusedExprParitySpec extends SparkTestBase {
     assert(empty.isNullAt(0), "empty hashes must yield null (array_min parity)")
   }
 
-  test("SQL registration of the fused expressions") {
-    DotProduct.register(spark)
-    MinHashSlot.register(spark)
+  test("registerAll exposes every fused expression to SQL") {
+    graft.functions.registerAll(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +
       "array(3.0d, 4.0d)) AS d, " +
-      "minhash_slot(array(5L), 7L, 1L, 97L) AS m").collect()(0)
+      "minhash_slot(array(5L), 7L, 1L, 97L) AS m, " +
+      "hamming64(7L, 1L) AS h, " +
+      "simhash64(array(0L), array(1L)) AS s, " +
+      "cosine_sim(array(1.0d), array(2.0d)) AS c").collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getLong(1) == 36L)
+    assert(r.getInt(2) == 2 || r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L && math.abs(r.getDouble(4) - 1.0) < 1e-15)
   }
 }

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * array order, so values are bit-identical to the composed form and to
   * DuckDB's `list_dot_product`.
   *
-  * Nulls: null array → null; length mismatch → error.
+  * Nulls: null array → null; a null ELEMENT in either array → null
+  * (parity with the composed form: `zip_with` emits a null product and
+  * the `aggregate` fold is null-sticky); length mismatch → error.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +50,11 @@ case class DotProduct(left: Expression, right: Expression)
         s"dot_product: length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
 
@@ -66,9 +72,12 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
        """.stripMargin
     })
 

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * min.
   *
   * Nulls: null `hashes` → null; EMPTY `hashes` → null (array_min of an
-  * empty array is null — kept bit-compatible). a/b/p must be foldable
-  * longs.
+  * empty array is null); null ELEMENTS are skipped (array_min skips
+  * nulls) — all kept bit-compatible with the composed form. a/b/p must
+  * be foldable longs.
   */
 case class MinHashSlot(hashes: Expression, mulA: Expression,
     addB: Expression, prime: Expression) extends QuaternaryExpression {
@@ -54,17 +55,20 @@ case class MinHashSlot(hashes: Expression, mulA: Expression,
   override protected def nullSafeEval(h: Any, a: Any, b: Any, p: Any): Any = {
     val arr = h.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
     val av = a.asInstanceOf[Long]; val bv = b.asInstanceOf[Long]
     val pv = p.asInstanceOf[Long]
     var m = Long.MaxValue
+    var seen = false
     var i = 0
     while (i < n) {
-      val v = (arr.getLong(i) * av + bv) % pv
-      if (v < m) m = v
+      if (!arr.isNullAt(i)) {
+        val v = (arr.getLong(i) * av + bv) % pv
+        if (v < m) m = v
+        seen = true
+      }
       i += 1
     }
-    java.lang.Long.valueOf(m)
+    if (!seen) null else java.lang.Long.valueOf(m)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -73,16 +77,21 @@ case class MinHashSlot(hashes: Expression, mulA: Expression,
       val i = ctx.freshName("i")
       val m = ctx.freshName("m")
       val v = ctx.freshName("v")
+      val seen = ctx.freshName("seen")
       s"""
          |final int $n = $h.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $m = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long $m = Long.MAX_VALUE;
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$h.isNullAt($i)) {
          |    final long $v = ($h.getLong($i) * $a + $b) % $p;
          |    if ($v < $m) $m = $v;
+         |    $seen = true;
          |  }
+         |}
+         |if (!$seen) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} = $m;
          |}
        """.stripMargin

@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the fused expression is one array walk with 64 bit-counters and
   * stays inside whole-stage codegen).
   *
-  * Nulls: null array → null. Empty arrays → 0L (no positive vote), as
-  * in the composed form. Mismatched lengths → error (the halves always
-  * come from the same shingle set).
+  * Nulls: null array → null; a null ELEMENT in either array → null
+  * (the composed form's per-bit `aggregate` goes null, `when(null > 0)`
+  * falls to 0 — callers that want that exact value wrap in
+  * `coalesce(..., 0L)`, which the dedup core does anyway for plan
+  * reasons). Empty arrays → 0L (no positive vote), as in the composed
+  * form. Mismatched lengths → error (the halves always come from the
+  * same shingle set).
   */
 case class SimHash64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,6 +63,7 @@ case class SimHash64(left: Expression, right: Expression)
     val cnt = new Array[Int](64)
     var j = 0
     while (j < n) {
+      if (hi.isNullAt(j) || lo.isNullAt(j)) return null
       val h = hi.getLong(j); val l = lo.getLong(j)
       var k = 0
       while (k < 32) {
@@ -96,6 +101,9 @@ case class SimHash64(left: Expression, right: Expression)
          |}
          |final int[] $cnt = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j) || $b.isNullAt($j)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  final long $h = $a.getLong($j);
          |  final long $l = $b.getLong($j);
          |  for (int $k = 0; $k < 32; $k++) {
@@ -103,11 +111,13 @@ case class SimHash64(left: Expression, right: Expression)
          |    $cnt[$k + 32] += (int) (($h >>> $k) & 1L);
          |  }
          |}
-         |long $r = 0L;
-         |for (int $k = 0; $k < 64; $k++) {
-         |  if (2 * $cnt[$k] > $n) $r |= (1L << $k);
+         |if (!${ev.isNull}) {
+         |  long $r = 0L;
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if (2 * $cnt[$k] > $n) $r |= (1L << $k);
+         |  }
+         |  ${ev.value} = $r;
          |}
-         |${ev.value} = $r;
        """.stripMargin
     })
 

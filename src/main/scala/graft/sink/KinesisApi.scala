@@ -50,6 +50,17 @@ final case class GetRecordsResult(records: Seq[ShardRecord],
   *    make each batch's contents deterministic under checkpoint replay.
   *
   * Iterators are opaque strings; sequence numbers are monotone per shard.
+  *
+  * CONTRACT (load-bearing for exactly-once): `getRecords` may return an
+  * EMPTY records list ONLY when the iterator has reached the shard's
+  * current end — the micro-batch partition readers treat an empty page
+  * as "this planned slice is fully drained". Raw AWS `GetRecords` does
+  * NOT guarantee this (it returns empty pages mid-shard); a real SDK
+  * implementation of this trait must therefore loop internally —
+  * re-polling `NextShardIterator` while `MillisBehindLatest > 0` and no
+  * records arrive — before returning an empty page. Returning a raw
+  * empty mid-shard page would make Spark commit the batch and skip the
+  * remainder of the planned range: silent at-most-once delivery.
   */
 trait KinesisGetRecords extends Serializable {
   def listShards(stream: String): Seq[String]
@@ -146,9 +157,12 @@ final class FakeKinesis(val latencyMs: Long = 0L)
   // Shards are VIRTUAL: storage stays the single per-stream append log
   // (so write-side ordering assertions are unaffected), and shard k of N
   // is the subsequence whose partition-key MD5 falls in bucket k — the
-  // same hash-key routing real Kinesis applies to partition keys. The
-  // global log index doubles as the sequence number: opaque to callers,
-  // strictly increasing within each shard.
+  // same hash-key routing real Kinesis applies to partition keys.
+  // Sequence numbers are PER-SHARD ordinals (0, 1, 2, … within the
+  // shard), dense like real Kinesis's per-shard sequence space — which
+  // the source's admission control relies on: capping each shard's
+  // advance at maxPerTrigger/shards admits ~maxPerTrigger records, not
+  // maxPerTrigger/shards (the bug a global index space caused).
 
   private def shardName(i: Int): String = f"shardId-$i%012d"
 
@@ -159,6 +173,12 @@ final class FakeKinesis(val latencyMs: Long = 0L)
       .intValueExact()
   }
 
+  private def shardLog(stream: String, shardId: String): Seq[KinesisRecord] = {
+    val shardIdx = shardId.stripPrefix("shardId-").toInt
+    val n = numShards.get()
+    stored(stream).filter(r => shardIndexOf(r.partitionKey, n) == shardIdx)
+  }
+
   override def listShards(stream: String): Seq[String] =
     (0 until numShards.get()).map(shardName)
 
@@ -166,7 +186,7 @@ final class FakeKinesis(val latencyMs: Long = 0L)
       iteratorType: String, startingSequence: Long): String = {
     val start = iteratorType match {
       case "TRIM_HORIZON" => 0L
-      case "LATEST" => stored(stream).size.toLong
+      case "LATEST" => shardLog(stream, shardId).size.toLong
       case "AT_SEQUENCE_NUMBER" => startingSequence
       case "AFTER_SEQUENCE_NUMBER" => startingSequence + 1
       case other => throw new IllegalArgumentException(
@@ -177,25 +197,17 @@ final class FakeKinesis(val latencyMs: Long = 0L)
 
   override def getRecords(iterator: String, limit: Int): GetRecordsResult = {
     val Array(stream, shardId, startStr) = iterator.split('|')
-    val shardIdx = shardId.stripPrefix("shardId-").toInt
-    val n = numShards.get()
-    val log = stored(stream) // immutable snapshot
-    val out = Seq.newBuilder[ShardRecord]
-    var i = startStr.toLong.toInt
-    var taken = 0
-    while (i < log.size && taken < limit) {
-      val r = log(i)
-      if (shardIndexOf(r.partitionKey, n) == shardIdx) {
-        out += ShardRecord(i.toLong, r)
-        taken += 1
-      }
-      i += 1
+    val log = shardLog(stream, shardId) // immutable snapshot
+    val start = startStr.toLong.toInt
+    val slice = log.slice(start, math.min(log.size, start + limit))
+    val out = slice.zipWithIndex.map { case (r, i) =>
+      ShardRecord((start + i).toLong, r)
     }
-    GetRecordsResult(out.result(), s"$stream|$shardId|$i")
+    GetRecordsResult(out, s"$stream|$shardId|${start + slice.size}")
   }
 
   override def latestSequence(stream: String, shardId: String): Long =
-    stored(stream).size.toLong
+    shardLog(stream, shardId).size.toLong
 }
 
 object FakeKinesis {

@@ -222,9 +222,11 @@ private[sink] final class KinesisPartitionReader(p: KinesisInputPartition)
     val res = client.getRecords(iterator, p.fetchLimit)
     iterator = res.nextIterator
     if (res.records.isEmpty) {
-      // Caught up to the log end; the planned window is fully drained
-      // (endSeq was a snapshot at plan time, so nothing below it can
-      // still arrive).
+      // The KinesisGetRecords CONTRACT guarantees an empty page means
+      // shard-end reached (a real SDK impl must poll past AWS's empty
+      // mid-shard pages before returning) — so the planned window is
+      // fully drained: endSeq was a plan-time snapshot and nothing
+      // below it can still arrive.
       exhausted = true
     } else {
       val inWindow = res.records.takeWhile(_.sequenceNumber < p.endSeq)

@@ -48,16 +48,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
   }
 
-  test("s03: the candidate-dedup shuffle carries ids only, never the " +
-      "64-dim vectors") {
+  test("s03: no shuffle PARTITIONS BY a 64-dim vector (the r1 distinct " +
+      "put both arrays in the dedup key)") {
     // r1 shipped distinct() over (q_id, n_id, qv, v) — ~1 KB of doubles
-    // per candidate pair through the exchange. Guard the slim key.
-    val p = plan("s03_lsh_ann_topk")
-    val badExchange = p.linesIterator.filter(_.contains("Exchange"))
-      .filter(l => l.contains("qv") || (l.contains("array<double>") &&
-        l.contains("hashpartitioning")))
-    assert(badExchange.isEmpty,
-      s"vector payload in a dedup/partition exchange:\n" +
-        badExchange.mkString("\n"))
+    // per candidate pair hashed and shuffled as part of the key. The
+    // corpus-side id-join legitimately carries v THROUGH an exchange;
+    // what must never return is an array inside the partitioning
+    // expressions. (Checked on the plan tree — Exchange's toString
+    // doesn't render key types, so a string grep can't see this.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    val exec = SparkEntry.queries("s03_lsh_ann_topk")(spark, sfVerify)
+      .queryExecution.executedPlan
+    val bad = exec.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.filter(_.dataType.isInstanceOf[ArrayType])
+        case _ => Nil
+      }
+    }.flatten
+    assert(bad.isEmpty,
+      s"array-typed shuffle partitioning keys: ${bad.mkString(", ")}")
   }
 }

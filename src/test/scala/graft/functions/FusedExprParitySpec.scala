@@ -48,6 +48,25 @@ class FusedExprParitySpec extends SparkTestBase {
     assert(empty.isNullAt(0), "empty hashes must yield null (array_min parity)")
   }
 
+  test("null ELEMENTS follow the composed forms: dot -> null (sticky " +
+      "fold), minhash_slot skips (array_min semantics)") {
+    graft.functions.registerAll(spark)
+    val d = spark.sql("SELECT dot_product(array(1.0d, cast(null as " +
+      "double)), array(2.0d, 3.0d)) AS x").collect()(0)
+    assert(d.isNullAt(0), "null element must null the dot, as the " +
+      "null-sticky aggregate fold does")
+    val m = spark.sql("SELECT minhash_slot(array(5L, cast(null as " +
+      "bigint), 3L), 7L, 1L, 97L) AS x").collect()(0)
+    // min((5*7+1)%97, (3*7+1)%97) = min(36, 22) = 22, null skipped
+    assert(!m.isNullAt(0) && m.getLong(0) == 22L)
+    val allNull = spark.sql("SELECT minhash_slot(array(cast(null as " +
+      "bigint)), 7L, 1L, 97L) AS x").collect()(0)
+    assert(allNull.isNullAt(0))
+    val s = spark.sql("SELECT simhash64(array(cast(null as bigint)), " +
+      "array(1L)) AS x").collect()(0)
+    assert(s.isNullAt(0))
+  }
+
   test("registerAll exposes every fused expression to SQL") {
     graft.functions.registerAll(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +

@@ -61,13 +61,15 @@ class KinesisGraftSourceSpec extends SparkTestBase {
       val it = fake.getShardIterator("t", s, "TRIM_HORIZON")
       fake.getRecords(it, 1000).records
     }
-    // sequence numbers strictly increase within each shard
+    // sequence numbers are dense per-shard ordinals (0, 1, 2, …) — the
+    // per-shard space real Kinesis has, which admission control's
+    // per-shard cap splitting relies on
     perShard.foreach { rs =>
-      assert(rs.map(_.sequenceNumber) == rs.map(_.sequenceNumber).sorted)
+      assert(rs.map(_.sequenceNumber) == (0L until rs.size.toLong))
     }
-    // disjoint union == whole log
-    val seqs = perShard.flatten.map(_.sequenceNumber)
-    assert(seqs.size == 200 && seqs.distinct.size == 200)
+    // disjoint union of payloads == whole log
+    val payloads = perShard.flatten.map(r => new String(r.record.data, "UTF-8"))
+    assert(payloads.size == 200 && payloads.distinct.size == 200)
     assert(perShard.map(_.size).forall(_ > 0), "hash routing left a shard empty")
   }
 

@@ -95,6 +95,31 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e13_funnel_steps" -> { (s, dir) =>
+      import s.implicits._
+      // Ordered-funnel analytics: users who viewed, then clicked AFTER
+      // their first view, then purchased AFTER that first qualifying
+      // click — the strictly-ordered conversion funnel. Each step is a
+      // hash aggregation + an equi-join on user_id (all three shuffles
+      // share the user_id key, so at scale they co-partition); no
+      // window sort, no per-user collection. ts comparisons are on the
+      // µs-floored timestamps both engines agree on.
+      val e = ev(s, dir).select($"user_id", $"event_type", $"ts")
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = e.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"ts" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = e.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"ts" > $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_funnel")))
+        .withColumn("conversion",
+          round($"n_purchase_funnel" / $"n_view_users".cast("double"), 6))
+    },
+
     "e12_props_map" -> { (s, dir) =>
       import s.implicits._
       // MapType coverage: parse props into map<string,int>, explode to
@@ -257,6 +282,26 @@ object Events {
         |      (floor(epoch(ts) / 1800) - off) * 1800)::TIMESTAMP AS win_start
         |  FROM events, unnest([0, 1]) AS t(off)) x
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "e13_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |  (SELECT count(*) FROM c) AS n_click_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchase_funnel,
+        |  round((SELECT count(*) FROM p) /
+        |        CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS conversion""".stripMargin,
 
     "e11b_exact_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -30,6 +30,15 @@ class EventsSpec extends SparkTestBase {
     assert(off == 0, "approx_count_distinct drifted >15% from exact")
   }
 
+  test("funnel steps are monotone and conversion bounded") {
+    val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && p >= 0,
+      s"funnel must narrow monotonically: view=$v click=$c purchase=$p")
+    val conv = r.getDouble(3)
+    assert(conv >= 0.0 && conv <= 1.0)
+  }
+
   test("sessionization invariants: per-user session count ≤ event count; " +
       "islands (e03) and session_window (e04) agree on total sessions") {
     val e03 = ops.Events.queries("e03_user_sessions")(spark, sfSmoke)

@@ -15,5 +15,6 @@ package object functions {
     SimHash64.register(spark)
     DotProduct.register(spark)
     MinHashSlot.register(spark)
+    AbsDiffSum.register(spark)
   }
 }

@@ -201,22 +201,39 @@ object TextAnalysis {
       // Levenshtein ≤ 2 — blocked self-join (brand) so the quadratic
       // stays within blocks; Spark and DuckDB implement the identical
       // classic DP distance.
+      // Two necessary-condition prefilters run before any DP (both are
+      // lower bounds on edit distance, so the result set is unchanged
+      // and the oracle stays the plain levenshtein <= 2 form):
+      //  - length band: |len(a)-len(b)| <= 2;
+      //  - bag distance: each edit changes at most 2 letter counts, so
+      //    lev >= sum(|count_a(c)-count_b(c)|)/2 — a pair survives only
+      //    if the fused abs_diff_sum of the per-name letter histograms
+      //    is <= 4 (measured at sf0.1: 6.9M banded pairs -> 346k DP
+      //    evals, keeping all 220k true pairs).
+      // The DP itself is the threshold form: banded O(len·k) with early
+      // exit; -1 above the bound, so values 0..2 are identical to the
+      // unbounded distance.
+      val hist = expr("transform(sequence(97, 122), c -> " +
+        "cast(length(p_name) - length(replace(p_name, char(c), '')) " +
+        "as bigint))")
       val p = Tables.load(s, dir, "part")
-        .select($"p_partkey", $"p_brand", $"p_name")
-      val a = p.toDF("a_id", "brand", "a_name")
-      val b = p.toDF("b_id", "brand_b", "b_name")
-      // aggregate per brand: the raw pair list is unbounded (the sf0.1
-      // fixture has 220k same-brand near-dup name pairs)
-      // |len(a)-len(b)| <= 2 is a necessary condition for edit
-      // distance <= 2: a cheap length-band predicate prunes most of the
-      // within-brand pairs before the O(len^2) DP runs.
-      // threshold form: banded DP, O(len·k) per pair with early exit,
-      // instead of the full O(len²) table; returns -1 above the bound,
-      // so values 0..2 are identical to the unbounded distance
+        .select($"p_partkey", $"p_brand", $"p_name", hist.as("hist"))
+      val a = p.toDF("a_id", "brand", "a_name", "hist_a")
+      val b = p.toDF("b_id", "brand_b", "b_name", "hist_b")
+      // The ENTIRE pair predicate lives in the join condition, ordered
+      // cheap → expensive: a separate .filter(dist >= 0) would be
+      // pushed into the join residual PREPENDED to these conjuncts, so
+      // the DP would run on every brand-pair before the guards (seen in
+      // the plan: 16M DP evals, 2× slower than no prefilter at all).
+      // And-chains short-circuit left-to-right, so as written the DP
+      // touches only the ~5% of pairs that survive both bounds; the
+      // surviving rows recompute the banded DP once more in the
+      // projection (220k evals — noise).
       a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id" &&
-          abs(length($"a_name") - length($"b_name")) <= 2)
+          abs(length($"a_name") - length($"b_name")) <= 2 &&
+          graft.functions.AbsDiffSum($"hist_a", $"hist_b") <= 4 &&
+          levenshtein($"a_name", $"b_name", 2) >= 0)
         .withColumn("dist", levenshtein($"a_name", $"b_name", 2))
-        .filter($"dist" >= 0)
         .groupBy($"brand")
         .agg(count(lit(1)).as("n_near_pairs"),
           sum(when($"dist" === 0, 1).otherwise(0)).as("n_exact"),

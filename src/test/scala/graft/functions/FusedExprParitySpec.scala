@@ -67,8 +67,35 @@ class FusedExprParitySpec extends SparkTestBase {
     assert(s.isNullAt(0))
   }
 
-  test("registerAll exposes every fused expression to SQL") {
+  test("abs_diff_sum matches the composed fold; bag bound never prunes " +
+      "a true near-match") {
     graft.functions.registerAll(spark)
+    val df = spark.range(300).select(col("id"),
+      expr("transform(sequence(0, 25), j -> cast(conv(substr(md5(" +
+        "concat(id, '_a_', j)), 1, 4), 16, 10) as bigint) % 7)").as("ha"),
+      expr("transform(sequence(0, 25), j -> cast(conv(substr(md5(" +
+        "concat(id, '_b_', j)), 1, 4), 16, 10) as bigint) % 7)").as("hb"))
+    val composed = aggregate(zip_with(col("ha"), col("hb"),
+      (x, y) => abs(x - y)), lit(0L), _ + _)
+    val bad = df.withColumn("fused", AbsDiffSum(col("ha"), col("hb")))
+      .withColumn("ref", composed)
+      .filter(col("fused") =!= col("ref")).count()
+    assert(bad == 0)
+    // soundness of the t10 prefilter: lev >= bag/2 on real name pairs
+    val names = graft.Tables.load(spark, sfSmoke, "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("n"),
+        expr("transform(sequence(97, 122), c -> cast(length(p_name) - " +
+          "length(replace(p_name, char(c), '')) as bigint))").as("h"))
+    val pairs = names.toDF("a_id", "a_n", "a_h")
+      .join(names.toDF("b_id", "b_n", "b_h"), col("a_id") < col("b_id"))
+      .limit(20000)
+      .withColumn("bag", AbsDiffSum(col("a_h"), col("b_h")))
+      .withColumn("lev", levenshtein(col("a_n"), col("b_n")))
+    assert(pairs.filter(col("lev") * 2 < col("bag")).count() == 0,
+      "bag distance must lower-bound 2*levenshtein")
+  }
+
+  test("registerAll exposes every fused expression to SQL") {
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +
       "array(3.0d, 4.0d)) AS d, " +
       "minhash_slot(array(5L), 7L, 1L, 97L) AS m, " +

@@ -30,6 +30,15 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** a–z occurrence histogram of `p_name` — the t10 bag-distance
+    * prefilter input (`lev ≥ Σ|count diffs|/2`). Shared with the parity
+    * spec so the soundness test always checks the shipped definition.
+    */
+  private[graft] val letterHistExpr: String =
+    "transform(sequence(97, 122), c -> " +
+      "cast(length(p_name) - length(replace(p_name, char(c), '')) " +
+      "as bigint))"
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -213,11 +222,9 @@ object TextAnalysis {
       // The DP itself is the threshold form: banded O(len·k) with early
       // exit; -1 above the bound, so values 0..2 are identical to the
       // unbounded distance.
-      val hist = expr("transform(sequence(97, 122), c -> " +
-        "cast(length(p_name) - length(replace(p_name, char(c), '')) " +
-        "as bigint))")
       val p = Tables.load(s, dir, "part")
-        .select($"p_partkey", $"p_brand", $"p_name", hist.as("hist"))
+        .select($"p_partkey", $"p_brand", $"p_name",
+          expr(letterHistExpr).as("hist"))
       val a = p.toDF("a_id", "brand", "a_name", "hist_a")
       val b = p.toDF("b_id", "brand_b", "b_name", "hist_b")
       // The ENTIRE pair predicate lives in the join condition, ordered

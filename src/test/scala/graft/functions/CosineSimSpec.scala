@@ -23,7 +23,7 @@ class CosineSimSpec extends SparkTestBase {
     val bad = pairs
       .withColumn("fused", CosineSim(col("va"), col("vb")))
       .withColumn("ref", composed)
-      .filter(col("fused") =!= col("ref")).count()
+      .filter(!(col("fused") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0, "fused loop must be bit-identical to composed form")
   }
 

@@ -21,7 +21,7 @@ class FusedExprParitySpec extends SparkTestBase {
     val bad = a.join(b, col("a_id") < col("b_id")).limit(3000)
       .withColumn("fused", DotProduct(col("va"), col("vb")))
       .withColumn("ref", composed)
-      .filter(col("fused") =!= col("ref")).count()
+      .filter(!(col("fused") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0, "fused dot must be bit-identical to composed fold")
     val e = intercept[Exception] {
       Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
@@ -41,7 +41,7 @@ class FusedExprParitySpec extends SparkTestBase {
       .withColumn("fused", MinHashSlot(col("hs"), a, b, p))
       .withColumn("ref",
         array_min(expr(s"transform(hs, h -> (h * ${a}L + ${b}L) % ${p}L)")))
-      .filter(col("fused") =!= col("ref")).count()
+      .filter(!(col("fused") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0, "fused slot must be bit-identical to composed form")
     val empty = Seq(Tuple1(Array.empty[Long])).toDF("hs")
       .select(MinHashSlot(col("hs"), a, b, p)).collect()(0)
@@ -79,13 +79,12 @@ class FusedExprParitySpec extends SparkTestBase {
       (x, y) => abs(x - y)), lit(0L), _ + _)
     val bad = df.withColumn("fused", AbsDiffSum(col("ha"), col("hb")))
       .withColumn("ref", composed)
-      .filter(col("fused") =!= col("ref")).count()
+      .filter(!(col("fused") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0)
     // soundness of the t10 prefilter: lev >= bag/2 on real name pairs
     val names = graft.Tables.load(spark, sfSmoke, "part")
       .select(col("p_partkey").as("id"), col("p_name").as("n"),
-        expr("transform(sequence(97, 122), c -> cast(length(p_name) - " +
-          "length(replace(p_name, char(c), '')) as bigint))").as("h"))
+        expr(graft.ops.TextAnalysis.letterHistExpr).as("h"))
     val pairs = names.toDF("a_id", "a_n", "a_h")
       .join(names.toDF("b_id", "b_n", "b_h"), col("a_id") < col("b_id"))
       .limit(20000)
@@ -96,14 +95,18 @@ class FusedExprParitySpec extends SparkTestBase {
   }
 
   test("registerAll exposes every fused expression to SQL") {
+    graft.functions.registerAll(spark) // self-contained: no reliance on
+    // another test having registered on the shared session
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +
       "array(3.0d, 4.0d)) AS d, " +
       "minhash_slot(array(5L), 7L, 1L, 97L) AS m, " +
       "hamming64(7L, 1L) AS h, " +
       "simhash64(array(0L), array(1L)) AS s, " +
-      "cosine_sim(array(1.0d), array(2.0d)) AS c").collect()(0)
+      "cosine_sim(array(1.0d), array(2.0d)) AS c, " +
+      "abs_diff_sum(array(3L, 1L), array(1L, 5L)) AS a").collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getLong(1) == 36L)
     assert(r.getInt(2) == 2 || r.getLong(2) == 2L)
     assert(r.getLong(3) == 1L && math.abs(r.getDouble(4) - 1.0) < 1e-15)
+    assert(r.getLong(5) == 6L)
   }
 }

@@ -14,7 +14,7 @@ class Hamming64Spec extends SparkTestBase {
     val bad = df
       .withColumn("h", Hamming64(col("a"), col("b")))
       .withColumn("ref", bit_count(col("a").bitwiseXOR(col("b"))))
-      .filter(col("h") =!= col("ref")).count()
+      .filter(!(col("h") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0)
   }
 

@@ -28,7 +28,7 @@ class SimHash64Spec extends SparkTestBase {
     val bad = df
       .withColumn("fused", SimHash64(col("hi"), col("lo")))
       .withColumn("ref", composed)
-      .filter(col("fused") =!= col("ref")).count()
+      .filter(!(col("fused") <=> col("ref"))).count() // null-safe: a spurious NULL is a mismatch, not a skip
     assert(bad == 0, "fused simhash must be bit-identical to composed form")
   }
 

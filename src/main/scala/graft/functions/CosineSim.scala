@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: accumulation is sequential in array order with double
   * precision — identical to the composed form and to DuckDB's
   * `list_dot_product`-based oracle, so swapping it into an operator does
-  * not change any oracle-checked value. Nulls: null array → null;
-  * mismatched lengths → error; zero norm → null (no NaN leakage).
+  * not change any oracle-checked value. Nulls: null array → null; null
+  * ELEMENT in either array → null (the composed zip_with/aggregate fold
+  * is null-sticky — fuzz-verified); mismatched lengths → error; zero
+  * norm → null (no NaN leakage).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,6 +55,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -80,16 +83,21 @@ case class CosineSim(left: Expression, right: Expression)
          |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
          |  final double $xi = $a.getDouble($i);
          |  final double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |final double $denom = java.lang.Math.sqrt($nx) *
-         |  java.lang.Math.sqrt($ny);
-         |if ($denom == 0.0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = $dot / $denom;
+         |if (!${ev.isNull}) {
+         |  final double $denom = java.lang.Math.sqrt($nx) *
+         |    java.lang.Math.sqrt($ny);
+         |  if ($denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })

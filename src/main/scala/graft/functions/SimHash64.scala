@@ -26,13 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the fused expression is one array walk with 64 bit-counters and
   * stays inside whole-stage codegen).
   *
-  * Nulls: null array → null; a null ELEMENT in either array → null
-  * (the composed form's per-bit `aggregate` goes null, `when(null > 0)`
-  * falls to 0 — callers that want that exact value wrap in
-  * `coalesce(..., 0L)`, which the dedup core does anyway for plan
-  * reasons). Empty arrays → 0L (no positive vote), as in the composed
-  * form. Mismatched lengths → error (the halves always come from the
-  * same shingle set).
+  * Nulls: null array → null; a null ELEMENT zeroes the 32 bits VOTED BY
+  * THAT ARRAY only (the composed form's per-bit `aggregate` over the
+  * null-containing array folds to null and `when(null > 0)` falls to 0,
+  * while the other half's aggregates are independent and unaffected —
+  * fuzz-verified). Empty arrays → 0L (no positive vote), as in the
+  * composed form. Mismatched lengths → error (the halves always come
+  * from the same shingle set).
   */
 case class SimHash64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,23 +61,30 @@ case class SimHash64(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"simhash64: length mismatch ($n vs ${lo.numElements()})")
     val cnt = new Array[Int](64)
+    var hiNull = false; var loNull = false
     var j = 0
     while (j < n) {
-      if (hi.isNullAt(j) || lo.isNullAt(j)) return null
-      val h = hi.getLong(j); val l = lo.getLong(j)
-      var k = 0
-      while (k < 32) {
-        cnt(k) += ((l >>> k) & 1L).toInt
-        cnt(k + 32) += ((h >>> k) & 1L).toInt
-        k += 1
+      if (hi.isNullAt(j)) hiNull = true
+      else {
+        val h = hi.getLong(j)
+        var k = 0
+        while (k < 32) { cnt(k + 32) += ((h >>> k) & 1L).toInt; k += 1 }
+      }
+      if (lo.isNullAt(j)) loNull = true
+      else {
+        val l = lo.getLong(j)
+        var k = 0
+        while (k < 32) { cnt(k) += ((l >>> k) & 1L).toInt; k += 1 }
       }
       j += 1
     }
     var r = 0L
     var k = 0
     while (k < 64) {
-      // vote = 2*cnt - n > 0
-      if (2 * cnt(k) > n) r |= (1L << k)
+      // vote = 2*cnt - n > 0; a null anywhere in the voting array nulls
+      // that half's aggregates -> those bits stay 0
+      val nulled = if (k < 32) loNull else hiNull
+      if (!nulled && 2 * cnt(k) > n) r |= (1L << k)
       k += 1
     }
     java.lang.Long.valueOf(r)
@@ -92,6 +99,9 @@ case class SimHash64(left: Expression, right: Expression)
       val h = ctx.freshName("h")
       val l = ctx.freshName("l")
       val r = ctx.freshName("r")
+      val hiNull = ctx.freshName("hiNull")
+      val loNull = ctx.freshName("loNull")
+      val nulled = ctx.freshName("nulled")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -100,24 +110,27 @@ case class SimHash64(left: Expression, right: Expression)
          |    $b.numElements() + ")");
          |}
          |final int[] $cnt = new int[64];
+         |boolean $hiNull = false; boolean $loNull = false;
          |for (int $j = 0; $j < $n; $j++) {
-         |  if ($a.isNullAt($j) || $b.isNullAt($j)) {
-         |    ${ev.isNull} = true; break;
+         |  if ($a.isNullAt($j)) { $hiNull = true; } else {
+         |    final long $h = $a.getLong($j);
+         |    for (int $k = 0; $k < 32; $k++) {
+         |      $cnt[$k + 32] += (int) (($h >>> $k) & 1L);
+         |    }
          |  }
-         |  final long $h = $a.getLong($j);
-         |  final long $l = $b.getLong($j);
-         |  for (int $k = 0; $k < 32; $k++) {
-         |    $cnt[$k] += (int) (($l >>> $k) & 1L);
-         |    $cnt[$k + 32] += (int) (($h >>> $k) & 1L);
+         |  if ($b.isNullAt($j)) { $loNull = true; } else {
+         |    final long $l = $b.getLong($j);
+         |    for (int $k = 0; $k < 32; $k++) {
+         |      $cnt[$k] += (int) (($l >>> $k) & 1L);
+         |    }
          |  }
          |}
-         |if (!${ev.isNull}) {
-         |  long $r = 0L;
-         |  for (int $k = 0; $k < 64; $k++) {
-         |    if (2 * $cnt[$k] > $n) $r |= (1L << $k);
-         |  }
-         |  ${ev.value} = $r;
+         |long $r = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  final boolean $nulled = ($k < 32) ? $loNull : $hiNull;
+         |  if (!$nulled && 2 * $cnt[$k] > $n) $r |= (1L << $k);
          |}
+         |${ev.value} = $r;
        """.stripMargin
     })
 

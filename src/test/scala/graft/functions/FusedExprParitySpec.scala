@@ -62,9 +62,12 @@ class FusedExprParitySpec extends SparkTestBase {
     val allNull = spark.sql("SELECT minhash_slot(array(cast(null as " +
       "bigint)), 7L, 1L, 97L) AS x").collect()(0)
     assert(allNull.isNullAt(0))
+    // simhash64: a null in one half zeroes THAT half's 32 bits only
+    // (the composed per-bit aggregates are independent): hi=[null] kills
+    // bits 32-63, lo=[1] still votes bit 0
     val s = spark.sql("SELECT simhash64(array(cast(null as bigint)), " +
       "array(1L)) AS x").collect()(0)
-    assert(s.isNullAt(0))
+    assert(!s.isNullAt(0) && s.getLong(0) == 1L)
   }
 
   test("abs_diff_sum matches the composed fold; bag bound never prunes " +

@@ -294,6 +294,42 @@ class KinesisGraftSourceSpec extends SparkTestBase {
       s"streamed ${streamed.size} groups vs batch ${batch.size}")
   }
 
+  test("randomized restart soak: many put/consume/stop rounds deliver " +
+      "exactly once (seeded)") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val fake = FakeKinesis.named("src-soak")
+    fake.clear()
+    fake.numShards.set(1 + rnd.nextInt(4))
+    val ckpt = Files.createTempDirectory("ckpt-src-soak").toString
+    val received = mutable.ArrayBuffer.empty[String]
+    var sent = 0
+    (0 until 6).foreach { round =>
+      val batch = 1 + rnd.nextInt(40)
+      put(fake, "soak", (sent until sent + batch).map(i => s"r$i"))
+      sent += batch
+      val q = spark.readStream.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", "soak")
+        .option("client", "fake:src-soak")
+        // exercise throttled and unthrottled rounds
+        .option("max_records_per_trigger",
+          if (round % 2 == 0) "7" else "0")
+        .load()
+        .select(col("data").cast("string").as("payload"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          received.synchronized { received ++= b.collect().map(_.getString(0)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    }
+    assert(received.sorted == (0 until sent).map(i => s"r$i").sorted,
+      s"soak: sent $sent, got ${received.size} " +
+        s"(${received.size - received.distinct.size} dups)")
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

@@ -48,6 +48,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("d07: no Filter or scan re-evaluates the simhash pipeline " +
+      "(isnotnull-inference inlining regression)") {
+    // A nullable simhash column once let constraint inference push
+    // isnotnull(simhash64(<entire shingle+md5 pipeline>)) into the scan
+    // as an interpreted per-row DataFilter — 6× slower. The coalesce in
+    // simhashCore starves that inference; guard it.
+    val p = plan("d07_simhash_near_dups")
+    val bad = p.linesIterator.filter(l =>
+      (l.trim.startsWith("+- Filter") || l.trim.startsWith(": +- Filter") ||
+        l.contains("FileScan")) && l.contains("simhash64"))
+    assert(bad.isEmpty,
+      s"simhash pipeline inlined into a Filter/scan:\n${bad.mkString("\n")}")
+  }
+
+  test("t10: join residual runs the cheap bounds before the DP " +
+      "(predicate-order regression)") {
+    // A pushed .filter once PREPENDED the levenshtein to the join's own
+    // conjuncts, running the DP on every brand-pair before the guards.
+    val p = plan("t10_levenshtein_pairs")
+    val join = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
+      fail("no hash join in t10 plan"))
+    val bag = join.indexOf("abs_diff_sum")
+    val dp = join.indexOf("levenshtein")
+    assert(bag >= 0 && dp >= 0 && bag < dp,
+      s"bag filter must precede the DP in the residual: $join")
+  }
+
   test("s03: no shuffle PARTITIONS BY a 64-dim vector (the r1 distinct " +
       "put both arrays in the dedup key)") {
     // r1 shipped distinct() over (q_id, n_id, qv, v) — ~1 KB of doubles

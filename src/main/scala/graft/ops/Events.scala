@@ -120,6 +120,37 @@ object Events {
           round($"n_purchase_funnel" / $"n_view_users".cast("double"), 6))
     },
 
+    "e14_kinesis_roundtrip_agg" -> { (s, dir) =>
+      import s.implicits._
+      // The CONNECTOR is part of the oracle-gated surface: the events
+      // table flows out through the DSv2 Kinesis sink (JSON payloads,
+      // batched PutRecords) and back in through the DSv2 source (shard
+      // iterators), then aggregates — and must hash-match DuckDB run
+      // directly on the parquet. Multiset delivery + order-insensitive
+      // aggregation make the round trip deterministic.
+      val fakeName = "e14-roundtrip"
+      graft.sink.FakeKinesis.named(fakeName).clear()
+      graft.sink.FakeKinesis.named(fakeName).numShards.set(4)
+      ev(s, dir)
+        .select($"event_id".cast("string").as("partitionKey"),
+          to_json(struct($"event_type", $"value")).cast("binary").as("data"))
+        .write.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", "events-rt")
+        .option("client", s"fake:$fakeName")
+        .mode("append").save()
+      s.read.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", "events-rt")
+        .option("client", s"fake:$fakeName")
+        .load()
+        .select(from_json($"data".cast("string"),
+          lit("struct<event_type:string,value:double>")).as("e"))
+        .groupBy($"e.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum($"e.value"), 2).as("total_value"))
+        .orderBy($"event_type")
+    },
+
     "e12_props_map" -> { (s, dir) =>
       import s.implicits._
       // MapType coverage: parse props into map<string,int>, explode to
@@ -302,6 +333,11 @@ object Events {
         |  (SELECT count(*) FROM p) AS n_purchase_funnel,
         |  round((SELECT count(*) FROM p) /
         |        CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS conversion""".stripMargin,
+
+    "e14_kinesis_roundtrip_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e11b_exact_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -34,6 +34,10 @@ object Events {
   /** Shared 30-minute session gap in microseconds. */
   private val GapUs = 1800L * 1000 * 1000
 
+  /** e14's once-per-(JVM, fixture) connector-seeding guard. */
+  private val e14Seeded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_salted_agg" -> { (s, dir) =>
       import s.implicits._
@@ -128,20 +132,32 @@ object Events {
       // iterators), then aggregates — and must hash-match DuckDB run
       // directly on the parquet. Multiset delivery + order-insensitive
       // aggregation make the round trip deterministic.
+      //
+      // This is a deliberate LOCAL-MODE self-test of the connector (the
+      // FakeKinesis registry is per-JVM, like every fake-backed test in
+      // the suite); a cluster deployment would point both legs at real
+      // Kinesis. Seeding is per-(JVM, sfDir), idempotent and guarded —
+      // repeated builder calls return a plan without re-running the
+      // write, and nothing ever clears a seeded stream underneath a
+      // previously returned DataFrame.
       val fakeName = "e14-roundtrip"
-      graft.sink.FakeKinesis.named(fakeName).clear()
-      graft.sink.FakeKinesis.named(fakeName).numShards.set(4)
-      ev(s, dir)
-        .select($"event_id".cast("string").as("partitionKey"),
-          to_json(struct($"event_type", $"value")).cast("binary").as("data"))
-        .write.format("kinesis-graft")
-        .option("aws_region_name", "us-east-1")
-        .option("stream", "events-rt")
-        .option("client", s"fake:$fakeName")
-        .mode("append").save()
+      val stream = s"events-rt-${math.abs(dir.hashCode).toString}"
+      e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
+        graft.sink.FakeKinesis.named(fakeName).numShards.set(4)
+        ev(s, dir)
+          .select($"event_id".cast("string").as("partitionKey"),
+            to_json(struct($"event_type", $"value")).cast("binary")
+              .as("data"))
+          .write.format("kinesis-graft")
+          .option("aws_region_name", "us-east-1")
+          .option("stream", stream)
+          .option("client", s"fake:$fakeName")
+          .mode("append").save()
+        java.lang.Boolean.TRUE
+      })
       s.read.format("kinesis-graft")
         .option("aws_region_name", "us-east-1")
-        .option("stream", "events-rt")
+        .option("stream", stream)
         .option("client", s"fake:$fakeName")
         .load()
         .select(from_json($"data".cast("string"),

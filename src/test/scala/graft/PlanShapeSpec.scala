@@ -55,9 +55,12 @@ class PlanShapeSpec extends SparkTestBase {
     // as an interpreted per-row DataFilter — 6× slower. The coalesce in
     // simhashCore starves that inference; guard it.
     val p = plan("d07_simhash_near_dups")
+    // " Filter " catches plain, codegen'd ("*(2) Filter") and
+    // join-branch-nested renderings; Project lines don't contain it,
+    // and "PushedFilters:"/"DataFilters:" are caught by the FileScan arm
     val bad = p.linesIterator.filter(l =>
-      (l.trim.startsWith("+- Filter") || l.trim.startsWith(": +- Filter") ||
-        l.contains("FileScan")) && l.contains("simhash64"))
+      (l.contains(" Filter ") || l.contains("FileScan")) &&
+        l.contains("simhash64"))
     assert(bad.isEmpty,
       s"simhash pipeline inlined into a Filter/scan:\n${bad.mkString("\n")}")
   }

@@ -20,7 +20,9 @@ import graft.SparkTestBase
 class FusedExprFuzzSpec extends SparkTestBase {
 
   private val N = 400
-  private val rng = new Random(0xC0FFEE)
+  // fresh per test (seeded there), so each test's corpus is independent
+  // of suite ordering and reproduces in isolation
+  private var rng: Random = new Random(0xC0FFEE)
 
   private def longArr(len: Int, nullFrac: Double,
       extreme: Boolean): Array[java.lang.Long] =
@@ -50,12 +52,15 @@ class FusedExprFuzzSpec extends SparkTestBase {
   private def bothPaths(check: => Unit): Unit = {
     check
     val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try check
     finally {
+      // symmetric restore: never clobber a non-default factory mode a
+      // caller or base config set on the shared session
       spark.conf.set("spark.sql.codegen.wholeStage", ws)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
     }
   }
 
@@ -68,6 +73,7 @@ class FusedExprFuzzSpec extends SparkTestBase {
 
   test("fuzz: simhash64 + minhash_slot vs composed on random " +
       "null-sprinkled long arrays, codegen AND interpreted") {
+    rng = new Random(0xC0FFEE)
     val schema = StructType(Seq(
       StructField("ha", ArrayType(LongType, containsNull = true)),
       StructField("hb", ArrayType(LongType, containsNull = true))))
@@ -107,6 +113,7 @@ class FusedExprFuzzSpec extends SparkTestBase {
 
   test("fuzz: dot_product + abs_diff_sum + cosine_sim vs composed, " +
       "codegen AND interpreted, incl. NaN/Inf") {
+    rng = new Random(0xD00D5EED)
     val dblSchema = StructType(Seq(
       StructField("va", ArrayType(DoubleType, containsNull = true)),
       StructField("vb", ArrayType(DoubleType, containsNull = true))))

@@ -33,10 +33,18 @@ object Bench {
         }
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of output and parses the
+    // JSON line out of that tail: full-precision doubles x 66 queries made
+    // the line ~2.3k chars, so its head was cut off -> parsed:null in
+    // BENCH_r01/r02. Centisecond precision + numeric sf keeps the whole
+    // line ~1.8k (run-to-run noise is ±25%, so nothing real is lost).
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }

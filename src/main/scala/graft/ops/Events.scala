@@ -141,7 +141,8 @@ object Events {
       // write, and nothing ever clears a seeded stream underneath a
       // previously returned DataFrame.
       val fakeName = "e14-roundtrip"
-      val stream = s"events-rt-${math.abs(dir.hashCode).toString}"
+      // hex, not math.abs: abs(Int.MinValue) is negative
+      val stream = s"events-rt-${Integer.toHexString(dir.hashCode)}"
       e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
         graft.sink.FakeKinesis.named(fakeName).numShards.set(4)
         ev(s, dir)
@@ -163,7 +164,14 @@ object Events {
         .select(from_json($"data".cast("string"),
           lit("struct<event_type:string,value:double>")).as("e"))
         .groupBy($"e.event_type".as("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum($"e.value"), 2).as("total_value"))
+        // Sum as DECIMAL(18,2): fixture values are exact 2-dp, so the
+        // decimal sum is exact and ORDER-INSENSITIVE — shard-delivery
+        // order is nondeterministic here (parallel write tasks interleave
+        // into FakeKinesis), and a double sum's rounding could otherwise
+        // flip near a .005 boundary vs DuckDB's parquet-order sum.
+        .agg(count(lit(1)).as("n"),
+          sum($"e.value".cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
         .orderBy($"event_type")
     },
 
@@ -352,7 +360,7 @@ object Events {
 
     "e14_kinesis_roundtrip_agg" ->
       """SELECT event_type, count(*) AS n,
-        |round(sum(value), 2) AS total_value
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e11b_exact_cardinality" ->

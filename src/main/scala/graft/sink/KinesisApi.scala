@@ -115,10 +115,22 @@ final class FakeKinesis(val latencyMs: Long = 0L)
   /** Fail this many requests, then succeed (for backoff-recovery tests). */
   val failNextRequests = new AtomicInteger(0)
   val requestCount = new AtomicInteger(0)
-  /** Virtual shard count for the read API (see [[listShards]]). */
+  /** Virtual shard count for the read API (see [[listShards]]). The live
+    * value only applies to streams that have never been touched: each
+    * stream FREEZES the count at its first write or read (see
+    * [[shardCount]]), so flipping `numShards` later cannot silently remap
+    * checkpointed per-shard offsets onto different records — real Kinesis
+    * reshards by splitting/merging shards, never by re-hashing history.
+    */
   val numShards = new AtomicInteger(1)
 
   private val streams = new ConcurrentHashMap[String, ArrayBuffer[KinesisRecord]]()
+  private val frozenShards = new ConcurrentHashMap[String, Integer]()
+
+  /** The stream's shard count, frozen at first touch (write or read). */
+  def shardCount(stream: String): Int =
+    frozenShards.computeIfAbsent(stream, _ => Integer.valueOf(numShards.get()))
+      .intValue()
 
   override def putRecords(stream: String,
       records: Seq[KinesisRecord]): Seq[PutResultEntry] = {
@@ -133,6 +145,7 @@ final class FakeKinesis(val latencyMs: Long = 0L)
         PutResultEntry(Some("ProvisionedThroughputExceededException"),
           Some("injected per-record failure"))
       else {
+        shardCount(stream) // first write freezes the shard layout
         val log = streams.computeIfAbsent(stream, _ => new ArrayBuffer[KinesisRecord]())
         log.synchronized { log += r }
         PutResultEntry()
@@ -150,7 +163,7 @@ final class FakeKinesis(val latencyMs: Long = 0L)
 
   def streamNames: Set[String] = streams.keySet().asScala.toSet
 
-  def clear(): Unit = streams.clear()
+  def clear(): Unit = { streams.clear(); frozenShards.clear() }
 
   // ----- read side (KinesisGetRecords) -------------------------------
   //
@@ -175,12 +188,12 @@ final class FakeKinesis(val latencyMs: Long = 0L)
 
   private def shardLog(stream: String, shardId: String): Seq[KinesisRecord] = {
     val shardIdx = shardId.stripPrefix("shardId-").toInt
-    val n = numShards.get()
+    val n = shardCount(stream)
     stored(stream).filter(r => shardIndexOf(r.partitionKey, n) == shardIdx)
   }
 
   override def listShards(stream: String): Seq[String] =
-    (0 until numShards.get()).map(shardName)
+    (0 until shardCount(stream)).map(shardName)
 
   override def getShardIterator(stream: String, shardId: String,
       iteratorType: String, startingSequence: Long): String = {

@@ -119,11 +119,15 @@ private[sink] final class KinesisGraftMicroBatchStream(
       .map(s => s -> client.latestSequence(stream, s)).toMap)
 
   /** Admission control: cap each micro-batch's advance at
-    * `max_records_per_trigger` records, split evenly across shards
-    * (each shard's slice is a contiguous, replayable sequence range).
-    * A backlog then drains over several bounded batches instead of one
-    * giant one — the cluster-safe form of the reference's bounded
-    * buffer + `Add` backpressure (sink.go:84-109).
+    * `max_records_per_trigger` records TOTAL, allocated max-min fairly
+    * across shard backlogs (each shard's slice stays a contiguous,
+    * replayable sequence range). Shards are processed shallowest-backlog
+    * first so quota a shallow shard can't use flows to deeper ones; the
+    * admitted total never exceeds the cap — including when the shard
+    * count exceeds it (the earlier floor-at-1 split could admit up to
+    * numShards records per batch). A backlog then drains over several
+    * bounded batches instead of one giant one — the cluster-safe form of
+    * the reference's bounded buffer + `Add` backpressure (sink.go:84-109).
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
@@ -131,12 +135,22 @@ private[sink] final class KinesisGraftMicroBatchStream(
     if (maxPerTrigger <= 0) unlimited
     else {
       val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets
-      val perShard = math.max(1L,
-        maxPerTrigger / math.max(1, unlimited.shardOffsets.size))
-      KinesisSourceOffset(unlimited.shardOffsets.map { case (shard, end) =>
+      val lags = unlimited.shardOffsets.toSeq.map { case (shard, end) =>
         val s0 = from.getOrElse(shard, 0L)
-        shard -> math.min(end, s0 + perShard)
-      })
+        (shard, s0, math.max(0L, end - s0))
+      }.sortBy { case (shard, _, lag) => (lag, shard) }
+      var quota = maxPerTrigger
+      var left = lags.count(_._3 > 0)
+      KinesisSourceOffset(lags.map { case (shard, s0, lag) =>
+        val take =
+          if (lag <= 0L || left == 0 || quota <= 0L) 0L
+          else {
+            val share = math.min(lag, quota / left)
+            left -= 1; quota -= share
+            share
+          }
+        shard -> (s0 + take)
+      }.toMap)
     }
   }
 

@@ -330,6 +330,68 @@ class KinesisGraftSourceSpec extends SparkTestBase {
         s"(${received.size - received.distinct.size} dups)")
   }
 
+  test("shard layout freezes at first touch: flipping numShards later " +
+      "cannot remap checkpointed offsets onto different records") {
+    val fake = new FakeKinesis()
+    fake.numShards.set(2)
+    put(fake, "fz", (0 until 50).map(i => s"m$i"))
+    def snapshot(): Seq[Seq[String]] = fake.listShards("fz").map { s =>
+      val it = fake.getShardIterator("fz", s, "TRIM_HORIZON")
+      fake.getRecords(it, 1000).records
+        .map(r => new String(r.record.data, "UTF-8"))
+    }
+    val before = snapshot()
+    fake.numShards.set(4) // a checkpointed reader must not see a remap
+    assert(fake.listShards("fz").size == 2, "shard count must stay frozen")
+    assert(snapshot() == before, "per-shard logs must be byte-identical")
+    // untouched streams still pick up the live value
+    assert(fake.listShards("fresh").size == 4)
+  }
+
+  test("admission control: total admitted per batch never exceeds " +
+      "max_records_per_trigger, even with more shards than budget") {
+    val fake = FakeKinesis.named("src-admission")
+    fake.clear()
+    fake.numShards.set(8)
+    put(fake, "adm", (0 until 200).map(i => s"m$i"))
+    val opts = KinesisSinkOptions.fromMap(Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "adm",
+      "client" -> "fake:src-admission"))
+    def admitted(cap: Long): Long = {
+      val ms = new KinesisGraftMicroBatchStream(opts, "TRIM_HORIZON", 10000, cap)
+      val start = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+      val end = ms.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(cap))
+        .asInstanceOf[KinesisSourceOffset]
+      end.shardOffsets.map { case (s, e) =>
+        e - start.shardOffsets.getOrElse(s, 0L)
+      }.sum
+    }
+    // 8 shards, cap 3: the old floor-at-1 split admitted 8; must be <= 3
+    assert(admitted(3) == 3)
+    assert(admitted(10) == 10)
+    // cap above backlog: everything admitted, nothing phantom
+    assert(admitted(1000) == 200)
+    // successive capped batches drain the backlog exactly
+    val ms = new KinesisGraftMicroBatchStream(opts, "TRIM_HORIZON", 10000, 64)
+    var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    var total = 0L
+    var batches = 0
+    var progressed = true
+    while (progressed) {
+      val next = ms.latestOffset(cur,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(64))
+        .asInstanceOf[KinesisSourceOffset]
+      val adv = next.shardOffsets.map { case (s, e) =>
+        e - cur.shardOffsets.getOrElse(s, 0L)
+      }.sum
+      assert(adv <= 64, s"batch $batches admitted $adv > cap")
+      progressed = adv > 0
+      total += adv; batches += 1; cur = next
+    }
+    assert(total == 200, s"drain must be exact, got $total")
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Events.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ multimodal.Multimodal.queries
+      ops.Similarity.queries ++ multimodal.Multimodal.queries ++
+      ops.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Events.oracle ++
       ops.TextAnalysis.oracle ++ ops.Dedup.oracle ++
-      ops.Similarity.oracle ++ multimodal.Multimodal.oracle
+      ops.Similarity.oracle ++ multimodal.Multimodal.oracle ++
+      ops.Pipeline.oracle
 }

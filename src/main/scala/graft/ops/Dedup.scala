@@ -399,6 +399,37 @@ object Dedup {
         .orderBy($"a_id", $"b_id")
     },
 
+    "d10_stream_dedup_counts" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING dedup through the engine: the same exact-dedup
+      // semantics as d01, computed by Structured Streaming's stateful
+      // dropDuplicates — the shape an ingest pipeline uses to dedup a
+      // firehose before it ever lands. Keyed on (source, fingerprint)
+      // so the survivor's attribution is deterministic (cross-partition
+      // arrival order is not; the fixture's 8 exact dups are
+      // cross-source, FIXTURES.md). Downstream complete-mode aggregate
+      // per source is then hash-gated against DuckDB's batch
+      // count(DISTINCT). At scale the dedup state is one fingerprint
+      // per distinct doc per state partition; a real firehose bounds it
+      // with a watermark (the watermarked variant is spec-covered in
+      // StreamingDedupSpec).
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val streamed = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val name = "d10_out_" + Integer.toHexString(dir.hashCode)
+      val q = streamed
+        .withColumn("fp", md5(lower($"text")))
+        .dropDuplicates("source", "fp")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_unique_docs"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
+      s.table(name).orderBy($"source")
+    },
+
     "d06_embedding_near_dups" -> { (s, dir) =>
       import s.implicits._
       // Embedding-cosine near-dup: within-label blocked self-join (the
@@ -557,6 +588,10 @@ object Dedup {
            |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
            |ORDER BY a_id, b_id""".stripMargin
       },
+
+      "d10_stream_dedup_counts" ->
+        """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique_docs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "d06_embedding_near_dups" ->
         """WITH e AS (

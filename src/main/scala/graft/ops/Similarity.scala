@@ -95,28 +95,67 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Exact top-k core, UNSORTED (s06 joins on this; a presentation
+    * orderBy here would plan a useless range exchange in every consumer
+    * — the round-2 lesson on composing registered queries).
+    */
+  private def exactTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e.select($"vec_id".as("n_id"), $"v")
+      .join(broadcast(q), $"q_id" =!= $"n_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+      .select($"q_id", $"n_id", $"cos")
+    // top-k via the custom bounded-heap operator (graft.plans) — no
+    // per-query sort of the full candidate set; rank recomputed by a
+    // window over just the k survivors.
+    val top = graft.plans.TopKPerKey(scored, Seq("q_id"),
+      struct($"cos" * -1, $"n_id"), K)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"cos", $"rnk")
+  }
+
+  /** Multi-table LSH approximate top-k core, UNSORTED (see s03). */
+  private def lshTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    // Candidate discovery carries ONLY (vec_id, bucket): the 64-dim
+    // payloads stay out of the union, the join, and the distinct's
+    // dedup key (a pair appearing in several tables dedups on two ids,
+    // not ~1 KB of doubles — the r1 bench's 2nd-worst shuffle).
+    val tabs = (0 until NTables).map { t =>
+      e.select($"vec_id", tableBucketCol(t).as("bucket"))
+    }.reduce(_ union _)
+    val qb = tabs.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"))
+    val pairs = tabs.select($"vec_id".as("n_id"), $"bucket")
+      .join(broadcast(qb),
+        $"bucket" === $"q_bucket" && $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id").distinct()
+    // Vectors rejoin after dedup: query side broadcast, corpus side
+    // one id-equi-join (the standard ANN rescore shape at any scale).
+    val qv = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    pairs
+      .join(broadcast(qv), "q_id")
+      .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"q_id", $"n_id", $"cos", $"rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> { (s, dir) =>
       import s.implicits._
       // Brute-force exact top-k: broadcast the small query side, scan
       // the corpus once, rank per query. The ANN variants are judged
       // against this baseline.
-      val e = emb(s, dir)
-      val q = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"))
-      val scored = e.select($"vec_id".as("n_id"), $"v")
-        .join(broadcast(q), $"q_id" =!= $"n_id")
-        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
-        .select($"q_id", $"n_id", $"cos")
-      // top-k via the custom bounded-heap operator (graft.plans) — no
-      // per-query sort of the full candidate set; rank recomputed by a
-      // window over just the k survivors.
-      val top = graft.plans.TopKPerKey(scored, Seq("q_id"),
-        struct($"cos" * -1, $"n_id"), K)
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      top.withColumn("rnk", row_number().over(w))
-        .select($"q_id", $"n_id", $"cos", $"rnk")
-        .orderBy($"q_id", $"rnk")
+      exactTopKCore(s, dir).orderBy($"q_id", $"rnk")
     },
 
     "s02_lsh_buckets" -> { (s, dir) =>
@@ -136,34 +175,28 @@ object Similarity {
       // Approximate top-k via multi-table LSH: a vector lands in
       // NTables buckets (one per table); candidates share a bucket in
       // at least one table — a union of equi-joins, never all-pairs.
-      // Recall vs s01 is measured in the spec (< 1.0 by design).
-      val e = emb(s, dir)
-      // Candidate discovery carries ONLY (vec_id, bucket): the 64-dim
-      // payloads stay out of the union, the join, and the distinct's
-      // dedup key (a pair appearing in several tables dedups on two ids,
-      // not ~1 KB of doubles — the r1 bench's 2nd-worst shuffle).
-      val tabs = (0 until NTables).map { t =>
-        e.select($"vec_id", tableBucketCol(t).as("bucket"))
-      }.reduce(_ union _)
-      val qb = tabs.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"))
-      val pairs = tabs.select($"vec_id".as("n_id"), $"bucket")
-        .join(broadcast(qb),
-          $"bucket" === $"q_bucket" && $"q_id" =!= $"n_id")
-        .select($"q_id", $"n_id").distinct()
-      // Vectors rejoin after dedup: query side broadcast, corpus side
-      // one id-equi-join (the standard ANN rescore shape at any scale).
-      val qv = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      pairs
-        .join(broadcast(qv), "q_id")
-        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
-        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= K)
-        .select($"q_id", $"n_id", $"cos", $"rnk")
-        .orderBy($"q_id", $"rnk")
+      // Recall vs s01 is gate-measured by s06.
+      lshTopKCore(s, dir).orderBy($"q_id", $"rnk")
+    },
+
+    "s06_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      // ANN quality evaluation as a first-class operator: recall@K of
+      // the LSH index against the exact baseline, per query. A curation
+      // pipeline that swaps brute force for ANN needs exactly this
+      // measurement, run at corpus scale — and it is the standard way to
+      // tune NTables/TBits. Both inputs are deterministic, so the recall
+      // numbers themselves are oracle-gated (fixture embeddings are
+      // near-random, so recall is LOW by design — the gate checks the
+      // measurement, not the index).
+      val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
+      val approx = lshTopKCore(s, dir).select($"q_id", $"n_id")
+        .withColumn("hit", lit(1))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
     },
 
     "s04_ivf_ann_topk" -> { (s, dir) =>
@@ -307,6 +340,54 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "s06_ann_recall" -> {
+      val tabSelects = (0 until NTables).map { t =>
+        s"SELECT vec_id, v, nrm, ${tableBucketSql(t)} AS bucket FROM e"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |      WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos
+         |  FROM q JOIN e ON q.q_id <> e.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K),
+         |tabs AS ($tabSelects),
+         |lshq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+         |                bucket AS q_bucket
+         |         FROM tabs WHERE vec_id < $NQueries),
+         |lcand AS (
+         |  SELECT DISTINCT lshq.q_id, te.vec_id AS n_id, lshq.qv, lshq.qn,
+         |    te.v, te.nrm
+         |  FROM lshq JOIN tabs te
+         |    ON te.bucket = lshq.q_bucket AND lshq.q_id <> te.vec_id),
+         |lscored AS (
+         |  SELECT q_id, n_id,
+         |    round(list_dot_product(qv, v) / (qn * nrm), 4) AS cos
+         |  FROM lcand),
+         |ltop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM lscored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN ltop l
+         |  ON l.q_id = x.q_id AND l.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin
+    },
 
     "s05_label_cohesion" ->
       """WITH e AS (

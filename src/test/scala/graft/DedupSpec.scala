@@ -47,6 +47,18 @@ class DedupSpec extends SparkTestBase {
     assert(highHalves > 1, "high 32 simhash bits carry no entropy")
   }
 
+  test("d10: streaming dropDuplicates dedup equals the batch per-source " +
+      "distinct counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = ops.Dedup.queries("d10_stream_dedup_counts")(spark, sfSmoke)
+    val batch = Tables.load(spark, sfSmoke, "documents")
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(lower(col("text")))).as("n_unique_docs"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming dedup counts diverged from batch")
+  }
+
   test("d09 skew guard: star candidates stay linear in bucket occupancy " +
       "(all-pairs would be quadratic)") {
     import spark.implicits._

@@ -30,6 +30,16 @@ class EventsSpec extends SparkTestBase {
     assert(off == 0, "approx_count_distinct drifted >15% from exact")
   }
 
+  test("e15: per-day sketch union keeps sketch accuracy (mergeability, " +
+      "the partial-aggregation property) at both SFs") {
+    Seq(sfSmoke, sfVerify).foreach { sf =>
+      val rows = ops.Events.queries("e15_sketch_merge")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Boolean]("merge_consistent")),
+        s"hll_union_agg of daily sketches lost accuracy at $sf")
+    }
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

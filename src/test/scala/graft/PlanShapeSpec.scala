@@ -78,6 +78,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"bag filter must precede the DP in the residual: $join")
   }
 
+  test("p01: pipeline stages fuse — pruned scan, partial aggregation, " +
+      "no sort-merge join") {
+    val p = plan("p01_curation_pipeline")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"),
+      s"pipeline reads only doc_id/source/text: $readSchema")
+    assert(p.contains("partial_"), "dedup agg must be map-side partial")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0,
+      "summary join over two tiny aggregates must not sort-merge")
+  }
+
   test("s03: no shuffle PARTITIONS BY a 64-dim vector (the r1 distinct " +
       "put both arrays in the dedup key)") {
     // r1 shipped distinct() over (q_id, n_id, qv, v) — ~1 KB of doubles

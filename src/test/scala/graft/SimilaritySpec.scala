@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkTestBase {
       "on a label-clustered fixture IVF probing should beat 1-table LSH")
   }
 
+  test("s06: the gated recall measurement equals the independently " +
+      "computed s01/s03 overlap") {
+    val exact = pairs("s01_cosine_topk")
+    val lsh = pairs("s03_lsh_ann_topk")
+    val byQ = exact.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(lsh.contains)
+    }
+    val s06 = ops.Similarity.queries("s06_ann_recall")(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s06 == byQ.map { case (q, n) => q -> n.toLong },
+      s"gated recall disagrees with direct set intersection: $s06 vs $byQ")
+  }
+
   test("LSH buckets partition the corpus") {
     val total = ops.Similarity.queries("s02_lsh_buckets")(spark, sfSmoke)
       .agg(sum("n_vectors")).collect()(0).getLong(0)

@@ -33,12 +33,18 @@ object Bench {
         }
       name -> secs
     }
-    // The driver keeps only the LAST ~2000 chars of output and parses the
+    // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail: full-precision doubles x 66 queries made
     // the line ~2.3k chars, so its head was cut off -> parsed:null in
-    // BENCH_r01/r02. Centisecond precision + numeric sf keeps the whole
-    // line ~1.8k (run-to-run noise is ±25%, so nothing real is lost).
-    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // BENCH_r01/r02. The budget the line must fit, WITH sbt's "[info] "
+    // prefix and trailing "[success] Total time..." epilogue (~85 chars),
+    // is ~1.9k — at 71 queries that means 1-decimal timings with ".0"
+    // stripped (~1.87k). Run-to-run noise is ±25%, so 0.1 s granularity
+    // loses nothing a paired comparison could use.
+    def f(v: Double): String = {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

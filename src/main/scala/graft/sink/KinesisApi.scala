@@ -50,6 +50,15 @@ final case class GetRecordsResult(records: Seq[ShardRecord],
   *    make each batch's contents deterministic under checkpoint replay.
   *
   * Iterators are opaque strings; sequence numbers are monotone per shard.
+  * They are modeled as dense per-shard Longs (what the fake provides and
+  * what the source's offset arithmetic — admission-control budgeting,
+  * `[start, end)` batch windows — relies on). Real Kinesis sequence
+  * numbers are opaque ~186-bit decimals, so a real SDK implementation of
+  * THIS trait must maintain its own per-shard dense counter (records
+  * consumed since TRIM_HORIZON) and keep the AWS sequence string as an
+  * internal cursor — or the seam would need String offsets and
+  * count-based admission (the spark-kinesis-asl/Flink shape), a
+  * different trade documented here rather than silently half-made.
   *
   * CONTRACT (load-bearing for exactly-once): `getRecords` may return an
   * EMPTY records list ONLY when the iterator has reached the shard's

@@ -30,6 +30,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("modality-partitioned storage layout: a format predicate prunes " +
+      "partitions at plan time (the 100 TB media-lake read path)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("media-part").toString
+    Multimodal.mediaTable(spark, sfSmoke)
+      .write.partitionBy("format").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("format") === "png")
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not as a per-row data filter
+    val scan = back.queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "format predicate did not become a partition filter")
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "format")),
+      s"format leaked into data filters: ${scan.dataFilters}")
+    // and the pruned read is the filtered full read
+    val full = Multimodal.mediaTable(spark, sfSmoke)
+      .filter(col("format") === "png").count()
+    assert(back.count() == full)
+  }
+
   test("frame sampling keeps every 4th 32-byte frame") {
     val frames = Multimodal.queries("m03_frame_sample")(spark, sfSmoke)
     // frame numbers per media are contiguous 0..k

@@ -399,6 +399,58 @@ object Dedup {
         .orderBy($"a_id", $"b_id")
     },
 
+    "d11_canonical_corpus" -> { (s, dir) =>
+      import s.implicits._
+      // APPLY the dedup: the survivor corpus after near-dup clustering —
+      // every doc outside a cluster keeps itself; inside a cluster only
+      // the canonical (minimum doc_id) survives. This is the step that
+      // actually shrinks the training set; d08 only labels it. One
+      // left join of the corpus against the (tiny) component labels —
+      // at 100 TB the label table is |clustered docs| rows, orders of
+      // magnitude smaller than the corpus, and broadcasts.
+      val comp = components(s,
+        queries("d03_minhash_near_dups")(s, dir).select($"a_id", $"b_id"))
+        .select($"id".as("doc_id"), $"lbl".as("canonical_id"))
+      docs(s, dir).select($"doc_id", $"source")
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .withColumn("kept",
+          $"canonical_id".isNull || $"canonical_id" === $"doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"source")
+    },
+
+    "d12_eval_decontamination" -> { (s, dir) =>
+      import s.implicits._
+      // Benchmark DECONTAMINATION: which training docs overlap the eval
+      // set? src0 plays the held-out benchmark; every other source is
+      // training data. A training doc's contamination is the fraction
+      // of its distinct 3-shingles that appear anywhere in the eval
+      // set; exact/near copies of eval docs surface at ratio ≈ 1. The
+      // eval shingle SET (not per-doc rows) drives the probe join — at
+      // 100 TB the benchmark side is tiny and broadcasts, so the scan
+      // of the training corpus stays shuffle-free up to the per-doc
+      // count aggregation. Top 20 by ratio, deterministic tiebreaks.
+      val d = docs(s, dir).select($"doc_id", $"source")
+      val sh = shingleHashes(s, dir).join(d, "doc_id")
+      val evalSet = sh.filter($"source" === "src0")
+        .select($"sh").distinct()
+      val train = sh.filter($"source" =!= "src0")
+      val sizes = train.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sh"), min($"source").as("source"))
+      val shared = train
+        .join(broadcast(evalSet), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+        .withColumn("ratio",
+          round($"n_shared" / $"n_sh".cast("double"), 6))
+        .select($"doc_id", $"source", $"n_sh", $"n_shared", $"ratio")
+        .orderBy($"ratio".desc, $"doc_id")
+        .limit(20)
+    },
+
     "d10_stream_dedup_counts" -> { (s, dir) =>
       import s.implicits._
       // STREAMING dedup through the engine: the same exact-dedup
@@ -592,6 +644,57 @@ object Dedup {
       "d10_stream_dedup_counts" ->
         """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique_docs
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "d11_canonical_corpus" ->
+        s"""WITH RECURSIVE $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |und AS (SELECT a_id AS a, b_id AS b FROM pairs
+           |        UNION SELECT b_id, a_id FROM pairs),
+           |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+           |reach(a, b) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |comp AS (
+           |  SELECT a AS doc_id, min(b) AS canonical_id
+           |  FROM reach GROUP BY a)
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN c.canonical_id IS NULL
+           |                  OR c.canonical_id = d.doc_id
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      "d12_eval_decontamination" ->
+        s"""WITH $shingleHashSql,
+           |tagged AS (
+           |  SELECT s.doc_id, s.sh, d.source FROM sh s
+           |  JOIN documents d ON d.doc_id = s.doc_id),
+           |evalset AS (
+           |  SELECT DISTINCT sh FROM tagged WHERE source = 'src0'),
+           |train AS (SELECT * FROM tagged WHERE source <> 'src0'),
+           |sizes AS (
+           |  SELECT doc_id, count(*) AS n_sh, min(source) AS source
+           |  FROM train GROUP BY doc_id),
+           |shared AS (
+           |  SELECT t.doc_id, count(*) AS n_shared FROM train t
+           |  JOIN evalset e ON e.sh = t.sh GROUP BY t.doc_id)
+           |SELECT s.doc_id, s.source, s.n_sh,
+           |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           |  round(coalesce(h.n_shared, 0) / CAST(s.n_sh AS DOUBLE), 6)
+           |    AS ratio
+           |FROM sizes s LEFT JOIN shared h ON h.doc_id = s.doc_id
+           |ORDER BY ratio DESC, s.doc_id LIMIT 20""".stripMargin,
 
       "d06_embedding_near_dups" ->
         """WITH e AS (

@@ -47,6 +47,38 @@ class DedupSpec extends SparkTestBase {
     assert(highHalves > 1, "high 32 simhash bits carry no entropy")
   }
 
+  test("d11: canonical corpus accounting agrees with the component " +
+      "labels (survivors = corpus - non-canonical members)") {
+    import org.apache.spark.sql.functions._
+    val d11 = ops.Dedup.queries("d11_canonical_corpus")(spark, sfVerify)
+    val kept = d11.agg(sum("n_kept")).collect()(0).getLong(0)
+    val total = d11.agg(sum("n_docs")).collect()(0).getLong(0)
+    val comp = ops.Dedup.queries("d08_dedup_components")(spark, sfVerify)
+    val members = comp.count()
+    val clusters = comp.select("canonical_id").distinct().count()
+    assert(total == Tables.load(spark, sfVerify, "documents").count())
+    assert(kept == total - (members - clusters),
+      s"kept=$kept total=$total members=$members clusters=$clusters")
+  }
+
+  test("d12: contamination ratios are bounded and exact eval copies " +
+      "surface at ratio 1") {
+    import org.apache.spark.sql.functions._
+    val d12 = ops.Dedup.queries("d12_eval_decontamination")(spark, sfVerify)
+      .collect()
+    assert(d12.length == 20)
+    d12.foreach { r =>
+      val (nSh, nShared, ratio) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nShared <= nSh && ratio >= 0.0 && ratio <= 1.0, r.toString)
+      assert(r.getString(1) != "src0", "eval docs must not be flagged")
+    }
+    // the fixture plants cross-source near-dups; the top of the ranking
+    // must show substantial overlap, not noise
+    assert(d12.head.getDouble(4) >= 0.5,
+      s"top contamination ${d12.head} looks like noise")
+  }
+
   test("d10: streaming dropDuplicates dedup equals the batch per-source " +
       "distinct counts") {
     import org.apache.spark.sql.functions._

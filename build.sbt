@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's JSON line out of the LAST 2000 chars of sbt
+// output. Pass the forked JVM's stdout through verbatim (no "[info] "
+// prefixes) and skip the "[success] Total time..." epilogue so the
+// whole budget belongs to the JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,11 +36,12 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail: full-precision doubles x 66 queries made
     // the line ~2.3k chars, so its head was cut off -> parsed:null in
-    // BENCH_r01/r02. The budget the line must fit, WITH sbt's "[info] "
-    // prefix and trailing "[success] Total time..." epilogue (~85 chars),
-    // is ~1.9k — at 71 queries that means 1-decimal timings with ".0"
-    // stripped (~1.87k). Run-to-run noise is ±25%, so 0.1 s granularity
-    // loses nothing a paired comparison could use.
+    // BENCH_r01/r02. Three things keep the whole line inside the window:
+    // 1-decimal timings with ".0" stripped (±25% run noise dwarfs 0.1 s),
+    // no sbt "[info] " prefix (run/outputStrategy = StdoutOutput) and no
+    // "[success]" epilogue (showSuccess := false in build.sbt), and log
+    // silence after the println (setLogLevel OFF before stop) so nothing
+    // can print behind the line and push it out of the tail.
     def f(v: Double): String = {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
@@ -51,6 +52,10 @@ object Bench {
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    System.out.flush()
+    // shutdown warnings printing AFTER the JSON line would evict it from
+    // the driver's 2000-char tail window
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }
 }

@@ -349,7 +349,8 @@ object Events {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "e07_out_" + math.abs(dir.hashCode).toString
+      // hex, not math.abs: abs(Int.MinValue) is negative (as in e14/d10)
+      val name = "e07_out_" + Integer.toHexString(dir.hashCode)
       val q = streamed
         .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"),
           $"event_type")

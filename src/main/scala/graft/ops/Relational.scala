@@ -33,6 +33,18 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The exact interpolated quantiles q18 gates and q25's sketch gate
+    * compares against — ONE definition per engine, so the hash contract
+    * (rounding, column names) cannot drift between the two queries.
+    */
+  private def exactQuantileCols: Seq[org.apache.spark.sql.Column] = Seq(
+    round(median(col("o_totalprice")), 2).as("med_price"),
+    round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"))
+
+  private val exactQuantileSql: String =
+    """round(median(o_totalprice), 2) AS med_price,
+      |round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> { (s, dir) =>
       import s.implicits._
@@ -262,13 +274,35 @@ object Relational {
     "q18_percentiles" -> { (s, dir) =>
       import s.implicits._
       // Exact interpolated median + p90 (matches DuckDB median /
-      // quantile_cont).
+      // quantile_cont). The quantile expressions are shared with q25's
+      // sketch-accuracy gate — one definition, one hash contract.
       t(s, dir, "orders")
         .groupBy($"o_orderpriority")
-        .agg(
-          round(median($"o_totalprice"), 2).as("med_price"),
-          round(percentile($"o_totalprice", lit(0.9)), 2).as("p90_price"),
-          count(lit(1)).as("n"))
+        .agg(exactQuantileCols.head,
+          (exactQuantileCols.tail :+ count(lit(1)).as("n")): _*)
+        .orderBy($"o_orderpriority")
+    },
+
+    "q25_approx_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      // The quantile twin of e15's HLL gate: percentile_approx (a
+      // mergeable quantile sketch — partial per partition, combined at
+      // the reducer, the only way quantiles scale past a single sort)
+      // must land within 1% of the exact interpolated quantile. The
+      // sketch values are engine-specific, so what's hash-gated is the
+      // exact quantiles (the same shared expressions q18 gates) plus
+      // the accuracy BOOLEAN; in-engine the sketch is deterministic.
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(exactQuantileCols.head, (exactQuantileCols.tail ++ Seq(
+          percentile_approx($"o_totalprice", lit(0.5), lit(1000))
+            .as("amed"),
+          percentile_approx($"o_totalprice", lit(0.9), lit(1000))
+            .as("ap90"))): _*)
+        .select($"o_orderpriority", $"med_price", $"p90_price",
+          (abs($"amed" - $"med_price") <= $"med_price" * 0.01 &&
+            abs($"ap90" - $"p90_price") <= $"p90_price" * 0.01)
+            .as("sketch_within_1pct"))
         .orderBy($"o_orderpriority")
     },
 
@@ -536,12 +570,18 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
 
     "q18_percentiles" ->
-      """SELECT o_orderpriority,
-        |round(median(o_totalprice), 2) AS med_price,
-        |round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
-        |count(*) AS n
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+      s"""SELECT o_orderpriority,
+         |$exactQuantileSql,
+         |count(*) AS n
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q25_approx_quantiles" ->
+      s"""SELECT o_orderpriority,
+         |$exactQuantileSql,
+         |TRUE AS sketch_within_1pct
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "q19_string_battery" ->
       """SELECT p_partkey,

@@ -49,11 +49,21 @@ private[sink] object KinesisGraftSource {
 
 /** Per-shard next-sequence positions, JSON-serialized into the
   * checkpoint's offset log.
+  *
+  * `json()` MUST be canonical (keys sorted): the streaming engine
+  * detects "new data" by comparing offset JSON strings, so two maps
+  * with equal entries but different insertion order would read as
+  * different offsets — the rotating admission allocation built exactly
+  * that, and every trigger then committed an empty "new" batch forever
+  * (observed: 8,270 consecutive identical-offset commits before the
+  * canonicalization).
   */
 private[sink] final case class KinesisSourceOffset(
     shardOffsets: Map[String, Long]) extends Offset {
   private implicit val fmts: Formats = DefaultFormats
-  override def json(): String = Serialization.write(shardOffsets)
+  override def json(): String =
+    Serialization.write(
+      scala.collection.immutable.SortedMap(shardOffsets.toSeq: _*))
 }
 
 private[sink] object KinesisSourceOffset {
@@ -118,16 +128,35 @@ private[sink] final class KinesisGraftMicroBatchStream(
     KinesisSourceOffset(client.listShards(stream)
       .map(s => s -> client.latestSequence(stream, s)).toMap)
 
+  /** Trigger counter driving the rotating allocation priority below.
+    * Deliberately NOT checkpointed: it is fairness policy, not offset
+    * state — the planned (start, end] windows land in the offset log and
+    * replay exactly; after a restart the rotation merely restarts.
+    */
+  private var trigger = 0L
+
   /** Admission control: cap each micro-batch's advance at
-    * `max_records_per_trigger` records TOTAL, allocated max-min fairly
-    * across shard backlogs (each shard's slice stays a contiguous,
-    * replayable sequence range). Shards are processed shallowest-backlog
-    * first so quota a shallow shard can't use flows to deeper ones; the
-    * admitted total never exceeds the cap — including when the shard
-    * count exceeds it (the earlier floor-at-1 split could admit up to
-    * numShards records per batch). A backlog then drains over several
-    * bounded batches instead of one giant one — the cluster-safe form of
-    * the reference's bounded buffer + `Add` backpressure (sink.go:84-109).
+    * `max_records_per_trigger` records TOTAL, allocated across shard
+    * backlogs (each shard's slice stays a contiguous, replayable
+    * sequence range). Invariants:
+    *
+    *  - admitted ≤ cap ALWAYS — including when the shard count exceeds
+    *    it (the earlier floor-at-1 split could admit up to numShards
+    *    records per batch);
+    *  - NO STARVATION: lagging shards are served in rotating priority
+    *    order (rotation advances every trigger), each getting at least
+    *    one record while budget remains — so with L lagging shards and
+    *    cap C, every shard is served at least once every ⌈L/C⌉
+    *    triggers. A pure shallowest-first max-min fill had a liveness
+    *    hole: with more lagging shards than budget, a shard whose
+    *    backlog stays smallest (one stale record behind steady-trickle
+    *    siblings) floored to a 0 share on every single trigger;
+    *  - unused budget flows on: a shard lagging less than its share
+    *    leaves the remainder for the shards after it in rotation.
+    *
+    * A backlog then drains over several bounded batches instead of one
+    * giant one — the cluster-safe form of the reference's bounded
+    * buffer + `Add` backpressure (sink.go:84-109).
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
@@ -138,14 +167,18 @@ private[sink] final class KinesisGraftMicroBatchStream(
       val lags = unlimited.shardOffsets.toSeq.map { case (shard, end) =>
         val s0 = from.getOrElse(shard, 0L)
         (shard, s0, math.max(0L, end - s0))
-      }.sortBy { case (shard, _, lag) => (lag, shard) }
+      }.sortBy(_._1)
+      val rot = if (lags.isEmpty) 0 else (trigger % lags.size).toInt
+      trigger += 1
+      val rotated = lags.drop(rot) ++ lags.take(rot)
       var quota = maxPerTrigger
-      var left = lags.count(_._3 > 0)
-      KinesisSourceOffset(lags.map { case (shard, s0, lag) =>
+      var left = rotated.count(_._3 > 0)
+      KinesisSourceOffset(rotated.map { case (shard, s0, lag) =>
         val take =
-          if (lag <= 0L || left == 0 || quota <= 0L) 0L
+          if (lag <= 0L || quota <= 0L) 0L
           else {
-            val share = math.min(lag, quota / left)
+            // fair share, but never 0 while budget remains (liveness)
+            val share = math.min(lag, math.max(1L, quota / left))
             left -= 1; quota -= share
             share
           }

@@ -392,6 +392,66 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     assert(total == 200, s"drain must be exact, got $total")
   }
 
+  test("offset JSON is canonical regardless of map insertion order " +
+      "(the engine compares offsets BY JSON; a non-canonical form made " +
+      "every trigger look like new data — an infinite empty-batch loop)") {
+    val a = KinesisSourceOffset(
+      scala.collection.immutable.ListMap("shardId-000000000001" -> 7L,
+        "shardId-000000000000" -> 3L))
+    val b = KinesisSourceOffset(
+      scala.collection.immutable.ListMap("shardId-000000000000" -> 3L,
+        "shardId-000000000001" -> 7L))
+    assert(a.json() == b.json(), s"${a.json()} vs ${b.json()}")
+    assert(KinesisSourceOffset.fromJson(a.json()) == b)
+  }
+
+  test("admission control liveness: no shard starves when lagging " +
+      "shards outnumber the trigger budget (rotating priority)") {
+    // The shallowest-first max-min fill had a liveness hole: a shard
+    // whose backlog stays smallest floored to a 0 share on EVERY
+    // trigger while deeper siblings took the whole cap. Reproduce the
+    // shape — one shard with a single stale record, three with deep
+    // backlogs — and require every lagging shard to advance within
+    // ceil(4/1) = 4 triggers at cap 1.
+    val fake = FakeKinesis.named("src-liveness")
+    fake.clear()
+    fake.numShards.set(4)
+    def shardOf(pk: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(pk.getBytes("UTF-8"))
+      new java.math.BigInteger(1, md)
+        .mod(java.math.BigInteger.valueOf(4)).intValueExact()
+    }
+    val pks = (0 until 4).map(sh =>
+      Iterator.from(0).map(i => s"lv-$i").find(pk => shardOf(pk) == sh).get)
+    // shard 0: one stale record; shards 1-3: deep backlogs
+    fake.putRecords("lv", Seq(KinesisRecord(pks(0), "stale".getBytes)))
+    (0 until 30).foreach { _ =>
+      fake.putRecords("lv", (1 until 4).map(sh =>
+        KinesisRecord(pks(sh), "deep".getBytes)))
+    }
+    val opts = KinesisSinkOptions.fromMap(Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "lv",
+      "client" -> "fake:src-liveness"))
+    val ms = new KinesisGraftMicroBatchStream(opts, "TRIM_HORIZON", 10000, 1)
+    var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    val advanced = scala.collection.mutable.Set.empty[String]
+    (0 until 4).foreach { _ =>
+      val next = ms.latestOffset(cur,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1))
+        .asInstanceOf[KinesisSourceOffset]
+      val adv = next.shardOffsets.filter { case (s, e) =>
+        e > cur.shardOffsets.getOrElse(s, 0L)
+      }
+      assert(adv.values.zip(adv.keys.map(cur.shardOffsets.getOrElse(_, 0L)))
+        .map { case (e, s0) => e - s0 }.sum <= 1, "cap exceeded")
+      advanced ++= adv.keys
+      cur = next
+    }
+    assert(advanced.size == 4,
+      s"every lagging shard must be served within 4 triggers: $advanced")
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

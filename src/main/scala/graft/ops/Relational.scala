@@ -288,21 +288,31 @@ object Relational {
       // The quantile twin of e15's HLL gate: percentile_approx (a
       // mergeable quantile sketch — partial per partition, combined at
       // the reducer, the only way quantiles scale past a single sort)
-      // must land within 1% of the exact interpolated quantile. The
-      // sketch values are engine-specific, so what's hash-gated is the
-      // exact quantiles (the same shared expressions q18 gates) plus
-      // the accuracy BOOLEAN; in-engine the sketch is deterministic.
-      t(s, dir, "orders")
-        .groupBy($"o_orderpriority")
-        .agg(exactQuantileCols.head, (exactQuantileCols.tail ++ Seq(
+      // gated on its ACTUAL contract: bounded RANK error (≤ 1/accuracy),
+      // not value error. The sketch returns a real sample, so on a
+      // sparse group the value gap to the interpolated quantile can be
+      // arbitrarily large (it failed a 1%-of-value gate at sf0.001,
+      // ~300 rows/group) while the rank stays tight. The gated boolean:
+      // the returned sample's empirical rank sits within ±0.02 of the
+      // target quantile (sketch rank error 0.001 at accuracy 1000, plus
+      // 1/n rank granularity). Exact quantiles (q18's shared
+      // expressions) ride along hash-gated; in-engine the sketch is
+      // deterministic.
+      val ords = t(s, dir, "orders")
+      val approx = ords.groupBy($"o_orderpriority")
+        .agg(
           percentile_approx($"o_totalprice", lit(0.5), lit(1000))
             .as("amed"),
           percentile_approx($"o_totalprice", lit(0.9), lit(1000))
-            .as("ap90"))): _*)
+            .as("ap90"))
+      ords.join(broadcast(approx), "o_orderpriority")
+        .groupBy($"o_orderpriority")
+        .agg(exactQuantileCols.head, (exactQuantileCols.tail ++ Seq(
+          avg(($"o_totalprice" <= $"amed").cast("double")).as("rmed"),
+          avg(($"o_totalprice" <= $"ap90").cast("double")).as("rp90"))): _*)
         .select($"o_orderpriority", $"med_price", $"p90_price",
-          (abs($"amed" - $"med_price") <= $"med_price" * 0.01 &&
-            abs($"ap90" - $"p90_price") <= $"p90_price" * 0.01)
-            .as("sketch_within_1pct"))
+          (abs($"rmed" - 0.5) <= 0.02 && abs($"rp90" - 0.9) <= 0.02)
+            .as("sketch_rank_ok"))
         .orderBy($"o_orderpriority")
     },
 
@@ -579,7 +589,7 @@ object Relational {
     "q25_approx_quantiles" ->
       s"""SELECT o_orderpriority,
          |$exactQuantileSql,
-         |TRUE AS sketch_within_1pct
+         |TRUE AS sketch_rank_ok
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -42,7 +42,11 @@ object Bench {
     // "[success]" epilogue (showSuccess := false in build.sbt), and log
     // silence after the println (setLogLevel OFF before stop) so nothing
     // can print behind the line and push it out of the tail.
+    // ≥10 s values print as whole seconds: under driver-box contention
+    // (BENCH_r02 had a 49.9 s outlier) the extra decimals were the chars
+    // that pushed the line over the window
     def f(v: Double): String = {
+      if (v >= 10 || v <= -10) return math.round(v).toString
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }

@@ -421,7 +421,7 @@ object Dedup {
         .orderBy($"source")
     },
 
-    "d12_eval_decontamination" -> { (s, dir) =>
+    "d12_decontamination" -> { (s, dir) =>
       import s.implicits._
       // Benchmark DECONTAMINATION: which training docs overlap the eval
       // set? src0 plays the held-out benchmark; every other source is
@@ -451,7 +451,7 @@ object Dedup {
         .limit(20)
     },
 
-    "d10_stream_dedup_counts" -> { (s, dir) =>
+    "d10_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // STREAMING dedup through the engine: the same exact-dedup
       // semantics as d01, computed by Structured Streaming's stateful
@@ -641,7 +641,7 @@ object Dedup {
            |ORDER BY a_id, b_id""".stripMargin
       },
 
-      "d10_stream_dedup_counts" ->
+      "d10_stream_dedup" ->
         """SELECT source, count(DISTINCT md5(lower(text))) AS n_unique_docs
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -675,7 +675,7 @@ object Dedup {
            |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
-      "d12_eval_decontamination" ->
+      "d12_decontamination" ->
         s"""WITH $shingleHashSql,
            |tagged AS (
            |  SELECT s.doc_id, s.sh, d.source FROM sh s

@@ -212,6 +212,33 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e16_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      // Streaming SESSIONIZATION parity, closing the streaming set
+      // (e07 windows, d10 dedup, e14 connector): the same session_window
+      // aggregation as e04, computed through Structured Streaming's
+      // merging session state and hash-gated against e04's batch oracle.
+      // Complete mode on the bounded fixture; a production stream would
+      // run append with the watermark closing sessions (the
+      // StatefulSessionizer spec covers watermark semantics).
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val streamed = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "e16_out_" + Integer.toHexString(dir.hashCode)
+      val q = streamed
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("session_start"), $"user_id",
+          $"n_events")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
+      s.table(name).orderBy($"user_id", $"session_start")
+    },
+
     "e12_props_map" -> { (s, dir) =>
       import s.implicits._
       // MapType coverage: parse props into map<string,int>, explode to
@@ -362,6 +389,26 @@ object Events {
       s.table(name).orderBy($"hour_start", $"event_type")
     })
 
+  /** Session-window sessions via the islands formulation — shared by
+    * e04 (batch) and e16 (streaming): one contract, two execution paths.
+    */
+  private val SessionWindowOracleSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "e09_salted_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -450,22 +497,11 @@ object Events {
         |       round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "e04_session_window" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM flagged)
-        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
-        |FROM sess GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start""".stripMargin,
+    "e04_session_window" -> SessionWindowOracleSql,
+
+    // e16 is the STREAMING computation of exactly e04's aggregation —
+    // one oracle contract, gated twice (batch path and streaming path).
+    "e16_stream_sessions" -> SessionWindowOracleSql,
 
     "e05_daily_type_share" ->
       """WITH daily AS (

@@ -64,7 +64,7 @@ class DedupSpec extends SparkTestBase {
   test("d12: contamination ratios are bounded and exact eval copies " +
       "surface at ratio 1") {
     import org.apache.spark.sql.functions._
-    val d12 = ops.Dedup.queries("d12_eval_decontamination")(spark, sfVerify)
+    val d12 = ops.Dedup.queries("d12_decontamination")(spark, sfVerify)
       .collect()
     assert(d12.length == 20)
     d12.foreach { r =>
@@ -82,7 +82,7 @@ class DedupSpec extends SparkTestBase {
   test("d10: streaming dropDuplicates dedup equals the batch per-source " +
       "distinct counts") {
     import org.apache.spark.sql.functions._
-    val streamed = ops.Dedup.queries("d10_stream_dedup_counts")(spark, sfSmoke)
+    val streamed = ops.Dedup.queries("d10_stream_dedup")(spark, sfSmoke)
     val batch = Tables.load(spark, sfSmoke, "documents")
       .groupBy(col("source"))
       .agg(countDistinct(md5(lower(col("text")))).as("n_unique_docs"))

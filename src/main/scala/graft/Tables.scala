@@ -40,4 +40,21 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Streaming read of one fixture table: file-stream over the SF dir
+    * narrowed to the table's parquet (streaming sources need a
+    * directory), with the SAME guarded ts conversion as [[load]] — the
+    * streaming gates (e07/e16/d10) must see the schema batch queries
+    * see, including if the fixture is ever regenerated with µs
+    * timestamps.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val streamed = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir)
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      streamed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else streamed
+  }
 }

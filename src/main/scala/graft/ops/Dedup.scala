@@ -465,21 +465,14 @@ object Dedup {
       // per distinct doc per state partition; a real firehose bounds it
       // with a watermark (the watermarked variant is spec-covered in
       // StreamingDedupSpec).
-      val raw = s.read.parquet(s"$dir/documents.parquet")
-      val streamed = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val name = "d10_out_" + Integer.toHexString(dir.hashCode)
-      val q = streamed
-        .withColumn("fp", md5(lower($"text")))
-        .dropDuplicates("source", "fp")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_unique_docs"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
-      s.table(name).orderBy($"source")
+      graft.streaming.MemoryGate.complete(s,
+        Tables.loadStream(s, dir, "documents")
+          .withColumn("fp", md5(lower($"text")))
+          .dropDuplicates("source", "fp")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_unique_docs")),
+        "d10_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"source")
     },
 
     "d06_embedding_near_dups" -> { (s, dir) =>

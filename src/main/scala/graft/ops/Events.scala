@@ -221,22 +221,14 @@ object Events {
       // Complete mode on the bounded fixture; a production stream would
       // run append with the watermark closing sessions (the
       // StatefulSessionizer spec covers watermark semantics).
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val streamed = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val name = "e16_out_" + Integer.toHexString(dir.hashCode)
-      val q = streamed
-        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-        .agg(count(lit(1)).as("n_events"))
-        .select($"session_window.start".as("session_start"), $"user_id",
-          $"n_events")
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
-      s.table(name).orderBy($"user_id", $"session_start")
+      graft.streaming.MemoryGate.complete(s,
+        Tables.loadStream(s, dir, "events")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"session_window.start".as("session_start"), $"user_id",
+            $"n_events"),
+        "e16_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"user_id", $"session_start")
     },
 
     "e12_props_map" -> { (s, dir) =>
@@ -371,22 +363,13 @@ object Events {
       // window aggregation into a memory sink, then returned as a
       // DataFrame the driver hash-compares against the batch oracle.
       // Proves batch/streaming result parity on the engine's own gate.
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val streamed = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // hex, not math.abs: abs(Int.MinValue) is negative (as in e14/d10)
-      val name = "e07_out_" + Integer.toHexString(dir.hashCode)
-      val q = streamed
-        .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"),
-          $"event_type")
-        .agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .start()
-      try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
-      s.table(name).orderBy($"hour_start", $"event_type")
+      graft.streaming.MemoryGate.complete(s,
+        Tables.loadStream(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").getField("start").as("hour_start"),
+            $"event_type")
+          .agg(count(lit(1)).as("n")),
+        "e07_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"hour_start", $"event_type")
     })
 
   /** Session-window sessions via the islands formulation — shared by

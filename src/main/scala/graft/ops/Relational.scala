@@ -305,7 +305,13 @@ object Relational {
             .as("amed"),
           percentile_approx($"o_totalprice", lit(0.9), lit(1000))
             .as("ap90"))
-      ords.join(broadcast(approx), "o_orderpriority")
+      // null-safe join key: a NULL priority group must survive to the
+      // output exactly as the oracle's GROUP BY keeps it (a plain
+      // USING-join would silently drop it — latent on this fixture,
+      // but an asymmetric gate-red waiting for nullable data)
+      ords.join(broadcast(approx),
+          ords("o_orderpriority") <=> approx("o_orderpriority"))
+        .drop(approx("o_orderpriority"))
         .groupBy($"o_orderpriority")
         .agg(exactQuantileCols.head, (exactQuantileCols.tail ++ Seq(
           avg(($"o_totalprice" <= $"amed").cast("double")).as("rmed"),

@@ -299,7 +299,10 @@ object Relational {
       // expressions) ride along hash-gated; in-engine the sketch is
       // deterministic.
       val ords = t(s, dir, "orders")
-      val approx = ords.groupBy($"o_orderpriority")
+      // the sketch side renames its key up front: self-join lineage on
+      // the same attribute id makes Spark warn about a trivially-true
+      // predicate (and the warning leaks into the bench tail)
+      val approx = ords.groupBy($"o_orderpriority".as("a_prio"))
         .agg(
           percentile_approx($"o_totalprice", lit(0.5), lit(1000))
             .as("amed"),
@@ -309,9 +312,8 @@ object Relational {
       // output exactly as the oracle's GROUP BY keeps it (a plain
       // USING-join would silently drop it — latent on this fixture,
       // but an asymmetric gate-red waiting for nullable data)
-      ords.join(broadcast(approx),
-          ords("o_orderpriority") <=> approx("o_orderpriority"))
-        .drop(approx("o_orderpriority"))
+      ords.join(broadcast(approx), $"o_orderpriority" <=> $"a_prio")
+        .drop("a_prio")
         .groupBy($"o_orderpriority")
         .agg(exactQuantileCols.head, (exactQuantileCols.tail ++ Seq(
           avg(($"o_totalprice" <= $"amed").cast("double")).as("rmed"),
@@ -590,14 +592,14 @@ object Relational {
          |$exactQuantileSql,
          |count(*) AS n
          |FROM orders GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin,
+         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q25_approx_quantiles" ->
       s"""SELECT o_orderpriority,
          |$exactQuantileSql,
          |TRUE AS sketch_rank_ok
          |FROM orders GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin,
+         |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q19_string_battery" ->
       """SELECT p_partkey,

@@ -44,12 +44,28 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane j: component i =
     * (int(md5("j_i")[0:7], 16) mod 1000) / 500 − 1  ∈ [−1, 1).
-    * Constant-folded by Catalyst; DuckDB builds the identical list.
+    *
+    * Computed ONCE at plan-build time and injected as an array literal.
+    * The equivalent `transform(sequence(...), i -> ...md5...)` SQL is
+    * NOT constant-folded by Catalyst (higher-order lambdas stay
+    * interpreted and re-run per row — 24 planes × 64 md5 calls per
+    * vector made s03 the bench's worst query by far). Bit parity with
+    * the SQL expression it replaces is exact: m/500 − 1 = (2m−1000)/1000
+    * terminates at 3 decimal digits, so exact-decimal → nearest-double
+    * here equals Spark's decimal-division path bit-for-bit (verified
+    * over all 24×64 components). DuckDB's double-division path differs
+    * in the last ulp on ~half the components — it always has; only the
+    * SIGN of the plane·v dot feeds the bucket, which ulps don't flip.
     */
-  private def planeExpr(j: Int): String =
-    s"transform(sequence(0, ${Dim - 1}), i -> " +
-      s"cast((cast(conv(substr(md5(concat('${j}_', cast(i as string))), 1, 7), " +
-      s"16, 10) as bigint) % 1000) / 500.0 - 1.0 as double))"
+  private def planeVals(j: Int): Seq[Double] = (0 until Dim).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    val hex7 = md.take(4).map(b => f"$b%02x").mkString.take(7)
+    val m = java.lang.Long.parseLong(hex7, 16) % 1000
+    new java.math.BigDecimal(2 * m - 1000).movePointLeft(3).doubleValue()
+  }
+
+  private def planeLit(j: Int): Column = typedLit(planeVals(j))
 
   private def planeSql(j: Int): String =
     s"list_transform(range(0, $Dim), i -> " +
@@ -66,7 +82,7 @@ object Similarity {
   /** 8-bit LSH bucket: sign pattern of the plane dots. */
   private def bucketCol: Column =
     concat((0 until NPlanes).map { j =>
-      when(dot(col("v"), expr(planeExpr(j))) > 0, "1").otherwise("0")
+      when(dot(col("v"), planeLit(j)) > 0, "1").otherwise("0")
     }: _*)
 
   private val bucketSql: String =
@@ -82,7 +98,7 @@ object Similarity {
     */
   private def tableBucketCol(t: Int): Column =
     concat(lit(s"$t:") +: (0 until TBits).map { j =>
-      when(dot(col("v"), expr(planeExpr(t * TBits + j))) > 0, "1")
+      when(dot(col("v"), planeLit(t * TBits + j)) > 0, "1")
         .otherwise("0")
     }: _*)
 

@@ -145,6 +145,12 @@ final class FakeKinesis(val latencyMs: Long = 0L)
       records: Seq[KinesisRecord]): Seq[PutResultEntry] = {
     require(records.nonEmpty && records.size <= 500,
       s"PutRecords accepts 1..500 records, got ${records.size}")
+    // Freeze the shard layout at the very first write attempt — even one
+    // that failure injection rejects wholesale. Freezing only on the
+    // per-record success branch let a numShards flip between a fully
+    // failed first write and its retry remap the stream, contradicting
+    // the "frozen at first touch" contract above.
+    shardCount(stream)
     if (latencyMs > 0) Thread.sleep(latencyMs)
     requestCount.incrementAndGet()
     if (failRequests.get() || failNextRequests.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -154,7 +160,6 @@ final class FakeKinesis(val latencyMs: Long = 0L)
         PutResultEntry(Some("ProvisionedThroughputExceededException"),
           Some("injected per-record failure"))
       else {
-        shardCount(stream) // first write freezes the shard layout
         val log = streams.computeIfAbsent(stream, _ => new ArrayBuffer[KinesisRecord]())
         log.synchronized { log += r }
         PutResultEntry()

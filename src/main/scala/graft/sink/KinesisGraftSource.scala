@@ -144,13 +144,20 @@ private[sink] final class KinesisGraftMicroBatchStream(
     *    it (the earlier floor-at-1 split could admit up to numShards
     *    records per batch);
     *  - NO STARVATION: lagging shards are served in rotating priority
-    *    order (rotation advances every trigger), each getting at least
-    *    one record while budget remains — so with L lagging shards and
-    *    cap C, every shard is served at least once every ⌈L/C⌉
-    *    triggers. A pure shallowest-first max-min fill had a liveness
-    *    hole: with more lagging shards than budget, a shard whose
-    *    backlog stays smallest (one stale record behind steady-trickle
-    *    siblings) floored to a 0 share on every single trigger;
+    *    order, each getting at least one record while budget remains,
+    *    and the rotation advances to just past the LAST shard served
+    *    that trigger (not by a fixed 1 — advancing by 1 while serving
+    *    ~C shards from the rotation point re-serves C−1 of them next
+    *    trigger and stretches the worst-case wait to a full rotation of
+    *    the shard list). With the pointer skipping the whole served
+    *    span each trigger, with L lagging shards and cap C every
+    *    lagging shard is served at least once every ⌈L/C⌉ triggers,
+    *    whatever non-lagging shards sit between them. A pure
+    *    shallowest-first
+    *    max-min fill had a liveness hole: with more lagging shards than
+    *    budget, a shard whose backlog stays smallest (one stale record
+    *    behind steady-trickle siblings) floored to a 0 share on every
+    *    single trigger;
     *  - unused budget flows on: a shard lagging less than its share
     *    leaves the remainder for the shards after it in rotation.
     *
@@ -169,21 +176,29 @@ private[sink] final class KinesisGraftMicroBatchStream(
         (shard, s0, math.max(0L, end - s0))
       }.sortBy(_._1)
       val rot = if (lags.isEmpty) 0 else (trigger % lags.size).toInt
-      trigger += 1
       val rotated = lags.drop(rot) ++ lags.take(rot)
       var quota = maxPerTrigger
       var left = rotated.count(_._3 > 0)
-      KinesisSourceOffset(rotated.map { case (shard, s0, lag) =>
+      var lastServed = -1
+      val next = rotated.zipWithIndex.map { case ((shard, s0, lag), i) =>
         val take =
           if (lag <= 0L || quota <= 0L) 0L
           else {
             // fair share, but never 0 while budget remains (liveness)
             val share = math.min(lag, math.max(1L, quota / left))
             left -= 1; quota -= share
+            lastServed = i
             share
           }
         shard -> (s0 + take)
-      }.toMap)
+      }.toMap
+      // advance the rotation to just past the LAST shard served this
+      // trigger (not a fixed +1, which re-serves the same prefix and
+      // degrades the wait to a full rotation; not +servedCount, which
+      // lands mid-span when non-lagging shards sit between served ones).
+      // This is what makes the ⌈L/C⌉ bound above hold for any cap.
+      trigger += math.max(1, lastServed + 1)
+      KinesisSourceOffset(next)
     }
   }
 

@@ -452,6 +452,110 @@ class KinesisGraftSourceSpec extends SparkTestBase {
       s"every lagging shard must be served within 4 triggers: $advanced")
   }
 
+  test("admission control liveness holds at cap >= 2: every lagging " +
+      "shard served within ceil(L/C) triggers") {
+    // cap=1 happens to be tight under ANY rotation policy; the ⌈L/C⌉
+    // bound is only discriminating at cap ≥ 2. Six deep shards, cap 2:
+    // the rotation must clear all six in 3 triggers. A fixed +1 advance
+    // re-serves one shard of the previous pair each trigger and needs 5.
+    val fake = FakeKinesis.named("src-liveness2")
+    fake.clear()
+    fake.numShards.set(6)
+    def shardOf(pk: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(pk.getBytes("UTF-8"))
+      new java.math.BigInteger(1, md)
+        .mod(java.math.BigInteger.valueOf(6)).intValueExact()
+    }
+    val pks = (0 until 6).map(sh =>
+      Iterator.from(0).map(i => s"lw-$i").find(pk => shardOf(pk) == sh).get)
+    (0 until 20).foreach { _ =>
+      fake.putRecords("lw", pks.map(pk => KinesisRecord(pk, "deep".getBytes)))
+    }
+    val opts = KinesisSinkOptions.fromMap(Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "lw",
+      "client" -> "fake:src-liveness2"))
+    val ms = new KinesisGraftMicroBatchStream(opts, "TRIM_HORIZON", 10000, 2)
+    var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    val advanced = scala.collection.mutable.Set.empty[String]
+    (0 until 3).foreach { _ =>
+      val next = ms.latestOffset(cur,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(2))
+        .asInstanceOf[KinesisSourceOffset]
+      val adv = next.shardOffsets.filter { case (s, e) =>
+        e > cur.shardOffsets.getOrElse(s, 0L)
+      }
+      assert(adv.values.zip(adv.keys.map(cur.shardOffsets.getOrElse(_, 0L)))
+        .map { case (e, s0) => e - s0 }.sum <= 2, "cap exceeded")
+      advanced ++= adv.keys
+      cur = next
+    }
+    assert(advanced.size == 6,
+      s"every lagging shard must be served within ceil(6/2)=3 triggers: " +
+        s"$advanced")
+  }
+
+  test("admission control rotation skips non-lagging shards without " +
+      "re-serving the same lagging shard") {
+    // Lagging shards separated by caught-up ones: the pointer must land
+    // past the last SERVED shard, not advance by served-count (which
+    // strands it mid-span and re-serves the same lagging shard while
+    // the other starves). Two lagging shards, cap 1 → strict
+    // alternation over 4 triggers: each served exactly twice.
+    val fake = FakeKinesis.named("src-liveness3")
+    fake.clear()
+    fake.numShards.set(4)
+    def shardOf(pk: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(pk.getBytes("UTF-8"))
+      new java.math.BigInteger(1, md)
+        .mod(java.math.BigInteger.valueOf(4)).intValueExact()
+    }
+    val pk0 = Iterator.from(0).map(i => s"lx-$i")
+      .find(pk => shardOf(pk) == 0).get
+    val pk2 = Iterator.from(0).map(i => s"lx-$i")
+      .find(pk => shardOf(pk) == 2).get
+    (0 until 10).foreach { _ =>
+      fake.putRecords("lx", Seq(KinesisRecord(pk0, "a".getBytes),
+        KinesisRecord(pk2, "b".getBytes)))
+    }
+    val opts = KinesisSinkOptions.fromMap(Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "lx",
+      "client" -> "fake:src-liveness3"))
+    val ms = new KinesisGraftMicroBatchStream(opts, "TRIM_HORIZON", 10000, 1)
+    var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    val servedCounts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    (0 until 4).foreach { _ =>
+      val next = ms.latestOffset(cur,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1))
+        .asInstanceOf[KinesisSourceOffset]
+      next.shardOffsets.foreach { case (s, e) =>
+        if (e > cur.shardOffsets.getOrElse(s, 0L)) servedCounts(s) += 1
+      }
+      cur = next
+    }
+    assert(servedCounts.values.toSeq.sorted == Seq(2, 2),
+      s"two lagging shards at cap 1 must alternate: $servedCounts")
+  }
+
+  test("shard layout freezes on a fully-failed first write (failure " +
+      "injection cannot expose a numShards flip to the retry)") {
+    val fake = FakeKinesis.named("freeze-on-fail")
+    fake.clear()
+    fake.numShards.set(2)
+    fake.failNextRequests.set(1)
+    intercept[KinesisRequestException] {
+      fake.putRecords("fz", Seq(KinesisRecord("k", "v".getBytes)))
+    }
+    // the flip lands between the failed first write and its retry
+    fake.numShards.set(8)
+    fake.putRecords("fz", Seq(KinesisRecord("k", "v".getBytes)))
+    assert(fake.shardCount("fz") == 2,
+      "layout must freeze at the first write ATTEMPT, not the first success")
+    assert(fake.listShards("fz").size == 2)
+  }
+
   test("source option validation: missing stream fails fast") {
     val e = intercept[Exception] {
       spark.read.format("kinesis-graft")

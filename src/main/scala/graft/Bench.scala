@@ -50,7 +50,16 @@ object Bench {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // Per-query keys are the query-code prefix ("d01_exact_dedup" →
+    // "d01"): every registered name starts with a unique code, and the
+    // full names cost ~1 KB of the 2000-char tail window — at 75
+    // queries the full-name line was 1960 chars, leaving no room to
+    // ever register another operator. CORRECTNESS_r{N}.json keeps the
+    // full names; the code is the join key between the two.
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val keys =
+      if (short.map(_._1).distinct.size == short.size) short else results
+    val qs = keys.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)

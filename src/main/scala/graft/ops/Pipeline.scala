@@ -71,7 +71,54 @@ object Pipeline {
           ($"n_pass" - coalesce($"n_kept", lit(0L))).as("n_dups_removed"),
           coalesce($"total_tokens_kept", lit(0L)).as("total_tokens_kept"))
         .orderBy($"source")
+    },
+
+    "p02_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      // Gopher-style quality gate as a per-source funnel report: every
+      // doc is scored on length, top-token share, and duplicate-2-gram
+      // share (t11's signals), and each source reports how many docs it
+      // keeps and WHY the rest fail — the accounting a curation run
+      // over 100 TB must emit per shard/source to be auditable. Same
+      // shuffle shape as t11 (one wordcount agg + agg-sized rejoin);
+      // the funnel itself is a map-side-partial count per source.
+      val d = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tokens", size($"toks"))
+      val top = d.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_cnt"))
+      d.join(top, "doc_id")
+        .withColumn("tts", $"top_cnt" / $"n_tokens".cast("double"))
+        .withColumn("dup2",
+          when($"n_tokens" < 2, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(expr(
+                "transform(sequence(1, size(toks) - 1), " +
+                  "i -> concat(element_at(toks, i), ' ', " +
+                  "element_at(toks, i + 1)))")))
+                / ($"n_tokens" - 1).cast("double")))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_tokens" >= MinQualityTokens &&
+              $"tts" <= MaxTopShare && $"dup2" <= MaxDupShare, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when($"n_tokens" < MinQualityTokens, 1L).otherwise(0L))
+            .as("n_len_fail"),
+          sum(when($"n_tokens" >= MinQualityTokens &&
+              ($"tts" > MaxTopShare || $"dup2" > MaxDupShare), 1L)
+            .otherwise(0L)).as("n_rep_fail"))
+        .orderBy($"source")
     })
+
+  /** p02 gate thresholds: token floor, max top-token share, max
+    * duplicate-2-gram share (Gopher-style repetition rules; tuned to
+    * split the fixture non-trivially — 344 kept / 43 length-fail /
+    * 113 repetition-fail at sf0.01).
+    */
+  private val MinQualityTokens = 20
+  private val MaxTopShare = 0.15
+  private val MaxDupShare = 0.05
 
   def oracle: Map[String, String] = Map(
     "p01_curation_pipeline" ->
@@ -93,5 +140,36 @@ object Pipeline {
          |       AS BIGINT) AS n_dups_removed,
          |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT)
          |    AS total_tokens_kept
-         |FROM ranked GROUP BY source ORDER BY source""".stripMargin)
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "p02_quality_filter" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |         len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_cnt FROM (
+         |    SELECT doc_id, t.tok, count(*) AS c
+         |    FROM x, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok)
+         |  GROUP BY doc_id),
+         |g AS (
+         |  SELECT x.doc_id, source, n_tokens,
+         |    top_cnt / CAST(n_tokens AS DOUBLE) AS tts,
+         |    CASE WHEN n_tokens < 2 THEN 0.0
+         |         ELSE 1.0 - len(list_distinct(list_transform(
+         |                range(1, n_tokens),
+         |                i -> toks[i] || ' ' || toks[i+1])))
+         |              / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
+         |  FROM x JOIN top ON x.doc_id = top.doc_id)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens
+         |                 AND tts <= $MaxTopShare AND dup2 <= $MaxDupShare
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN n_tokens < $MinQualityTokens
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+         |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens
+         |                 AND (tts > $MaxTopShare OR dup2 > $MaxDupShare)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail
+         |FROM g GROUP BY source ORDER BY source""".stripMargin)
 }

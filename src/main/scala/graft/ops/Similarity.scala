@@ -264,6 +264,26 @@ object Similarity {
           round(avg($"cos"), 4).as("avg_cos"),
           round(max($"cos"), 4).as("max_cos"))
         .orderBy($"label")
+    },
+
+    "s07_int8_quant" -> { (s, dir) =>
+      import s.implicits._
+      // Int8 symmetric quantization of the embedding column — the
+      // standard 4–8× footprint cut before ANN at corpus scale.
+      // Per-vector absmax scale, round into [−127, 127], dequantize,
+      // and gate fidelity as the cosine between the original and the
+      // dequantized vector (the number that decides whether the
+      // quantized index's distances are trustworthy). Entirely narrow
+      // per-row compute fused into the scan stage: nothing shuffles, so
+      // the op costs one pass at any corpus size. The absmax component
+      // quantizes to exactly ±127, so amax also round-trips exactly.
+      emb(s, dir)
+        .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+        .withColumn("dq", expr(
+          "transform(v, x -> round(x * 127.0 / amax) * amax / 127.0)"))
+        .select($"vec_id", $"label", round($"amax", 6).as("amax"),
+          round(graft.functions.CosineSim($"v", $"dq"), 6).as("q_cos"))
+        .orderBy($"vec_id")
     })
 
   def oracle: Map[String, String] = Map(
@@ -417,5 +437,23 @@ object Similarity {
         |  round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4)
         |    AS max_cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |GROUP BY a.label ORDER BY a.label""".stripMargin)
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
+
+    "s07_int8_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax
+        |  FROM e),
+        |d AS (
+        |  SELECT vec_id, label, amax, v,
+        |    list_transform(v, x -> round(x * 127.0 / amax) * amax / 127.0)
+        |      AS dq
+        |  FROM q)
+        |SELECT vec_id, label, round(amax, 6) AS amax,
+        |  round(list_dot_product(v, dq)
+        |        / (sqrt(list_dot_product(v, v))
+        |           * sqrt(list_dot_product(dq, dq))), 6) AS q_cos
+        |FROM d ORDER BY vec_id""".stripMargin)
 }

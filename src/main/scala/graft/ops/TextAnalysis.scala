@@ -148,6 +148,38 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t11_repetition_scores" -> { (s, dir) =>
+      import s.implicits._
+      // Gopher-style repetition heuristics per doc: the share of tokens
+      // taken by the doc's single most frequent token, and the share of
+      // duplicate 2-grams — the two classic boilerplate/low-quality
+      // signals a training pipeline filters on. The top-token count is
+      // the wordcount shape (explode → hash agg with map-side partials,
+      // the one raw-data shuffle); the 2-gram share is a narrow per-row
+      // HOF that never leaves its row; the rejoin is agg-output-sized
+      // on the same key the agg just partitioned by.
+      val d = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tokens", size($"toks"))
+      val top = d.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_cnt"))
+      d.join(top, "doc_id")
+        .withColumn("g2",
+          when($"n_tokens" < 2, array().cast("array<string>"))
+            .otherwise(expr("transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', " +
+              "element_at(toks, i + 1)))")))
+        .select($"doc_id", $"n_tokens",
+          round($"top_cnt" / $"n_tokens".cast("double"), 6)
+            .as("top_token_share"),
+          when(size($"g2") === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct($"g2")) / size($"g2").cast("double"), 6))
+            .as("dup_2gram_share"))
+        .orderBy($"doc_id")
+    },
+
     "t07_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic stratified sampling: ~20% per lang via an
@@ -336,6 +368,32 @@ object TextAnalysis {
         |  FROM scores)
         |SELECT doc_id, p_lang AS predicted_lang, hits FROM ranked
         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    "t11_repetition_scores" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, t.tok, count(*) AS c
+        |    FROM x, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok)
+        |  GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, n_tokens),
+        |                i -> toks[i] || ' ' || toks[i+1]) END AS g2
+        |  FROM x)
+        |SELECT g.doc_id, g.n_tokens,
+        |  round(top_cnt / CAST(g.n_tokens AS DOUBLE), 6)
+        |    AS top_token_share,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(g2))
+        |                  / CAST(len(g2) AS DOUBLE), 6)
+        |  END AS dup_2gram_share
+        |FROM g JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

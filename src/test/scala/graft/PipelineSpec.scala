@@ -43,4 +43,23 @@ class PipelineSpec extends SparkTestBase {
     val n = df.select(fp.as("fp")).distinct().count()
     assert(n == 2, s"normalization should collapse 1 and 2, got $n groups")
   }
+
+  test("p02 funnel closes per source: kept + len_fail + rep_fail = docs, " +
+      "and the gate actually splits the corpus") {
+    val rows = ops.Pipeline.queries("p02_quality_filter")(spark, sfVerify)
+      .collect()
+    rows.foreach { r =>
+      val (docs, kept, lenF, repF) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept + lenF + repF == docs,
+        s"${r.getString(0)}: $kept + $lenF + $repF != $docs")
+    }
+    val corpus = Tables.load(spark, sfVerify, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "every doc must be accounted for in exactly one source row")
+    // a gate that keeps everything (or nothing) tests nothing
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < corpus,
+      s"thresholds must split the fixture non-trivially (kept=$kept)")
+  }
 }

@@ -50,6 +50,30 @@ class SimilaritySpec extends SparkTestBase {
       s"gated recall disagrees with direct set intersection: $s06 vs $byQ")
   }
 
+  test("int8 quantization: fidelity high on every vector, absmax " +
+      "round-trips exactly") {
+    import spark.implicits._
+    val df = ops.Similarity.queries("s07_int8_quant")(spark, sfSmoke)
+    // 64-dim near-uniform vectors: int8 keeps cosine ≈ 1 (the gate a
+    // real pipeline applies before swapping the fp index out)
+    assert(df.filter($"q_cos" < 0.999).count() == 0,
+      "int8 dequantized cosine must stay above 0.999 on this fixture")
+    assert(df.filter($"q_cos" > 1.0).count() == 0)
+    // independent ground truth for one vector: quantize in plain Scala
+    val v = Tables.load(spark, sfSmoke, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val amax = v.map(math.abs).max
+    val dq = v.map(x => math.round(x * 127.0 / amax) * amax / 127.0)
+    val dot = v.zip(dq).map { case (a, b) => a * b }.sum
+    val expect = dot / (math.sqrt(v.map(x => x * x).sum) *
+      math.sqrt(dq.map(x => x * x).sum))
+    val got = df.filter($"vec_id" === 0).select($"q_cos")
+      .as[Double].head()
+    assert(math.abs(got - math.rint(expect * 1e6) / 1e6) < 1e-9,
+      s"engine q_cos $got vs scala ground truth $expect")
+  }
+
   test("LSH buckets partition the corpus") {
     val total = ops.Similarity.queries("s02_lsh_buckets")(spark, sfSmoke)
       .agg(sum("n_vectors")).collect()(0).getLong(0)

@@ -32,4 +32,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1)
       .count() == 0)
   }
+
+  test("repetition scores: shares bounded, top-token share at least " +
+      "1/n_tokens, and a hand-checked doc agrees") {
+    import spark.implicits._
+    val df = ops.TextAnalysis.queries("t11_repetition_scores")(spark, sfSmoke)
+    assert(df.filter($"top_token_share" <= 0 || $"top_token_share" > 1)
+      .count() == 0)
+    assert(df.filter($"dup_2gram_share" < 0 || $"dup_2gram_share" >= 1)
+      .count() == 0)
+    // most frequent token appears ≥ once → share ≥ 1/n (to rounding)
+    assert(df.filter($"top_token_share" <
+      lit(1.0) / $"n_tokens" - 0.000001).count() == 0)
+    // independent ground truth for one doc, in plain Scala
+    val text = Tables.load(spark, sfSmoke, "documents")
+      .filter($"doc_id" === 0).select($"text").as[String].head()
+    val toks = text.split(" ", -1)
+    val topCnt = toks.groupBy(identity).values.map(_.length).max
+    val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val expectTop = math.rint(topCnt.toDouble / toks.length * 1e6) / 1e6
+    val expectDup = if (g2.isEmpty) 0.0
+      else math.rint((1.0 - g2.distinct.size.toDouble / g2.size) * 1e6) / 1e6
+    val r = df.filter($"doc_id" === 0)
+      .select($"top_token_share", $"dup_2gram_share").head()
+    assert(math.abs(r.getDouble(0) - expectTop) < 1e-9 &&
+      math.abs(r.getDouble(1) - expectDup) < 1e-9,
+      s"engine $r vs scala ($expectTop, $expectDup)")
+  }
 }

@@ -451,6 +451,38 @@ object Dedup {
         .limit(20)
     },
 
+    "d13_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental-ingest dedup: the production mode — a NEW batch
+      // arrives against an EXISTING corpus, and only fingerprints never
+      // seen before are admitted (first copy within the batch wins; a
+      // copy of anything already in the corpus is rejected outright).
+      // doc_id % 5 = 4 plays the incoming batch, the rest the corpus.
+      // Shapes: the corpus contributes ONE distinct-fingerprint pass
+      // (at 100 TB that set is what an ingest service keeps materialized
+      // — or a bloom filter of it pushed into the probe scan); the
+      // probe join and the within-batch window both key on fp, so the
+      // window reuses the join's hash partitioning — one shuffle of the
+      // (small) batch side, no second exchange.
+      val base = docs(s, dir)
+        .withColumn("fp", md5(lower($"text")))
+      val incoming = base.filter($"doc_id" % 5 === 4)
+      val corpusFp = base.filter($"doc_id" % 5 =!= 4)
+        .select($"fp").distinct().withColumn("in_corpus", lit(1))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      incoming.join(corpusFp, Seq("fp"), "left")
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when($"in_corpus".isNull && $"rn" === 1, 1L).otherwise(0L))
+            .as("n_admitted"),
+          sum(when($"in_corpus".isNotNull, 1L).otherwise(0L))
+            .as("n_rej_corpus"),
+          sum(when($"in_corpus".isNull && $"rn" > 1, 1L).otherwise(0L))
+            .as("n_rej_batch"))
+        .orderBy($"source")
+    },
+
     "d10_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // STREAMING dedup through the engine: the same exact-dedup
@@ -688,6 +720,26 @@ object Dedup {
            |    AS ratio
            |FROM sizes s LEFT JOIN shared h ON h.doc_id = s.doc_id
            |ORDER BY ratio DESC, s.doc_id LIMIT 20""".stripMargin,
+
+      "d13_incremental_dedup" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, md5(lower(text)) AS fp FROM documents),
+          |incoming AS (SELECT * FROM base WHERE doc_id % 5 = 4),
+          |corpus AS (
+          |  SELECT DISTINCT fp, 1 AS in_corpus FROM base
+          |  WHERE doc_id % 5 <> 4),
+          |marked AS (
+          |  SELECT i.source, c.in_corpus,
+          |    row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+          |  FROM incoming i LEFT JOIN corpus c ON c.fp = i.fp)
+          |SELECT source, count(*) AS n_incoming,
+          |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn = 1
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+          |  CAST(sum(CASE WHEN in_corpus IS NOT NULL
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_corpus,
+          |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn > 1
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+          |FROM marked GROUP BY source ORDER BY source""".stripMargin,
 
       "d06_embedding_near_dups" ->
         """WITH e AS (

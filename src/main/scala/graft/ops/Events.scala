@@ -244,6 +244,27 @@ object Events {
         .orderBy($"event_type", $"k")
     },
 
+    "e17_cohort_retention" -> { (s, dir) =>
+      import s.implicits._
+      // Cohort retention: users grouped by first-seen day, retention =
+      // distinct active users at day offsets 0..7 — the standard
+      // engagement matrix. Two aggregations shuffle user-count-sized
+      // data, not event-count-sized: the cohort map is one row per
+      // user, and the rejoin hits the event stream on its user_id key
+      // (co-partitionable with any user-keyed layout at 100 TB; the
+      // cohort side broadcasts while users fit, and degrades to a
+      // shuffle join on the SAME key when they don't).
+      val e = ev(s, dir).select($"user_id", to_date($"ts").as("day"))
+      val cohorts = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .withColumn("day_offset",
+          datediff($"day", $"cohort_day").cast("long"))
+        .filter($"day_offset" <= 7)
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+
     "e01_hourly_type_counts" -> { (s, dir) =>
       import s.implicits._
       // Tumbling 1h event-time window per type. window() start aligns to
@@ -449,6 +470,17 @@ object Events {
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
         |        FROM events)) x
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+
+    "e17_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e01_hourly_type_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

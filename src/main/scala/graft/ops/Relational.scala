@@ -248,6 +248,24 @@ object Relational {
           $"o_orderpriority".asc_nulls_first)
     },
 
+    "q26_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      // Explicit GROUPING SETS (the general form rollup/cube are sugar
+      // for): status subtotals, priority subtotals, and a grand total in
+      // ONE pass over the fact table — the alternative is three scans
+      // unioned, which at 100 TB is two scans too many. Spark expands
+      // sets into a single Expand + partial-agg pipeline, so the fact
+      // table still shuffles only aggregated partials.
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -567,6 +585,14 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q26_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
 

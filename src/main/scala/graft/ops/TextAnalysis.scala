@@ -180,6 +180,39 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t12_winnowing_fingerprints" -> { (s, dir) =>
+      import s.implicits._
+      // MOSS-style winnowing: hash every token 3-shingle, slide a
+      // window of 4 consecutive hashes, keep each window's minimum —
+      // the classic guarantee that any shared run of ≥ 6 tokens yields
+      // at least one shared fingerprint, at a fingerprint density of
+      // ~2/(w+1) instead of every shingle. The whole computation is
+      // per-row HOFs over the shingle array (nothing leaves its row);
+      // the output is the per-doc fingerprint summary a near-dup index
+      // would be built from. Summary stats (count/min/sum of the
+      // distinct minima) are order-independent, so engine-side array
+      // ordering differences cannot leak into the gate.
+      docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("hs", expr(
+          "CASE WHEN size(toks) < 3 THEN cast(array() as array<bigint>) " +
+            "ELSE transform(sequence(1, size(toks) - 2), i -> " +
+            "cast(conv(substr(md5(concat_ws(' ', element_at(toks, i), " +
+            "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 7), " +
+            "16, 10) as bigint)) END"))
+        .withColumn("fps", array_distinct(expr(
+          "CASE WHEN size(hs) < 4 THEN cast(array() as array<bigint>) " +
+            "ELSE transform(sequence(1, size(hs) - 3), " +
+            "j -> array_min(slice(hs, j, 4))) END")))
+        .select($"doc_id",
+          size($"hs").cast("long").as("n_shingles"),
+          size($"fps").cast("long").as("n_fp"),
+          coalesce(array_min($"fps"), lit(-1L)).as("fp_min"),
+          expr("aggregate(fps, cast(0 as bigint), (a, x) -> a + x)")
+            .as("fp_sum"))
+        .orderBy($"doc_id")
+    },
+
     "t07_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic stratified sampling: ~20% per lang via an
@@ -394,6 +427,31 @@ object TextAnalysis {
         |  END AS dup_2gram_share
         |FROM g JOIN top ON g.doc_id = top.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "t12_winnowing_fingerprints" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |           i -> ('0x' || substr(md5(toks[i] || ' ' ||
+        |                  toks[i + 1] || ' ' || toks[i + 2]), 1, 7))::BIGINT)
+        |    END AS hs
+        |  FROM x),
+        |m AS (
+        |  SELECT doc_id, hs,
+        |    CASE WHEN len(hs) < 4 THEN []::BIGINT[]
+        |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+        |           j -> list_min(hs[j:j+3])))
+        |    END AS fps
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(hs) AS BIGINT) AS n_shingles,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  coalesce(list_min(fps), -1) AS fp_min,
+        |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

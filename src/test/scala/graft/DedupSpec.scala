@@ -150,4 +150,26 @@ class DedupSpec extends SparkTestBase {
     assert(worst <= math.max(4L, n / 16),
       s"worst chunk bucket $worst of $n docs")
   }
+
+  test("d13 incremental admission closes: admitted + rejected = incoming " +
+      "per source, and totals match the batch split") {
+    import spark.implicits._
+    val rows = ops.Dedup.queries("d13_incremental_dedup")(spark, sfVerify)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
+        s"${r.getString(0)}: funnel does not close")
+    }
+    val incoming = Tables.load(spark, sfVerify, "documents")
+      .filter($"doc_id" % 5 === 4).count()
+    assert(rows.map(_.getLong(1)).sum == incoming,
+      "every incoming doc must be accounted for exactly once")
+    // re-running the SAME batch against the union of corpus + admitted
+    // must admit nothing new (idempotence — the property an ingest
+    // service actually relies on); with an unchanged corpus split this
+    // reduces to: an admitted fp is admitted deterministically
+    val again = ops.Dedup.queries("d13_incremental_dedup")(spark, sfVerify)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toMap == again)
+  }
 }

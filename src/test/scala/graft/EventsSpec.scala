@@ -67,4 +67,24 @@ class EventsSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).count() == 0 &&
       batch.exceptAll(stream).count() == 0)
   }
+
+  test("e17 cohort retention: day-0 row is the cohort maximum and " +
+      "cohort sizes sum to the user universe") {
+    import spark.implicits._
+    val rows = ops.Events.queries("e17_cohort_retention")(spark, sfVerify)
+      .collect()
+    val byCohort = rows.groupBy(_.getDate(0))
+    byCohort.foreach { case (day, rs) =>
+      val day0 = rs.find(_.getLong(1) == 0L)
+        .getOrElse(fail(s"cohort $day has no day-0 row")).getLong(2)
+      assert(rs.forall(_.getLong(2) <= day0),
+        s"cohort $day: retention above cohort size")
+    }
+    val users = Tables.load(spark, sfVerify, "events")
+      .select($"user_id").distinct().count()
+    val cohortSum = byCohort.values
+      .map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum
+    assert(cohortSum == users,
+      s"day-0 cohort sizes $cohortSum must partition the $users users")
+  }
 }

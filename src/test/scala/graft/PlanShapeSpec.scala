@@ -113,4 +113,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bad.isEmpty,
       s"array-typed shuffle partitioning keys: ${bad.mkString(", ")}")
   }
+
+  test("s07: quantization is scan-fused — zero hash shuffles, only the " +
+      "presentation range sort") {
+    val p = plan("s07_int8_quant")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      == 0, s"quantization must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("t11: top-token agg is partial before its exchange and the " +
+      "2-gram HOF stays out of the agg branch") {
+    val p = plan("t11_repetition_scores")
+    assert(p.contains("partial_count") || p.contains("partial_max"), p.take(1500))
+    // the 2-gram transform is per-row presentation compute; if it ever
+    // lands below the aggregate's exchange it runs per (doc, tok) pair
+    val aggBranch = p.linesIterator
+      .dropWhile(!_.contains("HashAggregate")).mkString("\n")
+    assert(!aggBranch.contains("element_at"),
+      "2-gram lambda leaked into the aggregation branch")
+  }
 }

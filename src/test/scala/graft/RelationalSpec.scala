@@ -48,4 +48,16 @@ class RelationalSpec extends SparkTestBase {
     val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
     assert(anti + semi == c.count())
   }
+
+  test("q26 grouping sets: each set's subtotals sum to the grand total") {
+    val rows = SparkEntry.queries("q26_grouping_sets")(spark, sfVerify)
+      .collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1, "exactly one grand-total row")
+    val total = grand.head.getLong(2)
+    val byStatus = rows.filter(r => !r.isNullAt(0)).map(_.getLong(2)).sum
+    val byPrio = rows.filter(r => !r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(byStatus == total && byPrio == total,
+      s"subtotals $byStatus/$byPrio must both sum to $total")
+  }
 }

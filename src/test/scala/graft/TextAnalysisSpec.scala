@@ -59,4 +59,57 @@ class TextAnalysisSpec extends SparkTestBase {
       math.abs(r.getDouble(1) - expectDup) < 1e-9,
       s"engine $r vs scala ($expectTop, $expectDup)")
   }
+
+  test("t12 winnowing: fingerprint counts bounded by shingle windows, " +
+      "and a hand-winnowed doc agrees") {
+    import spark.implicits._
+    val df = ops.TextAnalysis
+      .queries("t12_winnowing_fingerprints")(spark, sfSmoke)
+    // every doc with ≥4 shingles has ≥1 fingerprint and at most one
+    // per window position
+    assert(df.filter($"n_shingles" >= 4 &&
+      ($"n_fp" < 1 || $"n_fp" > $"n_shingles" - 3)).count() == 0)
+    // ground truth for doc 0 in plain Scala (same md5→7-hex→mod chain)
+    val text = Tables.load(spark, sfSmoke, "documents")
+      .filter($"doc_id" === 0).select($"text").as[String].head()
+    val toks = text.split(" ", -1)
+    val hs = (0 until toks.length - 2).map { i =>
+      val sh = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val fps = hs.sliding(4).map(_.min).toSeq.distinct
+    val r = df.filter($"doc_id" === 0)
+      .select($"n_shingles", $"n_fp", $"fp_min", $"fp_sum").head()
+    assert(r.getLong(0) == hs.length && r.getLong(1) == fps.length &&
+      r.getLong(2) == fps.min && r.getLong(3) == fps.sum,
+      s"engine $r vs scala (${hs.length}, ${fps.length}, ${fps.min}, " +
+        s"${fps.sum})")
+  }
+
+  test("t12 winnowing guarantee: two texts sharing a >= 6-token run " +
+      "share at least one fingerprint") {
+    // The w+k-1 guarantee, proven through the same expression chain the
+    // query uses, on constructed inputs (the fixture's near-dups are at
+    // sf0.1, which the unit suite doesn't scan).
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"nine eight seven $shared six")).toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(toks) - 2), i -> " +
+          "cast(conv(substr(md5(concat_ws(' ', element_at(toks, i), " +
+          "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 7), " +
+          "16, 10) as bigint))"))
+      .withColumn("fps", array_distinct(expr(
+        "transform(sequence(1, size(hs) - 3), " +
+          "j -> array_min(slice(hs, j, 4)))")))
+    val Seq(a, b) = df.select($"fps").as[Seq[Long]].collect().toSeq
+    assert(a.toSet.intersect(b.toSet).nonEmpty,
+      s"no shared fingerprint despite 6-token shared run: $a vs $b")
+  }
 }

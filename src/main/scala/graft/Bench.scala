@@ -58,7 +58,14 @@ object Bench {
     // full names; the code is the join key between the two.
     val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val keys =
-      if (short.map(_._1).distinct.size == short.size) short else results
+      if (short.map(_._1).distinct.size == short.size) short
+      else {
+        // falling back to full names re-risks the tail-window overflow;
+        // make the cause visible instead of silently shipping a 2 KB line
+        System.err.println("[bench] query-code collision — emitting FULL " +
+          "names; the JSON line may exceed the driver's 2000-char tail")
+        results
+      }
     val qs = keys.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -81,23 +81,11 @@ object Pipeline {
       // keeps and WHY the rest fail — the accounting a curation run
       // over 100 TB must emit per shard/source to be auditable. Same
       // shuffle shape as t11 (one wordcount agg + agg-sized rejoin);
-      // the funnel itself is a map-side-partial count per source.
-      val d = docs(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("n_tokens", size($"toks"))
-      val top = d.select($"doc_id", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_cnt"))
-      d.join(top, "doc_id")
-        .withColumn("tts", $"top_cnt" / $"n_tokens".cast("double"))
-        .withColumn("dup2",
-          when($"n_tokens" < 2, lit(0.0))
-            .otherwise(lit(1.0) -
-              size(array_distinct(expr(
-                "transform(sequence(1, size(toks) - 1), " +
-                  "i -> concat(element_at(toks, i), ' ', " +
-                  "element_at(toks, i + 1)))")))
-                / ($"n_tokens" - 1).cast("double")))
+      // the funnel itself is a map-side-partial count per source. The
+      // signal columns come from TextAnalysis.repetitionSignals — the
+      // SAME definition t11 publishes, so the gate can never drift from
+      // the published score.
+      TextAnalysis.repetitionSignals(docs(s, dir))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"n_tokens" >= MinQualityTokens &&
@@ -143,24 +131,7 @@ object Pipeline {
          |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     "p02_quality_filter" ->
-      s"""WITH x AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
-         |         len(string_split(text, ' ')) AS n_tokens
-         |  FROM documents),
-         |top AS (
-         |  SELECT doc_id, max(c) AS top_cnt FROM (
-         |    SELECT doc_id, t.tok, count(*) AS c
-         |    FROM x, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok)
-         |  GROUP BY doc_id),
-         |g AS (
-         |  SELECT x.doc_id, source, n_tokens,
-         |    top_cnt / CAST(n_tokens AS DOUBLE) AS tts,
-         |    CASE WHEN n_tokens < 2 THEN 0.0
-         |         ELSE 1.0 - len(list_distinct(list_transform(
-         |                range(1, n_tokens),
-         |                i -> toks[i] || ' ' || toks[i+1])))
-         |              / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
-         |  FROM x JOIN top ON x.doc_id = top.doc_id)
+      s"""WITH ${TextAnalysis.repetitionSignalsSql}
          |SELECT source,
          |  count(*) AS n_docs,
          |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens

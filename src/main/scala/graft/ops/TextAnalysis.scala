@@ -41,6 +41,54 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Shared repetition signals — t11 publishes them, p02 gates on them.
+    * ONE definition per engine (the exactQuantileCols convention): a
+    * drift between "the score t11 reports" and "the signal p02 filters
+    * on" cannot happen, because both read these columns. Input must
+    * carry (doc_id, text); output adds n_tokens, tts (top-token share)
+    * and dup2 (duplicate-2-gram share), both UNROUNDED — presentation
+    * rounding is the caller's.
+    */
+  private[graft] def repetitionSignals(d0: DataFrame): DataFrame = {
+    val d = d0.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+    val top = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    d.join(top, "doc_id")
+      .withColumn("tts", col("top_cnt") / col("n_tokens").cast("double"))
+      .withColumn("dup2",
+        when(col("n_tokens") < 2, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> concat(element_at(toks, i), ' ', " +
+                "element_at(toks, i + 1)))")))
+              / (col("n_tokens") - 1).cast("double")))
+  }
+
+  /** DuckDB twin of [[repetitionSignals]]: CTE chain ending in `g`
+    * with (doc_id, source, n_tokens, tts, dup2). */
+  private[graft] val repetitionSignalsSql: String =
+    """x AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_cnt FROM (
+      |    SELECT doc_id, t.tok, count(*) AS c
+      |    FROM x, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok)
+      |  GROUP BY doc_id),
+      |g AS (
+      |  SELECT x.doc_id, source, n_tokens,
+      |    top_cnt / CAST(n_tokens AS DOUBLE) AS tts,
+      |    CASE WHEN n_tokens < 2 THEN 0.0
+      |         ELSE 1.0 - len(list_distinct(list_transform(
+      |                range(1, n_tokens),
+      |                i -> toks[i] || ' ' || toks[i+1])))
+      |              / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
+      |  FROM x JOIN top ON x.doc_id = top.doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
@@ -157,26 +205,12 @@ object TextAnalysis {
       // the wordcount shape (explode → hash agg with map-side partials,
       // the one raw-data shuffle); the 2-gram share is a narrow per-row
       // HOF that never leaves its row; the rejoin is agg-output-sized
-      // on the same key the agg just partitioned by.
-      val d = docs(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("n_tokens", size($"toks"))
-      val top = d.select($"doc_id", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_cnt"))
-      d.join(top, "doc_id")
-        .withColumn("g2",
-          when($"n_tokens" < 2, array().cast("array<string>"))
-            .otherwise(expr("transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), ' ', " +
-              "element_at(toks, i + 1)))")))
+      // on the same key the agg just partitioned by. Signal definitions
+      // live in repetitionSignals — shared verbatim with p02's gate.
+      repetitionSignals(docs(s, dir))
         .select($"doc_id", $"n_tokens",
-          round($"top_cnt" / $"n_tokens".cast("double"), 6)
-            .as("top_token_share"),
-          when(size($"g2") === 0, lit(0.0))
-            .otherwise(round(lit(1.0) -
-              size(array_distinct($"g2")) / size($"g2").cast("double"), 6))
-            .as("dup_2gram_share"))
+          round($"tts", 6).as("top_token_share"),
+          round($"dup2", 6).as("dup_2gram_share"))
         .orderBy($"doc_id")
     },
 
@@ -403,30 +437,11 @@ object TextAnalysis {
         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
 
     "t11_repetition_scores" ->
-      """WITH x AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |         len(string_split(text, ' ')) AS n_tokens
-        |  FROM documents),
-        |top AS (
-        |  SELECT doc_id, max(c) AS top_cnt FROM (
-        |    SELECT doc_id, t.tok, count(*) AS c
-        |    FROM x, unnest(toks) AS t(tok) GROUP BY doc_id, t.tok)
-        |  GROUP BY doc_id),
-        |g AS (
-        |  SELECT doc_id, n_tokens,
-        |    CASE WHEN n_tokens < 2 THEN []::VARCHAR[]
-        |         ELSE list_transform(range(1, n_tokens),
-        |                i -> toks[i] || ' ' || toks[i+1]) END AS g2
-        |  FROM x)
-        |SELECT g.doc_id, g.n_tokens,
-        |  round(top_cnt / CAST(g.n_tokens AS DOUBLE), 6)
-        |    AS top_token_share,
-        |  CASE WHEN len(g2) = 0 THEN 0.0
-        |       ELSE round(1.0 - len(list_distinct(g2))
-        |                  / CAST(len(g2) AS DOUBLE), 6)
-        |  END AS dup_2gram_share
-        |FROM g JOIN top ON g.doc_id = top.doc_id
-        |ORDER BY g.doc_id""".stripMargin,
+      s"""WITH $repetitionSignalsSql
+         |SELECT doc_id, n_tokens,
+         |  round(tts, 6) AS top_token_share,
+         |  round(dup2, 6) AS dup_2gram_share
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     "t12_winnowing_fingerprints" ->
       """WITH x AS (

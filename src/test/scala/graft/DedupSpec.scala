@@ -164,12 +164,16 @@ class DedupSpec extends SparkTestBase {
       .filter($"doc_id" % 5 === 4).count()
     assert(rows.map(_.getLong(1)).sum == incoming,
       "every incoming doc must be accounted for exactly once")
-    // re-running the SAME batch against the union of corpus + admitted
-    // must admit nothing new (idempotence — the property an ingest
-    // service actually relies on); with an unchanged corpus split this
-    // reduces to: an admitted fp is admitted deterministically
-    val again = ops.Dedup.queries("d13_incremental_dedup")(spark, sfVerify)
-      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
-    assert(rows.map(r => (r.getString(0), r.getLong(2))).toMap == again)
+    // independent cross-check by a DIFFERENT formulation: admitted =
+    // distinct incoming fingerprints anti-joined against the corpus
+    // set (the operator itself uses left-join + window ranks)
+    val base = Tables.load(spark, sfVerify, "documents")
+      .withColumn("fp", md5(lower($"text")))
+    val corpusFp = base.filter($"doc_id" % 5 =!= 4).select($"fp").distinct()
+    val expectAdmitted = base.filter($"doc_id" % 5 === 4)
+      .select($"fp").distinct()
+      .join(corpusFp, Seq("fp"), "left_anti").count()
+    assert(rows.map(_.getLong(2)).sum == expectAdmitted,
+      s"admitted total disagrees with the anti-join formulation")
   }
 }

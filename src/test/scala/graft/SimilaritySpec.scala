@@ -64,7 +64,11 @@ class SimilaritySpec extends SparkTestBase {
       .filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
     val amax = v.map(math.abs).max
-    val dq = v.map(x => math.round(x * 127.0 / amax) * amax / 127.0)
+    // HALF_UP (away from zero), matching Spark/DuckDB round() — Scala's
+    // math.round is half-toward-+inf and diverges on negative .5 ties
+    def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    val dq = v.map(x => rnd(x * 127.0 / amax) * amax / 127.0)
     val dot = v.zip(dq).map { case (a, b) => a * b }.sum
     val expect = dot / (math.sqrt(v.map(x => x * x).sum) *
       math.sqrt(dq.map(x => x * x).sum))

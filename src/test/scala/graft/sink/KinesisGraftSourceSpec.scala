@@ -24,6 +24,23 @@ class KinesisGraftSourceSpec extends SparkTestBase {
         g.map(m => KinesisRecord(s"pk-$m", m.getBytes("UTF-8"))))
     }
 
+  /** FakeKinesis's partition-key routing (md5 mod n), in one place: the
+    * liveness tests search for keys landing on specific shards, and four
+    * drifting copies of the routing would keep "finding" keys for a
+    * routing FakeKinesis no longer uses.
+    */
+  private def shardOf(pk: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(pk.getBytes("UTF-8"))
+    new java.math.BigInteger(1, md)
+      .mod(java.math.BigInteger.valueOf(n)).intValueExact()
+  }
+
+  /** First key with the given prefix that routes to shard `sh` of `n`. */
+  private def keyOn(prefix: String, sh: Int, n: Int): String =
+    Iterator.from(0).map(i => s"$prefix-$i")
+      .find(pk => shardOf(pk, n) == sh).get
+
   // ----- read API seam (FakeKinesis virtual shards) -------------------
 
   test("TRIM_HORIZON iterator drains the full log in order") {
@@ -416,14 +433,7 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     val fake = FakeKinesis.named("src-liveness")
     fake.clear()
     fake.numShards.set(4)
-    def shardOf(pk: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(pk.getBytes("UTF-8"))
-      new java.math.BigInteger(1, md)
-        .mod(java.math.BigInteger.valueOf(4)).intValueExact()
-    }
-    val pks = (0 until 4).map(sh =>
-      Iterator.from(0).map(i => s"lv-$i").find(pk => shardOf(pk) == sh).get)
+    val pks = (0 until 4).map(sh => keyOn("lv", sh, 4))
     // shard 0: one stale record; shards 1-3: deep backlogs
     fake.putRecords("lv", Seq(KinesisRecord(pks(0), "stale".getBytes)))
     (0 until 30).foreach { _ =>
@@ -461,14 +471,7 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     val fake = FakeKinesis.named("src-liveness2")
     fake.clear()
     fake.numShards.set(6)
-    def shardOf(pk: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(pk.getBytes("UTF-8"))
-      new java.math.BigInteger(1, md)
-        .mod(java.math.BigInteger.valueOf(6)).intValueExact()
-    }
-    val pks = (0 until 6).map(sh =>
-      Iterator.from(0).map(i => s"lw-$i").find(pk => shardOf(pk) == sh).get)
+    val pks = (0 until 6).map(sh => keyOn("lw", sh, 6))
     (0 until 20).foreach { _ =>
       fake.putRecords("lw", pks.map(pk => KinesisRecord(pk, "deep".getBytes)))
     }
@@ -505,16 +508,8 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     val fake = FakeKinesis.named("src-liveness3")
     fake.clear()
     fake.numShards.set(4)
-    def shardOf(pk: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(pk.getBytes("UTF-8"))
-      new java.math.BigInteger(1, md)
-        .mod(java.math.BigInteger.valueOf(4)).intValueExact()
-    }
-    val pk0 = Iterator.from(0).map(i => s"lx-$i")
-      .find(pk => shardOf(pk) == 0).get
-    val pk2 = Iterator.from(0).map(i => s"lx-$i")
-      .find(pk => shardOf(pk) == 2).get
+    val pk0 = keyOn("lx", 0, 4)
+    val pk2 = keyOn("lx", 2, 4)
     (0 until 10).foreach { _ =>
       fake.putRecords("lx", Seq(KinesisRecord(pk0, "a".getBytes),
         KinesisRecord(pk2, "b".getBytes)))

@@ -140,6 +140,40 @@ object Multimodal {
             greatest(floor($"height" / 2), lit(16)).cast("int")))
             .as("thumb_key"))
         .orderBy($"media_id")
+    },
+
+    "m05_media_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Media dedup accounting, the image-pipeline shape: exact dups by
+      // content fingerprint, near-dup CANDIDATES by perceptual-hash
+      // bucket (8 sign bits of the codec features vs their midpoint —
+      // with a real decoder these are pooled-pixel signs, i.e. a real
+      // pHash; the bucketing, join shape, and accounting are identical).
+      // The bit test is pure integer (h % 1000 >= 500), so no float
+      // parity risk. Per format: media count, distinct contents, exact
+      // dups, pHash bucket count + the biggest bucket (the candidate-set
+      // skew number a near-dup pass needs before it all-pairs a bucket).
+      val phash = concat((0 until FakeCodec.NFeatures).map { j =>
+        when(expr("cast(conv(substr(md5(concat(cast(content as string), " +
+          s"'_$j')), 1, 7), 16, 10) as bigint)") % 1000 >= 500, "1")
+          .otherwise("0")
+      }: _*)
+      val base = mediaTable(s, dir)
+        .select($"format", md5($"content".cast("string")).as("fp"),
+          phash.as("ph"))
+      val buckets = base.groupBy($"format", $"ph")
+        .agg(count(lit(1)).as("bc"))
+        .groupBy($"format")
+        .agg(sum($"bc").cast("long").as("n_media"),
+          count(lit(1)).as("n_ph_buckets"),
+          max($"bc").as("max_ph_bucket"))
+      val contents = base.groupBy($"format")
+        .agg(countDistinct($"fp").as("n_distinct"))
+      buckets.join(contents, "format")
+        .select($"format", $"n_media", $"n_distinct",
+          ($"n_media" - $"n_distinct").as("n_exact_dups"),
+          $"n_ph_buckets", $"max_ph_bucket")
+        .orderBy($"format")
     })
 
   /** DuckDB media-catalog CTE mirroring [[mediaTable]] (content stays a
@@ -195,5 +229,30 @@ object Multimodal {
          |      CAST(greatest(floor(width / 2), 16) AS INT) || 'x' ||
          |      CAST(greatest(floor(height / 2), 16) AS INT)) AS thumb_key
          |FROM media WHERE format IN ('png', 'jpeg')
-         |ORDER BY media_id""".stripMargin)
+         |ORDER BY media_id""".stripMargin,
+
+    "m05_media_dedup" -> {
+      val bits = (0 until FakeCodec.NFeatures).map { j =>
+        s"CASE WHEN ('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT" +
+          " % 1000 >= 500 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH $mediaSql,
+         |base AS (
+         |  SELECT format, md5(content) AS fp, $bits AS ph FROM media),
+         |buckets AS (
+         |  SELECT format, ph, count(*) AS bc
+         |  FROM base GROUP BY format, ph),
+         |perfmt AS (
+         |  SELECT format, CAST(sum(bc) AS BIGINT) AS n_media,
+         |    count(*) AS n_ph_buckets, max(bc) AS max_ph_bucket
+         |  FROM buckets GROUP BY format),
+         |contents AS (
+         |  SELECT format, count(DISTINCT fp) AS n_distinct
+         |  FROM base GROUP BY format)
+         |SELECT p.format, n_media, n_distinct,
+         |  n_media - n_distinct AS n_exact_dups,
+         |  n_ph_buckets, max_ph_bucket
+         |FROM perfmt p JOIN contents c ON p.format = c.format
+         |ORDER BY p.format""".stripMargin
+    })
 }

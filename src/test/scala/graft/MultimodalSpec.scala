@@ -60,4 +60,21 @@ class MultimodalSpec extends SparkTestBase {
       .filter(col("mx") =!= col("n") - 1).count()
     assert(bad == 0)
   }
+
+  test("m05 dedup accounting: distinct ≤ total, pHash buckets bounded " +
+      "by 2^8 and by media count, occupancy covers the corpus") {
+    import spark.implicits._
+    val rows = multimodal.Multimodal
+      .queries("m05_media_dedup")(spark, sfVerify).collect()
+    rows.foreach { r =>
+      val (n, d, dups, bk, mx) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(d <= n && dups == n - d, s"${r.getString(0)}: counts")
+      assert(bk <= 256 && bk <= n, s"${r.getString(0)}: bucket count")
+      // the biggest bucket can't be smaller than the mean occupancy
+      assert(mx * bk >= n, s"${r.getString(0)}: occupancy")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sfVerify, "documents").count())
+  }
 }

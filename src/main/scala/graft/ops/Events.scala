@@ -391,6 +391,28 @@ object Events {
           .agg(count(lit(1)).as("n")),
         "e07_out_" + Integer.toHexString(dir.hashCode))
         .orderBy($"hour_start", $"event_type")
+    },
+
+    "e18_stream_static_join" -> { (s, dir) =>
+      import s.implicits._
+      // Stream–STATIC join — the enrichment shape: a live stream joined
+      // per micro-batch against a batch-computed dimension (here the
+      // per-user cohort day, e17's first aggregation). Spark broadcasts
+      // the static side into every micro-batch; no stream-side state is
+      // kept for the join itself (unlike stream-stream joins), so the
+      // only stateful operator is the downstream complete-mode count.
+      // Gated against the plain batch formulation in DuckDB — streaming
+      // enrichment must produce the batch answer.
+      val cohorts = ev(s, dir)
+        .groupBy($"user_id").agg(to_date(min($"ts")).as("cohort_day"))
+      graft.streaming.MemoryGate.complete(s,
+        Tables.loadStream(s, dir, "events")
+          .select($"user_id", $"event_type")
+          .join(cohorts, "user_id")
+          .groupBy($"cohort_day", $"event_type")
+          .agg(count(lit(1)).as("n")),
+        "e18_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"cohort_day", $"event_type")
     })
 
   /** Session-window sessions via the islands formulation — shared by
@@ -470,6 +492,14 @@ object Events {
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
         |        FROM events)) x
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+
+    "e18_stream_static_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort_day, event_type, count(*) AS n
+        |FROM events e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e17_cohort_retention" ->
       """WITH e AS (

@@ -169,12 +169,17 @@ object TextAnalysis {
       // prediction = argmax hits (lang-asc tiebreak). Profiles are
       // corpus-derived (labels as training data) and tiny → broadcast.
       val d = docs(s, dir).withColumn("head", substring($"text", 1, 200))
-      val bigrams = d.select($"doc_id", $"lang",
-          explode(expr(
-            // greatest(..., 1): sequence(1, 0) would yield [1, 0]
-            "transform(sequence(1, greatest(length(head) - 1, 1)), " +
-              "i -> substring(head, i, 2))"))
-            .as("bg"))
+      // Positions explode FIRST, then a plain substring column: the
+      // whole extraction stays in whole-stage codegen. The equivalent
+      // transform(sequence, i -> substring(...)) runs its lambda
+      // interpreted per element — the s03-plane lesson applied to the
+      // other per-row HOF on the bench's hot list.
+      val bigrams = d.select($"doc_id", $"lang", $"head",
+          // greatest(..., 1): sequence(1, 0) would yield [1, 0]
+          explode(expr("sequence(1, greatest(length(head) - 1, 1))"))
+            .as("i"))
+        .select($"doc_id", $"lang",
+          expr("substring(head, i, 2)").as("bg"))
         // docs shorter than 2 chars contribute no (degenerate) bigrams
         .filter(length($"bg") === 2)
       val profiles = bigrams

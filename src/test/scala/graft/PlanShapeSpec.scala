@@ -132,4 +132,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!aggBranch.contains("element_at"),
       "2-gram lambda leaked into the aggregation branch")
   }
+
+  test("t12: winnowing is a narrow map — zero hash shuffles") {
+    val p = plan("t12_winnowing_fingerprints")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      == 0, s"winnowing must not shuffle:\n${p.take(2000)}")
+  }
 }

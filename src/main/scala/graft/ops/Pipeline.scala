@@ -97,6 +97,26 @@ object Pipeline {
               ($"tts" > MaxTopShare || $"dup2" > MaxDupShare), 1L)
             .otherwise(0L)).as("n_rep_fail"))
         .orderBy($"source")
+    },
+
+    "p03_corpus_profile" -> { (s, dir) =>
+      import s.implicits._
+      // Corpus profiling in ONE pass — the data-quality snapshot every
+      // curation run starts from: row/null counts, key cardinalities,
+      // and the length distribution. All partial-aggregable; the two
+      // countDistincts expand map-side and combine at the reducer, so
+      // the pass stays a single scan at any corpus size (HLL sketch
+      // variants of the cardinalities are e11's territory when exact
+      // counts stop being worth their shuffle width).
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("n_null_text"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        min($"n_chars").as("min_chars"),
+        percentile($"n_chars", lit(0.5)).as("med_chars"),
+        max($"n_chars").as("max_chars"),
+        round(avg(size(split($"text", " "))), 4).as("avg_tokens"))
     })
 
   /** p02 gate thresholds: token floor, max top-token share, max
@@ -142,5 +162,17 @@ object Pipeline {
          |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens
          |                 AND (tts > $MaxTopShare OR dup2 > $MaxDupShare)
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail
-         |FROM g GROUP BY source ORDER BY source""".stripMargin)
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "p03_corpus_profile" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(n_chars) AS min_chars,
+        |  quantile_cont(n_chars, 0.5) AS med_chars,
+        |  max(n_chars) AS max_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents""".stripMargin)
 }

@@ -158,18 +158,31 @@ object Multimodal {
           s"'_$j')), 1, 7), 16, 10) as bigint)") % 1000 >= 500, "1")
           .otherwise("0")
       }: _*)
+      // Null content gets a per-row sentinel fingerprint: a NULL fp
+      // would vanish from the distinct count while its row stays in
+      // n_media, silently booking every null-content row as a "dup" —
+      // on BOTH engines, which is exactly the class of bug the parity
+      // gate can never catch.
       val base = mediaTable(s, dir)
-        .select($"format", md5($"content".cast("string")).as("fp"),
+        .select($"format",
+          coalesce(md5($"content".cast("string")),
+            concat(lit("null-"), $"media_id")).as("fp"),
           phash.as("ph"))
-      val buckets = base.groupBy($"format", $"ph")
-        .agg(count(lit(1)).as("bc"))
+      // ph is a function of content (hence of fp), so ONE scan grouped
+      // by (format, fp, ph) yields every number: distinct contents =
+      // rows per format, media = sum of counts, bucket census = re-agg
+      // of already-aggregated rows by (format, ph).
+      val per = base.groupBy($"format", $"fp", $"ph")
+        .agg(count(lit(1)).as("c"))
+      val buckets = per.groupBy($"format", $"ph")
+        .agg(sum($"c").as("bc"))
         .groupBy($"format")
-        .agg(sum($"bc").cast("long").as("n_media"),
-          count(lit(1)).as("n_ph_buckets"),
+        .agg(count(lit(1)).as("n_ph_buckets"),
           max($"bc").as("max_ph_bucket"))
-      val contents = base.groupBy($"format")
-        .agg(countDistinct($"fp").as("n_distinct"))
-      buckets.join(contents, "format")
+      val contents = per.groupBy($"format")
+        .agg(sum($"c").cast("long").as("n_media"),
+          count(lit(1)).as("n_distinct"))
+      contents.join(buckets, "format")
         .select($"format", $"n_media", $"n_distinct",
           ($"n_media" - $"n_distinct").as("n_exact_dups"),
           $"n_ph_buckets", $"max_ph_bucket")
@@ -238,7 +251,9 @@ object Multimodal {
       }.mkString(" || ")
       s"""WITH $mediaSql,
          |base AS (
-         |  SELECT format, md5(content) AS fp, $bits AS ph FROM media),
+         |  SELECT format,
+         |    coalesce(md5(content), 'null-' || media_id) AS fp,
+         |    $bits AS ph FROM media),
          |buckets AS (
          |  SELECT format, ph, count(*) AS bc
          |  FROM base GROUP BY format, ph),

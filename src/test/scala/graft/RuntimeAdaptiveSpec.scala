@@ -20,16 +20,6 @@ import org.apache.spark.sql.functions._
   */
 class RuntimeAdaptiveSpec extends SparkTestBase {
 
-  private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
-    val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("runtime bloom filter: selective dim filter becomes a " +
       "might_contain predicate on the fact scan, result unchanged") {
     val baseline = {
@@ -83,7 +73,9 @@ class RuntimeAdaptiveSpec extends SparkTestBase {
         s"AQE did not mark the skewed join:\n${fin.take(2000)}")
       // ground truth: every left key is 0 or a multiple of 10, and each
       // key < 50 matches exactly one right row — count left keys < 50
-      val direct = left.collect().map(_.getLong(0)).count(_ < 50L)
+      // (distributed count; collecting 200k payload rows to the driver
+      // just for a scalar is the anti-pattern the repo bans)
+      val direct = left.filter($"k" < 50L).count()
       assert(rows.length == direct,
         s"skew-split join returned ${rows.length}, direct count $direct")
     }

@@ -8,6 +8,21 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfSmoke = "/root/testdata/sf0.001"
   val sfVerify = "/root/testdata/sf0.01"
+
+  /** Run `body` with session confs overridden, restoring (or unsetting)
+    * every key afterwards — the session is shared JVM-wide across
+    * suites, so any conf override MUST go through here or it leaks into
+    * whichever suite runs next.
+    */
+  def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
+    val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkTestBase {

@@ -55,10 +55,13 @@ class WatermarkLateDataSpec extends SparkTestBase {
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
       .toSet
     // window 00:00 has exactly 3 a-rows: the 2 on-time + the 1 late
-    // within horizon; the too-late 4th row did NOT reopen the window
+    // within horizon
     assert(rows.contains(("2024-01-01 00:00:00.0", "a", 3L)),
-      s"finalized window wrong or reopened: $rows")
-    assert(!rows.exists(r => r._2 == "a" && r._3 == 4L),
-      s"too-late row was counted: $rows")
+      s"finalized window count wrong: $rows")
+    // exactly ONE emitted row for key a: a reopened window would emit a
+    // SECOND append-mode row (n=1) for the finalized window — checking
+    // only "no n=4 row" would miss that exact failure mode
+    assert(rows.count(_._2 == "a") == 1,
+      s"finalized window was reopened (duplicate append row): $rows")
   }
 }

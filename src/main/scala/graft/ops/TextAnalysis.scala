@@ -252,6 +252,25 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t13_bpe_pair_counts" -> { (s, dir) =>
+      import s.implicits._
+      // One BPE-training iteration's merge-candidate table: corpus-wide
+      // adjacent-token-pair frequencies, top 20 (count desc, pair asc).
+      // Tokenizer training at 100 TB is exactly this shape repeated:
+      // explode pairs → two-level hash agg with map-side partials →
+      // bounded top-k. Position explode + element_at (codegen) rather
+      // than a per-row lambda, the t05 lesson.
+      docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 2)
+        .select($"toks", explode(expr("sequence(1, size(toks) - 1)"))
+          .as("i"))
+        .select(concat_ws(" ", expr("element_at(toks, i)"),
+          expr("element_at(toks, i + 1)")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair").limit(20)
+    },
+
     "t07_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic stratified sampling: ~20% per lang via an
@@ -472,6 +491,17 @@ object TextAnalysis {
         |  coalesce(list_min(fps), -1) AS fp_min,
         |  CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t13_bpe_pair_counts" ->
+      """WITH x AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT toks[CAST(i AS INT)] || ' ' ||
+        |         toks[CAST(i AS INT) + 1] AS pair
+        |  FROM x, unnest(range(1, len(toks))) AS t(i))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

@@ -393,6 +393,60 @@ object Events {
         .orderBy($"hour_start", $"event_type")
     },
 
+    "e19_stream_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      // Stream–STREAM interval join — the remaining Structured Streaming
+      // join shape (e18 covers stream–static): clicks joined to the same
+      // user's purchases within [click, click + 30 min]. Both sides
+      // carry watermarks and the range predicate is on the raw event-time
+      // columns, so Spark derives the state-retention bound and evicts
+      // join state as the watermark advances — at 100 TB/day the state
+      // store holds one watermark-window of keys, not the stream. Inner
+      // join in append mode: each matched pair emits exactly once.
+      // Gated against the identical batch join in DuckDB — the streaming
+      // execution must produce the batch answer. (events.ts is µs-exact
+      // in both engines — verified zero sub-µs components — so raw ts
+      // range bounds agree.)
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      graft.streaming.MemoryGate.append(s,
+        clicks.join(purchases,
+          $"user_id" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES")),
+        "e19_out_" + Integer.toHexString(dir.hashCode))
+        .select($"click_id", $"purchase_id", $"user_id",
+          (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
+        .orderBy($"click_id", $"purchase_id")
+    },
+
+    "e20_incremental_rollup" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental-aggregate maintenance: the per-day partials an
+      // ingest pipeline persists (one small row per (day, type)) merged
+      // into the global rollup WITHOUT rescanning raw data — count and
+      // decimal sum are algebraic, so merge-of-partials must equal the
+      // direct aggregate, which is exactly what the oracle computes.
+      // The exact-counter complement of e15's sketch-mergeability gate:
+      // together they cover both the algebraic and the sketch halves of
+      // "aggregate 100 TB once, answer from rollups forever".
+      val daily = ev(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("pn"),
+          sum($"value".cast("decimal(18,2)")).as("pv"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"pn").as("n"),
+          sum($"pv").cast("double").as("total_value"))
+        .orderBy($"event_type")
+    },
+
     "e18_stream_static_join" -> { (s, dir) =>
       import s.implicits._
       // Stream–STATIC join — the enrichment shape: a live stream joined
@@ -492,6 +546,22 @@ object Events {
         |  FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
         |        FROM events)) x
         |GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+
+    "e19_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "e20_incremental_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e18_stream_static_join" ->
       """WITH c AS (

@@ -266,6 +266,26 @@ object Relational {
           $"o_orderpriority".asc_nulls_first)
     },
 
+    "q27_correlated_subquery" -> { (s, dir) =>
+      // The SQL-parser surface end-to-end: a correlated scalar subquery
+      // submitted as SQL text through spark.sql — Catalyst decorrelates
+      // it into the same broadcast-agg-join shape q13 writes by hand
+      // (RewriteCorrelatedScalarSubquery), so the user can write the
+      // subquery form and still get the scalable plan. The threshold
+      // avg is computed in DECIMAL so both engines derive the identical
+      // cutoff (a double avg's summation order could flip a borderline
+      // row). The view name is query-scoped to keep the session catalog
+      // clean for other operators.
+      t(s, dir, "orders").createOrReplaceTempView("q27_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+          |FROM q27_orders o
+          |WHERE o_totalprice > (
+          |  SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |  FROM q27_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -595,6 +615,14 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q27_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q16_outer_join" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey,

@@ -21,4 +21,17 @@ object MemoryGate {
     try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
     s.table(name)
   }
+
+  /** Append-mode execution of `df` into memory table `name` — the mode
+    * stream-stream joins emit in (each matched pair exactly once, no
+    * result-table replacement). Same stop/await discipline as
+    * [[complete]].
+    */
+  def append(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
+    s.table(name)
+  }
 }

@@ -16,5 +16,6 @@ package object functions {
     DotProduct.register(spark)
     MinHashSlot.register(spark)
     AbsDiffSum.register(spark)
+    NfcNormalize.register(spark)
   }
 }

@@ -271,6 +271,28 @@ object TextAnalysis {
         .orderBy($"n".desc, $"pair").limit(20)
     },
 
+    "t14_unicode_normalize" -> { (s, dir) =>
+      import s.implicits._
+      // Unicode NFC normalization — text-cleaning step zero: the same
+      // visible character arrives precomposed or decomposed depending
+      // on source, and every downstream fingerprint/dedup hash needs
+      // byte-identical text first. The fixture text is ASCII (the
+      // fast-path majority, as at corpus scale), so a decomposed-sequence
+      // suffix (e + COMBINING ACUTE, A + COMBINING RING) is appended to
+      // every doc to drive the composition branch through the gate: the
+      // md5 of the normalized text must match DuckDB's utf8proc
+      // nfc_normalize byte for byte. Pure narrow map fused into the
+      // scan — one pass at any corpus size.
+      // decomposed on purpose ("e"+U+0301, "A"+U+030A; 9 chars, NFC -> 7)
+      val suffix = lit(" cafe\u0301 A\u030A")
+      docs(s, dir)
+        .withColumn("norm", graft.functions.NfcNormalize(
+          concat($"text", suffix)))
+        .select($"doc_id", length($"text").as("len_raw"),
+          length($"norm").as("len_norm"), md5($"norm").as("norm_md5"))
+        .orderBy($"doc_id")
+    },
+
     "t07_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic stratified sampling: ~20% per lang via an
@@ -502,6 +524,18 @@ object TextAnalysis {
         |  FROM x, unnest(range(1, len(toks))) AS t(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // chr(769)=U+0301 COMBINING ACUTE, chr(778)=U+030A COMBINING RING —
+    // the decomposed suffix the Spark side appends; nfc_normalize is
+    // DuckDB's utf8proc NFC, and the md5 pins byte identity with the
+    // engine's native nfc_normalize expression.
+    "t14_unicode_normalize" ->
+      """SELECT doc_id, length(text) AS len_raw,
+        |  length(nfc_normalize(text || ' cafe' || chr(769) || ' A' ||
+        |         chr(778))) AS len_norm,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' ||
+        |      chr(778))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

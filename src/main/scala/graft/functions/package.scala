@@ -17,5 +17,6 @@ package object functions {
     MinHashSlot.register(spark)
     AbsDiffSum.register(spark)
     NfcNormalize.register(spark)
+    ZOrder64.register(spark)
   }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout maintenance — the write patterns that keep a 100 TB
+  * corpus scannable (no query surface; contracts proven from the written
+  * files by LayoutSpec, like SortedExportSpec's range-sharded export):
+  *
+  *  - [[compact]]: the small-files problem. Streaming ingest and
+  *    fine-grained partitioning leave behind thousands of KB-sized
+  *    parquet files; every one costs a task launch, a footer read, and a
+  *    namenode entry, so scan cost becomes file-count-bound instead of
+  *    byte-bound. Compaction rewrites a directory into
+  *    ceil(totalBytes / targetBytes) files. Only file METADATA (the
+  *    size listing) touches the driver; rows move executor-to-executor
+  *    through a round-robin repartition.
+  *
+  *  - [[zorderValue]]: multi-dimensional clustering. A single-column
+  *    sort gives tight per-file min/max on that column only; writing in
+  *    Z-order (Morton-interleaved) ranges gives every file a tight range
+  *    on BOTH dimensions, so parquet footer pruning works for filters on
+  *    either — the standard layout for fact tables queried along two
+  *    independent axes.
+  */
+object Layout {
+
+  /** Parquet data files under `dir` (skips _SUCCESS etc.). */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** Rewrite the parquet directory `inDir` into `outDir` as
+    * ceil(totalBytes / targetBytes) files (at least one). Returns the
+    * file count written. Row-identity (multiset) is preserved; row
+    * order is not promised — compaction is a layout operation, and
+    * callers who need order compose it with the sorted-shard export.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val totalBytes = dataFiles(spark, inDir).map(_._2).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // repartition(n) (round-robin) balances output file sizes regardless
+    // of input skew; coalesce(n) would be shuffle-free but chains input
+    // files together unevenly and can't split a giant input file.
+    spark.read.parquet(inDir)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Z-value of two key columns, each normalized from [lo, hi] into
+    * 16-bit buckets then Morton-interleaved (16+16 bits keeps the
+    * normalization exact in doubles and 65k buckets per dimension is
+    * far finer than any realistic file count). Bounds come from the
+    * caller — at scale they are known dimension stats, not a scan.
+    */
+  def zorderValue(a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long): Column = {
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      // clamp then scale to [0, 65535]
+      floor((least(greatest(c, lit(lo)), lit(hi)) - lit(lo))
+        .cast("double") / lit(math.max(1L, hi - lo)) * 65535.0)
+        .cast("long")
+    graft.functions.ZOrder64(bucket(a, aLo, aHi), bucket(b, bLo, bHi))
+  }
+
+  /** Write `df` to `outDir` clustered by the Z-order of the two key
+    * columns: range-partition on the z-value (sampled ranges — no
+    * global sort), sort within each shard, drop the transient z column
+    * on the way out. `shards` is the target file count.
+    */
+  def zorderWrite(df: DataFrame, outDir: String, shards: Int,
+      a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long): Unit = {
+    df.withColumn("__z", zorderValue(a, aLo, aHi, b, bLo, bHi))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Proves the storage-layout contracts from the written files alone
+  * (the SortedExportSpec discipline): compaction's file-count/content
+  * contract, and z-order clustering's both-dimensions-pruned property
+  * measured against the single-column-sort baseline.
+  */
+class LayoutSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compact rewrites a many-small-files directory into " +
+      "ceil(total/target) files with the same row multiset") {
+    import spark.implicits._
+    val smallDir = tmp("small") + "/docs"
+    val outDir = tmp("compacted") + "/docs"
+
+    // simulate streaming-ingest debris: 40 tiny files
+    val src = Tables.load(spark, sfVerify, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    src.repartition(40).write.mode("overwrite").parquet(smallDir)
+    val before = parquetFiles(smallDir)
+    assert(before.length == 40)
+
+    val totalBytes = before.map(_.length).sum
+    val target = totalBytes / 4 + 1 // aim for ~4 files
+    val n = Layout.compact(spark, smallDir, outDir, target)
+
+    val after = parquetFiles(outDir)
+    val expected = ((totalBytes + target - 1) / target).toInt
+    assert(n == expected && after.length == n,
+      s"expected $expected files, compact returned $n, " +
+        s"wrote ${after.length}")
+    assert(after.length < before.length / 5)
+    assert(after.forall(_.length > 0))
+
+    // multiset equality via anti-joins both ways + count
+    val a = spark.read.parquet(smallDir)
+    val b = spark.read.parquet(outDir)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("zorder64 matches the composed bit-ops form and known values") {
+    import spark.implicits._
+    // known: a-bits go to even positions, b-bits to odd
+    val known = Seq((0L, 0L, 0L), (3L, 1L, 7L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (0xFFFFFFFFL, 0L, 0x5555555555555555L),
+      (0L, 0xFFFFFFFFL, 0xAAAAAAAAAAAAAAAAL))
+    known.foreach { case (a, b, want) =>
+      assert(graft.functions.ZOrder64.interleave(a, b) == want, s"($a,$b)")
+    }
+    // randomized parity vs the composed built-in expression tree
+    val composed = (0 until 32).map { i =>
+      shiftleft(col("a").bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(col("b").bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_ bitwiseOR _)
+    val bad = spark.range(0, 2000)
+      .select((rand(11) * 0xFFFFFFFFL).cast("long").as("a"),
+        (rand(17) * 0xFFFFFFFFL).cast("long").as("b"))
+      .withColumn("z", graft.functions.ZOrder64(col("a"), col("b")))
+      .withColumn("ref", composed)
+      .filter(!(col("z") <=> col("ref"))).count()
+    assert(bad == 0)
+    // out-of-range rejected, not truncated
+    intercept[Exception] {
+      spark.range(1).select(graft.functions.ZOrder64(
+        lit(1L << 32), lit(0L))).collect()
+    }
+  }
+
+  test("z-order layout bounds per-file span on BOTH dimensions; " +
+      "single-column sort leaves the second dimension unclustered") {
+    import spark.implicits._
+    val zDir = tmp("zorder") + "/li"
+    val sDir = tmp("singlesort") + "/li"
+
+    val li = Tables.load(spark, sfVerify, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val Array(aLo, aHi, bLo, bHi) = li.agg(
+      min($"l_orderkey"), max($"l_orderkey"),
+      min($"l_partkey"), max($"l_partkey"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+
+    Layout.zorderWrite(li, zDir, 16,
+      $"l_orderkey", aLo, aHi, $"l_partkey", bLo, bHi)
+    li.repartitionByRange(16, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+
+    // per-file normalized span of each dimension, from the files alone
+    def spans(dir: String): Seq[(Double, Double)] =
+      parquetFiles(dir).toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(
+          min($"l_orderkey"), max($"l_orderkey"),
+          min($"l_partkey"), max($"l_partkey")).collect()(0)
+        ((r.getLong(1) - r.getLong(0)).toDouble / (aHi - aLo),
+          (r.getLong(3) - r.getLong(2)).toDouble / (bHi - bLo))
+      }
+
+    val z = spans(zDir)
+    val s = spans(sDir)
+    def avg(xs: Seq[Double]): Double = xs.sum / xs.size
+
+    // z-order: BOTH dimensions clustered (16 files ~ 4x4 quadrants ->
+    // ideal span 0.25; boundary-crossing shards allowed for by 0.5)
+    assert(avg(z.map(_._1)) < 0.5, s"zorder orderkey span ${avg(z.map(_._1))}")
+    assert(avg(z.map(_._2)) < 0.5, s"zorder partkey span ${avg(z.map(_._2))}")
+    // single-column sort: first dimension tight, second ~full range in
+    // every file (this is exactly the pruning z-order buys back)
+    assert(avg(s.map(_._1)) < 0.15, s"sorted orderkey span ${avg(s.map(_._1))}")
+    assert(avg(s.map(_._2)) > 0.8, s"sorted partkey span ${avg(s.map(_._2))}")
+
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
+}

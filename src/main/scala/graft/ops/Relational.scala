@@ -286,6 +286,23 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    "q28_lateral_topn" -> { (s, dir) =>
+      // Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
+      // "top-N per outer row" SQL idiom, planned by Catalyst as the
+      // same ranked-window shape q07 writes by hand (DecorrelateInner
+      // + Window), so the declarative form keeps the scalable plan.
+      // Presentation rounding only — ordering runs on the raw double.
+      t(s, dir, "nation").createOrReplaceTempView("q28_nation")
+      t(s, dir, "customer").createOrReplaceTempView("q28_customer")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.bal
+          |FROM q28_nation n, LATERAL (
+          |  SELECT c_custkey, round(c_acctbal, 2) AS bal FROM q28_customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n.n_name, c.bal DESC, c.c_custkey""".stripMargin)
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -623,6 +640,14 @@ object Relational {
         |  SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q28_lateral_topn" ->
+      """SELECT n.n_name, c.c_custkey, c.bal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.bal DESC, c.c_custkey""".stripMargin,
 
     "q16_outer_join" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey,

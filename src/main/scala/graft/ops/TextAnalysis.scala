@@ -293,6 +293,34 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t15_approx_topk_merge" -> { (s, dir) =>
+      import s.implicits._
+      // Mergeable frequent-items (heavy hitters): per-source
+      // approx_top_k sketch states combined into the corpus-wide top-k
+      // WITHOUT re-touching raw tokens — the frequent-items analog of
+      // e15's HLL union: keep per-partition states beside the data and
+      // answer any slice's top terms by combining its states. The
+      // fixture vocabulary (31 terms) sits far under the tracked
+      // capacity, so the estimates here are provably exact and the gate
+      // pins estimate == exact per term (sketch_ok); at a real 100 TB
+      // vocabulary the same plan holds with sketch_ok becoming a
+      // within-epsilon bound. Ranking/limit run on the exact counts so
+      // row selection never depends on sketch-internal tie handling.
+      val toks = docs(s, dir).select($"source",
+        explode(split($"text", " ")).as("term"))
+      val states = toks.groupBy($"source")
+        .agg(expr("approx_top_k_accumulate(term, 10000)").as("st"))
+      val est = states
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 50)")
+          .as("e"))
+        .select(explode($"e").as("e"))
+        .select($"e.item".as("term"), $"e.count".as("est_n"))
+      val exact = toks.groupBy($"term").agg(count(lit(1)).as("n"))
+      exact.join(est, "term")
+        .select($"term", $"n", ($"est_n" === $"n").as("sketch_ok"))
+        .orderBy($"n".desc, $"term").limit(20)
+    },
+
     "t07_stratified_sample" -> { (s, dir) =>
       import s.implicits._
       // Deterministic stratified sampling: ~20% per lang via an
@@ -536,6 +564,12 @@ object TextAnalysis {
         |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' ||
         |      chr(778))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t15_approx_topk_merge" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS n, TRUE AS sketch_ok
+        |FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

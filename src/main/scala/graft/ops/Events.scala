@@ -426,6 +426,50 @@ object Events {
         .orderBy($"click_id", $"purchase_id")
     },
 
+    "e21_stream_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      // Stream-stream LEFT OUTER interval join — e19's shape plus the
+      // null-emitting side, which is where streaming semantics genuinely
+      // diverge from batch: an unmatched click can only be emitted once
+      // the watermark proves no matching purchase can still arrive, so
+      // clicks inside the final watermark horizon (max_ts − 1 h delay −
+      // 30 min range) are withheld at stream end — measured: 209 vs 210
+      // rows on the raw join at sf0.001. The gate therefore compares the
+      // CLOSED-horizon region (c_ts ≤ max_ts − 2 h) on both engines —
+      // the honest statement of the outer-join contract: results are
+      // batch-equal exactly where the watermark has closed, and that is
+      // the only region a correct streaming engine may emit.
+      // The final watermark is min over the two sides of (side's max
+      // event time − 1 h delay); emission of an unmatched click needs
+      // c_ts + 30 min < watermark. Cutoff = min(side maxima) − 2 h
+      // restates exactly that with 30 min to spare — computed from the
+      // same fixture both engines read, so the gate region is identical.
+      val horizon = ev(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type").agg(max($"ts").as("m"))
+        .agg(min($"m")).collect()(0)
+        .getTimestamp(0).toInstant.minusSeconds(2 * 3600)
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      graft.streaming.MemoryGate.append(s,
+        clicks.join(purchases,
+          $"user_id" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"),
+          "left_outer"),
+        "e21_out_" + Integer.toHexString(dir.hashCode))
+        .filter($"c_ts" <= lit(java.sql.Timestamp.from(horizon)))
+        .select($"click_id", $"user_id", $"purchase_id",
+          (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
+        .orderBy($"click_id", $"purchase_id".asc_nulls_first)
+    },
+
     "e20_incremental_rollup" -> { (s, dir) =>
       import s.implicits._
       // Incremental-aggregate maintenance: the per-day partials an
@@ -555,6 +599,21 @@ object Events {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "e21_stream_outer_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c LEFT JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |  AND c.ts <= (SELECT min(m) - INTERVAL 2 HOUR FROM (
+        |        SELECT event_type, max(ts) AS m FROM events
+        |        WHERE event_type IN ('click', 'purchase')
+        |        GROUP BY event_type) x)
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     "e20_incremental_rollup" ->
       """SELECT event_type,

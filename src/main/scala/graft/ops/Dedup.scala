@@ -66,14 +66,14 @@ object Dedup {
   private val NChunks = SimhashBits / ChunkBits
 
   /** Spark-side 3-token shingle array (1-based element_at). */
-  private val shingleExpr =
+  private[graft] val shingleExpr =
     "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
       "concat_ws(' ', element_at(toks, i), " +
       "element_at(toks, least(i + 1, size(toks))), " +
       "element_at(toks, least(i + 2, size(toks)))))"
 
   /** DuckDB-side equivalent shingle list. */
-  private val shingleSql =
+  private[graft] val shingleSql =
     "list_transform(range(1, greatest(len(toks) - 1, 2)), i -> " +
       "toks[i] || ' ' || toks[least(i + 1, len(toks))] || ' ' || " +
       "toks[least(i + 2, len(toks))])"

@@ -99,6 +99,59 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p04_full_curation" -> { (s, dir) =>
+      import s.implicits._
+      // The FULL curation run, one declarative plan: Gopher-style
+      // quality gate (p02's thresholds, t11's shared signal
+      // definitions) → normalization fingerprint dedup (p01's stage) →
+      // eval-set decontamination (d12's shingle-overlap rule, src0 as
+      // the held-out benchmark) → per-source terminal accounting, every
+      // doc landing in exactly one of {q_fail, dup, contaminated,
+      // kept}. Shapes at 100 TB: signals + fingerprints are narrow maps
+      // over the scan; dedup is one fp-keyed shuffle (q_fail docs get a
+      // unique synthetic fp, so no join back is needed to carry them);
+      // the eval shingle set broadcasts (benchmarks are tiny at any
+      // corpus scale) and only dedup WINNERS pay the shingle explode.
+      val d = TextAnalysis.repetitionSignals(
+        docs(s, dir)).filter($"source" =!= "src0")
+        // coalesce keeps the one-bucket-per-doc invariant even for a
+        // null-text row (signals go null -> q_pass must be FALSE, not null)
+        .withColumn("q_pass", coalesce($"n_tokens" >= MinQualityTokens &&
+          $"tts" <= MaxTopShare && $"dup2" <= MaxDupShare, lit(false)))
+      val withFp = d.withColumn("fp",
+        when($"q_pass", md5(trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))))
+          .otherwise(concat(lit("uniq-"), $"doc_id")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"fp").orderBy($"doc_id")))
+      val evalSet = docs(s, dir).filter($"source" === "src0")
+        .withColumn("toks", split($"text", " "))
+        .select(explode(expr(Dedup.shingleExpr)).as("sh")).distinct()
+      val ratios = withFp.filter($"q_pass" && $"rn" === 1)
+        .select($"doc_id", explode(expr(
+          s"array_distinct(${Dedup.shingleExpr})")).as("sh"))
+        .join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce($"hit", lit(0))).as("n_shared"))
+      withFp.join(ratios, Seq("doc_id"), "left")
+        .withColumn("winner", $"q_pass" && $"rn" === 1)
+        .withColumn("contaminated", $"winner" &&
+          ($"n_shared" / $"n_sh".cast("double") > MaxContamRatio))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!$"q_pass", 1L).otherwise(0L)).as("n_q_fail"),
+          sum(when($"q_pass" && !$"winner", 1L).otherwise(0L))
+            .as("n_dups_removed"),
+          sum(when($"contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+          sum(when($"winner" && !$"contaminated", 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when($"winner" && !$"contaminated", $"n_tokens".cast("long"))
+            .otherwise(0L)).as("total_tokens_kept"))
+        .orderBy($"source")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -127,6 +180,12 @@ object Pipeline {
   private val MinQualityTokens = 20
   private val MaxTopShare = 0.15
   private val MaxDupShare = 0.05
+
+  /** p04's decontamination rule: a dedup winner is dropped when more
+    * than this fraction of its distinct 3-shingles appear in the eval
+    * source (d12's contamination measure as a gate).
+    */
+  private val MaxContamRatio = 0.5
 
   def oracle: Map[String, String] = Map(
     "p01_curation_pipeline" ->
@@ -163,6 +222,58 @@ object Pipeline {
          |                 AND (tts > $MaxTopShare OR dup2 > $MaxDupShare)
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "p04_full_curation" ->
+      s"""WITH ${TextAnalysis.repetitionSignalsSql},
+         |q AS (
+         |  SELECT g.doc_id, g.source, g.n_tokens, d.text,
+         |    string_split(d.text, ' ') AS toks,
+         |    coalesce(g.n_tokens >= $MinQualityTokens
+         |             AND g.tts <= $MaxTopShare
+         |             AND g.dup2 <= $MaxDupShare, FALSE) AS q_pass
+         |  FROM g JOIN documents d USING (doc_id)
+         |  WHERE g.source <> 'src0'),
+         |f AS (
+         |  SELECT *, CASE WHEN q_pass THEN
+         |      md5(trim(regexp_replace(regexp_replace(lower(text),
+         |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+         |    ELSE 'uniq-' || doc_id END AS fp
+         |  FROM q),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM f),
+         |ev AS (
+         |  SELECT DISTINCT t.sh FROM (
+         |    SELECT string_split(text, ' ') AS toks FROM documents
+         |    WHERE source = 'src0') e, unnest(${Dedup.shingleSql}) AS t(sh)),
+         |wsh AS (
+         |  SELECT doc_id, t.sh FROM (
+         |    SELECT doc_id, toks FROM r WHERE q_pass AND rn = 1) w,
+         |    unnest(list_distinct(${Dedup.shingleSql})) AS t(sh)),
+         |ratio AS (
+         |  SELECT w.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+         |  FROM wsh w LEFT JOIN ev e ON w.sh = e.sh GROUP BY w.doc_id),
+         |st AS (
+         |  SELECT r.source, r.n_tokens, r.q_pass,
+         |    (r.q_pass AND r.rn = 1) AS winner,
+         |    (r.q_pass AND r.rn = 1 AND
+         |     rt.n_shared / CAST(rt.n_sh AS DOUBLE) > $MaxContamRatio)
+         |      AS contaminated
+         |  FROM r LEFT JOIN ratio rt ON rt.doc_id = r.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT q_pass THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_q_fail,
+         |  CAST(sum(CASE WHEN q_pass AND NOT winner THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_dups_removed,
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(sum(CASE WHEN winner AND NOT contaminated THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN winner AND NOT contaminated THEN n_tokens
+         |           ELSE 0 END) AS BIGINT) AS total_tokens_kept
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

@@ -470,6 +470,68 @@ object Events {
         .orderBy($"click_id", $"purchase_id".asc_nulls_first)
     },
 
+    "e22_gap_fill" -> { (s, dir) =>
+      import s.implicits._
+      // Time-spine gap fill: hourly counts per type over the COMPLETE
+      // corpus span, absent hours materialized as 0 — downstream
+      // time-series consumers (anomaly detection, rate charts) need the
+      // dense grid, and "no rows" is not "zero" after an outer join.
+      // The spine generates distributively from one (min, max) agg row
+      // via sequence+explode — no driver-side loop, and the spine is
+      // |hours|x|types| rows, microscopic next to the event stream at
+      // any scale. At sf0.01: 3,600 grid rows, 215 of them gap rows.
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val spine = ev(s, dir)
+        .agg(date_trunc("hour", min($"ts")).as("lo"),
+          date_trunc("hour", max($"ts")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val types = ev(s, dir).select($"event_type").distinct()
+      spine.crossJoin(types)
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select($"h".as("hour_start"), $"event_type",
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"hour_start", $"event_type")
+    },
+
+    "e23_kll_quantile_merge" -> { (s, dir) =>
+      import s.implicits._
+      // The quantile member of the mergeable-sketch trilogy (e15 HLL
+      // cardinality, t15 frequent items): per-day KLL sketches of
+      // `value` merged per type WITHOUT re-touching raw events, the
+      // daily-rollup shape that answers any date-range quantile from
+      // partials. kll_sketch_merge_double is a binary scalar, so the
+      // per-type union folds over the collected day sketches (≤31 tiny
+      // states per group — the fold input is day-count-sized, never
+      // event-count-sized). Gate discipline (the e11/e15 lesson):
+      // sketch values stay OUT of the hashed columns — hash-gated are
+      // the exact interpolated median and a boolean asserting the
+      // MERGED sketch's median sits within ±0.05 empirical rank of 0.5
+      // (KLL k=200 rank error is ~1.7%, so 0.05 is ~3x headroom; if
+      // merging partials ever degraded rank accuracy, the gate goes
+      // red).
+      val daily = ev(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+      val merged = daily.groupBy($"event_type")
+        .agg(collect_list($"sk").as("sks"))
+        .withColumn("msk", expr(
+          "aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"))
+        .select($"event_type",
+          expr("kll_sketch_get_quantile_double(msk, 0.5d)").as("m_med"))
+      val rank = ev(s, dir).join(merged, "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile($"value", lit(0.5)), 4).as("exact_med"),
+          (sum(when($"value" <= $"m_med", 1L).otherwise(0L)) /
+            count(lit(1)).cast("double")).as("m_rank"))
+      rank.select($"event_type", $"n", $"exact_med",
+        (abs($"m_rank" - 0.5) <= 0.05).as("merge_rank_ok"))
+        .orderBy($"event_type")
+    },
+
     "e20_incremental_rollup" -> { (s, dir) =>
       import s.implicits._
       // Incremental-aggregate maintenance: the per-day partials an
@@ -614,6 +676,28 @@ object Events {
         |        WHERE event_type IN ('click', 'purchase')
         |        GROUP BY event_type) x)
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    "e22_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT s.h AS hour_start, t.event_type, coalesce(hh.n, 0) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN hourly hh ON hh.h = s.h AND hh.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "e23_kll_quantile_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_med,
+        |  TRUE AS merge_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e20_incremental_rollup" ->
       """SELECT event_type,

@@ -65,6 +65,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"simhash pipeline inlined into a Filter/scan:\n${bad.mkString("\n")}")
   }
 
+  test("q27: correlated scalar subquery decorrelates to a broadcast " +
+      "agg join, not per-row subquery execution") {
+    val p = plan("q27_correlated_subquery")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Subquery"),
+      s"subquery must be decorrelated:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q28: LATERAL top-N decorrelates to a ranked window, not a " +
+      "nested loop per outer row") {
+    val p = plan("q28_lateral_topn")
+    assert(p.contains("row_number()"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"lateral must not nested-loop:\n${p.take(1500)}")
+  }
+
   test("t10: join residual runs the cheap bounds before the DP " +
       "(predicate-order regression)") {
     // A pushed .filter once PREPENDED the levenshtein to the join's own

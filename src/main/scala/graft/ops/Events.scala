@@ -470,6 +470,30 @@ object Events {
         .orderBy($"click_id", $"purchase_id".asc_nulls_first)
     },
 
+    "e24_stream_dedup_watermark" -> { (s, dir) =>
+      import s.implicits._
+      // BOUNDED-STATE streaming dedup — the production form d10's plain
+      // stateful dropDuplicates is not: dropDuplicatesWithinWatermark
+      // keeps a key's state only until the watermark passes it, so at
+      // 100 TB/day the state store holds one watermark window of keys,
+      // not the stream's history (the at-least-once replay window is
+      // exactly what needs deduplicating, and it is watermark-bounded
+      // by construction). Input is the event stream unioned with
+      // itself — every event arrives twice, the connector-replay
+      // worst case — and the gate requires the deduped per-type counts
+      // to equal the batch counts over the ORIGINAL stream.
+      val stream = () => Tables.loadStream(s, dir, "events")
+        .select($"event_id", $"event_type", $"ts")
+      graft.streaming.MemoryGate.complete(s,
+        stream().union(stream())
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n")),
+        "e24_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"event_type")
+    },
+
     "e22_gap_fill" -> { (s, dir) =>
       import s.implicits._
       // Time-spine gap fill: hourly counts per type over the COMPLETE
@@ -676,6 +700,10 @@ object Events {
         |        WHERE event_type IN ('click', 'purchase')
         |        GROUP BY event_type) x)
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    "e24_stream_dedup_watermark" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e22_gap_fill" ->
       """WITH hourly AS (

@@ -504,14 +504,17 @@ object Events {
       // via sequence+explode — no driver-side loop, and the spine is
       // |hours|x|types| rows, microscopic next to the event stream at
       // any scale. At sf0.01: 3,600 grid rows, 215 of them gap rows.
+      // Span and type set both derive from the (tiny) hourly aggregate,
+      // not the raw stream — the corpus is scanned ONCE; three
+      // independent subtrees over raw events would be three full scans
+      // at 100 TB for numbers the aggregate already contains.
       val hourly = ev(s, dir)
         .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
         .agg(count(lit(1)).as("n"))
-      val spine = ev(s, dir)
-        .agg(date_trunc("hour", min($"ts")).as("lo"),
-          date_trunc("hour", max($"ts")).as("hi"))
+      val spine = hourly
+        .agg(min($"h").as("lo"), max($"h").as("hi"))
         .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-      val types = ev(s, dir).select($"event_type").distinct()
+      val types = hourly.select($"event_type").distinct()
       spine.crossJoin(types)
         .join(hourly, Seq("h", "event_type"), "left")
         .select($"h".as("hour_start"), $"event_type",

@@ -44,6 +44,11 @@ object Layout {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    // in-place compaction would truncate the input under the lazy read
+    // (overwrite deletes outDir before the scan tasks run)
+    require(new Path(inDir).toUri.normalize !=
+      new Path(outDir).toUri.normalize,
+      s"compact cannot write in place: $inDir")
     val totalBytes = dataFiles(spark, inDir).map(_._2).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // repartition(n) (round-robin) balances output file sizes regardless

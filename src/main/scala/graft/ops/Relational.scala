@@ -271,18 +271,25 @@ object Relational {
       // submitted as SQL text through spark.sql — Catalyst decorrelates
       // it into the same broadcast-agg-join shape q13 writes by hand
       // (RewriteCorrelatedScalarSubquery), so the user can write the
-      // subquery form and still get the scalable plan. The threshold
-      // avg is computed in DECIMAL so both engines derive the identical
-      // cutoff (a double avg's summation order could flip a borderline
-      // row). The view name is query-scoped to keep the session catalog
-      // clean for other operators.
+      // subquery form and still get the scalable plan. The "price >
+      // 1.5 × customer avg" cutoff is restated DIVISION-FREE in exact
+      // decimals (2·price·n > 3·sum): an avg would divide — Spark's
+      // DECIMAL avg rounds the quotient at scale 6 while DuckDB's
+      // returns a full-precision DOUBLE, a ~5e-7 cutoff disagreement
+      // waiting for a borderline row — whereas sums, counts and
+      // products of DECIMAL(18,2) are exact in both engines, so the
+      // predicate is bit-identical by construction. The view name is
+      // query-scoped to keep the session catalog clean.
       t(s, dir, "orders").createOrReplaceTempView("q27_orders")
       s.sql(
         """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
           |FROM q27_orders o
-          |WHERE o_totalprice > (
-          |  SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-          |  FROM q27_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2)) * (
+          |    SELECT count(*) FROM q27_orders o2
+          |    WHERE o2.o_custkey = o.o_custkey)
+          |  > 3 * (
+          |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |    FROM q27_orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     },
 
@@ -636,9 +643,12 @@ object Relational {
     "q27_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders o
-        |WHERE o_totalprice > (
-        |  SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2)) * (
+        |    SELECT count(*) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  > 3 * (
+        |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q28_lateral_topn" ->

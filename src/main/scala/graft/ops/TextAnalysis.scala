@@ -55,7 +55,12 @@ object TextAnalysis {
     val top = d.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
-    d.join(top, "doc_id")
+    // LEFT join: a null-text doc has no exploded tokens and hence no
+    // top_cnt row — an inner join would drop it from the signal frame
+    // entirely (and from every downstream accounting bucket); with the
+    // left join its signals are null and consumers decide (p04 coalesces
+    // q_pass to false, so such a doc fails quality rather than vanish).
+    d.join(top, Seq("doc_id"), "left")
       .withColumn("tts", col("top_cnt") / col("n_tokens").cast("double"))
       .withColumn("dup2",
         when(col("n_tokens") < 2, lit(0.0))
@@ -87,7 +92,7 @@ object TextAnalysis {
       |                range(1, n_tokens),
       |                i -> toks[i] || ' ' || toks[i+1])))
       |              / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
-      |  FROM x JOIN top ON x.doc_id = top.doc_id)""".stripMargin
+      |  FROM x LEFT JOIN top ON x.doc_id = top.doc_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
@@ -316,8 +321,11 @@ object TextAnalysis {
         .select(explode($"e").as("e"))
         .select($"e.item".as("term"), $"e.count".as("est_n"))
       val exact = toks.groupBy($"term").agg(count(lit(1)).as("n"))
-      exact.join(est, "term")
-        .select($"term", $"n", ($"est_n" === $"n").as("sketch_ok"))
+      // LEFT join: an exact-top term the sketch missed must surface as
+      // sketch_ok = false, not silently vanish from the gated row set
+      exact.join(est, Seq("term"), "left")
+        .select($"term", $"n",
+          coalesce($"est_n" === $"n", lit(false)).as("sketch_ok"))
         .orderBy($"n".desc, $"term").limit(20)
     },
 

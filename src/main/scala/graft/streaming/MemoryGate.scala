@@ -14,21 +14,19 @@ object MemoryGate {
     * production query keeps running; these gates terminate so the
     * driver can hash the result).
     */
-  def complete(s: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
-    s.table(name)
-  }
+  def complete(s: SparkSession, df: DataFrame, name: String): DataFrame =
+    run(s, df, name, "complete")
 
-  /** Append-mode execution of `df` into memory table `name` — the mode
-    * stream-stream joins emit in (each matched pair exactly once, no
-    * result-table replacement). Same stop/await discipline as
-    * [[complete]].
+  /** Append-mode execution — the mode stream-stream joins emit in
+    * (each matched pair exactly once, no result-table replacement).
     */
-  def append(s: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.outputMode("append")
+  def append(s: SparkSession, df: DataFrame, name: String): DataFrame =
+    run(s, df, name, "append")
+
+  /** One definition of the start/process/stop/await discipline. */
+  private def run(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.ops.Layout
@@ -13,12 +11,6 @@ import graft.ops.Layout
   */
 class LayoutSpec extends SparkTestBase {
 
-  private def tmp(name: String): String = {
-    val d = Files.createTempDirectory(s"graft-$name").toFile
-    d.deleteOnExit()
-    d.getAbsolutePath
-  }
-
   private def parquetFiles(dir: String): Array[java.io.File] =
     new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -26,8 +18,8 @@ class LayoutSpec extends SparkTestBase {
   test("compact rewrites a many-small-files directory into " +
       "ceil(total/target) files with the same row multiset") {
     import spark.implicits._
-    val smallDir = tmp("small") + "/docs"
-    val outDir = tmp("compacted") + "/docs"
+    val smallDir = tmpDir("small") + "/docs"
+    val outDir = tmpDir("compacted") + "/docs"
 
     // simulate streaming-ingest debris: 40 tiny files
     val src = Tables.load(spark, sfVerify, "documents")
@@ -86,8 +78,8 @@ class LayoutSpec extends SparkTestBase {
   test("z-order layout bounds per-file span on BOTH dimensions; " +
       "single-column sort leaves the second dimension unclustered") {
     import spark.implicits._
-    val zDir = tmp("zorder") + "/li"
-    val sDir = tmp("singlesort") + "/li"
+    val zDir = tmpDir("zorder") + "/li"
+    val sDir = tmpDir("singlesort") + "/li"
 
     val li = Tables.load(spark, sfVerify, "lineitem")
       .select($"l_orderkey", $"l_partkey", $"l_quantity")

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 /** The range-partitioned sorted-shard export pattern — how a curated
@@ -22,9 +20,7 @@ class SortedExportSpec extends SparkTestBase {
   test("repartitionByRange + sortWithinPartitions writes range-disjoint, " +
       "internally sorted parquet shards covering every row exactly once") {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft-sorted-export").toFile
-    out.deleteOnExit()
-    val dir = out.getAbsolutePath + "/docs"
+    val dir = tmpDir("sorted-export") + "/docs"
 
     val src = Tables.load(spark, sfVerify, "documents")
       .select($"doc_id", $"source", $"n_chars")

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 /** Multi-format source coverage: the engine's ingest surface is not
@@ -14,15 +12,9 @@ import org.apache.spark.sql.functions._
   */
 class SourceFormatsSpec extends SparkTestBase {
 
-  private def tmp(name: String): String = {
-    val d = Files.createTempDirectory(s"graft-$name").toFile
-    d.deleteOnExit()
-    d.getAbsolutePath
-  }
-
   test("JSON-lines round trip preserves every row and column") {
     import spark.implicits._
-    val dir = tmp("jsonl") + "/docs"
+    val dir = tmpDir("jsonl") + "/docs"
     val src = Tables.load(spark, sfVerify, "documents")
     src.write.mode("overwrite").json(dir)
     // explicit schema: no inference scan
@@ -34,7 +26,7 @@ class SourceFormatsSpec extends SparkTestBase {
 
   test("CSV round trip with quoting preserves every row and column") {
     import spark.implicits._
-    val dir = tmp("csv") + "/docs"
+    val dir = tmpDir("csv") + "/docs"
     val src = Tables.load(spark, sfVerify, "documents")
     // text contains spaces only (word soup), but quote/escape anyway —
     // the settings a real corpus with embedded delimiters needs
@@ -50,7 +42,7 @@ class SourceFormatsSpec extends SparkTestBase {
 
   test("corrupt JSON lines are quarantined, not silently dropped") {
     import spark.implicits._
-    val dir = tmp("badjson")
+    val dir = tmpDir("badjson")
     val f = new java.io.File(dir, "part-0.json")
     val w = new java.io.PrintWriter(f, "UTF-8")
     w.println("""{"doc_id": 1, "text": "ok"}""")

@@ -14,6 +14,22 @@ trait SparkTestBase extends AnyFunSuite {
     * suites, so any conf override MUST go through here or it leaks into
     * whichever suite runs next.
     */
+  /** Fresh temp directory, recursively deleted at JVM exit (File
+    * .deleteOnExit never removes non-empty directories, so the ad-hoc
+    * per-suite variants of this helper leaked fixture-sized data every
+    * run).
+    */
+  def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString
+  }
+
   def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
     val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -310,6 +310,28 @@ object Relational {
           |ORDER BY n.n_name, c.bal DESC, c.c_custkey""".stripMargin)
     },
 
+    "q29_exists_subqueries" -> { (s, dir) =>
+      // EXISTS / NOT EXISTS through SQL text: the declarative form of
+      // the semi/anti joins q10 writes with the DataFrame API —
+      // Catalyst plans both predicates as one semi and one anti hash
+      // join on o_custkey (RewritePredicateSubquery), so the fact table
+      // is scanned twice and shuffled on the same key, never per-row.
+      t(s, dir, "customer").createOrReplaceTempView("q29_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q29_orders")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM q29_customer c
+          |WHERE EXISTS (
+          |    SELECT 1 FROM q29_orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q29_orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -658,6 +680,19 @@ object Relational {
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         |ORDER BY n.n_name, c.bal DESC, c.c_custkey""".stripMargin,
+
+    "q29_exists_subqueries" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q16_outer_join" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey,

@@ -266,6 +266,34 @@ object Similarity {
         .orderBy($"label")
     },
 
+    "s08_filtered_search" -> { (s, dir) =>
+      import s.implicits._
+      // FILTERED vector search — the production retrieval shape: a
+      // metadata predicate (here label ∈ {0,1,2}) restricts the corpus
+      // BEFORE any distance is computed. Pre-filtering beats
+      // post-filtering an ANN result (which silently returns < k rows
+      // when the filter is selective), and because the predicate is a
+      // plain scan filter it pushes into the parquet reader — at
+      // corpus scale the footer stats skip whole files of
+      // non-qualifying labels (PlanShapeSpec pins the pushdown). The
+      // scoring/top-k machinery is s01's: broadcast queries, one
+      // corpus scan, bounded-heap top-k.
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val scored = e.filter($"label".isin(0, 1, 2))
+        .select($"vec_id".as("n_id"), $"v")
+        .join(broadcast(q), $"q_id" =!= $"n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"n_id", $"cos")
+      val top = graft.plans.TopKPerKey(scored, Seq("q_id"),
+        struct($"cos" * -1, $"n_id"), K)
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      top.withColumn("rnk", row_number().over(w))
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -438,6 +466,26 @@ object Similarity {
         |    AS max_cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |GROUP BY a.label ORDER BY a.label""".stripMargin,
+
+    "s08_filtered_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |      WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos
+         |  FROM q JOIN e ON q.q_id <> e.vec_id
+         |  WHERE e.label IN (0, 1, 2)),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "s07_int8_quant" ->
       """WITH e AS (

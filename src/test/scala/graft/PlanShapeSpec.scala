@@ -83,6 +83,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"lateral must not nested-loop:\n${p.take(1500)}")
   }
 
+  test("s08: the metadata predicate pushes into the embeddings scan " +
+      "(filtered search prunes before any distance is computed)") {
+    val p = plan("s08_filtered_search")
+    assert(p.contains("In(label"),
+      s"label filter must reach PushedFilters:\n${p.take(1500)}")
+  }
+
   test("t10: join residual runs the cheap bounds before the DP " +
       "(predicate-order regression)") {
     // A pushed .filter once PREPENDED the levenshtein to the join's own

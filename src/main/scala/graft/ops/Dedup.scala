@@ -451,6 +451,34 @@ object Dedup {
         .limit(20)
     },
 
+    "d14_snapshot_upsert" -> { (s, dir) =>
+      import s.implicits._
+      // MERGE-style snapshot maintenance on plain parquet — the
+      // slowly-changing-corpus operation every pipeline without a table
+      // format runs: existing snapshot (version 1) unioned with an
+      // update batch (docs with doc_id % 7 == 0 re-ingested with new
+      // content, version 2), newest version per key wins, snapshot
+      // rewritten. One shuffle on the key; the update side of the
+      // union is batch-sized, so the cost is one snapshot shuffle —
+      // the pattern a real table format (Delta/Iceberg) improves with
+      // file-level skipping rather than a different algorithm. The
+      // result hashes the winning content, so a wrong winner anywhere
+      // goes red.
+      val snap = docs(s, dir)
+        .select($"doc_id", $"source", $"text", lit(1L).as("version"))
+      val updates = docs(s, dir).filter($"doc_id" % 7 === 0)
+        .select($"doc_id", $"source", upper($"text").as("text"),
+          lit(2L).as("version"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"version".desc)
+      snap.union(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"source", $"version",
+          md5($"text").as("content_md5"))
+        .orderBy($"doc_id")
+    },
+
     "d13_incremental_dedup" -> { (s, dir) =>
       import s.implicits._
       // Incremental-ingest dedup: the production mode — a NEW batch
@@ -720,6 +748,20 @@ object Dedup {
            |    AS ratio
            |FROM sizes s LEFT JOIN shared h ON h.doc_id = s.doc_id
            |ORDER BY ratio DESC, s.doc_id LIMIT 20""".stripMargin,
+
+      "d14_snapshot_upsert" ->
+        """WITH snap AS (
+          |  SELECT doc_id, source, text, 1 AS version FROM documents),
+          |upd AS (
+          |  SELECT doc_id, source, upper(text) AS text, 2 AS version
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |merged AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY version DESC) AS rn
+          |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM upd))
+          |SELECT doc_id, source, CAST(version AS BIGINT) AS version,
+          |  md5(text) AS content_md5
+          |FROM merged WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "d13_incremental_dedup" ->
         """WITH base AS (

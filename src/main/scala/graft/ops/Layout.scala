@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Parquet data files under `dir` (skips _SUCCESS etc.). */
+  /** Parquet data files under `dir`, RECURSIVE (skips _SUCCESS etc.) —
+    * partitioned datasets keep their files in key=value subdirectories,
+    * and a top-level-only listing would see zero bytes there.
+    */
   private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.toString, st.getLen))
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        buf += ((st.getPath.toString, st.getLen))
+    }
+    buf.toSeq
   }
 
   /** Rewrite the parquet directory `inDir` into `outDir` as
@@ -45,11 +53,18 @@ object Layout {
       targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     // in-place compaction would truncate the input under the lazy read
-    // (overwrite deletes outDir before the scan tasks run)
-    require(new Path(inDir).toUri.normalize !=
-      new Path(outDir).toUri.normalize,
+    // (overwrite deletes outDir before the scan tasks run). Compare
+    // FULLY QUALIFIED paths: raw-URI comparison passes for the same
+    // physical dir spelled differently ("/d" vs "file:/d" vs relative).
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
       s"compact cannot write in place: $inDir")
-    val totalBytes = dataFiles(spark, inDir).map(_._2).sum
+    val files = dataFiles(spark, inDir)
+    require(files.nonEmpty, s"no parquet data files under $inDir")
+    val totalBytes = files.map(_._2).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // repartition(n) (round-robin) balances output file sizes regardless
     // of input skew; coalesce(n) would be shuffle-free but chains input

@@ -85,14 +85,18 @@ object Pipeline {
       // signal columns come from TextAnalysis.repetitionSignals — the
       // SAME definition t11 publishes, so the gate can never drift from
       // the published score.
+      // len_fail coalesces null→true: a null-text doc (null signals
+      // after repetitionSignals' left join) counts as a degenerate
+      // length failure, keeping the funnel additive — every doc lands
+      // in exactly one of kept/len_fail/rep_fail
       TextAnalysis.repetitionSignals(docs(s, dir))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"n_tokens" >= MinQualityTokens &&
               $"tts" <= MaxTopShare && $"dup2" <= MaxDupShare, 1L)
             .otherwise(0L)).as("n_kept"),
-          sum(when($"n_tokens" < MinQualityTokens, 1L).otherwise(0L))
-            .as("n_len_fail"),
+          sum(when(coalesce($"n_tokens" < MinQualityTokens, lit(true)), 1L)
+            .otherwise(0L)).as("n_len_fail"),
           sum(when($"n_tokens" >= MinQualityTokens &&
               ($"tts" > MaxTopShare || $"dup2" > MaxDupShare), 1L)
             .otherwise(0L)).as("n_rep_fail"))
@@ -112,8 +116,13 @@ object Pipeline {
       // unique synthetic fp, so no join back is needed to carry them);
       // the eval shingle set broadcasts (benchmarks are tiny at any
       // corpus scale) and only dedup WINNERS pay the shingle explode.
+      // src0 filtered BEFORE the signal computation: the source column
+      // does not survive into repetitionSignals' wordcount subtree, so
+      // a post-filter could not push below the explode+agg and the
+      // pipeline's one raw-data shuffle would aggregate eval-source
+      // docs only to drop them at the rejoin
       val d = TextAnalysis.repetitionSignals(
-        docs(s, dir)).filter($"source" =!= "src0")
+        docs(s, dir).filter($"source" =!= "src0"))
         // coalesce keeps the one-bucket-per-doc invariant even for a
         // null-text row (signals go null -> q_pass must be FALSE, not null)
         .withColumn("q_pass", coalesce($"n_tokens" >= MinQualityTokens &&
@@ -216,7 +225,7 @@ object Pipeline {
          |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens
          |                 AND tts <= $MaxTopShare AND dup2 <= $MaxDupShare
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  CAST(sum(CASE WHEN n_tokens < $MinQualityTokens
+         |  CAST(sum(CASE WHEN coalesce(n_tokens < $MinQualityTokens, TRUE)
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
          |  CAST(sum(CASE WHEN n_tokens >= $MinQualityTokens
          |                 AND (tts > $MaxTopShare OR dup2 > $MaxDupShare)

@@ -47,6 +47,40 @@ class LayoutSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compact refuses in-place rewrites under any path spelling and " +
+      "compacts partitioned (subdirectory) layouts") {
+    import spark.implicits._
+    val src = Tables.load(spark, sfVerify, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+
+    // same physical dir, different spelling: must still be rejected
+    val flat = tmpDir("inplace") + "/docs"
+    src.limit(50).write.mode("overwrite").parquet(flat)
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, flat, "file:" + flat, 1000)
+    }
+    assert(spark.read.parquet(flat).count() == 50) // input untouched
+
+    // hive-partitioned input: data files sit in source=* subdirs; the
+    // size listing must see them (a top-level-only listing sees 0
+    // bytes and would funnel everything into one file)
+    val pd = tmpDir("partsrc") + "/docs"
+    val out = tmpDir("partout") + "/docs"
+    src.write.partitionBy("source").mode("overwrite").parquet(pd)
+    val bytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(pd))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val n = Layout.compact(spark, pd, out, bytes / 3 + 1)
+    assert(n >= 2, s"partitioned bytes must be seen: n=$n")
+    val a = spark.read.parquet(pd).select($"doc_id", $"source", $"n_chars")
+    val b = spark.read.parquet(out).select($"doc_id", $"source", $"n_chars")
+    assert(b.count() == src.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("zorder64 matches the composed bit-ops form and known values") {
     import spark.implicits._
     // known: a-bits go to even positions, b-bits to odd

@@ -451,6 +451,38 @@ object Dedup {
         .limit(20)
     },
 
+    "d15_winnowing_overlap" -> { (s, dir) =>
+      import s.implicits._
+      // MOSS-style overlap detection BETWEEN documents — the join form
+      // of t12's per-doc fingerprints (one shared definition per
+      // engine): docs sharing ≥3 winnowing fingerprints are overlap
+      // candidates, scored by shared-fp count over the smaller doc's
+      // fp set. Same scale shape as the d03 band join: an equi-join on
+      // the fingerprint value, never all-pairs — winnowing's ~2/(w+1)
+      // fingerprint density makes the joined stream ~5x sparser than
+      // the raw shingle stream, which is exactly why MOSS indexes
+      // fingerprints instead of shingles at corpus scale.
+      val withFps = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .withColumn("hs", expr(TextAnalysis.winnowHsExpr))
+        .withColumn("fps", array_distinct(expr(TextAnalysis.winnowFpsExpr)))
+      val f = withFps.select($"doc_id", explode($"fps").as("fp"))
+      val sizes = withFps.select($"doc_id", size($"fps").as("n_fp"))
+      val pairs = f.toDF("a_id", "fp")
+        .join(f.toDF("b_id", "fp2"),
+          $"fp" === $"fp2" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+      pairs
+        .join(sizes.toDF("a_id", "a_fp"), "a_id")
+        .join(sizes.toDF("b_id", "b_fp"), "b_id")
+        .select($"a_id", $"b_id", $"n_shared",
+          round($"n_shared" /
+            least($"a_fp", $"b_fp").cast("double"), 4).as("overlap"))
+        .orderBy($"overlap".desc, $"a_id", $"b_id")
+        .limit(25)
+    },
+
     "d14_snapshot_upsert" -> { (s, dir) =>
       import s.implicits._
       // MERGE-style snapshot maintenance on plain parquet — the
@@ -748,6 +780,24 @@ object Dedup {
            |    AS ratio
            |FROM sizes s LEFT JOIN shared h ON h.doc_id = s.doc_id
            |ORDER BY ratio DESC, s.doc_id LIMIT 20""".stripMargin,
+
+      "d15_winnowing_overlap" ->
+        s"""WITH ${TextAnalysis.winnowSqlCtes},
+           |f AS (SELECT doc_id, t.fp FROM m, unnest(fps) AS t(fp)),
+           |sizes AS (SELECT doc_id, len(fps) AS n_fp FROM m),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    count(*) AS n_shared
+           |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 3)
+           |SELECT a_id, b_id, n_shared,
+           |  round(n_shared /
+           |    CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4) AS overlap
+           |FROM pairs
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |ORDER BY overlap DESC, a_id, b_id LIMIT 25""".stripMargin,
 
       "d14_snapshot_upsert" ->
         """WITH snap AS (

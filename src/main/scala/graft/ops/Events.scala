@@ -494,6 +494,29 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e25_rolling_range_window" -> { (s, dir) =>
+      import s.implicits._
+      // Time-RANGE window frame: each event's trailing-1-hour count and
+      // value sum for the same user — the rolling-rate feature
+      // (velocity checks, rate limits, per-entity activity features)
+      // computed WITHOUT materializing bucket grids: e10's sliding
+      // windows quantize to fixed buckets, a RANGE frame is exact per
+      // row. One shuffle on user_id + a partition sort; the frame is
+      // bounded (1 h), so the running state per partition is the
+      // in-window rows, not the history. Sum in DECIMAL: exact and
+      // order-insensitive, so frame-internal order differences between
+      // engines cannot leak into the gate.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000 * 1000, 0)
+      ev(s, dir)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("val_1h",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"event_id", $"user_id", $"n_1h", $"val_1h")
+        .orderBy($"event_id")
+    },
+
     "e22_gap_fill" -> { (s, dir) =>
       import s.implicits._
       // Time-spine gap fill: hourly counts per type over the COMPLETE
@@ -707,6 +730,16 @@ object Events {
     "e24_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e25_rolling_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "e22_gap_fill" ->
       """WITH hourly AS (

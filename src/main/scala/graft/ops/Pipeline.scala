@@ -161,6 +161,29 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p05_skew_report" -> { (s, dir) =>
+      import s.implicits._
+      // Join-key skew audit — the pre-flight check that decides between
+      // a plain shuffle join, e09/d09-style salting, or AQE skew
+      // handling (RuntimeAdaptiveSpec): per-key occupancy of the
+      // prospective join key, hottest keys ranked, each with its share
+      // of all rows and its ratio to the mean key load (the salting
+      // fan-out you'd need). One wordcount-shaped aggregation; the
+      // per-key result is |keys|-sized, and the global totals ride
+      // along as a broadcast single row.
+      val counts = Tables.load(s, dir, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum($"n").as("total"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(totals))
+        .select($"user_id", $"n",
+          round($"n" / $"total".cast("double"), 6).as("share"),
+          round($"n" * $"n_keys" / $"total".cast("double"), 4)
+            .as("x_mean"))
+        .orderBy($"n".desc, $"user_id")
+        .limit(10)
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -283,6 +306,17 @@ object Pipeline {
          |  CAST(sum(CASE WHEN winner AND NOT contaminated THEN n_tokens
          |           ELSE 0 END) AS BIGINT) AS total_tokens_kept
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "p05_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |totals AS (
+        |  SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+        |SELECT user_id, n,
+        |  round(n / CAST(total AS DOUBLE), 6) AS share,
+        |  round(n * n_keys / CAST(total AS DOUBLE), 4) AS x_mean
+        |FROM counts CROSS JOIN totals
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

@@ -94,6 +94,46 @@ object TextAnalysis {
       |              / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
       |  FROM x LEFT JOIN top ON x.doc_id = top.doc_id)""".stripMargin
 
+  /** Winnowing fingerprint pipeline — ONE definition per engine, shared
+    * by t12 (per-doc summary) and Dedup's d15 (overlap join): 3-shingle
+    * hashes over a `toks` column, then distinct window-4 minima. The
+    * ≥6-token shared-run ⇒ shared-fingerprint guarantee is proven by
+    * TextAnalysisSpec on constructed inputs.
+    */
+  private[graft] val winnowHsExpr =
+    "CASE WHEN size(toks) < 3 THEN cast(array() as array<bigint>) " +
+      "ELSE transform(sequence(1, size(toks) - 2), i -> " +
+      "cast(conv(substr(md5(concat_ws(' ', element_at(toks, i), " +
+      "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 7), " +
+      "16, 10) as bigint)) END"
+
+  private[graft] val winnowFpsExpr =
+    "CASE WHEN size(hs) < 4 THEN cast(array() as array<bigint>) " +
+      "ELSE transform(sequence(1, size(hs) - 3), " +
+      "j -> array_min(slice(hs, j, 4))) END"
+
+  /** DuckDB twin: CTE chain `x` → `h` → `m`, ending with
+    * m(doc_id, hs, fps) over the documents table.
+    */
+  private[graft] val winnowSqlCtes =
+    """x AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |           i -> ('0x' || substr(md5(toks[i] || ' ' ||
+      |                  toks[i + 1] || ' ' || toks[i + 2]), 1, 7))::BIGINT)
+      |    END AS hs
+      |  FROM x),
+      |m AS (
+      |  SELECT doc_id, hs,
+      |    CASE WHEN len(hs) < 4 THEN []::BIGINT[]
+      |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+      |           j -> list_min(hs[j:j+3])))
+      |    END AS fps
+      |  FROM h)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
@@ -238,16 +278,8 @@ object TextAnalysis {
       // ordering differences cannot leak into the gate.
       docs(s, dir)
         .withColumn("toks", split($"text", " "))
-        .withColumn("hs", expr(
-          "CASE WHEN size(toks) < 3 THEN cast(array() as array<bigint>) " +
-            "ELSE transform(sequence(1, size(toks) - 2), i -> " +
-            "cast(conv(substr(md5(concat_ws(' ', element_at(toks, i), " +
-            "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 7), " +
-            "16, 10) as bigint)) END"))
-        .withColumn("fps", array_distinct(expr(
-          "CASE WHEN size(hs) < 4 THEN cast(array() as array<bigint>) " +
-            "ELSE transform(sequence(1, size(hs) - 3), " +
-            "j -> array_min(slice(hs, j, 4))) END")))
+        .withColumn("hs", expr(winnowHsExpr))
+        .withColumn("fps", array_distinct(expr(winnowFpsExpr)))
         .select($"doc_id",
           size($"hs").cast("long").as("n_shingles"),
           size($"fps").cast("long").as("n_fp"),
@@ -526,23 +558,7 @@ object TextAnalysis {
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "t12_winnowing_fingerprints" ->
-      """WITH x AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |           i -> ('0x' || substr(md5(toks[i] || ' ' ||
-        |                  toks[i + 1] || ' ' || toks[i + 2]), 1, 7))::BIGINT)
-        |    END AS hs
-        |  FROM x),
-        |m AS (
-        |  SELECT doc_id, hs,
-        |    CASE WHEN len(hs) < 4 THEN []::BIGINT[]
-        |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
-        |           j -> list_min(hs[j:j+3])))
-        |    END AS fps
-        |  FROM h)
+      s"""WITH $winnowSqlCtes
         |SELECT doc_id,
         |  CAST(len(hs) AS BIGINT) AS n_shingles,
         |  CAST(len(fps) AS BIGINT) AS n_fp,

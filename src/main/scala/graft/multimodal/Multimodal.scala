@@ -72,6 +72,30 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_chunk_plan" -> { (s, dir) =>
+      import s.implicits._
+      // Fixed-size chunk manifest — the blob → training-sample shaping
+      // step: 256-byte chunks with offsets, lengths, and content
+      // fingerprints, i.e. the manifest a sharded sample loader reads.
+      // Chunk indices explode per row and the bytes are sliced with
+      // codegen'd substring, so content never leaves its partition and
+      // nothing shuffles until the presentation sort; a real sample
+      // format (tokenized spans, image tiles) would replace only the
+      // slicer expression.
+      mediaTable(s, dir)
+        .withColumn("blen", octet_length($"content").cast("long"))
+        .filter($"blen" > 0)
+        .withColumn("chunk_idx", explode(expr(
+          "sequence(cast(0 as bigint), (blen - 1) div 256)")))
+        .withColumn("chunk", expr(
+          "substring(content, cast(chunk_idx * 256 + 1 as int), 256)"))
+        .select($"media_id", $"chunk_idx",
+          ($"chunk_idx" * 256 + 1).as("off"),
+          octet_length($"chunk").cast("long").as("chunk_len"),
+          md5($"chunk").as("chunk_md5"))
+        .orderBy($"media_id", $"chunk_idx")
+    },
+
     "m01_media_catalog" -> { (s, dir) =>
       import s.implicits._
       // Catalog stats per format: byte sizes + dimension aggregates over
@@ -201,6 +225,20 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "m06_chunk_plan" ->
+      s"""WITH $mediaSql,
+         |chunks AS (
+         |  SELECT media_id, CAST(i AS BIGINT) AS chunk_idx,
+         |    substr(content, CAST(i AS INT) * 256 + 1, 256) AS chunk
+         |  FROM media,
+         |    unnest(range(0, CAST(floor((strlen(content) - 1) / 256)
+         |      AS BIGINT) + 1)) AS t(i)
+         |  WHERE strlen(content) > 0)
+         |SELECT media_id, chunk_idx, chunk_idx * 256 + 1 AS off,
+         |  CAST(strlen(chunk) AS BIGINT) AS chunk_len,
+         |  md5(chunk) AS chunk_md5
+         |FROM chunks ORDER BY media_id, chunk_idx""".stripMargin,
+
     "m01_media_catalog" ->
       s"""WITH $mediaSql
          |SELECT format, count(*) AS n_media,

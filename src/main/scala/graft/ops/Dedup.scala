@@ -65,6 +65,14 @@ object Dedup {
   private val ChunkBits = 16
   private val NChunks = SimhashBits / ChunkBits
 
+  /** d15's common-fingerprint suppression threshold (MOSS's rule): a
+    * winnowing fingerprint present in more than this many documents is
+    * boilerplate, not copying evidence, and is dropped before the
+    * overlap join — which also bounds the join's pair count linearly
+    * in corpus size instead of quadratically per hot bucket.
+    */
+  private val DfCap = 20L
+
   /** Spark-side 3-token shingle array (1-based element_at). */
   private[graft] val shingleExpr =
     "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
@@ -458,18 +466,50 @@ object Dedup {
       // engine): docs sharing ≥3 winnowing fingerprints are overlap
       // candidates, scored by shared-fp count over the smaller doc's
       // fp set. Same scale shape as the d03 band join: an equi-join on
-      // the fingerprint value, never all-pairs — winnowing's ~2/(w+1)
-      // fingerprint density makes the joined stream ~5x sparser than
-      // the raw shingle stream, which is exactly why MOSS indexes
-      // fingerprints instead of shingles at corpus scale.
-      val withFps = docs(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("hs", expr(TextAnalysis.winnowHsExpr))
-        .withColumn("fps", array_distinct(expr(TextAnalysis.winnowFpsExpr)))
-      val f = withFps.select($"doc_id", explode($"fps").as("fp"))
-      val sizes = withFps.select($"doc_id", size($"fps").as("n_fp"))
-      val pairs = f.toDF("a_id", "fp")
-        .join(f.toDF("b_id", "fp2"),
+      // the fingerprint value, never all-pairs.
+      //
+      // The fingerprint stream is computed in EXPLODED codegen form
+      // (position explode → per-shingle md5 → windowed min), NOT t12's
+      // per-row nested-HOF arrays: this plan fans the fingerprint
+      // subtree out to four consumers (both join sides, the df filter,
+      // the size table), and under that reuse Catalyst's projection
+      // collapse inlined toks→hs→fps into the interpreted lambdas —
+      // re-splitting the text per element and re-hashing the shingle
+      // array per window — turning a linear kernel O(n³)-ish per doc
+      // (measured: a single scan task pinned for 5+ CPU-minutes at
+      // sf0.1 on data whose true join size is ~800k pairs). The
+      // exploded form is whole-stage-codegen end to end, linear by
+      // construction, and its one extra exchange (doc_id-partitioned
+      // window) is the same order of movement the fp join already pays.
+      //
+      // Skew guard, which is also MOSS's own rule: fingerprints
+      // appearing in more than DfCap documents are suppressed before
+      // the join. Window minima are biased toward globally SMALL
+      // shingle hashes, so boilerplate floods single fp buckets at
+      // corpus scale; the cap bounds the pair count at Σ df·DfCap —
+      // linear, not quadratic, in corpus size — and a run shared only
+      // through ubiquitous shingles is not evidence of copying.
+      val base = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= 6) // n_hs = n-2 >= 4 needed for any window
+      val sh = base
+        .select($"doc_id", $"toks", $"n",
+          explode(expr("sequence(1, n - 2)")).as("i"))
+        .select($"doc_id", $"n", $"i",
+          expr(TextAnalysis.shingleHashSql).as("h"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+      val f0 = sh.withColumn("fp", min($"h").over(wnd))
+        .filter($"i" <= $"n" - 5) // complete 4-windows only
+        .select($"doc_id", $"fp").distinct()
+      val rare = f0.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= DfCap).select($"fp")
+      val f = f0.join(rare, "fp")
+      val sizes = f0.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+      val pairs = f.toDF("fp", "a_id")
+        .join(f.toDF("fp2", "b_id"),
           $"fp" === $"fp2" && $"a_id" < $"b_id")
         .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
@@ -783,7 +823,10 @@ object Dedup {
 
       "d15_winnowing_overlap" ->
         s"""WITH ${TextAnalysis.winnowSqlCtes},
-           |f AS (SELECT doc_id, t.fp FROM m, unnest(fps) AS t(fp)),
+           |f0 AS (SELECT doc_id, t.fp FROM m, unnest(fps) AS t(fp)),
+           |rare AS (
+           |  SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= $DfCap),
+           |f AS (SELECT f0.doc_id, f0.fp FROM f0 JOIN rare USING (fp)),
            |sizes AS (SELECT doc_id, len(fps) AS n_fp FROM m),
            |pairs AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -100,6 +100,16 @@ object TextAnalysis {
     * ≥6-token shared-run ⇒ shared-fingerprint guarantee is proven by
     * TextAnalysisSpec on constructed inputs.
     */
+  /** Single 3-shingle hash at position column `i` over a `toks` column
+    * — the SAME hash winnowHsExpr computes per lambda element, exposed
+    * for exploded (codegen) formulations like d15 where the array form
+    * would be re-expanded per consumer by projection collapse.
+    */
+  private[graft] val shingleHashSql =
+    "cast(conv(substr(md5(concat_ws(' ', element_at(toks, i), " +
+      "element_at(toks, i + 1), element_at(toks, i + 2))), 1, 7), " +
+      "16, 10) as bigint)"
+
   private[graft] val winnowHsExpr =
     "CASE WHEN size(toks) < 3 THEN cast(array() as array<bigint>) " +
       "ELSE transform(sequence(1, size(toks) - 2), i -> " +

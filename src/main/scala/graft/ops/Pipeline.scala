@@ -184,6 +184,86 @@ object Pipeline {
         .limit(10)
     },
 
+    "p06_sequence_pack" -> { (s, dir) =>
+      import s.implicits._
+      // Concat-and-chunk sequence packing accounting — the shaping step
+      // that turns a curated corpus into fixed-length training samples
+      // (m06 is the binary twin): per source, documents are concatenated
+      // in deterministic (doc_id) order and cut into PackLen-token
+      // chunks; the report says how many chunks each source yields, how
+      // many documents straddle a chunk boundary (they lose attention
+      // continuity), and the padding wasted in the final chunk. All
+      // integer arithmetic — the gate is exact by construction. Scale:
+      // the running offset is a windowed sum PARTITIONED BY SOURCE —
+      // sources are the parallelism unit, exactly how a production
+      // packer shards (a single global concatenation order would demand
+      // a one-reducer cumsum; per-shard packing is what training
+      // pipelines actually do).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select($"doc_id", $"source",
+          when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("split_doc", $"n_toks" > 0 &&
+          expr(s"(cum - n_toks) div $PackLen") =!=
+          expr(s"(cum - 1) div $PackLen"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("total_tokens"),
+          expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen").as("n_chunks"),
+          sum(when($"split_doc", 1L).otherwise(0L)).as("n_split_docs"),
+          (expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen") * PackLen -
+            sum($"n_toks")).as("tail_pad"))
+        .orderBy($"source")
+    },
+
+    "p07_source_mixture" -> { (s, dir) =>
+      import s.implicits._
+      // Token-budget mixture sampling — the step that turns "keep
+      // everything" into a TRAINING MIX: every source is allotted an
+      // equal share of the corpus token budget (the uniform case of
+      // temperature-weighted mixing), oversized sources are sampled
+      // down to their allotment, undersized ones keep everything. Doc
+      // selection is a deterministic md5 coin per doc_id against an
+      // integer threshold — reproducible across runs/engines, no RNG
+      // state, and the SAME docs are chosen no matter how the corpus is
+      // partitioned (the property a resumable 100 TB sampling pass
+      // needs). Shapes: per-source totals are one map-side-partial agg;
+      // the threshold table is sources-sized and broadcasts back; the
+      // sample pass is a narrow filter over the scan.
+      val d = docs(s, dir).select($"doc_id", $"source",
+        when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+      val per = d.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tok_s"))
+      val tot = per.agg(sum($"tok_s").as("t_total"),
+        count(lit(1)).as("n_src"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("target", expr("t_total div n_src"))
+        .withColumn("thresh",
+          when($"tok_s" <= $"target", lit(1000000L)).otherwise(
+            floor($"target".cast("double") / $"tok_s".cast("double") *
+              lit(1000000.0)).cast("long")))
+        .select($"source", $"n_docs", $"tok_s", $"thresh")
+      val kept = d.join(broadcast(rates.select($"source", $"thresh")), "source")
+        .filter(expr(
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) " +
+            "as bigint) % 1000000") < $"thresh")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"n_toks").as("tokens_sampled"))
+      rates.join(kept, Seq("source"), "left")
+        .select($"source", $"n_docs", $"tok_s".as("total_tokens"),
+          $"thresh",
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+          coalesce($"tokens_sampled", lit(0L)).as("tokens_sampled"))
+        .orderBy($"source")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -218,6 +298,11 @@ object Pipeline {
     * source (d12's contamination measure as a gate).
     */
   private val MaxContamRatio = 0.5
+
+  /** p06's training-sample length in tokens (a small stand-in for the
+    * usual 2k–8k context windows; the arithmetic is length-agnostic).
+    */
+  private val PackLen = 512
 
   def oracle: Map[String, String] = Map(
     "p01_curation_pipeline" ->
@@ -317,6 +402,61 @@ object Pipeline {
         |  round(n * n_keys / CAST(total AS DOUBLE), 4) AS x_mean
         |FROM counts CROSS JOIN totals
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    "p06_sequence_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
+         |    AS n_chunks,
+         |  CAST(sum(CASE WHEN n_toks > 0 AND
+         |      (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  CAST(((sum(n_toks) + $PackLen - 1) // $PackLen) * $PackLen
+         |    - sum(n_toks) AS BIGINT) AS tail_pad
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "p07_source_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS tok_s
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(tok_s) AS BIGINT) AS t_total,
+        |    count(*) AS n_src FROM per),
+        |rates AS (
+        |  SELECT source, n_docs, tok_s,
+        |    CASE WHEN tok_s <= t_total // n_src THEN 1000000
+        |         ELSE CAST(floor(CAST(t_total // n_src AS DOUBLE)
+        |           / CAST(tok_s AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    END AS thresh
+        |  FROM per CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_sampled,
+        |    CAST(sum(d.n_toks) AS BIGINT) AS tokens_sampled
+        |  FROM d JOIN rates r ON d.source = r.source
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |        % 1000000 < r.thresh
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.tok_s AS total_tokens, r.thresh,
+        |  CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(k.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

@@ -165,6 +165,98 @@ object Similarity {
       .select($"q_id", $"n_id", $"cos", $"rnk")
   }
 
+  /** s09/s10's keyword query. Terms chosen to have distinct document
+    * frequencies in the fixture vocabulary; the scoring is term-agnostic.
+    */
+  private val BmTerms = Seq("spark", "window", "query")
+  private val RrfK = 60
+
+  /** The per-(doc, term) BM25 score — ONE expression string, valid in
+    * BOTH Spark SQL and DuckDB, over columns (n_corpus, df, tf, len,
+    * avgdl). Explicit double casts force every intermediate onto the
+    * IEEE double path in both engines (bare `0.5`-style literals parse
+    * as DECIMAL in both dialects, and decimal division semantics
+    * differ); k1 = 1.25 and b = 0.75 are binary-exact so even the
+    * literals' decimal→double conversions are exact. Rounded to 6 and
+    * cast DECIMAL(12,6) so the cross-term sum is exact and
+    * order-insensitive.
+    */
+  private val bm25ScoreSql =
+    """cast(round(
+      |  ln((cast(n_corpus as double) - df + 0.5)
+      |     / (cast(df as double) + 0.5) + 1.0) *
+      |  (cast(tf as double) * (1.25 + 1)) /
+      |  (cast(tf as double)
+      |   + 1.25 * (1 - 0.75 + 0.75 * cast(len as double) / avgdl)),
+      |6) as decimal(12,6))""".stripMargin
+
+  private def docsTbl(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** BM25-scored keyword retrieval core (UNSORTED): per matching doc,
+    * the exact-decimal score sum `bm25d` and matched-term count.
+    *
+    * Engine parity is by construction: avgdl is written explicitly as
+    * sum/count (ONE integer-exact division — engines' avg() kernels may
+    * differ in summation order), every per-term float expression is the
+    * same operation tree in both engines (IEEE ops on identical
+    * inputs), and per-term scores are rounded then summed in DECIMAL so
+    * the cross-term sum is exact and order-insensitive.
+    *
+    * Scale posture: tf touches only postings of the query terms (the
+    * filter is before the wordcount shuffle); df and the corpus stats
+    * are term-/single-row-sized and broadcast; nothing else shuffles.
+    */
+  private def bm25Core(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docsTbl(s, dir).select($"doc_id", $"text",
+      when($"text".isNull, lit(0L))
+        .otherwise(size(split($"text", " ")).cast("long")).as("len"))
+    val tf = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(BmTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val stats = d.agg(count(lit(1)).as("n_corpus"),
+      (sum($"len").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    tf.join(broadcast(df), "term")
+      .join(d.select($"doc_id", $"len"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", expr(bm25ScoreSql))
+      .groupBy($"doc_id")
+      .agg(sum($"sc").as("bm25d"), count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB twin of [[bm25Core]]: CTE chain ending in
+    * bm(doc_id, bm25d, n_terms).
+    */
+  private val bm25SqlCtes: String = {
+    val termList = BmTerms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN text IS NULL THEN 0
+       |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS len,
+       |    text
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d)
+       |  WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       |       GROUP BY term),
+       |stats AS (
+       |  SELECT count(*) AS n_corpus,
+       |    CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM d),
+       |sc AS (
+       |  SELECT tf.doc_id, $bm25ScoreSql AS sc
+       |  FROM tf JOIN df USING (term) JOIN d USING (doc_id)
+       |  CROSS JOIN stats),
+       |bm AS (
+       |  SELECT doc_id, sum(sc) AS bm25d, count(*) AS n_terms
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> { (s, dir) =>
       import s.implicits._
@@ -264,6 +356,51 @@ object Similarity {
           round(avg($"cos"), 4).as("avg_cos"),
           round(max($"cos"), 4).as("max_cos"))
         .orderBy($"label")
+    },
+
+    "s09_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      // BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
+      // idf variant): top-10 docs for a 3-term query. The lexical
+      // retrieval half of a hybrid search stack — s10 fuses it with the
+      // vector half. Ranked on the exact-decimal score (ties broken by
+      // doc_id), presented as double.
+      bm25Core(s, dir)
+        .orderBy($"bm25d".desc, $"doc_id").limit(10)
+        .select($"doc_id", $"n_terms", $"bm25d".cast("double").as("bm25"))
+    },
+
+    "s10_hybrid_rrf" -> { (s, dir) =>
+      import s.implicits._
+      // HYBRID retrieval: reciprocal-rank fusion (Cormack et al.) of
+      // the BM25 keyword ranking (s09's core) and the cosine vector
+      // ranking against doc 0's embedding (doc_id and vec_id share the
+      // fixture id space). RRF works on RANKS — integers, so the fusion
+      // is engine-exact regardless of how either engine's floats got
+      // there — and needs no score normalization, which is why it's the
+      // standard first fusion in production hybrid search. Each side's
+      // global row_number ranks only that side's RETRIEVED set (posting
+      // lists / top candidates), bounded sets by construction at any
+      // corpus size; the fused contribution 1/(k+r) is two IEEE
+      // divisions summed in a fixed order.
+      val bmRanked = bm25Core(s, dir).filter($"doc_id" =!= 0)
+        .withColumn("r_bm", row_number().over(
+          Window.orderBy($"bm25d".desc, $"doc_id")))
+        .select($"doc_id", $"r_bm")
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      val cosRanked = e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 6))
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy($"cos".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"cos", $"r_cos")
+      cosRanked.join(bmRanked, Seq("doc_id"), "left")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_bm"), lit(0.0)) +
+            lit(1.0) / (lit(RrfK) + $"r_cos"), 6))
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+        .select($"doc_id", $"r_cos", $"r_bm", $"rrf")
     },
 
     "s08_filtered_search" -> { (s, dir) =>
@@ -466,6 +603,37 @@ object Similarity {
         |    AS max_cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |GROUP BY a.label ORDER BY a.label""".stripMargin,
+
+    "s09_bm25_topk" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
+         |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    "s10_hybrid_rrf" ->
+      s"""WITH $bm25SqlCtes,
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25d DESC, doc_id)
+         |    AS r_bm
+         |  FROM bm WHERE doc_id <> 0),
+         |e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+         |cr AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos,
+         |    row_number() OVER (
+         |      ORDER BY round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6)
+         |        DESC, vec_id) AS r_cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+         |SELECT cr.doc_id, cr.r_cos, b.r_bm,
+         |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_bm),
+         |          CAST(0 AS DOUBLE))
+         |        + CAST(1 AS DOUBLE) / ($RrfK + cr.r_cos), 6) AS rrf
+         |FROM cr LEFT JOIN bmr b ON b.doc_id = cr.doc_id
+         |ORDER BY rrf DESC, cr.doc_id LIMIT 10""".stripMargin,
 
     "s08_filtered_search" ->
       s"""WITH e AS (

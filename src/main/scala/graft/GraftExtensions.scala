@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Config-installable entry point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` registers every graft
+  * SQL function and the TopKPerKey planner strategy on EVERY session
+  * built from that config — including `newSession()` clones and
+  * SQL-only clients (Thrift/Connect) that never touch the Scala API.
+  *
+  * `functions.registerAll` + `plans.TopKPerKey.install` remain the
+  * per-session alternative for attaching to an already-built session
+  * (the driver harness's case); both paths share one function table
+  * ([[functions.sqlFunctions]]) so they cannot drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    functions.sqlFunctions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
+    ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
+  }
+}

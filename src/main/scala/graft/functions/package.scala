@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Custom codegen'd Catalyst expressions (SURVEY.md §2.4 "custom
   * surface"): every one also registers as a SQL function so
@@ -8,15 +9,35 @@ import org.apache.spark.sql.SparkSession
   * operators use.
   */
 package object functions {
+
+  /** The one (name, implementing class, builder) table both
+    * registration paths drive off: [[registerAll]] (attach to an
+    * existing session) and [[graft.GraftExtensions]] (config-installed,
+    * applies to every session built from the config).
+    */
+  private[graft] val sqlFunctions
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSim].getName,
+      e => CosineSim(e(0), e(1))),
+    ("hamming64", classOf[Hamming64].getName,
+      e => Hamming64(e(0), e(1))),
+    ("simhash64", classOf[SimHash64].getName,
+      e => SimHash64(e(0), e(1))),
+    ("dot_product", classOf[DotProduct].getName,
+      e => DotProduct(e(0), e(1))),
+    ("minhash_slot", classOf[MinHashSlot].getName,
+      e => MinHashSlot(e(0), e(1), e(2), e(3))),
+    ("abs_diff_sum", classOf[AbsDiffSum].getName,
+      e => AbsDiffSum(e(0), e(1))),
+    ("nfc_normalize", classOf[NfcNormalize].getName,
+      e => NfcNormalize(e(0))),
+    ("zorder64", classOf[ZOrder64].getName,
+      e => ZOrder64(e(0), e(1))))
+
   /** Register every graft SQL function on the session. */
-  def registerAll(spark: SparkSession): Unit = {
-    CosineSim.register(spark)
-    Hamming64.register(spark)
-    SimHash64.register(spark)
-    DotProduct.register(spark)
-    MinHashSlot.register(spark)
-    AbsDiffSum.register(spark)
-    NfcNormalize.register(spark)
-    ZOrder64.register(spark)
-  }
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -144,6 +144,17 @@ object TextAnalysis {
       |    END AS fps
       |  FROM h)""".stripMargin
 
+  /** t16's per-(doc, term) surprisal contribution tf·ln(p(term)) — one
+    * expression string valid in both Spark SQL and DuckDB; explicit
+    * double casts keep every op on the IEEE double path (bare decimal
+    * literals/divisions diverge between dialects), and the round →
+    * DECIMAL cast makes the per-doc sum exact and order-insensitive.
+    */
+  private val surprisalScoreSql =
+    """cast(round(cast(tf as double) *
+      |  ln(cast(cnt as double) / cast(total as double)), 6)
+      |as decimal(14,6))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
@@ -337,6 +348,37 @@ object TextAnalysis {
           concat($"text", suffix)))
         .select($"doc_id", length($"text").as("len_raw"),
           length($"norm").as("len_norm"), md5($"norm").as("norm_md5"))
+        .orderBy($"doc_id")
+    },
+
+    "t16_unigram_surprisal" -> { (s, dir) =>
+      import s.implicits._
+      // CCNet-style cheap language-model proxy: per-doc mean unigram
+      // surprisal −Σ tf·ln(p(term))/len in nats against the CORPUS
+      // unigram distribution. Repetitive/boilerplate docs score low,
+      // vocabulary-dense docs score high — the standard first
+      // perplexity-ish quality cut before paying for a real LM pass.
+      // Shapes at 100 TB: one wordcount shuffle (doc_id, term) with
+      // map-side partials; the corpus distribution is |vocab|-sized and
+      // broadcast; corpus totals ride along as one broadcast row.
+      // Parity: the per-term contribution is ONE shared expression
+      // string (explicit double casts, see bm25ScoreSql's rationale)
+      // rounded then summed in DECIMAL, so cross-term order cannot leak
+      // into the gate; the final division is one double op pair.
+      val tf = docs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dist = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+      val tot = dist.agg(sum($"cnt").as("total"))
+      val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+      tf.join(broadcast(dist), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("sc", expr(surprisalScoreSql))
+        .groupBy($"doc_id").agg(sum($"sc").as("s"))
+        .join(lens, "doc_id")
+        .select($"doc_id", $"len".cast("long").as("len"),
+          expr("round(-(cast(s as double)) / cast(len as double), 6)")
+            .as("surprisal"))
         .orderBy($"doc_id")
     },
 
@@ -604,6 +646,27 @@ object TextAnalysis {
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(*) AS n, TRUE AS sketch_ok
         |FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t16_unigram_surprisal" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term),
+         |dist AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+         |  GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM dist),
+         |lens AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT tf.doc_id, $surprisalScoreSql AS sc
+         |  FROM tf JOIN dist USING (term) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, sum(sc) AS s FROM sc GROUP BY doc_id)
+         |SELECT a.doc_id, l.len,
+         |  round(-(cast(s as double)) / cast(len as double), 6) AS surprisal
+         |FROM agg a JOIN lens l USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "t07_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,

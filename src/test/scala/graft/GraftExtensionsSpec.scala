@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The config-installed registration path (`spark.sql.extensions=
+  * graft.GraftExtensions`): asserted on a `newSession()` CLONE, which
+  * re-applies injected extensions but does NOT inherit temp functions —
+  * so success here cannot come from another suite's `registerAll`.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("injected SQL functions resolve on a fresh session clone") {
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "hamming64(1L, 3L) AS h, nfc_normalize('abc') AS s").head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getInt(1) == 1)
+    assert(row.getString(2) == "abc")
+  }
+
+  test("every table entry is injected (none lost between the paths)") {
+    val fresh = spark.newSession()
+    val names = Seq("cosine_sim", "hamming64", "simhash64", "dot_product",
+      "minhash_slot", "abs_diff_sum", "nfc_normalize", "zorder64")
+    names.foreach { n =>
+      assert(
+        fresh.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst
+            .FunctionIdentifier(n)),
+        s"function $n not injected")
+    }
+  }
+
+  test("TopKPerKey plans on a fresh clone without install()") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 7))
+      .toDF("k", "v")
+    val top = plans.TopKPerKey(df, Seq("k"), struct(col("v")), 2)
+    val got = top.groupBy($"k").agg(sum($"v").as("s"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 3L), ("b", 16L)))
+  }
+}

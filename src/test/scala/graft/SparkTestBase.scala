@@ -45,6 +45,10 @@ object SparkTestBase {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    // The config-installed extension path under test in
+    // GraftExtensionsSpec; per-suite registerAll calls stay, proving
+    // the two registration paths coexist.
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -256,7 +256,10 @@ object Pipeline {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_sampled"),
           sum($"n_toks").as("tokens_sampled"))
-      rates.join(kept, Seq("source"), "left")
+      // both sides are |sources|-sized; the broadcast hint matters only
+      // to the PRE-adaptive plan (the crossJoin above inflates size
+      // estimates enough that static planning picks a sort-merge join)
+      rates.join(broadcast(kept), Seq("source"), "left")
         .select($"source", $"n_docs", $"tok_s".as("total_tokens"),
           $"thresh",
           coalesce($"n_sampled", lit(0L)).as("n_sampled"),

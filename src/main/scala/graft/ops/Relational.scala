@@ -332,6 +332,25 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    "q30_rank_battery" -> { (s, dir) =>
+      import s.implicits._
+      // Relative-position window functions (percent_rank, cume_dist,
+      // dense_rank) — the remaining rank family q15/q21 don't cover.
+      // Both are exact rationals of integer rank/count, so the doubles
+      // are engine-identical by IEEE division; round(6) is belt and
+      // braces. Deterministic ordering via the orderkey tiebreak.
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_orderkey" % 50 === 0)
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice", 2).as("price"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"o_orderkey")
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -693,6 +712,18 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q30_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(o_totalprice, 2) AS price,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q16_outer_join" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey,

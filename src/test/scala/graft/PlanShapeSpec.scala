@@ -163,4 +163,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       == 0, s"winnowing must not shuffle:\n${p.take(2000)}")
   }
+
+  test("d15: fingerprint subtree stays codegen — no interpreted HOF " +
+      "lambda survives into the physical plan") {
+    // Regression for the round-4 hang: d15 fans the fingerprint subtree
+    // out to four consumers, and with the array-HOF formulation
+    // projection collapse inlined toks→hs→fps into interpreted lambdas
+    // (O(n³)-ish per doc, one scan task pinned for 5+ CPU-minutes at
+    // sf0.1). The exploded form must keep the plan lambda-free.
+    val p = plan("d15_winnowing_overlap")
+    assert(!p.contains("lambdafunction"),
+      s"d15 must not plan interpreted HOF lambdas:\n${p.take(2000)}")
+  }
+
+  test("p07: sampling threshold joins back as a broadcast, and the " +
+      "corpus-total side is a single broadcast row") {
+    val p = plan("p07_source_mixture")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0, p)
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")), p)
+  }
+
+  test("s09: the query-term filter runs before the wordcount exchange " +
+      "(postings only, never the full token stream)") {
+    val p = plan("s09_bm25_topk")
+    val lines = p.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("spark"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(filterIdx >= 0, s"term filter missing:\n${p.take(2000)}")
+    assert(exchangeIdx >= 0, s"wordcount exchange missing:\n${p.take(2000)}")
+    // executedPlan prints top-down: the filter must sit BELOW (later
+    // line than) the first aggregation exchange, i.e. on the scan side.
+    assert(filterIdx > exchangeIdx, p.take(2000))
+  }
 }

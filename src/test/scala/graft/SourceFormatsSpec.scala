@@ -60,4 +60,27 @@ class SourceFormatsSpec extends SparkTestBase {
       assert(df.filter(col("doc_id").isNotNull).count() == 2)
     } finally df.unpersist()
   }
+
+  test("ORC round trip preserves every row and column") {
+    // ORC is the other columnar format Spark ships natively.
+    val dir = tmpDir("orc") + "/docs"
+    val src = Tables.load(spark, sfVerify, "documents")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(src.schema).orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+  }
+
+  test("ORC predicate pushdown reaches the scan like parquet's") {
+    val dir = tmpDir("orcpush") + "/docs"
+    val src = Tables.load(spark, sfVerify, "documents")
+    src.write.mode("overwrite").orc(dir)
+    val q = spark.read.schema(src.schema).orc(dir)
+      .filter(col("source") === "src0").select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(source)"),
+      plan.take(1200))
+    assert(q.count() == src.filter(col("source") === "src0").count())
+  }
 }

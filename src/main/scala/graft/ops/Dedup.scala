@@ -73,6 +73,12 @@ object Dedup {
     */
   private val DfCap = 20L
 
+  /** d16's SemDeDup similarity threshold — fixture-tuned (synthetic
+    * vectors top out ~0.5 within a cell; real embedding spaces run
+    * ~0.95+). The keep rule and join shape are threshold-agnostic.
+    */
+  private val SemDedupTau = 0.35
+
   /** Spark-side 3-token shingle array (1-based element_at). */
   private[graft] val shingleExpr =
     "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
@@ -583,6 +589,62 @@ object Dedup {
         .orderBy($"source")
     },
 
+    "d17_incremental_near_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // Incremental NEAR-dup admission — d13's production ingest mode
+      // upgraded from exact fingerprints to MinHash/LSH: an incoming
+      // batch (doc_id % 5 = 4, d13's split) probes the corpus's
+      // materialized band index; band collisions are candidates,
+      // verified by estimated Jaccard ≥ 0.5 (d03's rule, shared slots
+      // and bands). A verified corpus match rejects the newcomer
+      // outright; otherwise a verified LOWER-id batch neighbor rejects
+      // it (greedy first-wins within the batch, d16's rule); the rest
+      // are admitted. Per-source funnel, every incoming doc in exactly
+      // one bucket — corpus rejection takes precedence. Shapes at
+      // 100 TB: the corpus contributes only its (band, id) index rows
+      // to equi-joins (the index is what an ingest service keeps); the
+      // batch side is small; signature rejoin for verification keys on
+      // ids — never all-pairs.
+      val sigs = minhashCore(s, dir)
+      val inc = sigs.filter($"doc_id" % 5 === 4)
+      val corp = sigs.filter($"doc_id" % 5 =!= 4)
+      val bInc = bandsOf(s, inc)
+      val bCorp = bandsOf(s, corp).toDF("c_id", "band")
+      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+      val matches = (0 until 6).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      def verified(cand: DataFrame): DataFrame = cand
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est", round(matches / lit(6.0), 6))
+        .filter($"est" >= 0.5)
+      val rejCorpus = verified(
+        bInc.join(bCorp, "band")
+          .select($"c_id".as("a_id"), $"doc_id".as("b_id")).distinct())
+        .select($"b_id".as("doc_id")).distinct()
+        .withColumn("rej_corpus", lit(1))
+      val a2 = bInc.toDF("a_id", "band")
+      val b2 = bInc.toDF("b_id", "band2")
+      val rejBatch = verified(
+        a2.join(b2, $"band" === $"band2" && $"a_id" < $"b_id")
+          .select($"a_id", $"b_id").distinct())
+        .select($"b_id".as("doc_id")).distinct()
+        .withColumn("rej_batch", lit(1))
+      inc.select($"doc_id")
+        .join(rejCorpus, Seq("doc_id"), "left")
+        .join(rejBatch, Seq("doc_id"), "left")
+        .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when($"rej_corpus".isNotNull, 1L).otherwise(0L))
+            .as("n_rej_corpus"),
+          sum(when($"rej_corpus".isNull && $"rej_batch".isNotNull, 1L)
+            .otherwise(0L)).as("n_rej_batch"),
+          sum(when($"rej_corpus".isNull && $"rej_batch".isNull, 1L)
+            .otherwise(0L)).as("n_admitted"))
+        .orderBy($"source")
+    },
+
     "d10_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // STREAMING dedup through the engine: the same exact-dedup
@@ -622,6 +684,41 @@ object Dedup {
         .filter($"cos" >= 0.45)
         .select($"a_id", $"b_id", $"label", $"cos")
         .orderBy($"a_id", $"b_id")
+    },
+
+    "d16_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // SemDeDup (Abbas et al. 2023) — embedding-space dedup APPLIED,
+      // not just listed (d06 lists pairs): within each cluster (the
+      // fixture's label cells standing in for the paper's k-means
+      // cells), a vector is dropped when any LOWER-id vector of the
+      // same cell sits within the similarity threshold; survivors are
+      // the cell's exemplars. The deterministic lowest-id-wins keep
+      // rule restated join-wise: one equi-join on the cell key (never
+      // all-pairs — the clustering exists precisely to bound the pair
+      // set), a distinct over dropped ids, and per-cell accounting
+      // whose shuffles carry only (cell, id) pairs. τ = 0.35 splits the
+      // synthetic fixture non-trivially (real embedding spaces run
+      // ~0.95+); the machinery is threshold-agnostic.
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"label",
+          $"embedding".cast("array<double>").as("v"))
+      val a2 = e.toDF("a_id", "label", "va")
+      val b2 = e.toDF("b_id", "label_b", "vb")
+      val dropped = a2
+        .join(b2, $"label" === $"label_b" && $"a_id" < $"b_id")
+        .withColumn("cos",
+          round(graft.functions.CosineSim($"va", $"vb"), 4))
+        .filter($"cos" >= SemDedupTau)
+        .select($"label", $"b_id").distinct()
+      val drops = dropped.groupBy($"label")
+        .agg(count(lit(1)).as("n_dropped"))
+      e.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+        .join(drops, Seq("label"), "left")
+        .select($"label", $"n_vectors",
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+          ($"n_vectors" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+        .orderBy($"label")
     })
 
   def oracle: Map[String, String] = {
@@ -673,6 +770,41 @@ object Dedup {
            |JOIN sigs sb ON sb.doc_id = b_id
            |WHERE round(($matchSum) / 6.0, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d17_incremental_near_dedup" ->
+        s"""WITH $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |binc AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+           |bcorp AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+           |rejc AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
+           |    FROM binc i JOIN bcorp c ON i.band = c.band) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |rejb AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM binc a JOIN binc b
+           |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |inc AS (SELECT doc_id FROM sigs WHERE doc_id % 5 = 4)
+           |SELECT d.source, count(*) AS n_incoming,
+           |  CAST(sum(CASE WHEN rc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_rej_corpus,
+           |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NOT NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch,
+           |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+           |FROM inc
+           |JOIN documents d ON d.doc_id = inc.doc_id
+           |LEFT JOIN rejc rc ON rc.doc_id = inc.doc_id
+           |LEFT JOIN rejb rb ON rb.doc_id = inc.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
       "d08_dedup_components" ->
         s"""WITH RECURSIVE $shingleHashSql,
@@ -886,6 +1018,29 @@ object Dedup {
           |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
           |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
           |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
-          |ORDER BY a_id, b_id""".stripMargin)
+          |ORDER BY a_id, b_id""".stripMargin,
+
+      "d16_semantic_dedup" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, label, v,
+           |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |dropped AS (
+           |  SELECT DISTINCT a.label, b.vec_id AS b_id
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+           |        >= $SemDedupTau),
+           |drops AS (
+           |  SELECT label, count(*) AS n_dropped FROM dropped
+           |  GROUP BY label),
+           |tot AS (SELECT label, count(*) AS n_vectors FROM e
+           |        GROUP BY label)
+           |SELECT t.label, t.n_vectors,
+           |  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           |  CAST(t.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT)
+           |    AS n_kept
+           |FROM tot t LEFT JOIN drops d ON t.label = d.label
+           |ORDER BY t.label""".stripMargin)
   }
 }

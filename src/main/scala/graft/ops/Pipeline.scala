@@ -307,6 +307,56 @@ object Pipeline {
     */
   private val PackLen = 512
 
+  /** p01's curation plan with ZERO-EXTRA-PASS audit instrumentation:
+    * Spark's CollectMetrics (`observe`) attaches named aggregates to
+    * plan nodes that are computed DURING the normal action — no second
+    * job, no extra scan — and surfaces them through `Observation` /
+    * `QueryExecutionListener`. At 100 TB this is how a curation run
+    * reports "docs seen / docs past the gate" without paying another
+    * corpus pass for the counts. The observation points sit AFTER the
+    * quality filter (post-gate count + token sum) and ON the final
+    * report (sources emitted), so the numbers audit the exact rows the
+    * plan processed — not a re-computation that could drift.
+    *
+    * Kept OUT of the registered p01 query: CollectMetrics is an
+    * optimizer barrier, and the gated plan's pushdown/fusion shape
+    * (PlanShapeSpec) must not depend on whether auditing is attached.
+    */
+  def curationWithAudit(s: SparkSession, dir: String,
+      gate: org.apache.spark.sql.Observation,
+      report: org.apache.spark.sql.Observation): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir)
+      .withColumn("n_toks", size(split($"text", " ")))
+      .filter($"n_toks" >= MinTokens)
+      .observe(gate, count(lit(1)).as("n_pass_total"),
+        sum($"n_toks").cast("long").as("tokens_pass_total"))
+      .withColumn("fp", md5(
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+          " +", " "))))
+    val survivors = base
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"source", $"n_toks")).as("keep"))
+      .select($"keep.source".as("source"), $"keep.n_toks".as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_toks").cast("long").as("total_tokens_kept"))
+    val passed = base.groupBy($"source")
+      .agg(count(lit(1)).as("n_pass"))
+    passed.join(survivors, Seq("source"), "left")
+      .select($"source", $"n_pass",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_pass" - coalesce($"n_kept", lit(0L))).as("n_dups_removed"),
+        coalesce($"total_tokens_kept", lit(0L)).as("total_tokens_kept"))
+      // report metrics attach ABOVE the presentation sort: a range
+      // exchange SAMPLES its child to pick partition boundaries, so a
+      // CollectMetrics below it is executed twice and double-counts
+      .orderBy($"source")
+      .observe(report, count(lit(1)).as("n_sources"),
+        sum($"n_kept").cast("long").as("n_kept_total"))
+  }
+
   def oracle: Map[String, String] = Map(
     "p01_curation_pipeline" ->
       s"""WITH base AS (

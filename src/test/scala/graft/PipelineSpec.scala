@@ -62,4 +62,26 @@ class PipelineSpec extends SparkTestBase {
     assert(kept > 0 && kept < corpus,
       s"thresholds must split the fixture non-trivially (kept=$kept)")
   }
+
+  test("curationWithAudit: observe() metrics match the gated result " +
+      "with no extra job, and the result itself is unchanged") {
+    val gate = org.apache.spark.sql.Observation("gate")
+    val report = org.apache.spark.sql.Observation("report")
+    val audited = ops.Pipeline
+      .curationWithAudit(spark, sfVerify, gate, report).collect()
+    val plain = ops.Pipeline.queries("p01_curation_pipeline")(spark, sfVerify)
+      .collect()
+    assert(audited.toSeq == plain.toSeq,
+      "audit instrumentation must not change the result")
+    // the audit numbers are computed on the SAME pass: they must equal
+    // the result's own totals exactly
+    val g = gate.get
+    val r = report.get
+    assert(g("n_pass_total") == plain.map(_.getLong(1)).sum)
+    assert(r("n_sources") == plain.length.toLong)
+    assert(r("n_kept_total") == plain.map(_.getLong(2)).sum)
+    assert(g("tokens_pass_total").asInstanceOf[Long] >=
+      plain.map(_.getLong(4)).sum,
+      "tokens past the gate can only shrink at dedup")
+  }
 }

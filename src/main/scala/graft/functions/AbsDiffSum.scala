@@ -94,6 +94,5 @@ object AbsDiffSum {
 
   /** SQL registration: `SELECT abs_diff_sum(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "abs_diff_sum", exprs => AbsDiffSum(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "abs_diff_sum")
 }

@@ -117,6 +117,5 @@ object CosineSim {
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "cosine_sim")
 }

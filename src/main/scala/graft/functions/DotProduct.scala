@@ -96,6 +96,5 @@ object DotProduct {
 
   /** SQL registration: `SELECT dot_product(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "dot_product")
 }

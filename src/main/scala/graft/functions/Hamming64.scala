@@ -50,6 +50,5 @@ object Hamming64 {
 
   /** SQL registration: `SELECT hamming64(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming64", exprs => Hamming64(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "hamming64")
 }

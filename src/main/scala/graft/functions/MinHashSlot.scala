@@ -115,8 +115,5 @@ object MinHashSlot {
 
   /** SQL registration: `SELECT minhash_slot(hs, a, b, p)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_slot",
-      exprs => MinHashSlot(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "built-in")
+    registerOne(spark, "minhash_slot")
 }

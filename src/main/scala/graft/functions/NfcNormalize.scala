@@ -65,6 +65,5 @@ object NfcNormalize {
 
   /** SQL registration: `SELECT nfc_normalize(text)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
+    registerOne(spark, "nfc_normalize")
 }

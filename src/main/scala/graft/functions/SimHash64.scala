@@ -149,6 +149,5 @@ object SimHash64 {
 
   /** SQL registration: `SELECT simhash64(ha, hb)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "simhash64")
 }

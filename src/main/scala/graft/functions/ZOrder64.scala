@@ -84,6 +84,5 @@ object ZOrder64 {
 
   /** SQL registration: `SELECT zorder64(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder64", exprs => ZOrder64(exprs(0), exprs(1)), "built-in")
+    registerOne(spark, "zorder64")
 }

@@ -36,8 +36,18 @@ package object functions {
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit =
-    sqlFunctions.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
-    }
+    sqlFunctions.foreach { case (name, _, _) => registerOne(spark, name) }
+
+  /** Register ONE function by its table name — the per-companion
+    * `register` methods delegate here, so there is exactly one
+    * (name, builder) pair per function in the codebase and a builder
+    * fixed in the table can never diverge from what a spec registers.
+    */
+  private[functions] def registerOne(spark: SparkSession,
+      name: String): Unit = {
+    val (_, _, builder) = sqlFunctions.find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown graft function: $name"))
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
 }

@@ -79,6 +79,22 @@ object Dedup {
     */
   private val SemDedupTau = 0.35
 
+  /** Within-cell embedding pair stream shared by d06 (pair listing) and
+    * d16 (SemDeDup accounting): (a_id, b_id, label, cos) for a < b in
+    * the same label cell, cosine rounded to 4. The cell equi-join is
+    * the scale bound — never all-pairs.
+    */
+  private def labelCosPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val a = e.toDF("a_id", "label", "va")
+    val b = e.toDF("b_id", "label_b", "vb")
+    a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"va", $"vb"), 4))
+      .select($"a_id", $"b_id", $"label", $"cos")
+  }
+
   /** Spark-side 3-token shingle array (1-based element_at). */
   private[graft] val shingleExpr =
     "transform(sequence(1, greatest(size(toks) - 2, 1)), i -> " +
@@ -675,12 +691,7 @@ object Dedup {
       // fixture's clusters), cosine via double-precision zip_with dot.
       // Threshold 0.45 exercises the operator on this fixture (real
       // pipelines use ~0.95); unblocked + IVF variants in Similarity.
-      val e = Tables.load(s, dir, "embeddings")
-        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-      val a = e.toDF("a_id", "label", "va")
-      val b = e.toDF("b_id", "label_b", "vb")
-      a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
-        .withColumn("cos", round(graft.functions.CosineSim($"va", $"vb"), 4))
+      labelCosPairs(s, dir)
         .filter($"cos" >= 0.45)
         .select($"a_id", $"b_id", $"label", $"cos")
         .orderBy($"a_id", $"b_id")
@@ -696,24 +707,18 @@ object Dedup {
       // the cell's exemplars. The deterministic lowest-id-wins keep
       // rule restated join-wise: one equi-join on the cell key (never
       // all-pairs — the clustering exists precisely to bound the pair
-      // set), a distinct over dropped ids, and per-cell accounting
-      // whose shuffles carry only (cell, id) pairs. τ = 0.35 splits the
-      // synthetic fixture non-trivially (real embedding spaces run
-      // ~0.95+); the machinery is threshold-agnostic.
-      val e = Tables.load(s, dir, "embeddings")
-        .select($"vec_id", $"label",
-          $"embedding".cast("array<double>").as("v"))
-      val a2 = e.toDF("a_id", "label", "va")
-      val b2 = e.toDF("b_id", "label_b", "vb")
-      val dropped = a2
-        .join(b2, $"label" === $"label_b" && $"a_id" < $"b_id")
-        .withColumn("cos",
-          round(graft.functions.CosineSim($"va", $"vb"), 4))
+      // set, d06's shared labelCosPairs), a distinct over dropped ids,
+      // and per-cell accounting whose shuffles carry only (cell, id)
+      // pairs. τ = 0.35 splits the synthetic fixture non-trivially
+      // (real embedding spaces run ~0.95+); threshold-agnostic
+      // machinery.
+      val dropped = labelCosPairs(s, dir)
         .filter($"cos" >= SemDedupTau)
         .select($"label", $"b_id").distinct()
       val drops = dropped.groupBy($"label")
         .agg(count(lit(1)).as("n_dropped"))
-      e.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+      Tables.load(s, dir, "embeddings")
+        .groupBy($"label").agg(count(lit(1)).as("n_vectors"))
         .join(drops, Seq("label"), "left")
         .select($"label", $"n_vectors",
           coalesce($"n_dropped", lit(0L)).as("n_dropped"),

@@ -34,43 +34,66 @@ object Pipeline {
     */
   private val MinTokens = 5
 
+  /** p01's curation plan, shared by the registered query (no
+    * observations — CollectMetrics is an optimizer barrier, and the
+    * gated plan's pushdown/fusion shape must not depend on auditing)
+    * and [[curationWithAudit]] (both observation points attached). ONE
+    * definition, so the audited variant can never silently report on a
+    * different pipeline than the gated one.
+    *
+    * Stage 1 (quality): drop docs under MinTokens whitespace tokens.
+    * Stage 2 (normalize): lowercase, strip non-alphanumerics, collapse
+    *   runs of spaces — the canonical near-exact-dedup normalization
+    *   (catches case/punctuation-only copies d01's raw-text
+    *   fingerprint misses).
+    * Stage 3 (dedup): md5 fingerprint of the normalized text, keep the
+    *   lowest doc_id per fingerprint (min(struct) carries the
+    *   survivor's source/tokens through the same aggregation — no
+    *   second join back to the corpus).
+    * Stage 4 (report): per-source pass/kept/removed/token totals.
+    */
+  private def curationPlan(s: SparkSession, dir: String,
+      gate: Option[org.apache.spark.sql.Observation],
+      report: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    import s.implicits._
+    val gated = docs(s, dir)
+      .withColumn("n_toks", size(split($"text", " ")))
+      .filter($"n_toks" >= MinTokens)
+    val base = gate.fold(gated)(o =>
+      gated.observe(o, count(lit(1)).as("n_pass_total"),
+        sum($"n_toks").cast("long").as("tokens_pass_total")))
+      .withColumn("fp", md5(
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+          " +", " "))))
+    val survivors = base
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"source", $"n_toks")).as("keep"))
+      .select($"keep.source".as("source"), $"keep.n_toks".as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_toks").cast("long").as("total_tokens_kept"))
+    val passed = base.groupBy($"source")
+      .agg(count(lit(1)).as("n_pass"))
+    // left join + coalesce: a source whose every doc lost dedup to
+    // another source still reports (n_kept = 0), as the oracle does
+    val rep = passed.join(survivors, Seq("source"), "left")
+      .select($"source", $"n_pass",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_pass" - coalesce($"n_kept", lit(0L))).as("n_dups_removed"),
+        coalesce($"total_tokens_kept", lit(0L)).as("total_tokens_kept"))
+      // report metrics attach ABOVE the presentation sort: a range
+      // exchange SAMPLES its child to pick partition boundaries, so a
+      // CollectMetrics below it is executed twice and double-counts
+      .orderBy($"source")
+    report.fold(rep)(o =>
+      rep.observe(o, count(lit(1)).as("n_sources"),
+        sum($"n_kept").cast("long").as("n_kept_total")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> { (s, dir) =>
-      import s.implicits._
-      // Stage 1 (quality): drop docs under MinTokens whitespace tokens.
-      // Stage 2 (normalize): lowercase, strip non-alphanumerics,
-      //   collapse runs of spaces — the canonical near-exact-dedup
-      //   normalization (catches case/punctuation-only copies d01's
-      //   raw-text fingerprint misses).
-      // Stage 3 (dedup): md5 fingerprint of the normalized text, keep
-      //   the lowest doc_id per fingerprint (min(struct) carries the
-      //   survivor's source/tokens through the same aggregation —
-      //   no second join back to the corpus).
-      // Stage 4 (report): per-source pass/kept/removed/token totals.
-      val base = docs(s, dir)
-        .withColumn("n_toks", size(split($"text", " ")))
-        .filter($"n_toks" >= MinTokens)
-        .withColumn("fp", md5(
-          trim(regexp_replace(
-            regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
-            " +", " "))))
-      val survivors = base
-        .groupBy($"fp")
-        .agg(min(struct($"doc_id", $"source", $"n_toks")).as("keep"))
-        .select($"keep.source".as("source"), $"keep.n_toks".as("n_toks"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_kept"),
-          sum($"n_toks").cast("long").as("total_tokens_kept"))
-      val passed = base.groupBy($"source")
-        .agg(count(lit(1)).as("n_pass"))
-      // left join + coalesce: a source whose every doc lost dedup to
-      // another source still reports (n_kept = 0), as the oracle does
-      passed.join(survivors, Seq("source"), "left")
-        .select($"source", $"n_pass",
-          coalesce($"n_kept", lit(0L)).as("n_kept"),
-          ($"n_pass" - coalesce($"n_kept", lit(0L))).as("n_dups_removed"),
-          coalesce($"total_tokens_kept", lit(0L)).as("total_tokens_kept"))
-        .orderBy($"source")
+      curationPlan(s, dir, None, None)
     },
 
     "p02_quality_filter" -> { (s, dir) =>
@@ -244,15 +267,21 @@ object Pipeline {
         count(lit(1)).as("n_src"))
       val rates = per.crossJoin(broadcast(tot))
         .withColumn("target", expr("t_total div n_src"))
+        // coin scale 2^20: md5's 8-hex-digit prefix spans 16^8 =
+        // 4096 * 2^20 values, so the modulo is EXACTLY uniform — a
+        // range not divisible by the scale (e.g. 16^6 mod 1e6) makes
+        // low coin values ~6% likelier and over-samples every capped
+        // source, and engine parity hides it (both engines compute the
+        // same biased coin)
         .withColumn("thresh",
-          when($"tok_s" <= $"target", lit(1000000L)).otherwise(
+          when($"tok_s" <= $"target", lit(CoinScale)).otherwise(
             floor($"target".cast("double") / $"tok_s".cast("double") *
-              lit(1000000.0)).cast("long")))
+              lit(CoinScale.toDouble)).cast("long")))
         .select($"source", $"n_docs", $"tok_s", $"thresh")
       val kept = d.join(broadcast(rates.select($"source", $"thresh")), "source")
         .filter(expr(
-          "cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) " +
-            "as bigint) % 1000000") < $"thresh")
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+            s"as bigint) % $CoinScale") < $"thresh")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_sampled"),
           sum($"n_toks").as("tokens_sampled"))
@@ -307,6 +336,12 @@ object Pipeline {
     */
   private val PackLen = 512
 
+  /** p07's sampling-coin modulus. A power of two that divides the
+    * md5-prefix range exactly (16^8 = 4096 * 2^20), so the coin is
+    * uniform; see the threshold comment in p07.
+    */
+  private val CoinScale = 1048576L
+
   /** p01's curation plan with ZERO-EXTRA-PASS audit instrumentation:
     * Spark's CollectMetrics (`observe`) attaches named aggregates to
     * plan nodes that are computed DURING the normal action — no second
@@ -324,38 +359,8 @@ object Pipeline {
     */
   def curationWithAudit(s: SparkSession, dir: String,
       gate: org.apache.spark.sql.Observation,
-      report: org.apache.spark.sql.Observation): DataFrame = {
-    import s.implicits._
-    val base = docs(s, dir)
-      .withColumn("n_toks", size(split($"text", " ")))
-      .filter($"n_toks" >= MinTokens)
-      .observe(gate, count(lit(1)).as("n_pass_total"),
-        sum($"n_toks").cast("long").as("tokens_pass_total"))
-      .withColumn("fp", md5(
-        trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
-          " +", " "))))
-    val survivors = base
-      .groupBy($"fp")
-      .agg(min(struct($"doc_id", $"source", $"n_toks")).as("keep"))
-      .select($"keep.source".as("source"), $"keep.n_toks".as("n_toks"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_kept"),
-        sum($"n_toks").cast("long").as("total_tokens_kept"))
-    val passed = base.groupBy($"source")
-      .agg(count(lit(1)).as("n_pass"))
-    passed.join(survivors, Seq("source"), "left")
-      .select($"source", $"n_pass",
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        ($"n_pass" - coalesce($"n_kept", lit(0L))).as("n_dups_removed"),
-        coalesce($"total_tokens_kept", lit(0L)).as("total_tokens_kept"))
-      // report metrics attach ABOVE the presentation sort: a range
-      // exchange SAMPLES its child to pick partition boundaries, so a
-      // CollectMetrics below it is executed twice and double-counts
-      .orderBy($"source")
-      .observe(report, count(lit(1)).as("n_sources"),
-        sum($"n_kept").cast("long").as("n_kept_total"))
-  }
+      report: org.apache.spark.sql.Observation): DataFrame =
+    curationPlan(s, dir, Some(gate), Some(report))
 
   def oracle: Map[String, String] = Map(
     "p01_curation_pipeline" ->
@@ -479,7 +484,7 @@ object Pipeline {
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "p07_source_mixture" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, source,
         |    CAST(CASE WHEN text IS NULL THEN 0
         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
@@ -493,17 +498,17 @@ object Pipeline {
         |    count(*) AS n_src FROM per),
         |rates AS (
         |  SELECT source, n_docs, tok_s,
-        |    CASE WHEN tok_s <= t_total // n_src THEN 1000000
+        |    CASE WHEN tok_s <= t_total // n_src THEN $CoinScale
         |         ELSE CAST(floor(CAST(t_total // n_src AS DOUBLE)
-        |           / CAST(tok_s AS DOUBLE) * 1000000.0) AS BIGINT)
+        |           / CAST(tok_s AS DOUBLE) * $CoinScale.0) AS BIGINT)
         |    END AS thresh
         |  FROM per CROSS JOIN tot),
         |kept AS (
         |  SELECT d.source, count(*) AS n_sampled,
         |    CAST(sum(d.n_toks) AS BIGINT) AS tokens_sampled
         |  FROM d JOIN rates r ON d.source = r.source
-        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
-        |        % 1000000 < r.thresh
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % $CoinScale < r.thresh
         |  GROUP BY d.source)
         |SELECT r.source, r.n_docs, r.tok_s AS total_tokens, r.thresh,
         |  CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,

@@ -395,10 +395,16 @@ object Similarity {
         .withColumn("r_cos", row_number().over(
           Window.orderBy($"cos".desc, $"vec_id")))
         .select($"vec_id".as("doc_id"), $"cos", $"r_cos")
-      cosRanked.join(bmRanked, Seq("doc_id"), "left")
+      // FULL outer: the fused universe is the UNION of both retrieved
+      // sets. A one-sided join silently drops docs the other modality
+      // retrieved — here, a top BM25 hit with no embedding row (the
+      // sf0.1 fixture has 5k docs but 2k embeddings) would never fuse,
+      // and the parity gate can't see it because the oracle would
+      // replicate the same wrong direction.
+      cosRanked.join(bmRanked, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(RrfK) + $"r_bm"), lit(0.0)) +
-            lit(1.0) / (lit(RrfK) + $"r_cos"), 6))
+            coalesce(lit(1.0) / (lit(RrfK) + $"r_cos"), lit(0.0)), 6))
         .orderBy($"rrf".desc, $"doc_id").limit(10)
         .select($"doc_id", $"r_cos", $"r_bm", $"rrf")
     },
@@ -628,12 +634,13 @@ object Similarity {
          |      ORDER BY round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6)
          |        DESC, vec_id) AS r_cos
          |  FROM e CROSS JOIN q WHERE e.vec_id <> 0)
-         |SELECT cr.doc_id, cr.r_cos, b.r_bm,
+         |SELECT coalesce(cr.doc_id, b.doc_id) AS doc_id, cr.r_cos, b.r_bm,
          |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_bm),
          |          CAST(0 AS DOUBLE))
-         |        + CAST(1 AS DOUBLE) / ($RrfK + cr.r_cos), 6) AS rrf
-         |FROM cr LEFT JOIN bmr b ON b.doc_id = cr.doc_id
-         |ORDER BY rrf DESC, cr.doc_id LIMIT 10""".stripMargin,
+         |        + coalesce(CAST(1 AS DOUBLE) / ($RrfK + cr.r_cos),
+         |          CAST(0 AS DOUBLE)), 6) AS rrf
+         |FROM cr FULL OUTER JOIN bmr b ON b.doc_id = cr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "s08_filtered_search" ->
       s"""WITH e AS (

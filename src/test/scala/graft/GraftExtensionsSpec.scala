@@ -21,9 +21,10 @@ class GraftExtensionsSpec extends SparkTestBase {
 
   test("every table entry is injected (none lost between the paths)") {
     val fresh = spark.newSession()
-    val names = Seq("cosine_sim", "hamming64", "simhash64", "dot_product",
-      "minhash_slot", "abs_diff_sum", "nfc_normalize", "zorder64")
-    names.foreach { n =>
+    // iterate the SHARED table, not a copied name list — a ninth
+    // function added to sqlFunctions is covered here automatically
+    assert(functions.sqlFunctions.nonEmpty)
+    functions.sqlFunctions.foreach { case (n, _, _) =>
       assert(
         fresh.sessionState.functionRegistry
           .functionExists(org.apache.spark.sql.catalyst

@@ -98,8 +98,13 @@ class FusedExprParitySpec extends SparkTestBase {
   }
 
   test("registerAll exposes every fused expression to SQL") {
-    graft.functions.registerAll(spark) // self-contained: no reliance on
-    // another test having registered on the shared session
+    // NOTE: the shared test session is built with
+    // spark.sql.extensions=graft.GraftExtensions, so these names would
+    // resolve even without this call — what this test still proves is
+    // that registerAll and the injected path dispatch the SAME builders
+    // (both now delegate to functions.sqlFunctions, one pair per
+    // function) and that each builder computes correctly through SQL.
+    graft.functions.registerAll(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), " +
       "array(3.0d, 4.0d)) AS d, " +
       "minhash_slot(array(5L), 7L, 1L, 97L) AS m, " +

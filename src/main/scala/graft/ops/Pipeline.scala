@@ -211,36 +211,45 @@ object Pipeline {
       import s.implicits._
       // Concat-and-chunk sequence packing accounting — the shaping step
       // that turns a curated corpus into fixed-length training samples
-      // (m06 is the binary twin): per source, documents are concatenated
-      // in deterministic (doc_id) order and cut into PackLen-token
-      // chunks; the report says how many chunks each source yields, how
-      // many documents straddle a chunk boundary (they lose attention
-      // continuity), and the padding wasted in the final chunk. All
-      // integer arithmetic — the gate is exact by construction. Scale:
-      // the running offset is a windowed sum PARTITIONED BY SOURCE —
-      // sources are the parallelism unit, exactly how a production
-      // packer shards (a single global concatenation order would demand
-      // a one-reducer cumsum; per-shard packing is what training
-      // pipelines actually do).
+      // (m06 is the binary twin): within each (source, shard) cell,
+      // documents are concatenated in deterministic (doc_id) order and
+      // cut into PackLen-token chunks; the per-source report rolls the
+      // shards up — chunks yielded, documents straddling a chunk
+      // boundary (they lose attention continuity), padding wasted at
+      // shard tails. All integer arithmetic — the gate is exact by
+      // construction. Scale: the running offset is a windowed sum
+      // partitioned by (source, shard), NOT source alone — a single
+      // giant source (the CommonCrawl case, ~90% of tokens) would
+      // otherwise serialize its whole cumsum through one partition;
+      // sharding inside the source is what production packers do, at
+      // the documented cost of one padded tail PER SHARD instead of
+      // per source.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       docs(s, dir)
         .select($"doc_id", $"source",
+          expr(s"doc_id div $ShardDocs").as("shard"),
           when($"text".isNull, lit(0L))
             .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
         .withColumn("cum", sum($"n_toks").over(w))
         .withColumn("split_doc", $"n_toks" > 0 &&
           expr(s"(cum - n_toks) div $PackLen") =!=
           expr(s"(cum - 1) div $PackLen"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_toks").as("total_tokens"),
-          expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen").as("n_chunks"),
-          sum(when($"split_doc", 1L).otherwise(0L)).as("n_split_docs"),
+        .groupBy($"source", $"shard")
+        .agg(count(lit(1)).as("s_docs"),
+          sum($"n_toks").as("s_tokens"),
+          expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen").as("s_chunks"),
+          sum(when($"split_doc", 1L).otherwise(0L)).as("s_splits"),
           (expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen") * PackLen -
-            sum($"n_toks")).as("tail_pad"))
+            sum($"n_toks")).as("s_pad"))
+        .groupBy($"source")
+        .agg(sum($"s_docs").as("n_docs"),
+          sum($"s_tokens").as("total_tokens"),
+          sum($"s_chunks").as("n_chunks"),
+          sum($"s_splits").as("n_split_docs"),
+          sum($"s_pad").as("tail_pad"))
         .orderBy($"source")
     },
 
@@ -341,6 +350,14 @@ object Pipeline {
     * uniform; see the threshold comment in p07.
     */
   private val CoinScale = 1048576L
+
+  /** p06's intra-source shard width in documents (production packers
+    * shard by file/block; a doc_id block is the deterministic stand-in).
+    * Small enough to split a dominant source across the cluster, large
+    * enough that per-shard tail padding stays negligible (< PackLen
+    * tokens wasted per ShardDocs documents).
+    */
+  private val ShardDocs = 1000L
 
   /** p01's curation plan with ZERO-EXTRA-PASS audit instrumentation:
     * Spark's CollectMetrics (`observe`) attaches named aggregates to
@@ -463,25 +480,33 @@ object Pipeline {
 
     "p06_sequence_pack" ->
       s"""WITH d AS (
-         |  SELECT doc_id, source,
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
          |    CAST(CASE WHEN text IS NULL THEN 0
          |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
          |  FROM documents),
          |c AS (
-         |  SELECT source, n_toks,
-         |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |  SELECT source, shard, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-         |  CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
-         |    AS n_chunks,
-         |  CAST(sum(CASE WHEN n_toks > 0 AND
-         |      (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
-         |  CAST(((sum(n_toks) + $PackLen - 1) // $PackLen) * $PackLen
-         |    - sum(n_toks) AS BIGINT) AS tail_pad
-         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+         |  FROM d),
+         |sh AS (
+         |  SELECT source, shard, count(*) AS s_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS s_tokens,
+         |    CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
+         |      AS s_chunks,
+         |    CAST(sum(CASE WHEN n_toks > 0 AND
+         |        (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s_splits,
+         |    CAST(((sum(n_toks) + $PackLen - 1) // $PackLen) * $PackLen
+         |      - sum(n_toks) AS BIGINT) AS s_pad
+         |  FROM c GROUP BY source, shard)
+         |SELECT source,
+         |  CAST(sum(s_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(s_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(s_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(s_splits) AS BIGINT) AS n_split_docs,
+         |  CAST(sum(s_pad) AS BIGINT) AS tail_pad
+         |FROM sh GROUP BY source ORDER BY source""".stripMargin,
 
     "p07_source_mixture" ->
       s"""WITH d AS (

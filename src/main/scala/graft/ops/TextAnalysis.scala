@@ -144,6 +144,13 @@ object TextAnalysis {
       |    END AS fps
       |  FROM h)""".stripMargin
 
+  /** t17's retrieval-chunk geometry: ChunkW-token windows every
+    * ChunkStride tokens (50% overlap, the common retrieval default,
+    * scaled to the fixture's ~54-token docs).
+    */
+  private val ChunkW = 16
+  private val ChunkStride = 8
+
   /** t16's per-(doc, term) surprisal contribution tf·ln(p(term)) — one
     * expression string valid in both Spark SQL and DuckDB; explicit
     * double casts keep every op on the IEEE double path (bare decimal
@@ -380,6 +387,38 @@ object TextAnalysis {
           expr("round(-(cast(s as double)) / cast(len as double), 6)")
             .as("surprisal"))
         .orderBy($"doc_id")
+    },
+
+    "t17_retrieval_chunks" -> { (s, dir) =>
+      import s.implicits._
+      // RAG-pipeline chunking + chunk-level dedup: documents split into
+      // fixed ChunkW-token windows at ChunkStride (overlapping — the
+      // standard retrieval-index shaping), each chunk fingerprinted,
+      // and the most-repeated chunks reported (occurrences + distinct
+      // docs + lowest example doc). Cross-doc repeated chunks are
+      // boilerplate the index should embed ONCE — at corpus scale this
+      // dedup runs before the embedding model and is where the GPU
+      // budget is saved, not after. Shapes: position explode → slice +
+      // concat_ws + md5 (all codegen, no lambda interpretation — the
+      // d15 lesson); one wordcount-shaped shuffle on the fingerprint
+      // with map-side partials.
+      docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= 1)
+        .select($"doc_id", $"toks",
+          explode(expr(s"sequence(1, greatest(n, 1), $ChunkStride)"))
+            .as("start"))
+        .select($"doc_id",
+          md5(concat_ws(" ", expr(s"slice(toks, start, $ChunkW)")))
+            .as("fp"))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"doc_id").as("n_docs"),
+          min($"doc_id").as("example_doc"))
+        .filter($"n_occurrences" >= 2)
+        .orderBy($"n_occurrences".desc, $"fp")
+        .limit(20)
     },
 
     "t15_approx_topk_merge" -> { (s, dir) =>
@@ -646,6 +685,22 @@ object TextAnalysis {
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(*) AS n, TRUE AS sketch_ok
         |FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t17_retrieval_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      toks[s.start : s.start + $ChunkW - 1], ' ')) AS fp
+         |  FROM d, unnest(range(1, n + 1, $ChunkStride)) AS s(start))
+         |SELECT fp, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS example_doc
+         |FROM ch GROUP BY fp HAVING count(*) >= 2
+         |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin,
 
     "t16_unigram_surprisal" ->
       s"""WITH tf AS (

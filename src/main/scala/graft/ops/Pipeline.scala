@@ -352,12 +352,16 @@ object Pipeline {
   private val CoinScale = 1048576L
 
   /** p06's intra-source shard width in documents (production packers
-    * shard by file/block; a doc_id block is the deterministic stand-in).
-    * Small enough to split a dominant source across the cluster, large
-    * enough that per-shard tail padding stays negligible (< PackLen
-    * tokens wasted per ShardDocs documents).
+    * shard by file/block; a doc_id block is the deterministic stand-in,
+    * sized to thousands of docs in production). 200 here is
+    * fixture-scaled ON PURPOSE: fixture doc_ids interleave sources
+    * (doc_id mod |sources|), so a 200-wide shard boundary splits every
+    * source into several shards at the GATED scales and the oracle gate
+    * actually exercises the shard-restart cumsum and per-shard tail
+    * rollup — a width larger than the fixture would make the
+    * multi-shard path dead code until the ungated bench scale.
     */
-  private val ShardDocs = 1000L
+  private val ShardDocs = 200L
 
   /** p01's curation plan with ZERO-EXTRA-PASS audit instrumentation:
     * Spark's CollectMetrics (`observe`) attaches named aggregates to

@@ -406,8 +406,15 @@ object TextAnalysis {
         .select($"doc_id", split($"text", " ").as("toks"))
         .withColumn("n", size($"toks"))
         .filter($"n" >= 1)
+        // starts stop at n - ChunkW + 1: every window is full-width
+        // (short only when the whole doc is shorter than one chunk).
+        // Unclamped strides would emit sub-stride suffix fragments as
+        // extra "chunks" — measured on the fixture, 1-token tails then
+        // dominate the repeated-chunk report and bury the real
+        // boilerplate this exists to surface.
         .select($"doc_id", $"toks",
-          explode(expr(s"sequence(1, greatest(n, 1), $ChunkStride)"))
+          explode(expr(
+            s"sequence(1, greatest(n - ${ChunkW - 1}, 1), $ChunkStride)"))
             .as("start"))
         .select($"doc_id",
           md5(concat_ws(" ", expr(s"slice(toks, start, $ChunkW)")))
@@ -695,7 +702,8 @@ object TextAnalysis {
          |  SELECT doc_id,
          |    md5(array_to_string(
          |      toks[s.start : s.start + $ChunkW - 1], ' ')) AS fp
-         |  FROM d, unnest(range(1, n + 1, $ChunkStride)) AS s(start))
+         |  FROM d, unnest(range(1, greatest(n - ${ChunkW - 1}, 1) + 1,
+         |                       $ChunkStride)) AS s(start))
          |SELECT fp, count(*) AS n_occurrences,
          |  count(DISTINCT doc_id) AS n_docs,
          |  min(doc_id) AS example_doc

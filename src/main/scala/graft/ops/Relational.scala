@@ -332,6 +332,35 @@ object Relational {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    "q31_local_supply" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q5 proper — the board's largest join tree (6 tables):
+      // customer ⋈ orders ⋈ lineitem ⋈ supplier with the LOCAL-supply
+      // condition (customer and supplier share a nation), nation ⋈
+      // region as broadcast dims, date-range + region filters pushed to
+      // the scans. The classic join-ORDER workout: facts shuffle on
+      // their keys in size order, the two dims broadcast, and the
+      // nationkey equality rides the supplier join — no extra exchange.
+      val f = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(f, $"c_custkey" === $"o_custkey")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "supplier"),
+          $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
     "q30_rank_battery" -> { (s, dir) =>
       import s.implicits._
       // Relative-position window functions (percent_rank, cume_dist,
@@ -712,6 +741,22 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q31_local_supply" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q30_rank_battery" ->
       """SELECT o_orderkey, o_orderpriority,

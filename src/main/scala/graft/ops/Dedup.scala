@@ -79,6 +79,12 @@ object Dedup {
     */
   private val SemDedupTau = 0.35
 
+  /** d18's recursion depth bound: caps path explosion on dense cascade
+    * clusters (duplicate path rows collapse in the final DISTINCT
+    * aggregation either way; identical bound in both engines).
+    */
+  private val CascadeMaxDepth = 10
+
   /** Within-cell embedding pair stream shared by d06 (pair listing) and
     * d16 (SemDeDup accounting): (a_id, b_id, label, cos) for a < b in
     * the same label cell, cosine rounded to 4. The cell equi-join is
@@ -661,6 +667,37 @@ object Dedup {
         .orderBy($"source")
     },
 
+    "d18_dup_cascade" -> { (s, dir) =>
+      // Duplication-cascade reachability via WITH RECURSIVE submitted
+      // through spark.sql — Spark 4's recursive-CTE surface exercised
+      // end to end on real operator output. The d03 near-dup pair set
+      // is a DAG by construction (a_id < b_id), so UNION ALL recursion
+      // terminates (Spark does not yet allow distinct UNION in
+      // recursive CTEs — on a cyclic edge set this form would diverge,
+      // which is why the iterative d08/d09 pointer-doubling loop, not
+      // this, is the components operator at corpus scale); the depth
+      // guard bounds path explosion on dense clusters, and duplicate
+      // path rows collapse in the final DISTINCT aggregation. Per
+      // cascade root: how many docs its duplication chain reaches and
+      // how deep — the "one boilerplate page spawned 40 descendants"
+      // number a dedup audit reports.
+      val pairs = queries("d03_minhash_near_dups")(s, dir)
+        .select("a_id", "b_id")
+      pairs.createOrReplaceTempView("d18_pairs")
+      s.sql(
+        s"""WITH RECURSIVE r(root, node, depth) AS (
+           |  SELECT DISTINCT a_id, a_id, 0 FROM d18_pairs
+           |  UNION ALL
+           |  SELECT r.root, p.b_id, r.depth + 1
+           |  FROM r JOIN d18_pairs p ON r.node = p.a_id
+           |  WHERE r.depth < $CascadeMaxDepth)
+           |SELECT root AS doc_id,
+           |  count(DISTINCT node) - 1 AS n_descendants,
+           |  max(depth) AS max_depth
+           |FROM r GROUP BY root
+           |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin)
+    },
+
     "d10_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       // STREAMING dedup through the engine: the same exact-dedup
@@ -775,6 +812,31 @@ object Dedup {
            |JOIN sigs sb ON sb.doc_id = b_id
            |WHERE round(($matchSum) / 6.0, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d18_dup_cascade" ->
+        s"""WITH RECURSIVE $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |r(root, node, depth) AS (
+           |  SELECT DISTINCT a_id, a_id, 0 FROM pairs
+           |  UNION ALL
+           |  SELECT r.root, p.b_id, r.depth + 1
+           |  FROM r JOIN pairs p ON r.node = p.a_id
+           |  WHERE r.depth < $CascadeMaxDepth)
+           |SELECT root AS doc_id,
+           |  CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_descendants,
+           |  max(depth) AS max_depth
+           |FROM r GROUP BY root
+           |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin,
 
       "d17_incremental_near_dedup" ->
         s"""WITH $shingleHashSql,

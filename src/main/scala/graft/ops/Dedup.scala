@@ -79,11 +79,36 @@ object Dedup {
     */
   private val SemDedupTau = 0.35
 
-  /** d18's recursion depth bound: caps path explosion on dense cascade
-    * clusters (duplicate path rows collapse in the final DISTINCT
-    * aggregation either way; identical bound in both engines).
+  /** d18's recursion depth bound — a SAFETY RAIL, not the scale
+    * argument: the primary-attribution edges form a forest, so the
+    * frontier is O(nodes) regardless of depth, and a chain can't be
+    * longer than its cluster. Identical bound in both engines.
     */
-  private val CascadeMaxDepth = 10
+  private val CascadeMaxDepth = 100
+
+  /** Verified near-dup pair core shared by d03 (presentation), d08/d09
+    * components, d11 and d18 — UNSORTED: a join/recursion branch must
+    * not inherit a presentation orderBy (useless range exchange + sort
+    * in every consumer).
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashCore(s, dir)
+    val bands = bandsOf(s, sigs)
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+    val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+    val matches = (0 until 6).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("est_jaccard", round(matches / lit(6.0), 6))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"a_id", $"b_id", $"est_jaccard")
+  }
 
   /** Within-cell embedding pair stream shared by d06 (pair listing) and
     * d16 (SemDeDup accounting): (a_id, b_id, label, cos) for a < b in
@@ -304,23 +329,9 @@ object Dedup {
       import s.implicits._
       // LSH: 3 bands of 2 signature slots; candidate pairs share ≥1
       // whole band (equi-join per band, NOT all-pairs); verified by
-      // estimated Jaccard = matching slots / 6 ≥ 0.5.
-      val sigs = minhashCore(s, dir)
-      val bands = bandsOf(s, sigs)
-      val a = bands.as("a"); val b = bands.as("b")
-      val cand = a.join(b, col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
-      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
-      val matches = (0 until 6).map(j =>
-        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("est_jaccard", round(matches / lit(6.0), 6))
-        .filter($"est_jaccard" >= 0.5)
-        .select($"a_id", $"b_id", $"est_jaccard")
-        .orderBy($"a_id", $"b_id")
+      // estimated Jaccard = matching slots / 6 ≥ 0.5. Core shared with
+      // d08/d18 UNSORTED — only this presentation query pays the sort.
+      verifiedPairs(s, dir).orderBy($"a_id", $"b_id")
     },
 
     "d08_dedup_components" -> { (s, dir) =>
@@ -333,8 +344,7 @@ object Dedup {
       // (lineage would otherwise grow exponentially with iterations) is
       // the right call here, unlike the single-reuse intermediates
       // SCALE.md measured as net losses.
-      val edges = queries("d03_minhash_near_dups")(s, dir)
-        .select($"a_id", $"b_id")
+      val edges = verifiedPairs(s, dir).select($"a_id", $"b_id")
       components(s, edges)
         .select($"id".as("doc_id"), $"lbl".as("canonical_id"))
         .orderBy($"doc_id")
@@ -445,7 +455,7 @@ object Dedup {
       // at 100 TB the label table is |clustered docs| rows, orders of
       // magnitude smaller than the corpus, and broadcasts.
       val comp = components(s,
-        queries("d03_minhash_near_dups")(s, dir).select($"a_id", $"b_id"))
+        verifiedPairs(s, dir).select($"a_id", $"b_id"))
         .select($"id".as("doc_id"), $"lbl".as("canonical_id"))
       docs(s, dir).select($"doc_id", $"source")
         .join(broadcast(comp), Seq("doc_id"), "left")
@@ -668,37 +678,48 @@ object Dedup {
     },
 
     "d18_dup_cascade" -> { (s, dir) =>
-      // Duplication-cascade reachability via WITH RECURSIVE submitted
+      // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
-      // end to end on real operator output. The d03 near-dup pair set
-      // is a DAG by construction (a_id < b_id), so UNION ALL recursion
-      // terminates (Spark does not yet allow distinct UNION in
-      // recursive CTEs — on a cyclic edge set this form would diverge,
-      // which is why the iterative d08/d09 pointer-doubling loop, not
-      // this, is the components operator at corpus scale); the depth
-      // guard bounds path explosion on dense clusters, and duplicate
-      // path rows collapse in the final DISTINCT aggregation. Per
-      // cascade root: how many docs its duplication chain reaches and
-      // how deep — the "one boilerplate page spawned 40 descendants"
-      // number a dedup audit reports.
+      // end to end on real operator output. Each duplicate is
+      // attributed to ONE primary source — its minimum-id near-dup
+      // predecessor — so the edges form a FOREST: the recursion's
+      // frontier is O(nodes) at every depth (each node has exactly one
+      // parent chain), never a path-count explosion, and a dense
+      // boilerplate clique costs k rows, not C(k, depth) paths. Roots
+      // are docs with no predecessor (true cascade origins, not
+      // interior duplicates). Spark does not yet allow distinct UNION
+      // in recursive CTEs, so the all-paths reachability form would
+      // blow up combinatorially on exactly the flooded-cluster case a
+      // dedup audit exists for — the tree form is both the bounded one
+      // and the right audit semantics (every duplicate counted once).
+      // Per root: how many docs ultimately trace their primary
+      // duplication source to it, and the deepest chain.
       // MATERIALIZE the pair set before recursing: every recursion step
-      // joins the pairs view, and an unmaterialized view would re-run
+      // joins the edges view, and an unmaterialized view would re-run
       // the full shingle→MinHash→band derivation once per step
-      // (measured: 8.2 s vs ~2 s at sf0.1 for depth 10). localCheckpoint
-      // truncates the lineage so each step scans a small materialized
-      // edge list — the same treatment d08 gives its iterated labels.
-      val pairs = queries("d03_minhash_near_dups")(s, dir)
+      // (measured: 8.2 s vs ~2 s at sf0.1). localCheckpoint truncates
+      // the lineage — the same treatment d08 gives its iterated labels.
+      // View name is dir-hashed (d10's pattern): a fixed name would
+      // race across interleaved constructions on a shared session.
+      val view = s"d18_pairs_${Integer.toHexString(dir.hashCode)}"
+      verifiedPairs(s, dir)
         .select("a_id", "b_id").localCheckpoint()
-      pairs.createOrReplaceTempView("d18_pairs")
+        .createOrReplaceTempView(view)
       s.sql(
-        s"""WITH RECURSIVE r(root, node, depth) AS (
-           |  SELECT DISTINCT a_id, a_id, 0 FROM d18_pairs
+        s"""WITH RECURSIVE edges AS (
+           |  SELECT b_id AS child, min(a_id) AS parent FROM $view
+           |  GROUP BY b_id),
+           |roots AS (
+           |  SELECT DISTINCT parent FROM edges
+           |  WHERE parent NOT IN (SELECT child FROM edges)),
+           |r(root, node, depth) AS (
+           |  SELECT parent, parent, 0 FROM roots
            |  UNION ALL
-           |  SELECT r.root, p.b_id, r.depth + 1
-           |  FROM r JOIN d18_pairs p ON r.node = p.a_id
+           |  SELECT r.root, e.child, r.depth + 1
+           |  FROM r JOIN edges e ON r.node = e.parent
            |  WHERE r.depth < $CascadeMaxDepth)
            |SELECT root AS doc_id,
-           |  count(DISTINCT node) - 1 AS n_descendants,
+           |  count(*) - 1 AS n_descendants,
            |  max(depth) AS max_depth
            |FROM r GROUP BY root
            |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin)
@@ -832,14 +853,20 @@ object Dedup {
            |  JOIN sigs sa ON sa.doc_id = a_id
            |  JOIN sigs sb ON sb.doc_id = b_id
            |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |edges AS (
+           |  SELECT b_id AS child, min(a_id) AS parent FROM pairs
+           |  GROUP BY b_id),
+           |roots AS (
+           |  SELECT DISTINCT parent FROM edges
+           |  WHERE parent NOT IN (SELECT child FROM edges)),
            |r(root, node, depth) AS (
-           |  SELECT DISTINCT a_id, a_id, 0 FROM pairs
+           |  SELECT parent, parent, 0 FROM roots
            |  UNION ALL
-           |  SELECT r.root, p.b_id, r.depth + 1
-           |  FROM r JOIN pairs p ON r.node = p.a_id
+           |  SELECT r.root, e.child, r.depth + 1
+           |  FROM r JOIN edges e ON r.node = e.parent
            |  WHERE r.depth < $CascadeMaxDepth)
            |SELECT root AS doc_id,
-           |  CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_descendants,
+           |  CAST(count(*) - 1 AS BIGINT) AS n_descendants,
            |  max(depth) AS max_depth
            |FROM r GROUP BY root
            |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin,

@@ -164,6 +164,16 @@ class PlanShapeSpec extends SparkTestBase {
       == 0, s"winnowing must not shuffle:\n${p.take(2000)}")
   }
 
+  test("q31: date filter pushes into the orders scan; dims broadcast; " +
+      "no cartesian from the two-condition supplier join") {
+    val p = plan("q31_local_supply")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      p.take(1500))
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("d15: fingerprint subtree stays codegen — no interpreted HOF " +
       "lambda survives into the physical plan") {
     // Regression for the round-4 hang: d15 fans the fingerprint subtree

@@ -170,6 +170,7 @@ object Similarity {
     */
   private val BmTerms = Seq("spark", "window", "query")
   private val RrfK = 60
+  private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
 
   /** The per-(doc, term) BM25 score — ONE expression string, valid in
     * BOTH Spark SQL and DuckDB, over columns (n_corpus, df, tf, len,
@@ -378,23 +379,35 @@ object Similarity {
       // fixture id space). RRF works on RANKS — integers, so the fusion
       // is engine-exact regardless of how either engine's floats got
       // there — and needs no score normalization, which is why it's the
-      // standard first fusion in production hybrid search. Each side's
-      // global row_number ranks only that side's RETRIEVED set (posting
-      // lists / top candidates), bounded sets by construction at any
-      // corpus size; the fused contribution 1/(k+r) is two IEEE
-      // divisions summed in a fixed order.
-      val bmRanked = bm25Core(s, dir).filter($"doc_id" =!= 0)
-        .withColumn("r_bm", row_number().over(
-          Window.orderBy($"bm25d".desc, $"doc_id")))
+      // standard first fusion in production hybrid search.
+      //
+      // Each side is cut to its top-RetrN RETRIEVED set FIRST via
+      // orderBy().limit() — a distributed TakeOrderedAndProject
+      // (per-partition bounded heaps, then a single merge of RetrN-row
+      // partial results), never a global sort. Only the bounded
+      // RetrN-row result is then ranked; the constant partition key on
+      // that window states the already-bounded input explicitly (and
+      // keeps the plan out of WindowExec's unpartitioned class, which
+      // would otherwise mean one task sorting the whole corpus — the
+      // round-4 scale bug: the cosine side ranked EVERY embedding
+      // through a single partition). RRF over top-N retrieved lists is
+      // the operator's textbook definition, so the bound is semantics,
+      // not approximation; the oracle mirrors the same RetrN cut.
+      val bmTop = bm25Core(s, dir).filter($"doc_id" =!= 0)
+        .orderBy($"bm25d".desc, $"doc_id").limit(RetrN)
+      val bmRanked = bmTop.withColumn("r_bm", row_number().over(
+          Window.partitionBy(lit(0)).orderBy($"bm25d".desc, $"doc_id")))
         .select($"doc_id", $"r_bm")
       val e = emb(s, dir)
       val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
-      val cosRanked = e.filter($"vec_id" =!= 0)
+      val cosTop = e.filter($"vec_id" =!= 0)
         .crossJoin(broadcast(qv))
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 6))
-        .withColumn("r_cos", row_number().over(
-          Window.orderBy($"cos".desc, $"vec_id")))
-        .select($"vec_id".as("doc_id"), $"cos", $"r_cos")
+        .select($"vec_id".as("doc_id"), $"cos")
+        .orderBy($"cos".desc, $"doc_id").limit(RetrN)
+      val cosRanked = cosTop.withColumn("r_cos", row_number().over(
+          Window.partitionBy(lit(0)).orderBy($"cos".desc, $"doc_id")))
+        .select($"doc_id", $"cos", $"r_cos")
       // FULL outer: the fused universe is the UNION of both retrieved
       // sets. A one-sided join silently drops docs the other modality
       // retrieved — here, a top BM25 hit with no embedding row (the
@@ -617,23 +630,28 @@ object Similarity {
 
     "s10_hybrid_rrf" ->
       s"""WITH $bm25SqlCtes,
+         |bmtop AS (
+         |  SELECT doc_id, bm25d FROM bm WHERE doc_id <> 0
+         |  ORDER BY bm25d DESC, doc_id LIMIT $RetrN),
          |bmr AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY bm25d DESC, doc_id)
          |    AS r_bm
-         |  FROM bm WHERE doc_id <> 0),
+         |  FROM bmtop),
          |e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |         sqrt(list_dot_product(embedding::DOUBLE[],
          |                               embedding::DOUBLE[])) AS nrm
          |  FROM embeddings),
          |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
-         |cr AS (
+         |crtop AS (
          |  SELECT vec_id AS doc_id,
-         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos,
-         |    row_number() OVER (
-         |      ORDER BY round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6)
-         |        DESC, vec_id) AS r_cos
-         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY cos DESC, doc_id LIMIT $RetrN),
+         |cr AS (
+         |  SELECT doc_id, cos,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+         |  FROM crtop)
          |SELECT coalesce(cr.doc_id, b.doc_id) AS doc_id, cr.r_cos, b.r_bm,
          |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_bm),
          |          CAST(0 AS DOUBLE))

@@ -193,6 +193,61 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")), p)
   }
 
+  test("s10: each fusion side is a distributed top-N " +
+      "(TakeOrderedAndProject), and no window ranks an unbounded set") {
+    // Round-4 scale bug: both RRF sides were ranked by row_number over
+    // Window.orderBy with NO partitioning — the cosine side sorted the
+    // ENTIRE embeddings table through one task. The fixed shape bounds
+    // each side to RetrN rows first (per-partition bounded heaps via
+    // TakeOrderedAndProject) and only ranks the bounded result.
+    val p = plan("s10_hybrid_rrf")
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"both sides must cut to top-N distributively:\n${p.take(2000)}")
+  }
+
+  test("board-wide: no batch query plans a partition-less WindowExec " +
+      "(the 'No Partition Defined' single-task sort class)") {
+    // The guardrail the round-4 verdict asked for: WindowExec with an
+    // empty partitionSpec serializes its whole input through one task —
+    // exactly the warning the bench tail surfaced for s10. Sweep every
+    // batch query's physical plan (planning only, nothing executes;
+    // AQE off so the plain plan is inspectable) and fail on any
+    // unpartitioned window whose input is not provably bounded by a
+    // preceding limit (GlobalLimit/TakeOrderedAndProject feeds a
+    // bounded row count, which a single task handles at any corpus
+    // scale — that is TakeOrderedAndProject's own execution shape).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    // streaming-gated queries execute a real run at construction time
+    // (their returned batch result is windowless); keep the sweep to
+    // plans that stay lazy
+    val streamingGated = Set("d10_stream_dedup", "e07_stream_hourly_counts",
+      "e14_kinesis_roundtrip_agg", "e16_stream_sessions",
+      "e18_stream_static_join", "e19_stream_interval_join",
+      "e21_stream_outer_join", "e24_stream_dedup_watermark")
+    def boundedInput(w: WindowExec): Boolean = {
+      def bounded(p: SparkPlan): Boolean = p match {
+        case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+        case other if other.children.size == 1 => bounded(other.children.head)
+        case _ => false
+      }
+      bounded(w.child)
+    }
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => streamingGated(n) }
+        .flatMap { case (name, fn) =>
+          fn(spark, sfSmoke).queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty && !boundedInput(w) =>
+              s"$name: ${w.windowExpression.mkString(",").take(120)}"
+          }
+        }
+      assert(offenders.isEmpty,
+        s"unpartitioned unbounded windows:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("s09: the query-term filter runs before the wordcount exchange " +
       "(postings only, never the full token stream)") {
     val p = plan("s09_bm25_topk")

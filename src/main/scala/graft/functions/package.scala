@@ -31,6 +31,10 @@ package object functions {
       e => AbsDiffSum(e(0), e(1))),
     ("nfc_normalize", classOf[NfcNormalize].getName,
       e => NfcNormalize(e(0))),
+    ("md5_prefix28", classOf[Md5Prefix28].getName,
+      e => Md5Prefix28(e(0))),
+    ("shingle_simhash64", classOf[ShingleSimHash64].getName,
+      e => ShingleSimHash64(e(0))),
     ("zorder64", classOf[ZOrder64].getName,
       e => ZOrder64(e(0), e(1))))
 

@@ -160,19 +160,24 @@ object Dedup {
     */
   private def shingleHashArr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the fused kernels digest each shingle ONCE and consume the bytes
+    // directly — the r4 composed-HOF form (transform + md5 + substr +
+    // conv per derived column) was interpreted and allocated a hex
+    // string + BigInteger per shingle per column; forcing the full
+    // projection at sf0.1 measured ~4.6 s, the bulk of the d07 time the
+    // round-4 verdict flagged (Bench's count() prunes unused columns,
+    // which is why d04's bench number never showed it)
+    shingledDocs(s, dir)
+      .select($"doc_id", graft.functions.Md5Prefix28($"shs").as("hs"))
+  }
+
+  /** docs → distinct 3-word shingle arrays (shared by both hash cores). */
+  private def shingledDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     docs(s, dir)
       .withColumn("toks", split($"text", " "))
       .withColumn("shs", expr(s"array_distinct($shingleExpr)"))
-      .withColumn("hs", expr(
-        "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 7), 16, 10) as bigint))"))
-      // 64-bit hash halves for SimHash: high 32 bits (md5 digits 1-8)
-      // and low 32 bits (digits 9-16); kept as two int32-range columns
-      // so no engine ever shifts into the sign bit of a shingle hash.
-      .withColumn("ha", expr(
-        "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint))"))
-      .withColumn("hb", expr(
-        "transform(shs, sh -> cast(conv(substr(md5(sh), 9, 8), 16, 10) as bigint))"))
-      .select($"doc_id", $"hs", $"ha", $"hb")
+      .select($"doc_id", $"shs")
   }
 
   /** Unsorted signature cores for composition: d03/d07/d08/d09 join on
@@ -184,15 +189,17 @@ object Dedup {
     * the PLAN, not just null-safety: it keeps the column non-nullable,
     * exactly like the old when/otherwise form, so join-constraint
     * inference (`isnotnull(hamming64(sim_a, sim_b))` etc.) cannot
-    * materialize an `isnotnull(simhash64(<entire shingle+md5
+    * materialize an `isnotnull(shingle_simhash64(<entire shingle
     * pipeline>))` filter pushed into the scan — measured at sf0.1 that
     * inlined, interpreted re-evaluation made d07 ~6× slower.
     */
   private def simhashCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shingleHashArr(s, dir)
+    // fully fused: shingles → md5 → bit-vote in ONE compiled kernel
+    // (ShingleSimHash64) — no ha/hb intermediate arrays at all
+    shingledDocs(s, dir)
       .select($"doc_id",
-        coalesce(graft.functions.SimHash64($"ha", $"hb"), lit(0L))
+        coalesce(graft.functions.ShingleSimHash64($"shs"), lit(0L))
           .as("simhash"))
   }
 
@@ -428,20 +435,30 @@ object Dedup {
       val sim = simhashCore(s, dir)
       // chunks explode from one evaluation of the simhash (the r2 bench
       // caught the union form re-running the 64 bit-vote aggregates
-      // once per chunk branch: 4× the map work, d07 4.7 s → 8.4 s)
+      // once per chunk branch: 4× the map work, d07 4.7 s → 8.4 s).
+      // The chunk key is numeric (chunk_id*2^16 + value, fits in 18
+      // bits) — longs hash and shuffle cheaper than the r4 "c:value"
+      // string key.
       val chunkArr = array((0 until NChunks).map { c =>
-        concat_ws(":", lit(c),
-          shiftright($"simhash", c * ChunkBits).bitwiseAND(65535))
+        lit(c.toLong * 65536L) +
+          shiftright($"simhash", c * ChunkBits).bitwiseAND(65535L)
       }: _*)
       val chunks = sim.select($"doc_id", $"simhash",
         explode(chunkArr).as("chunk"))
       val a = chunks.toDF("a_id", "sim_a", "chunk")
       val b = chunks.toDF("b_id", "sim_b", "chunk_b")
+      // Hamming-verify BEFORE deduplicating pair multiplicities: the
+      // codegen'd hamming64 costs a few instructions per candidate
+      // occurrence, so evaluating it up to NChunks times per pair is
+      // far cheaper than the r4 shape, which shuffled the ENTIRE
+      // candidate pair set through .distinct() first (the full-pair-set
+      // exchange the round-4 verdict flagged as d07's 3.8→6.3 s
+      // regression). Post-filter, distinct() shuffles only actual
+      // near-dups — |output| rows, not |candidates|.
       a.join(b, $"chunk" === $"chunk_b" && $"a_id" < $"b_id")
-        .select($"a_id", $"b_id", $"sim_a", $"sim_b").distinct()
         .withColumn("dist", graft.functions.Hamming64($"sim_a", $"sim_b"))
         .filter($"dist" <= 3)
-        .select($"a_id", $"b_id", $"dist")
+        .select($"a_id", $"b_id", $"dist").distinct()
         .orderBy($"a_id", $"b_id")
     },
 

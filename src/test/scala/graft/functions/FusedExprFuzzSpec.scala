@@ -158,4 +158,46 @@ class FusedExprFuzzSpec extends SparkTestBase {
     }
     ddf.unpersist(); ldf.unpersist()
   }
+
+  test("fuzz: md5_prefix28 + shingle_simhash64 vs the composed " +
+      "md5/substr/conv HOF chain, codegen AND interpreted") {
+    rng = new Random(0x5EED5EED)
+    def strArr(len: Int, nullFrac: Double): Array[String] =
+      Array.tabulate[String](len) { _ =>
+        if (rng.nextDouble() < nullFrac) null
+        else {
+          // shingle-shaped strings plus adversaries: empty, unicode,
+          // long runs — md5 must agree byte-for-byte on UTF-8 input
+          rng.nextInt(5) match {
+            case 0 => ""
+            case 1 => "héllo wörld ünïcode" + rng.nextInt(100)
+            case 2 => "x" * (rng.nextInt(200) + 1)
+            case _ => s"tok${rng.nextInt(50)} tok${rng.nextInt(50)} " +
+              s"tok${rng.nextInt(50)}"
+          }
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("shs", ArrayType(StringType, containsNull = true))))
+    val rows = (0 until N).map { i =>
+      Row(strArr(i % 13, if (i % 5 == 0) 0.2 else 0.0))
+    }
+    val df = mkDf(rows, schema).cache()
+    val prefixComposed = expr(
+      "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 7), 16, 10) as bigint))")
+    val haComposed = expr(
+      "transform(shs, sh -> cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint))")
+    val hbComposed = expr(
+      "transform(shs, sh -> cast(conv(substr(md5(sh), 9, 8), 16, 10) as bigint))")
+    bothPaths {
+      assertNoDiff(df
+        .withColumn("fused", Md5Prefix28(col("shs")))
+        .withColumn("ref", prefixComposed), "md5_prefix28")
+      assertNoDiff(df
+        .withColumn("fused", ShingleSimHash64(col("shs")))
+        .withColumn("ref", SimHash64(haComposed, hbComposed)),
+        "shingle_simhash64")
+    }
+    df.unpersist()
+  }
 }

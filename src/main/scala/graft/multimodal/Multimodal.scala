@@ -3,6 +3,7 @@ package graft.multimodal
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -192,26 +193,51 @@ object Multimodal {
           coalesce(md5($"content".cast("string")),
             concat(lit("null-"), $"media_id")).as("fp"),
           phash.as("ph"))
-      // ph is a function of content (hence of fp), so ONE scan grouped
-      // by (format, fp, ph) yields every number: distinct contents =
-      // rows per format, media = sum of counts, bucket census = re-agg
-      // of already-aggregated rows by (format, ph).
-      val per = base.groupBy($"format", $"fp", $"ph")
-        .agg(count(lit(1)).as("c"))
-      val buckets = per.groupBy($"format", $"ph")
-        .agg(sum($"c").as("bc"))
-        .groupBy($"format")
-        .agg(count(lit(1)).as("n_ph_buckets"),
-          max($"bc").as("max_ph_bucket"))
-      val contents = per.groupBy($"format")
-        .agg(sum($"c").cast("long").as("n_media"),
-          count(lit(1)).as("n_distinct"))
-      contents.join(buckets, "format")
-        .select($"format", $"n_media", $"n_distinct",
-          ($"n_media" - $"n_distinct").as("n_exact_dups"),
-          $"n_ph_buckets", $"max_ph_bucket")
-        .orderBy($"format")
+      dedupStatsFromBase(s, base)
     })
+
+  /** m05 core on an injectable (format, fp, ph) frame — the skew spec
+    * plants a flooded pHash bucket and asserts the near-dup candidate
+    * count stays linear in bucket occupancy.
+    *
+    * ph is a function of content (hence of fp), so ONE scan grouped by
+    * (format, fp, ph) yields every number: distinct contents = rows per
+    * format, media = sum of counts, bucket census = re-agg of
+    * already-aggregated rows by (format, ph). Near-dup CANDIDATES are
+    * d09's star reduction (`Dedup.starCandidates`) applied to the pHash
+    * buckets: every distinct content links to its bucket's minimum
+    * fingerprint hub, so a flooded bucket contributes k−1 candidate
+    * edges, never the k(k−1)/2 an all-pairs expansion would — the same
+    * boundedness-for-recall trade, and the window is partitioned
+    * (format, ph) so no single task ever sees more than one bucket.
+    */
+  private[graft] def dedupStatsFromBase(s: SparkSession,
+      base: DataFrame): DataFrame = {
+    import s.implicits._
+    val per = base.groupBy($"format", $"fp", $"ph")
+      .agg(count(lit(1)).as("c"))
+    val buckets = per.groupBy($"format", $"ph")
+      .agg(sum($"c").as("bc"))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n_ph_buckets"),
+        max($"bc").as("max_ph_bucket"))
+    val hubW = Window.partitionBy($"format", $"ph")
+    val cands = per
+      .withColumn("hub", min($"fp").over(hubW))
+      .filter($"fp" =!= $"hub")
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n_near_cands"))
+    val contents = per.groupBy($"format")
+      .agg(sum($"c").cast("long").as("n_media"),
+        count(lit(1)).as("n_distinct"))
+    contents.join(buckets, "format")
+      .join(cands, Seq("format"), "left")
+      .select($"format", $"n_media", $"n_distinct",
+        ($"n_media" - $"n_distinct").as("n_exact_dups"),
+        $"n_ph_buckets", $"max_ph_bucket",
+        coalesce($"n_near_cands", lit(0L)).as("n_near_cands"))
+      .orderBy($"format")
+  }
 
   /** DuckDB media-catalog CTE mirroring [[mediaTable]] (content stays a
     * VARCHAR on the DuckDB side; the bytes are identical UTF-8).
@@ -301,11 +327,19 @@ object Multimodal {
          |  FROM buckets GROUP BY format),
          |contents AS (
          |  SELECT format, count(DISTINCT fp) AS n_distinct
-         |  FROM base GROUP BY format)
+         |  FROM base GROUP BY format),
+         |members AS (SELECT DISTINCT format, ph, fp FROM base),
+         |cands AS (
+         |  SELECT format, count(*) AS n_near_cands FROM (
+         |    SELECT format, fp,
+         |      min(fp) OVER (PARTITION BY format, ph) AS hub
+         |    FROM members) WHERE fp <> hub GROUP BY format)
          |SELECT p.format, n_media, n_distinct,
          |  n_media - n_distinct AS n_exact_dups,
-         |  n_ph_buckets, max_ph_bucket
+         |  n_ph_buckets, max_ph_bucket,
+         |  coalesce(n_near_cands, 0) AS n_near_cands
          |FROM perfmt p JOIN contents c ON p.format = c.format
+         |LEFT JOIN cands ca ON p.format = ca.format
          |ORDER BY p.format""".stripMargin
     })
 }

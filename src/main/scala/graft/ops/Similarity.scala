@@ -171,6 +171,37 @@ object Similarity {
   private val BmTerms = Seq("spark", "window", "query")
   private val RrfK = 60
   private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
+  // s05's per-label member cap: cohesion is computed over the first
+  // CohesionCap members per label (lowest vec_id — deterministic, and
+  // mirrored in the oracle), so a flooded label costs O(cap²) pairs,
+  // never O(k²). Fixture labels are far below the cap, so the capped
+  // statistic is EXACT there; at flood scale it degrades to a
+  // fixed-size deterministic sample — the d09 star-guard trade
+  // (boundedness over completeness), applied to a pairwise AGGREGATE
+  // where a star reduction can't preserve the semantics.
+  private[graft] val CohesionCap = 512
+
+  /** s05 core on an injectable (vec_id, label, v) frame — the skew spec
+    * plants a flooded label and asserts the pair count stays bounded.
+    */
+  private[graft] def labelCohesion(s: SparkSession, e: DataFrame,
+      cap: Int): DataFrame = {
+    import s.implicits._
+    val capped = e.select($"vec_id", $"label", $"v")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"label").orderBy($"vec_id")))
+      .filter($"rnk" <= cap)
+    val a = capped.select($"vec_id".as("a_id"), $"label", $"v".as("va"))
+    val b = capped.select($"vec_id".as("b_id"),
+      $"label".as("label_b"), $"v".as("vb"))
+    a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
+      .withColumn("cos", graft.functions.CosineSim($"va", $"vb"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"cos"), 4).as("avg_cos"),
+        round(max($"cos"), 4).as("max_cos"))
+      .orderBy($"label")
+  }
 
   /** The per-(doc, term) BM25 score — ONE expression string, valid in
     * BOTH Spark SQL and DuckDB, over columns (n_corpus, df, tf, len,
@@ -344,19 +375,10 @@ object Similarity {
     },
 
     "s05_label_cohesion" -> { (s, dir) =>
-      import s.implicits._
-      // Cluster-quality analytics: mean intra-label cosine per label
-      // (blocked self-join, no global all-pairs).
-      val e = emb(s, dir)
-      val a = e.toDF("a_id", "label", "va")
-      val b = e.toDF("b_id", "label_b", "vb")
-      a.join(b, $"label" === $"label_b" && $"a_id" < $"b_id")
-        .withColumn("cos", graft.functions.CosineSim($"va", $"vb"))
-        .groupBy($"label")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg($"cos"), 4).as("avg_cos"),
-          round(max($"cos"), 4).as("max_cos"))
-        .orderBy($"label")
+      // Cluster-quality analytics: mean intra-label cosine per label —
+      // blocked self-join over a CohesionCap-bounded member set per
+      // label (see the cap's doc above; spec plants a flooded label).
+      labelCohesion(s, emb(s, dir), CohesionCap)
     },
 
     "s09_bm25_topk" -> { (s, dir) =>
@@ -610,11 +632,13 @@ object Similarity {
     },
 
     "s05_label_cohesion" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |         sqrt(list_dot_product(embedding::DOUBLE[],
         |                               embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+        |    <= $CohesionCap)
         |SELECT a.label, count(*) AS n_pairs,
         |  round(avg(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4)
         |    AS avg_cos,

@@ -77,4 +77,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum ==
       Tables.load(spark, sfVerify, "documents").count())
   }
+
+  test("m05 skew guard: near-dup candidates stay linear in a flooded " +
+      "pHash bucket (d09's star reduction, all-pairs would be quadratic)") {
+    import spark.implicits._
+    // Planted flood: one (png, ph=00000000) bucket holding 300 DISTINCT
+    // contents (the perceptual-near-dup burst case — same pHash,
+    // different bytes), plus healthy sparse buckets and exact-dup
+    // multiplicity on one fingerprint.
+    val k = 300
+    val flooded = spark.range(k).select(lit("png").as("format"),
+      concat(lit("fp"), col("id")).as("fp"), lit("00000000").as("ph"))
+    val healthy = spark.range(40).select(lit("jpeg").as("format"),
+      concat(lit("hfp"), col("id")).as("fp"),
+      lpad((col("id") % 20).cast("string"), 8, "0").as("ph"))
+    val exactDups = spark.range(5).select(lit("png").as("format"),
+      lit("fpdup").as("fp"), lit("11111111").as("ph"))
+    val stats = multimodal.Multimodal.dedupStatsFromBase(spark,
+      flooded.union(healthy).union(exactDups)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val png = stats("png")
+    // flooded bucket: k distinct members -> k-1 star edges (hub = min
+    // fp); the 5-copy exact dup is ONE member alone in its bucket -> 0
+    assert(png.getLong(6) == k - 1,
+      s"flooded bucket emitted ${png.getLong(6)} candidates, want " +
+        s"${k - 1} (all-pairs would be ${k.toLong * (k - 1) / 2})")
+    assert(png.getLong(3) == 4, "5 copies of one content = 4 exact dups")
+    val jpeg = stats("jpeg")
+    // 40 members over 20 buckets: 2 per bucket -> 1 edge each
+    assert(jpeg.getLong(6) == 20, s"jpeg cands = ${jpeg.getLong(6)}")
+  }
 }

@@ -83,4 +83,35 @@ class SimilaritySpec extends SparkTestBase {
       .agg(sum("n_vectors")).collect()(0).getLong(0)
     assert(total == Tables.load(spark, sfSmoke, "embeddings").count())
   }
+
+  test("s05 skew guard: a flooded label's pair count is capped at " +
+      "C(cap,2) (uncapped all-pairs would be quadratic in occupancy)") {
+    import spark.implicits._
+    // Planted flood: label 0 holds 200 members against a cap of 16;
+    // label 1 sits below the cap and must be EXACT (identical to the
+    // uncapped statistic).
+    val cap = 16
+    val e = spark.range(200)
+      .select($"id".as("vec_id"), lit(0L).as("label"),
+        array(($"id" % 7).cast("double") + 1.0,
+          ($"id" % 3).cast("double") + 1.0).as("v"))
+      .union(spark.range(200, 210)
+        .select($"id".as("vec_id"), lit(1L).as("label"),
+          array(($"id" % 5).cast("double") + 1.0, lit(2.0)).as("v")))
+    val capped = ops.Similarity.labelCohesion(spark, e, cap).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(capped(0L).getLong(1) == cap.toLong * (cap - 1) / 2,
+      s"flooded label produced ${capped(0L).getLong(1)} pairs, want " +
+        s"${cap * (cap - 1) / 2} (uncapped would be ${200 * 199 / 2})")
+    // the cap keeps the LOWEST vec_ids: deterministic, so the capped
+    // flooded-label stats equal the same computation on members 0..15
+    val first16 = ops.Similarity.labelCohesion(spark,
+      e.filter($"label" === 1L || $"vec_id" < cap), Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(capped(0L).getDouble(2) == first16(0L).getDouble(2) &&
+      capped(0L).getDouble(3) == first16(0L).getDouble(3))
+    // below-cap label: capped == uncapped exactly
+    assert(capped(1L).getLong(1) == 45L &&
+      capped(1L).getDouble(2) == first16(1L).getDouble(2))
+  }
 }

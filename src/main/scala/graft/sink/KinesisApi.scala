@@ -206,8 +206,19 @@ final class FakeKinesis(val latencyMs: Long = 0L)
     stored(stream).filter(r => shardIndexOf(r.partitionKey, n) == shardIdx)
   }
 
-  override def listShards(stream: String): Seq[String] =
-    (0 until shardCount(stream)).map(shardName)
+  /** CONTROL plane: like real Kinesis ListShards, reports the LIVE
+    * layout — after a `numShards` flip a touched stream's list diverges
+    * from its frozen data plane, which is exactly how the source's
+    * resharding detection sees a real split/merge. The DATA plane
+    * (routing, iterators, [[latestSequence]]) stays frozen at first
+    * touch: history is never re-hashed, so the divergence is visible
+    * but can never silently remap checkpointed offsets onto different
+    * records.
+    */
+  override def listShards(stream: String): Seq[String] = {
+    shardCount(stream) // first control-plane touch freezes the data plane
+    (0 until numShards.get()).map(shardName)
+  }
 
   override def getShardIterator(stream: String, shardId: String,
       iteratorType: String, startingSequence: Long): String = {

@@ -47,6 +47,13 @@ private[sink] object KinesisGraftSource {
       "kinesis-graft source requires the 'stream' option"))
 }
 
+/** Thrown when the stream's live shard layout no longer matches the
+  * layout the query's checkpointed offsets were committed under — see
+  * `KinesisGraftMicroBatchStream.assertLayoutUnchanged`.
+  */
+final class KinesisReshardingException(msg: String)
+    extends IllegalStateException(msg)
+
 /** Per-shard next-sequence positions, JSON-serialized into the
   * checkpoint's offset log.
   *
@@ -121,12 +128,39 @@ private[sink] final class KinesisGraftMicroBatchStream(
     KinesisSourceOffset(positions)
   }
 
-  /** Shards discovered after the initial offset (resharding) start from
-    * TRIM_HORIZON — their records were never delivered before.
-    */
   override def latestOffset(): Offset =
     KinesisSourceOffset(client.listShards(stream)
       .map(s => s -> client.latestSequence(stream, s)).toMap)
+
+  /** Resharding detection: this source pins the shard layout for the
+    * life of the query — per-shard offsets in the checkpoint are only
+    * meaningful against the layout they were taken from. The reference
+    * never lists shards at all (its per-stream producer takes the
+    * layout as fixed, `batchproducer/batchproducer.go` has no
+    * ListShards call), so silent wrongness was its failure mode; here a
+    * split/merge is DETECTED on the next trigger and fails the query
+    * loudly instead of delivering against a remapped layout. Operators
+    * restart the query with a fresh checkpoint to adopt the new layout
+    * (at-least-once hand-off, same as the reference's restart
+    * semantics, `sink.go:128-140`).
+    */
+  private def assertLayoutUnchanged(committed: Set[String]): Unit = {
+    val live = client.listShards(stream).toSet
+    if (live != committed) {
+      val added = (live -- committed).toSeq.sorted
+      val removed = (committed -- live).toSeq.sorted
+      throw new KinesisReshardingException(
+        s"stream '$stream' was resharded under a running query: " +
+          s"checkpointed layout has ${committed.size} shard(s), live " +
+          s"layout has ${live.size}" +
+          (if (added.nonEmpty) s"; new: ${added.mkString(",")}" else "") +
+          (if (removed.nonEmpty) s"; gone: ${removed.mkString(",")}"
+           else "") +
+          ". Per-shard offsets are only valid against the layout they " +
+          "were committed under; restart the query with a fresh " +
+          "checkpoint to adopt the new layout.")
+    }
+  }
 
   /** Trigger counter driving the rotating allocation priority below.
     * Deliberately NOT checkpointed: it is fairness policy, not offset
@@ -167,6 +201,8 @@ private[sink] final class KinesisGraftMicroBatchStream(
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    assertLayoutUnchanged(
+      start.asInstanceOf[KinesisSourceOffset].shardOffsets.keySet)
     val unlimited = latestOffset().asInstanceOf[KinesisSourceOffset]
     if (maxPerTrigger <= 0) unlimited
     else {

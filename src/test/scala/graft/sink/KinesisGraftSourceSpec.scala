@@ -347,22 +347,97 @@ class KinesisGraftSourceSpec extends SparkTestBase {
         s"(${received.size - received.distinct.size} dups)")
   }
 
-  test("shard layout freezes at first touch: flipping numShards later " +
-      "cannot remap checkpointed offsets onto different records") {
+  test("data plane freezes at first touch while the control plane " +
+      "reports the live layout: flipping numShards cannot remap records " +
+      "but IS visible to resharding detection") {
     val fake = new FakeKinesis()
     fake.numShards.set(2)
     put(fake, "fz", (0 until 50).map(i => s"m$i"))
-    def snapshot(): Seq[Seq[String]] = fake.listShards("fz").map { s =>
-      val it = fake.getShardIterator("fz", s, "TRIM_HORIZON")
-      fake.getRecords(it, 1000).records
-        .map(r => new String(r.record.data, "UTF-8"))
-    }
+    // data-plane view under the FROZEN layout (what checkpointed
+    // offsets were committed against)
+    def snapshot(): Seq[Seq[String]] =
+      (0 until fake.shardCount("fz")).map(i => f"shardId-$i%012d").map { s =>
+        val it = fake.getShardIterator("fz", s, "TRIM_HORIZON")
+        fake.getRecords(it, 1000).records
+          .map(r => new String(r.record.data, "UTF-8"))
+      }
     val before = snapshot()
-    fake.numShards.set(4) // a checkpointed reader must not see a remap
-    assert(fake.listShards("fz").size == 2, "shard count must stay frozen")
+    assert(fake.listShards("fz").size == 2)
+    fake.numShards.set(4)
+    // control plane reports the reshard (how detection sees it)...
+    assert(fake.listShards("fz").size == 4,
+      "ListShards must report the live layout, like real Kinesis")
+    // ...but the data plane cannot re-hash history
+    assert(fake.shardCount("fz") == 2, "routing must stay frozen")
     assert(snapshot() == before, "per-shard logs must be byte-identical")
-    // untouched streams still pick up the live value
-    assert(fake.listShards("fresh").size == 4)
+  }
+
+  test("resharding mid-query fails the query loudly instead of " +
+      "delivering against a remapped layout") {
+    val fake = FakeKinesis.named("src-reshard")
+    fake.clear()
+    fake.numShards.set(2)
+    put(fake, "rs", (0 until 20).map(i => s"m$i"))
+    val ckpt = Files.createTempDirectory("ckpt-src-reshard").toString
+    val received = mutable.ArrayBuffer.empty[String]
+    def start() = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "rs")
+      .option("client", "fake:src-reshard")
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getString(0))
+        received.synchronized { received ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    assert(received.size == 20, "pre-reshard delivery must complete")
+    fake.numShards.set(5) // split: 2 -> 5 shards under the running query
+    put(fake, "rs", Seq("after-split"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val reshard = chain(ex).collectFirst {
+      case e: KinesisReshardingException => e
+    }
+    assert(reshard.isDefined,
+      s"query must die with KinesisReshardingException, got: $ex")
+    assert(reshard.get.getMessage.contains("resharded") &&
+      reshard.get.getMessage.contains("fresh checkpoint"),
+      s"error must tell the operator what happened and the remedy: " +
+        reshard.get.getMessage)
+    // the documented remedy works: a fresh checkpoint adopts the new
+    // layout (the fake's frozen data plane still routes mod the layout
+    // at first touch, so all records remain readable)
+    try q.stop() catch { case _: Exception => () }
+    received.clear()
+    val ckpt2 = Files.createTempDirectory("ckpt-src-reshard2").toString
+    val q2 = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "rs")
+      .option("client", "fake:src-reshard")
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getString(0))
+        received.synchronized { received ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt2)
+      .start()
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination(30000)
+    assert(received.sorted ==
+      ((0 until 20).map(i => s"m$i") :+ "after-split").sorted,
+      "fresh-checkpoint restart must deliver the full log")
   }
 
   test("admission control: total admitted per batch never exceeds " +
@@ -548,7 +623,9 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     fake.putRecords("fz", Seq(KinesisRecord("k", "v".getBytes)))
     assert(fake.shardCount("fz") == 2,
       "layout must freeze at the first write ATTEMPT, not the first success")
-    assert(fake.listShards("fz").size == 2)
+    // the control plane reports the live flip (resharding detection's
+    // view); the frozen DATA plane is what keeps the retry un-remapped
+    assert(fake.listShards("fz").size == 8)
   }
 
   test("source option validation: missing stream fails fast") {

@@ -715,14 +715,21 @@ object Dedup {
       // joins the edges view, and an unmaterialized view would re-run
       // the full shingle→MinHash→band derivation once per step
       // (measured: 8.2 s vs ~2 s at sf0.1). localCheckpoint truncates
-      // the lineage — the same treatment d08 gives its iterated labels.
+      // the lineage — the same treatment d08 gives its iterated labels —
+      // but NON-eagerly: the pair set materializes inside the query's
+      // own first job, so merely CONSTRUCTING this DataFrame runs no
+      // Spark job (the rest of the queries map is construction-lazy;
+      // r4's eager checkpoint also skewed per-query bench attribution).
       // View name is dir-hashed (d10's pattern): a fixed name would
-      // race across interleaved constructions on a shared session.
+      // race across interleaved constructions on a shared session. The
+      // view exists only for sql()'s ANALYSIS — resolution inlines the
+      // plan into the returned DataFrame — and is dropped immediately,
+      // leaving no catalog entry behind for the session's lifetime.
       val view = s"d18_pairs_${Integer.toHexString(dir.hashCode)}"
       verifiedPairs(s, dir)
-        .select("a_id", "b_id").localCheckpoint()
+        .select("a_id", "b_id").localCheckpoint(eager = false)
         .createOrReplaceTempView(view)
-      s.sql(
+      val out = s.sql(
         s"""WITH RECURSIVE edges AS (
            |  SELECT b_id AS child, min(a_id) AS parent FROM $view
            |  GROUP BY b_id),
@@ -740,6 +747,8 @@ object Dedup {
            |  max(depth) AS max_depth
            |FROM r GROUP BY root
            |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin)
+      s.catalog.dropTempView(view)
+      out
     },
 
     "d10_stream_dedup" -> { (s, dir) =>

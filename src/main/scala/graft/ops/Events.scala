@@ -444,11 +444,14 @@ object Events {
       // c_ts + 30 min < watermark. Cutoff = min(side maxima) − 2 h
       // restates exactly that with 30 min to spare — computed from the
       // same fixture both engines read, so the gate region is identical.
-      val horizon = ev(s, dir)
+      // The cutoff stays IN-PLAN as a broadcast one-row join against the
+      // gate output (a scalar subquery in DataFrame clothing) — the r4
+      // form collect()ed it to a driver literal, which ran an extra
+      // eager events scan as its own job before the streaming run.
+      val horizonDf = ev(s, dir)
         .filter($"event_type".isin("click", "purchase"))
         .groupBy($"event_type").agg(max($"ts").as("m"))
-        .agg(min($"m")).collect()(0)
-        .getTimestamp(0).toInstant.minusSeconds(2 * 3600)
+        .agg((min($"m") - expr("INTERVAL 2 HOURS")).as("cutoff"))
       val clicks = Tables.loadStream(s, dir, "events")
         .filter($"event_type" === "click")
         .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
@@ -464,7 +467,7 @@ object Events {
             $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"),
           "left_outer"),
         "e21_out_" + Integer.toHexString(dir.hashCode))
-        .filter($"c_ts" <= lit(java.sql.Timestamp.from(horizon)))
+        .join(broadcast(horizonDf), $"c_ts" <= $"cutoff")
         .select($"click_id", $"user_id", $"purchase_id",
           (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
         .orderBy($"click_id", $"purchase_id".asc_nulls_first)

@@ -278,8 +278,22 @@ object Relational {
       // returns a full-precision DOUBLE, a ~5e-7 cutoff disagreement
       // waiting for a borderline row — whereas sums, counts and
       // products of DECIMAL(18,2) are exact in both engines, so the
-      // predicate is bit-identical by construction. The view name is
-      // query-scoped to keep the session catalog clean.
+      // predicate is bit-identical by construction.
+      //
+      // Overflow envelope (where cross-engine exactness is proven, not
+      // assumed): the count side widens to DECIMAL(38,2) — 2·price·n ≤
+      // 2·10¹⁶·(int64 max) ≈ 1.8·10³⁵ < 10³⁶, so it CANNOT overflow for
+      // any representable count. The binding limit is the sum side:
+      // summing as DECIMAL(28,2) gives sum → DECIMAL(38,2), exact while
+      // a customer's total spend stays under ~3.3·10³⁵ (3·sum must fit
+      // 36 integer digits). Beyond that Spark (ANSI off) NULLs the
+      // comparison and silently drops the row while DuckDB's HUGEINT
+      // stays exact — run with spark.sql.ansi.enabled=true to turn that
+      // divergence into a loud error instead. The r4 form summed at
+      // DECIMAL(28,2) (10¹⁰× less headroom, ~10²⁶) — still beyond any
+      // physical corpus, but the wider cast is free and the envelope is
+      // now explicit. The view name is query-scoped to keep the session
+      // catalog clean.
       t(s, dir, "orders").createOrReplaceTempView("q27_orders")
       s.sql(
         """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
@@ -288,7 +302,7 @@ object Relational {
           |    SELECT count(*) FROM q27_orders o2
           |    WHERE o2.o_custkey = o.o_custkey)
           |  > 3 * (
-          |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(28,2)))
           |    FROM q27_orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     },
@@ -717,7 +731,7 @@ object Relational {
         |    SELECT count(*) FROM orders o2
         |    WHERE o2.o_custkey = o.o_custkey)
         |  > 3 * (
-        |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |    SELECT sum(CAST(o2.o_totalprice AS DECIMAL(28,2)))
         |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 

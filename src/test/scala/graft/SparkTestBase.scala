@@ -21,12 +21,7 @@ trait SparkTestBase extends AnyFunSuite {
     */
   def tmpDir(name: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$name")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(d.toFile)
-    }))
+    SparkTestBase.cleanupAtExit(d)
     d.toString
   }
 
@@ -42,6 +37,30 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  /** ONE JVM shutdown hook draining a synchronized list — a hook PER
+    * tmpDir call (the old form) accumulates an unbounded thread per
+    * temp directory across the suites sharing this JVM, and every hook
+    * thread starts concurrently at exit with no ordering guarantee.
+    */
+  private val exitDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      exitDirs.synchronized {
+        exitDirs.forEach(d => del(d.toFile))
+      }
+    }))
+
+  private[graft] def cleanupAtExit(d: java.nio.file.Path): Unit = {
+    hookInstalled
+    exitDirs.add(d)
+    ()
+  }
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")

@@ -36,7 +36,18 @@ package object functions {
     ("shingle_simhash64", classOf[ShingleSimHash64].getName,
       e => ShingleSimHash64(e(0))),
     ("zorder64", classOf[ZOrder64].getName,
-      e => ZOrder64(e(0), e(1))))
+      e => ZOrder64(e(0), e(1))),
+    // Spark's own bloom expressions, surfaced (they exist in the jars
+    // but are absent from the public FunctionRegistry — see
+    // BloomFilterFns)
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      e => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(e(0), e(1), e(2))),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      e => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(e(0), e(1))))
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit =

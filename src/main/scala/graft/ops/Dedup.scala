@@ -85,6 +85,13 @@ object Dedup {
     * longer than its cluster. Identical bound in both engines.
     */
   private val CascadeMaxDepth = 100
+  // d19's bloom sizing: ~1M expected eval shingles at 8 bits/item (~1MB
+  // filter, fpp ≈ 2%) — result-exactness does NOT depend on these (the
+  // exact-verify join kills false positives); they only tune how many
+  // non-matches survive to the verify shuffle. Both sit far under
+  // Spark's runtime-bloom caps (4M items / 67M bits default).
+  private val BloomItems = 1000000L
+  private val BloomBits = 8000000L
 
   /** Verified near-dup pair core shared by d03 (presentation), d08/d09
     * components, d11 and d18 — UNSORTED: a join/recursion branch must
@@ -694,6 +701,44 @@ object Dedup {
         .orderBy($"source")
     },
 
+    "d19_bloom_decontamination" -> { (s, dir) =>
+      import s.implicits._
+      // Decontamination for an eval set TOO BIG TO BROADCAST RAW — the
+      // 100 TB form of d12. d12 broadcasts the eval shingle set itself,
+      // which stops working when the held-out benchmark corpus is
+      // terabytes; here the eval membership ships as a BLOOM FILTER
+      // (Spark's own BloomFilterAggregate: one distributed pass,
+      // partial filters OR-merged, a few MB for 10⁸ shingles), probed
+      // scan-side as a scalar subquery. The bloom has no false
+      // negatives, and the survivors — candidate matches only, not the
+      // corpus — then EXACT-verify against the true eval set, so false
+      // positives die in the join and the per-source accounting is
+      // engine-exact: the oracle computes the same numbers with a plain
+      // join and the hash gate proves the bloom changed nothing. At
+      // scale the verify join shuffles |survivors| ≈ |true matches|
+      // rows instead of every training shingle.
+      val d = docs(s, dir).select($"doc_id", $"source")
+      val sh = shingleHashes(s, dir).join(d, "doc_id")
+      val evalSet = sh.filter($"source" === "src0").select($"sh").distinct()
+      val train = sh.filter($"source" =!= "src0")
+      val bloom = evalSet
+        .agg(graft.functions.BloomFilterFns.agg(
+          xxhash64($"sh"), BloomItems, BloomBits).as("bf"))
+        .scalar()
+      val survivors = train.filter(
+        graft.functions.BloomFilterFns.mightContain(bloom, xxhash64($"sh")))
+      val shared = survivors.join(evalSet, "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      d.filter($"source" =!= "src0")
+        .join(shared, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_shared".isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(coalesce($"n_shared", lit(0L))).as("n_shared_total"))
+        .orderBy($"source")
+    },
+
     "d18_dup_cascade" -> { (s, dir) =>
       // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
@@ -1056,6 +1101,26 @@ object Dedup {
            |                  OR c.canonical_id = d.doc_id
            |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      "d19_bloom_decontamination" ->
+        s"""WITH $shingleHashSql,
+           |tagged AS (
+           |  SELECT s.doc_id, s.sh, d.source FROM sh s
+           |  JOIN documents d ON d.doc_id = s.doc_id),
+           |evalset AS (
+           |  SELECT DISTINCT sh FROM tagged WHERE source = 'src0'),
+           |train AS (SELECT * FROM tagged WHERE source <> 'src0'),
+           |shared AS (
+           |  SELECT t.doc_id, count(*) AS n_shared FROM train t
+           |  JOIN evalset e ON e.sh = t.sh GROUP BY t.doc_id)
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_contaminated,
+           |  CAST(sum(coalesce(h.n_shared, 0)) AS BIGINT)
+           |    AS n_shared_total
+           |FROM documents d LEFT JOIN shared h ON h.doc_id = d.doc_id
+           |WHERE d.source <> 'src0'
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
       "d12_decontamination" ->

@@ -79,6 +79,38 @@ class DedupSpec extends SparkTestBase {
       s"top contamination ${d12.head} looks like noise")
   }
 
+  test("d19: bloom-prefiltered decontamination equals the exact " +
+      "computation (no false negatives; false positives die in the " +
+      "verify join)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = ops.Dedup.queries("d19_bloom_decontamination")(spark, sfVerify)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent exact computation, no bloom anywhere
+    val docs = Tables.load(spark, sfVerify, "documents")
+      .select($"doc_id", $"source", $"text")
+    val sh = docs.withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"source",
+        explode(expr(s"array_distinct(${ops.Dedup.shingleExpr})")).as("sh"))
+    val evalSet = sh.filter($"source" === "src0").select($"sh").distinct()
+    val shared = sh.filter($"source" =!= "src0")
+      .join(evalSet, "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    val expect = docs.filter($"source" =!= "src0")
+      .join(shared, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_shared".isNotNull, 1L).otherwise(0L)).as("n_cont"),
+        sum(coalesce($"n_shared", lit(0L))).as("n_tot"))
+      .orderBy($"source")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq,
+      "bloom path must be value-identical to the exact path")
+    assert(got.exists(_._3 > 0), "fixture plants cross-source overlap")
+  }
+
   test("d10: streaming dropDuplicates dedup equals the batch per-source " +
       "distinct counts") {
     import org.apache.spark.sql.functions._

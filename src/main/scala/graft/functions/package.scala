@@ -33,6 +33,8 @@ package object functions {
       e => NfcNormalize(e(0))),
     ("md5_prefix28", classOf[Md5Prefix28].getName,
       e => Md5Prefix28(e(0))),
+    ("shingle3", classOf[Shingle3].getName,
+      e => Shingle3(e(0))),
     ("shingle_simhash64", classOf[ShingleSimHash64].getName,
       e => ShingleSimHash64(e(0))),
     ("zorder64", classOf[ZOrder64].getName,

@@ -151,10 +151,13 @@ object Dedup {
     */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Shingle3 dedups per doc, so the explode is already distinct per
+    // (doc_id, sh) — the old explode-then-distinct shape shuffled the
+    // full shingle stream through a dedup exchange for nothing
     docs(s, dir)
       .withColumn("toks", split($"text", " "))
-      .select($"doc_id", explode(expr(shingleExpr)).as("sh"))
-      .distinct()
+      .select($"doc_id",
+        explode(graft.functions.Shingle3($"toks")).as("sh"))
       .withColumn("h", conv(substring(md5($"sh"), 1, 7), 16, 10).cast("long"))
   }
 
@@ -178,13 +181,15 @@ object Dedup {
       .select($"doc_id", graft.functions.Md5Prefix28($"shs").as("hs"))
   }
 
-  /** docs → distinct 3-word shingle arrays (shared by both hash cores). */
+  /** docs → distinct 3-word shingle arrays (shared by both hash cores).
+    * Shingle3 fuses sequence+transform+concat_ws+array_distinct into one
+    * compiled kernel (fuzz-pinned to the composed form it replaces).
+    */
   private def shingledDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
       .withColumn("toks", split($"text", " "))
-      .withColumn("shs", expr(s"array_distinct($shingleExpr)"))
-      .select($"doc_id", $"shs")
+      .select($"doc_id", graft.functions.Shingle3($"toks").as("shs"))
   }
 
   /** Unsorted signature cores for composition: d03/d07/d08/d09 join on

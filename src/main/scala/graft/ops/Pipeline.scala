@@ -159,10 +159,11 @@ object Pipeline {
             .partitionBy($"fp").orderBy($"doc_id")))
       val evalSet = docs(s, dir).filter($"source" === "src0")
         .withColumn("toks", split($"text", " "))
-        .select(explode(expr(Dedup.shingleExpr)).as("sh")).distinct()
+        .select(explode(graft.functions.Shingle3($"toks")).as("sh"))
+        .distinct()
       val ratios = withFp.filter($"q_pass" && $"rn" === 1)
-        .select($"doc_id", explode(expr(
-          s"array_distinct(${Dedup.shingleExpr})")).as("sh"))
+        .select($"doc_id",
+          explode(graft.functions.Shingle3($"toks")).as("sh"))
         .join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("sh"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_sh"),

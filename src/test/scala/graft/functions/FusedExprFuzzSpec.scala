@@ -200,4 +200,36 @@ class FusedExprFuzzSpec extends SparkTestBase {
     }
     df.unpersist()
   }
+
+  test("fuzz: shingle3 vs the composed sequence/transform/concat_ws/" +
+      "array_distinct chain, codegen AND interpreted") {
+    rng = new Random(0x391A61E3)
+    def tokArr(len: Int, nullFrac: Double): Array[String] =
+      Array.tabulate[String](len) { _ =>
+        if (rng.nextDouble() < nullFrac) null
+        else rng.nextInt(6) match {
+          case 0 => "" // empty token: shingles with doubled separators
+          case 1 => "wörd" + rng.nextInt(5) // unicode
+          case _ => "tok" + rng.nextInt(8) // small vocab → many dups
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("toks", ArrayType(StringType, containsNull = true))))
+    // lengths 1,2,3 exercise every clamp branch; larger ones the dedup.
+    // n = 0 is OUTSIDE the contract domain: the composed form's
+    // element_at(toks, 1) ERRORS on an empty array under Spark 4's ANSI
+    // default, and split() never produces one (minimum is [""]) — the
+    // kernel's documented "" fallback is an extension, not parity.
+    val rows = (0 until N).map { i =>
+      Row(tokArr(i % 16 + 1, if (i % 4 == 0) 0.25 else 0.0))
+    }
+    val df = mkDf(rows, schema).cache()
+    val composed = expr(s"array_distinct(${graft.ops.Dedup.shingleExpr})")
+    bothPaths {
+      assertNoDiff(df
+        .withColumn("fused", Shingle3(col("toks")))
+        .withColumn("ref", composed), "shingle3")
+    }
+    df.unpersist()
+  }
 }

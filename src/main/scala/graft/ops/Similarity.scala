@@ -36,6 +36,7 @@ object Similarity {
   private val K = 5
   private val NProbe = 2
   private val NQueries = 10 // query set: vec_id < 10
+  private val RerankC = 50 // s11: stage-1 candidates per query
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -472,6 +473,49 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "s11_quantized_rerank" -> { (s, dir) =>
+      import s.implicits._
+      // TWO-STAGE retrieval — the production shape once the float index
+      // outgrows memory: a cheap first pass over int8-quantized vectors
+      // (s07's absmax scheme) cuts the corpus to RerankC candidates per
+      // query, then only the survivors pay the full-precision cosine
+      // and the final top-K rank. Stage 1's score is INTEGER-exact by
+      // construction — quantized components are round()ed integer
+      // values in [−127, 127], so every product (≤ 16129) and the
+      // 64-term sum (≤ ~10⁶) is an exactly-representable double in ANY
+      // summation order, in both engines: zero float-parity risk where
+      // the candidate CUT happens (ranks beyond the cut never matter).
+      // Stage-1 candidates shuffle as bare (q_id, n_id, iscore) triples
+      // through the bounded-heap TopKPerKey — vectors REJOIN after the
+      // cut (s03's payload lesson), so at 100 TB the heavy rows number
+      // |q|·RerankC, never |q|·|corpus|.
+      val eq = emb(s, dir)
+        .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+        .withColumn("qa", expr("transform(v, x -> round(x * 127.0 / amax))"))
+        .select($"vec_id", $"qa")
+      val qq = eq.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"qa".as("qqa"))
+      val scored = eq.select($"vec_id".as("n_id"), $"qa")
+        .join(broadcast(qq), $"q_id" =!= $"n_id")
+        .withColumn("iscore", graft.functions.DotProduct($"qqa", $"qa"))
+        .select($"q_id", $"n_id", $"iscore")
+      val cand = graft.plans.TopKPerKey(scored, Seq("q_id"),
+        struct($"iscore" * -1, $"n_id"), RerankC)
+        .select($"q_id", $"n_id")
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      cand
+        .join(broadcast(qv), "q_id")
+        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -703,6 +747,35 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "s11_quantized_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> round(x * 127.0 / amax)) AS qa
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) AS amax
+         |        FROM e)),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM qz q JOIN qz c
+         |    ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_dot_product(q.qa, c.qa) DESC, c.vec_id)
+         |      <= $RerankC),
+         |nrm AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+         |rer AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |    round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 4) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = cand.q_id
+         |            JOIN nrm b ON b.vec_id = cand.n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM rer)
+         |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     "s07_int8_quant" ->
       """WITH e AS (

@@ -84,6 +84,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(total == Tables.load(spark, sfSmoke, "embeddings").count())
   }
 
+  test("s11: int8-recall + float-rerank recovers (nearly) the exact " +
+      "top-k — quantization only perturbs below the candidate cut") {
+    val exact = pairs("s01_cosine_topk")
+    val reranked = pairs("s11_quantized_rerank")
+    val recall = (exact & reranked).size.toDouble / exact.size
+    info(f"two-stage recall vs exact = $recall%.2f")
+    // int8 absmax on 64-dim vectors distorts cosines by <1%; with a
+    // 50-candidate stage-1 cut the final top-5 should be essentially
+    // exact — well above any ANN variant
+    assert(recall >= 0.9, f"two-stage recall $recall%.2f too low")
+  }
+
   test("s05 skew guard: a flooded label's pair count is capped at " +
       "C(cap,2) (uncapped all-pairs would be quadratic in occupancy)") {
     import spark.implicits._

@@ -473,6 +473,50 @@ object Events {
         .orderBy($"click_id", $"purchase_id".asc_nulls_first)
     },
 
+    "e26_stream_full_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      // Stream-stream FULL OUTER interval join — completes e19
+      // (inner) / e21 (left): BOTH null-emitting sides at once.
+      // Emission finality per row class: matched rows emit on sight
+      // (inner semantics); an unmatched click needs the watermark past
+      // c_ts + 30 min; an unmatched purchase needs it past p_ts (its
+      // click window is [p_ts − 30 min, p_ts], so no match can still
+      // arrive once the watermark clears p_ts). The shared cutoff
+      // min(side max ts) − 2 h closes every class with ≥ 30 min to
+      // spare, and the gate condition `coalesce(c_ts, p_ts) ≤ cutoff`
+      // picks each row's DRIVING timestamp — c_ts when a click is
+      // present (matched or purchase-null), p_ts for click-null rows —
+      // so both engines restrict to the identical watermark-closed
+      // region (e21's honesty contract, both directions). user_id is
+      // coalesced across sides: a full outer row always has exactly one
+      // origin for it.
+      val horizonDf = ev(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type").agg(max($"ts").as("m"))
+        .agg((min($"m") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      graft.streaming.MemoryGate.append(s,
+        clicks.join(purchases,
+          $"user_id" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"),
+          "full_outer"),
+        "e26_out_" + Integer.toHexString(dir.hashCode))
+        .join(broadcast(horizonDf), coalesce($"c_ts", $"p_ts") <= $"cutoff")
+        .select($"click_id",
+          coalesce($"user_id", $"p_user").as("user_id"),
+          $"purchase_id",
+          (unix_micros($"p_ts") - unix_micros($"c_ts")).as("gap_us"))
+        .orderBy($"click_id".asc_nulls_first, $"purchase_id".asc_nulls_first)
+    },
+
     "e24_stream_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       // BOUNDED-STATE streaming dedup — the production form d10's plain
@@ -729,6 +773,26 @@ object Events {
         |        WHERE event_type IN ('click', 'purchase')
         |        GROUP BY event_type) x)
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    "e26_stream_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT * FROM c FULL JOIN p
+        |    ON p_user = c_user AND p_ts >= c_ts
+        |   AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+        |SELECT click_id, coalesce(c_user, p_user) AS user_id,
+        |  purchase_id, epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM j
+        |WHERE coalesce(c_ts, p_ts) <= (SELECT min(m) - INTERVAL 2 HOUR
+        |  FROM (SELECT event_type, max(ts) AS m FROM events
+        |        WHERE event_type IN ('click', 'purchase')
+        |        GROUP BY event_type) x)
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
     "e24_stream_dedup_watermark" ->
       """SELECT event_type, count(*) AS n

@@ -225,7 +225,8 @@ class PlanShapeSpec extends SparkTestBase {
     val streamingGated = Set("d10_stream_dedup", "e07_stream_hourly_counts",
       "e14_kinesis_roundtrip_agg", "e16_stream_sessions",
       "e18_stream_static_join", "e19_stream_interval_join",
-      "e21_stream_outer_join", "e24_stream_dedup_watermark")
+      "e21_stream_outer_join", "e24_stream_dedup_watermark",
+      "e26_stream_full_outer_join")
     def boundedInput(w: WindowExec): Boolean = {
       def bounded(p: SparkPlan): Boolean = p match {
         case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true

@@ -375,6 +375,48 @@ object Relational {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    "q32_market_share" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q8 shape — national MARKET SHARE: per (customer region,
+      // order year), the fraction of supply volume delivered by
+      // NATION_3's suppliers. The conditional-share-of-total idiom over
+      // the board's widest join tree (7 tables, nation joined TWICE on
+      // different roles — customer geography vs supplier nationality).
+      // Volume goes through exact decimals (the q27 cast pattern:
+      // DOUBLE prices recover their 2-decimal values exactly in both
+      // engines), the two sums are decimal-exact, and only the final
+      // one-division share touches doubles — identical operands ⇒
+      // identical quotient ⇒ round(…, 6) is engine-exact. Facts shuffle
+      // on their keys; nation (both roles) and region broadcast.
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey",
+        ($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1) - $"l_discount".cast("decimal(18,2)"))).as("vol"))
+      li
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select($"n_nationkey".as("cn_key"), $"n_regionkey")),
+          $"c_nationkey" === $"cn_key")
+        .join(broadcast(t(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+        .groupBy($"r_name", $"o_year")
+        .agg(
+          round(sum(when($"supp_nation" === "NATION_3", $"vol")
+              .otherwise(lit(0))).cast("double") /
+            sum($"vol").cast("double"), 6).as("mkt_share"),
+          round(sum($"vol"), 2).cast("double").as("total_volume"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"o_year")
+    },
+
     "q30_rank_battery" -> { (s, dir) =>
       import s.implicits._
       // Relative-position window functions (percent_rank, cume_dist,
@@ -755,6 +797,28 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q32_market_share" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem)
+        |SELECT r_name, year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN vol
+        |                      ELSE 0 END) AS DOUBLE) /
+        |        CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(round(sum(vol), 2) AS DOUBLE) AS total_volume,
+        |  count(*) AS n_items
+        |FROM v
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY r_name, o_year
+        |ORDER BY r_name, o_year""".stripMargin,
 
     "q31_local_supply" ->
       """SELECT n_name,

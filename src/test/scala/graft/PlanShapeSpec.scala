@@ -186,6 +186,31 @@ class PlanShapeSpec extends SparkTestBase {
       s"d15 must not plan interpreted HOF lambdas:\n${p.take(2000)}")
   }
 
+  test("q32: seven-table share query keeps every join hash-based " +
+      "(dims broadcast; no sort-merge join at fixture scale)") {
+    val p = plan("q32_market_share")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0, p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"nation (both roles) and region must broadcast:\n${p.take(2000)}")
+  }
+
+  test("d19: the bloom probe is a scan-side Filter fed by ONE scalar " +
+      "subquery, planned before the exact verify join") {
+    val p = plan("d19_bloom_decontamination")
+    val probes = p.linesIterator.filter(l =>
+      l.contains("Filter") && l.contains("might_contain")).toSeq
+    assert(probes.nonEmpty,
+      s"bloom probe must plan as a Filter:\n${p.take(2000)}")
+    // constraint inference may copy the probe onto BOTH sides of the
+    // verify equi-join (harmless — the eval side is the small one);
+    // what matters is every probe site shares ONE subquery build
+    val subqueryIds = probes
+      .flatMap("subquery#\\d+".r.findFirstIn(_)).distinct
+    assert(subqueryIds.size == 1,
+      s"bloom must be built once, found $subqueryIds in:\n" +
+        probes.mkString("\n"))
+  }
+
   test("p07: sampling threshold joins back as a broadcast, and the " +
       "corpus-total side is a single broadcast row") {
     val p = plan("p07_source_mixture")

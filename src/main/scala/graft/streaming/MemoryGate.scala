@@ -23,13 +23,33 @@ object MemoryGate {
   def append(s: SparkSession, df: DataFrame, name: String): DataFrame =
     run(s, df, name, "append")
 
+  /** State partition count for the gated runs. A streaming query plans
+    * one state store PER shuffle partition PER stateful operator PER
+    * micro-batch — commit/snapshot overhead scales with the partition
+    * count, not the data, and the gated fixtures are small. 8 keeps the
+    * gates honest (real shuffles, real state machinery, multi-partition
+    * parallelism) without paying 32 stores' bookkeeping per batch. A
+    * production deployment sizes this to the cluster the same way —
+    * state partitioning is fixed at the query's FIRST run and recorded
+    * in its checkpoint, so it is a per-query deployment choice, not a
+    * semantics choice (results are partition-count-independent; the
+    * hash gate proves it).
+    */
+  private val StatePartitions = "8"
+
   /** One definition of the start/process/stop/await discipline. */
   private def run(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(30000) }
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, StatePartitions)
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination(30000) }
+    } finally s.conf.set(key, saved)
     s.table(name)
   }
 }

@@ -33,6 +33,29 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("round-5 functions invoke through SQL on a fresh clone: " +
+      "shingle3, md5_prefix28, shingle_simhash64, bloom agg + probe") {
+    val fresh = spark.newSession()
+    fresh.range(100).selectExpr("cast(id as string) AS s")
+      .createOrReplaceTempView("bl")
+    val row = fresh.sql(
+      "SELECT shingle3(array('a','b','c','d')) AS sh, " +
+        "md5_prefix28(array('x')) AS mp, " +
+        "shingle_simhash64(array('x','y')) AS ss, " +
+        "(SELECT count(*) FROM bl WHERE might_contain(" +
+        "  (SELECT bloom_filter_agg(xxhash64(s), 100L, 800L) FROM bl), " +
+        "  xxhash64(s))) AS hits").head()
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8"))
+    val expect = ((md(0) & 0xFFL) << 20) | ((md(1) & 0xFFL) << 12) |
+      ((md(2) & 0xFFL) << 4) | ((md(3) & 0xF0L) >>> 4)
+    assert(row.getSeq[Long](1) == Seq(expect))
+    assert(row.getLong(2) != 0L)
+    // a bloom has NO false negatives: every inserted key must probe true
+    assert(row.getLong(3) == 100L)
+  }
+
   test("TopKPerKey plans on a fresh clone without install()") {
     val fresh = spark.newSession()
     import fresh.implicits._

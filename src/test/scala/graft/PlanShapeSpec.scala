@@ -11,6 +11,17 @@ class PlanShapeSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sfVerify)
       .queryExecution.executedPlan.toString
 
+  /** Streaming-gated queries execute a real run at construction time
+    * (their returned batch result is the gate's memory table); the
+    * board-wide plan sweeps cover only queries whose construction
+    * stays lazy.
+    */
+  private val streamingGated = Set("d10_stream_dedup",
+    "e07_stream_hourly_counts", "e14_kinesis_roundtrip_agg",
+    "e16_stream_sessions", "e18_stream_static_join",
+    "e19_stream_interval_join", "e21_stream_outer_join",
+    "e24_stream_dedup_watermark", "e26_stream_full_outer_join")
+
   test("q06: all predicates pushed into the parquet scan, columns pruned") {
     val p = plan("q06_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))
@@ -244,14 +255,6 @@ class PlanShapeSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.SparkPlan
-    // streaming-gated queries execute a real run at construction time
-    // (their returned batch result is windowless); keep the sweep to
-    // plans that stay lazy
-    val streamingGated = Set("d10_stream_dedup", "e07_stream_hourly_counts",
-      "e14_kinesis_roundtrip_agg", "e16_stream_sessions",
-      "e18_stream_static_join", "e19_stream_interval_join",
-      "e21_stream_outer_join", "e24_stream_dedup_watermark",
-      "e26_stream_full_outer_join")
     def boundedInput(w: WindowExec): Boolean = {
       def bounded(p: SparkPlan): Boolean = p match {
         case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
@@ -271,6 +274,27 @@ class PlanShapeSpec extends SparkTestBase {
         }
       assert(offenders.isEmpty,
         s"unpartitioned unbounded windows:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("board-wide: no batch query plans a CartesianProduct (the " +
+      "O(n·m) non-equi-join scale-killer class)") {
+    // Companion sweep to the WindowExec guard: a CartesianProduct node
+    // means some join lost its equi-keys (or a broadcast hint) and
+    // would multiply two distributed relations row-by-row.
+    // BroadcastNestedLoopJoin is deliberately NOT banned — the board's
+    // non-equi joins all ride a broadcast of a provably tiny side
+    // (query sets, one-row horizon cutoffs, centroid tables), which is
+    // the correct plan for them at any corpus scale.
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => streamingGated(n) }
+        .filter { case (name, fn) =>
+          fn(spark, sfSmoke).queryExecution.executedPlan.toString
+            .contains("CartesianProduct")
+        }.map(_._1)
+      assert(offenders.isEmpty,
+        s"queries planning a cartesian product: $offenders")
     }
   }
 

@@ -744,6 +744,46 @@ object Dedup {
         .orderBy($"source")
     },
 
+    "d20_boilerplate_ngrams" -> { (s, dir) =>
+      import s.implicits._
+      // Cross-document BOILERPLATE detection (the CCNet/RefinedWeb
+      // cleanup pass): a 3-gram that recurs across many DISTINCT
+      // documents is template text — headers, footers, navigation,
+      // license blurbs — and a doc's boilerplate FRACTION is the
+      // curation signal (near-1 docs are pure chrome and get dropped;
+      // the per-span removal pass reuses the same flag set). Differs
+      // from winnowing (d15: sampled fingerprints, pairwise overlap)
+      // and decontamination (d12/d19: membership against a FIXED eval
+      // set) — here the "set" is corpus-global and data-derived.
+      // The recurrence threshold is RELATIVE (0.2 % of corpus docs,
+      // floor 2) in pure int64 arithmetic — a fixed absolute count
+      // would mean a 100 TB corpus flags nearly every common phrase;
+      // engines agree exactly because no floating literal is involved.
+      // Shapes at 100 TB: Shingle3 emits per-doc-distinct shingles, so
+      // doc-frequency is ONE wordcount shuffle with map-side partials;
+      // the corpus doc count is a broadcast one-row aggregate; the
+      // flag set joins back on the shingle string — an equi-join
+      // shuffle sized by the shingle stream, the same bound every
+      // other shingle operator on the board already pays. No window,
+      // no all-pairs, no driver loop.
+      val sh = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(graft.functions.Shingle3($"toks")).as("sh"))
+      val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val tot = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val flags = df.crossJoin(broadcast(tot))
+        .select($"sh",
+          ($"df" >= expr("greatest(2, (n_docs + 499) div 500)")).as("boiler"))
+      sh.join(flags, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"boiler", 1L).otherwise(0L)).as("n_boiler"))
+        .select($"doc_id", $"n_shingles", $"n_boiler",
+          round($"n_boiler" / $"n_shingles".cast("double"), 6)
+            .as("boiler_frac"))
+        .orderBy($"doc_id")
+    },
+
     "d18_dup_cascade" -> { (s, dir) =>
       // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
@@ -1127,6 +1167,23 @@ object Dedup {
            |FROM documents d LEFT JOIN shared h ON h.doc_id = d.doc_id
            |WHERE d.source <> 'src0'
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+      "d20_boilerplate_ngrams" ->
+        s"""WITH $shingleHashSql,
+           |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+           |tot AS (SELECT count(*) AS n_docs FROM documents),
+           |flags AS (
+           |  SELECT sh, df >= greatest(2, (n_docs + 499) // 500) AS boiler
+           |  FROM df CROSS JOIN tot),
+           |per AS (
+           |  SELECT s.doc_id, count(*) AS n_shingles,
+           |    CAST(sum(CASE WHEN f.boiler THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_boiler
+           |  FROM sh s JOIN flags f ON s.sh = f.sh
+           |  GROUP BY s.doc_id)
+           |SELECT doc_id, n_shingles, n_boiler,
+           |  round(n_boiler / CAST(n_shingles AS DOUBLE), 6) AS boiler_frac
+           |FROM per ORDER BY doc_id""".stripMargin,
 
       "d12_decontamination" ->
         s"""WITH $shingleHashSql,

@@ -123,6 +123,40 @@ class DedupSpec extends SparkTestBase {
       "streaming dedup counts diverged from batch")
   }
 
+  test("d20: boilerplate accounting matches an independent window-based " +
+      "recomputation and stays bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val d20 = ops.Dedup.queries("d20_boilerplate_ngrams")(spark, sfSmoke)
+    // Independent formulation: doc-frequency via a count window over the
+    // shingle partition instead of the agg + join-back the operator uses.
+    val docs = Tables.load(spark, sfSmoke, "documents")
+    val nDocs = docs.count()
+    val thr = math.max(2L, (nDocs + 499) / 500)
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingle3(col("toks"))).as("sh"))
+    val alt = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= thr, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler") / col("n_shingles").cast("double"), 6)
+          .as("boiler_frac"))
+    assert(d20.exceptAll(alt).count() == 0 && alt.exceptAll(d20).count() == 0,
+      "join-back and window formulations diverged")
+    // bounds + the fixture's planted near-dups must surface SOME
+    // boilerplate without the relative threshold flagging everything
+    assert(d20.count() == nDocs)
+    assert(d20.filter(col("n_boiler") > col("n_shingles")).count() == 0)
+    assert(d20.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1)
+      .count() == 0)
+    assert(d20.agg(sum("n_boiler")).collect()(0).getLong(0) > 0,
+      "no boilerplate found — threshold too strict for the fixture")
+    assert(d20.filter(col("n_boiler") === col("n_shingles")).count() < nDocs,
+      "every shingle flagged — threshold degenerate")
+  }
+
   test("d09 skew guard: star candidates stay linear in bucket occupancy " +
       "(all-pairs would be quadratic)") {
     import spark.implicits._

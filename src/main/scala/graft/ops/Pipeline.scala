@@ -306,6 +306,31 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p08_train_val_test" -> { (s, dir) =>
+      import s.implicits._
+      // Deterministic TRAIN/VAL/TEST assignment — the split every
+      // training run needs pinned BEFORE any shuffling/packing, so that
+      // re-runs, resumed jobs, and a different engine all agree on
+      // which documents are held out. Same md5 coin as p07 (partition-
+      // layout-independent, no RNG state); the bucket is coin % 16 with
+      // a 12/2/2 carve (75 / 12.5 / 12.5 %) — 16 divides the 16⁸ coin
+      // range, so the split is EXACTLY uniform, where a %-10 carve
+      // inherits the 16ᵏ mod 10 = 6 remainder bias p07's comment
+      // documents. Report: per (split, source) doc and char totals —
+      // the table a mixture-aware training config is written from.
+      // Shapes at 100 TB: one narrow projection over the scan plus one
+      // (split × source)-keyed agg with map-side partials; no joins.
+      docs(s, dir)
+        .withColumn("b", expr(
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+            "as bigint) % 16"))
+        .withColumn("split",
+          when($"b" < 12, "train").when($"b" < 14, "val").otherwise("test"))
+        .groupBy($"split", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"split", $"source")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -545,6 +570,18 @@ object Pipeline {
         |  CAST(coalesce(k.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+
+    "p08_train_val_test" ->
+      """WITH a AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 16 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 12 THEN 'train'
+        |            WHEN b < 14 THEN 'val' ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

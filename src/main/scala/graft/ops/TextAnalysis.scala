@@ -162,6 +162,15 @@ object TextAnalysis {
       |  ln(cast(cnt as double) / cast(total as double)), 6)
       |as decimal(14,6))""".stripMargin
 
+  /** t18's per-bigram contribution: tf · ln p(w2|w1) with the MLE
+    * conditional p = c(w1 w2) / c(w1 ·). Same dialect-shared /
+    * round-to-decimal discipline as [[surprisalScoreSql]].
+    */
+  private val bigramScoreSql =
+    """cast(round(cast(tf as double) *
+      |  ln(cast(cnt2 as double) / cast(cnt1 as double)), 6)
+      |as decimal(14,6))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
@@ -385,6 +394,51 @@ object TextAnalysis {
         .join(lens, "doc_id")
         .select($"doc_id", $"len".cast("long").as("len"),
           expr("round(-(cast(s as double)) / cast(len as double), 6)")
+            .as("surprisal"))
+        .orderBy($"doc_id")
+    },
+
+    "t18_bigram_surprisal" -> { (s, dir) =>
+      import s.implicits._
+      // Conditional-LM upgrade of t16: per-doc mean bigram surprisal
+      // −Σ tf·ln p(w2|w1) / n_bigrams against the corpus MLE bigram
+      // model. Catches what a unigram model can't — docs whose WORDS
+      // are common but whose TRANSITIONS are unnatural (shuffled/
+      // templated text scores high, fluent text low) — the standard
+      // next step up the quality-filter ladder before paying for a
+      // neural LM pass. Shapes at 100 TB: bigrams are built by a
+      // NARROW positional transform (no self-join, no window — the
+      // adjacent-pair join formulation shuffles the full token stream
+      // twice for nothing); (doc, bigram) tf is one wordcount shuffle;
+      // the model join on the bigram string is a shuffle equi-join —
+      // bigram vocab is NOT assumed broadcastable (unigram-squared),
+      // only the unigram prefix-count table broadcasts into the model
+      // build. Parity: the shared dialect-identical score expression
+      // rounds each contribution to DECIMAL before the sum (order
+      // cannot leak into the gate); one double division at the end.
+      val bg = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
+          .as("bg"))
+      val tf = bg.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("tf"))
+      val cnt2 = tf.groupBy($"bg").agg(sum($"tf").as("cnt2"))
+      val cnt1 = cnt2
+        .groupBy(substring_index($"bg", " ", 1).as("w1"))
+        .agg(sum($"cnt2").as("cnt1"))
+      val model = cnt2
+        .withColumn("w1", substring_index($"bg", " ", 1))
+        .join(broadcast(cnt1), "w1")
+        .select($"bg", $"cnt2", $"cnt1")
+      val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("n_bigrams"))
+      tf.join(model, "bg")
+        .withColumn("sc", expr(bigramScoreSql))
+        .groupBy($"doc_id").agg(sum($"sc").as("s"))
+        .join(lens, "doc_id")
+        .select($"doc_id", $"n_bigrams",
+          expr("round(-(cast(s as double)) / cast(n_bigrams as double), 6)")
             .as("surprisal"))
         .orderBy($"doc_id")
     },
@@ -709,6 +763,37 @@ object TextAnalysis {
          |  min(doc_id) AS example_doc
          |FROM ch GROUP BY fp HAVING count(*) >= 2
          |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin,
+
+    "t18_bigram_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg),
+         |cnt2 AS (
+         |  SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt2 FROM tf GROUP BY bg),
+         |cnt1 AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1,
+         |    CAST(sum(cnt2) AS BIGINT) AS cnt1
+         |  FROM cnt2 GROUP BY 1),
+         |model AS (
+         |  SELECT c2.bg, c2.cnt2, c1.cnt1 FROM cnt2 c2
+         |  JOIN cnt1 c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+         |lens AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams FROM tf
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT tf.doc_id, $bigramScoreSql AS sc
+         |  FROM tf JOIN model USING (bg)),
+         |agg AS (SELECT doc_id, sum(sc) AS s FROM sc GROUP BY doc_id)
+         |SELECT a.doc_id, l.n_bigrams,
+         |  round(-(cast(s as double)) / cast(n_bigrams as double), 6)
+         |    AS surprisal
+         |FROM agg a JOIN lens l USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "t16_unigram_surprisal" ->
       s"""WITH tf AS (

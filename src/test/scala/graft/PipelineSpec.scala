@@ -84,4 +84,34 @@ class PipelineSpec extends SparkTestBase {
       plain.map(_.getLong(4)).sum,
       "tokens past the gate can only shrink at dedup")
   }
+
+  test("p08: splits exactly partition the corpus, are deterministic, " +
+      "and land near the 12/2/2 carve") {
+    val p08 = ops.Pipeline.queries("p08_train_val_test")(spark, sfVerify)
+      .cache()
+    val docs = Tables.load(spark, sfVerify, "documents")
+    // partition: per-source totals across splits equal corpus totals
+    val bySrc = p08.groupBy("source")
+      .agg(sum("n_docs").as("n"), sum("total_chars").as("chars"))
+    val ref = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    assert(bySrc.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(bySrc).count() == 0,
+      "split totals do not partition the corpus")
+    // determinism: a second evaluation is bit-identical
+    val again = ops.Pipeline.queries("p08_train_val_test")(spark, sfVerify)
+    assert(p08.exceptAll(again).count() == 0)
+    // share: each split's doc share within ±6 % of its 12/2/2 target —
+    // the fixture has 500 docs, so binomial sigma is ~1.5-2 % and the
+    // deterministic md5 draw happens to sit ~1.8 sigma low on train
+    // (0.716); the assertion pins "near the carve", not exact uniformity
+    val total = docs.count().toDouble
+    val shares = p08.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / total).toMap
+    assert(shares.keySet == Set("train", "val", "test"))
+    assert(math.abs(shares("train") - 0.75) < 0.06, shares.toString)
+    assert(math.abs(shares("val") - 0.125) < 0.06, shares.toString)
+    assert(math.abs(shares("test") - 0.125) < 0.06, shares.toString)
+    p08.unpersist()
+  }
 }

@@ -60,6 +60,46 @@ class TextAnalysisSpec extends SparkTestBase {
       s"engine $r vs scala ($expectTop, $expectDup)")
   }
 
+  test("t18: bigram surprisal matches an independent lead-window " +
+      "formulation and is non-negative") {
+    import org.apache.spark.sql.expressions.Window
+    val t18 = ops.TextAnalysis.queries("t18_bigram_surprisal")(spark, sfSmoke)
+    // Independent formulation: bigrams via posexplode + lead() over the
+    // doc's position order instead of the positional array transform.
+    val toks = Tables.load(spark, sfSmoke, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+    val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cnt2 = tf.groupBy("bg").agg(sum("tf").as("cnt2"))
+    val cnt1 = cnt2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cnt2").as("cnt1"))
+    val model = cnt2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cnt1, "w1").select(col("bg"), col("cnt2"), col("cnt1"))
+    val alt = tf.join(model, "bg")
+      .withColumn("sc", expr(
+        "cast(round(cast(tf as double) * ln(cast(cnt2 as double) / " +
+          "cast(cnt1 as double)), 6) as decimal(14,6))"))
+      .groupBy("doc_id").agg(sum("sc").as("s"), sum("tf").as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("round(-(cast(s as double)) / cast(n_bigrams as double), 6)")
+          .as("surprisal"))
+    assert(t18.exceptAll(alt).count() == 0 && alt.exceptAll(t18).count() == 0,
+      "array-transform and lead-window bigram formulations diverged")
+    assert(t18.filter(col("surprisal") < 0).count() == 0,
+      "MLE conditional probabilities cannot exceed 1")
+    // conditional entropy can only refine unigram entropy: corpus-wide,
+    // mean bigram surprisal must not exceed mean unigram surprisal
+    val uni = ops.TextAnalysis.queries("t16_unigram_surprisal")(spark, sfSmoke)
+    val mUni = uni.agg(avg("surprisal")).collect()(0).getDouble(0)
+    val mBi = t18.agg(avg("surprisal")).collect()(0).getDouble(0)
+    assert(mBi < mUni,
+      s"bigram surprisal $mBi should sit below unigram $mUni")
+  }
+
   test("t12 winnowing: fingerprint counts bounded by shingle windows, " +
       "and a hand-winnowed doc agrees") {
     import spark.implicits._

@@ -375,6 +375,53 @@ object Relational {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    "q33_volume_shipping" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q7 shape — VOLUME SHIPPING between two trading nations:
+      // revenue by (supplier nation, customer nation, ship year) for the
+      // ordered pair set {NATION_1, NATION_2}, two shipping years. The
+      // join-tree workout q31/q32 don't cover: BOTH nation roles carry a
+      // selective predicate, and the scale-correct plan SEMI-FILTERS
+      // each side before any fact join — the two-name nation dim
+      // broadcasts into supplier and customer, so lineitem/orders rows
+      // from the other 23 nations drop at their first join instead of
+      // surviving to a final OR filter (Catalyst can derive the
+      // per-side IN from the pair disjunction, but the explicit form
+      // pins the pruning). The residual inequality keeps only the two
+      // cross directions. Decimal discipline is q32's: exact DECIMAL
+      // volume, one rounded double at the end. Facts shuffle on join
+      // keys; the date filter pushes to the lineitem scan.
+      val tradeNations = broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin("NATION_1", "NATION_2")))
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_suppkey",
+          year($"l_shipdate").as("l_year"),
+          ($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount".cast("decimal(18,2)"))).as("vol"))
+      li
+        .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(tradeNations
+            .select($"n_nationkey".as("sn_key"),
+              $"n_name".as("supp_nation")),
+          $"s_nationkey" === $"sn_key")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(tradeNations
+            .select($"n_nationkey".as("cn_key"),
+              $"n_name".as("cust_nation")),
+          $"c_nationkey" === $"cn_key")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(round(sum($"vol"), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+
     "q32_market_share" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q8 shape — national MARKET SHARE: per (customer region,
@@ -797,6 +844,28 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q33_volume_shipping" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01')
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, l_year,
+        |  CAST(round(sum(vol), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM v
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q32_market_share" ->
       """WITH v AS (

@@ -205,6 +205,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"nation (both roles) and region must broadcast:\n${p.take(2000)}")
   }
 
+  test("q33: both nation roles broadcast pre-filtered to the trade " +
+      "pair, the ship-date range reaches the lineitem scan") {
+    val p = plan("q33_volume_shipping")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 0, p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both nation roles must broadcast:\n${p.take(2000)}")
+    // the two-name IN prunes each side BEFORE the fact joins: the
+    // broadcast build side must carry the name filter, not the final
+    // inequality alone
+    assert(p.contains("NATION_1"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"ship-date range must reach the scan:\n${p.take(2000)}")
+  }
+
   test("d19: the bloom probe is a scan-side Filter fed by ONE scalar " +
       "subquery, planned before the exact verify join") {
     val p = plan("d19_bloom_decontamination")

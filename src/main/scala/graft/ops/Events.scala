@@ -517,6 +517,41 @@ object Events {
         .orderBy($"click_id".asc_nulls_first, $"purchase_id".asc_nulls_first)
     },
 
+    "e27_stream_chained_agg" -> { (s, dir) =>
+      import s.implicits._
+      // CHAINED stateful operators in ONE streaming query — Spark's
+      // multi-stateful-operator support (3.5+): a 10-minute windowed
+      // count feeding an HOURLY rollup of those counts (bucket count,
+      // peak bucket, hour total), both levels stateful, both evicting
+      // on the same watermark. This is the streaming form of the
+      // pre-aggregation ladder every metrics pipeline runs; doing it in
+      // one query means the 10-min partials never land in a sink to be
+      // re-read — at 100 TB/day the intermediate topic this replaces IS
+      // the cost. The second groupBy keys on window_time(window), the
+      // in-window event timestamp Spark requires for the chained
+      // watermark to propagate. Append mode: an hour emits once the
+      // watermark (max ts − 1 h delay) passes its end, so the gate
+      // compares the closed-horizon region (end ≤ max ts − 2 h, the
+      // e21/e26 contract) — computed in-plan as a broadcast one-row
+      // aggregate over the same fixture both engines read.
+      val horizonDf = ev(s, dir)
+        .agg((max($"ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+      val buckets = Tables.loadStream(s, dir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val hourly = buckets
+        .groupBy(window(window_time($"window"), "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_buckets"), max($"n").as("peak_10m"),
+          sum($"n").as("n_events"))
+      graft.streaming.MemoryGate.append(s, hourly,
+        "e27_out_" + Integer.toHexString(dir.hashCode))
+        .join(broadcast(horizonDf), $"window.end" <= $"cutoff")
+        .select($"window.start".as("hour_start"), $"event_type",
+          $"n_buckets", $"peak_10m", $"n_events")
+        .orderBy($"hour_start", $"event_type")
+    },
+
     "e24_stream_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       // BOUNDED-STATE streaming dedup — the production form d10's plain
@@ -773,6 +808,22 @@ object Events {
         |        WHERE event_type IN ('click', 'purchase')
         |        GROUP BY event_type) x)
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    "e27_stream_chained_agg" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS b_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', b_start) AS hour_start,
+        |    event_type, count(*) AS n_buckets, max(n) AS peak_10m,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM b GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n_buckets, peak_10m, n_events
+        |FROM h
+        |WHERE hour_start + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+        |ORDER BY hour_start, event_type""".stripMargin,
 
     "e26_stream_full_outer_join" ->
       """WITH c AS (

@@ -68,6 +68,29 @@ class EventsSpec extends SparkTestBase {
       batch.exceptAll(stream).count() == 0)
   }
 
+  test("e27: chained streaming rollup agrees with e01's hourly counts " +
+      "on the closed horizon and keeps bucket invariants") {
+    import org.apache.spark.sql.functions._
+    val e27 = ops.Events.queries("e27_stream_chained_agg")(spark, sfSmoke)
+      .cache()
+    // invariants: ≤ 6 ten-minute buckets per hour; the peak bucket is
+    // bounded by the hour total; every count positive
+    assert(e27.filter(col("n_buckets") > 6 || col("n_buckets") < 1)
+      .count() == 0)
+    assert(e27.filter(col("peak_10m") > col("n_events")).count() == 0)
+    // the hour totals must equal e01's independent batch hourly counts
+    // wherever the gate's closed horizon includes the hour
+    val batch = ops.Events.queries("e01_hourly_type_counts")(spark, sfSmoke)
+      .select(col("hour_start"), col("event_type"), col("n"))
+    val joined = e27.select(col("hour_start"), col("event_type"),
+        col("n_events")).join(batch, Seq("hour_start", "event_type"))
+    assert(joined.count() == e27.count(),
+      "gated hours missing from the batch computation")
+    assert(joined.filter(col("n_events") =!= col("n")).count() == 0,
+      "chained rollup totals diverge from the single-level batch counts")
+    e27.unpersist()
+  }
+
   test("e17 cohort retention: day-0 row is the cohort maximum and " +
       "cohort sizes sum to the user universe") {
     import spark.implicits._

@@ -20,7 +20,8 @@ class PlanShapeSpec extends SparkTestBase {
     "e07_stream_hourly_counts", "e14_kinesis_roundtrip_agg",
     "e16_stream_sessions", "e18_stream_static_join",
     "e19_stream_interval_join", "e21_stream_outer_join",
-    "e24_stream_dedup_watermark", "e26_stream_full_outer_join")
+    "e24_stream_dedup_watermark", "e26_stream_full_outer_join",
+    "e27_stream_chained_agg")
 
   test("q06: all predicates pushed into the parquet scan, columns pruned") {
     val p = plan("q06_forecast_revenue")

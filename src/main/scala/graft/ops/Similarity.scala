@@ -408,19 +408,20 @@ object Similarity {
       // orderBy().limit() — a distributed TakeOrderedAndProject
       // (per-partition bounded heaps, then a single merge of RetrN-row
       // partial results), never a global sort. Only the bounded
-      // RetrN-row result is then ranked; the constant partition key on
-      // that window states the already-bounded input explicitly (and
-      // keeps the plan out of WindowExec's unpartitioned class, which
-      // would otherwise mean one task sorting the whole corpus — the
-      // round-4 scale bug: the cosine side ranked EVERY embedding
-      // through a single partition). RRF over top-N retrieved lists is
-      // the operator's textbook definition, so the bound is semantics,
-      // not approximation; the oracle mirrors the same RetrN cut.
+      // 2·RetrN-row union of both sides is then ranked, by ONE window
+      // PARTITIONED ON THE RETRIEVAL SIDE — a real (non-foldable)
+      // key, because Catalyst constant-folds a literal partition key
+      // away and the plan degrades back to WindowExec's unpartitioned
+      // class (the round-4 scale bug was the unbounded form of exactly
+      // that: the cosine side ranking EVERY embedding through one
+      // task; a foldable lit(0) partition key only HID the warning at
+      // plan time and re-surfaced it at runtime). RRF over top-N
+      // retrieved lists is the operator's textbook definition, so the
+      // bound is semantics, not approximation; the oracle mirrors the
+      // same RetrN cut.
       val bmTop = bm25Core(s, dir).filter($"doc_id" =!= 0)
         .orderBy($"bm25d".desc, $"doc_id").limit(RetrN)
-      val bmRanked = bmTop.withColumn("r_bm", row_number().over(
-          Window.partitionBy(lit(0)).orderBy($"bm25d".desc, $"doc_id")))
-        .select($"doc_id", $"r_bm")
+        .select(lit("bm").as("side"), $"doc_id", $"bm25d".as("score"))
       val e = emb(s, dir)
       val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
       val cosTop = e.filter($"vec_id" =!= 0)
@@ -428,9 +429,14 @@ object Similarity {
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 6))
         .select($"vec_id".as("doc_id"), $"cos")
         .orderBy($"cos".desc, $"doc_id").limit(RetrN)
-      val cosRanked = cosTop.withColumn("r_cos", row_number().over(
-          Window.partitionBy(lit(0)).orderBy($"cos".desc, $"doc_id")))
-        .select($"doc_id", $"cos", $"r_cos")
+        .select(lit("cos").as("side"), $"doc_id", $"cos".as("score"))
+      val ranked = bmTop.union(cosTop)
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"side").orderBy($"score".desc, $"doc_id")))
+      val bmRanked = ranked.filter($"side" === "bm")
+        .select($"doc_id", $"r".as("r_bm"))
+      val cosRanked = ranked.filter($"side" === "cos")
+        .select($"doc_id", $"score".as("cos"), $"r".as("r_cos"))
       // FULL outer: the fused universe is the UNION of both retrieved
       // sets. A one-sided join silently drops docs the other modality
       // retrieved — here, a top BM25 hit with no embedding row (the

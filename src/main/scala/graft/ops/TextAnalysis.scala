@@ -443,6 +443,48 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t19_zipf_slope" -> { (s, dir) =>
+      import s.implicits._
+      // Corpus-health check: per-source ZIPF SLOPE — the least-squares
+      // slope of ln(freq) over ln(rank) across the source's top-100
+      // terms. Natural text sits near −1; templated/generated text
+      // flattens (boilerplate floods the head) or steepens (tiny
+      // effective vocabulary) — a cheap distribution-level quality
+      // signal no per-document scorer sees, and the standard first
+      // plot in any corpus audit. Shapes at 100 TB: the rank window
+      // partitions by source over the WORDCOUNT OUTPUT (|sources|·
+      // |vocab| rows, already tiny relative to the corpus), not the
+      // token stream; everything after is a per-source fold. Parity:
+      // regression from the closed-form normal equations over
+      // ln-values rounded to DECIMAL(14,6) first (the t16 discipline)
+      // — the sums are exact in both engines, so the one double
+      // division at the end is engine-identical (regr_slope's internal
+      // running sums would be summation-order-dependent; the spec
+      // cross-checks against it within tolerance instead).
+      val tf = docs(s, dir)
+        .select($"source", explode(split($"text", " ")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy($"source").orderBy($"freq".desc, $"term")
+      val terms = tf.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 100)
+        .select($"source",
+          expr("cast(round(ln(cast(rank as double)), 6) as decimal(14,6))")
+            .as("x"),
+          expr("cast(round(ln(cast(freq as double)), 6) as decimal(14,6))")
+            .as("y"))
+      terms.groupBy($"source").agg(
+          count(lit(1)).as("n_terms"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select($"source", $"n_terms",
+          expr("round((cast(n_terms as double) * cast(sxy as double) - " +
+            "cast(sx as double) * cast(sy as double)) / " +
+            "(cast(n_terms as double) * cast(sxx as double) - " +
+            "cast(sx as double) * cast(sx as double)), 6)")
+            .as("zipf_slope"))
+        .orderBy($"source")
+    },
+
     "t17_retrieval_chunks" -> { (s, dir) =>
       import s.implicits._
       // RAG-pipeline chunking + chunk-level dedup: documents split into
@@ -763,6 +805,33 @@ object TextAnalysis {
          |  min(doc_id) AS example_doc
          |FROM ch GROUP BY fp HAVING count(*) >= 2
          |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin,
+
+    "t19_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT source, term, count(*) AS freq FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY source, term),
+        |ranked AS (
+        |  SELECT source, freq,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY freq DESC, term) AS rank
+        |  FROM tf QUALIFY rank <= 100),
+        |terms AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(14,6)) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(14,6)) AS y
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM terms GROUP BY source)
+        |SELECT source, n_terms,
+        |  round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+        |FROM agg ORDER BY source""".stripMargin,
 
     "t18_bigram_surprisal" ->
       s"""WITH toks AS (

@@ -100,6 +100,34 @@ class TextAnalysisSpec extends SparkTestBase {
       s"bigram surprisal $mBi should sit below unigram $mUni")
   }
 
+  test("t19: closed-form zipf slope matches Spark's regr_slope within " +
+      "float tolerance and is negative (frequency falls with rank)") {
+    import org.apache.spark.sql.expressions.Window
+    val t19 = ops.TextAnalysis.queries("t19_zipf_slope")(spark, sfSmoke)
+      .cache()
+    assert(t19.filter(col("zipf_slope") >= 0).count() == 0,
+      "zipf slope must be negative on any frequency-ranked vocabulary")
+    // the gated query uses decimal-exact normal equations (engine
+    // parity); regr_slope's running sums are the reference
+    // implementation — they must agree to float tolerance
+    val tf = Tables.load(spark, sfSmoke, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val ref = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .groupBy("source")
+      .agg(expr("regr_slope(ln(cast(freq as double)), " +
+        "ln(cast(rank as double)))").as("ref_slope"))
+    val joined = t19.join(ref, "source")
+    assert(joined.count() == t19.count())
+    assert(joined
+      .filter(abs(col("zipf_slope") - col("ref_slope")) > 1e-4)
+      .count() == 0, "closed form diverged from regr_slope")
+    t19.unpersist()
+  }
+
   test("t12 winnowing: fingerprint counts bounded by shingle windows, " +
       "and a hand-winnowed doc agrees") {
     import spark.implicits._

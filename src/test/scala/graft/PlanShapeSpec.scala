@@ -11,18 +11,6 @@ class PlanShapeSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sfVerify)
       .queryExecution.executedPlan.toString
 
-  /** Streaming-gated queries execute a real run at construction time
-    * (their returned batch result is the gate's memory table); the
-    * board-wide plan sweeps cover only queries whose construction
-    * stays lazy.
-    */
-  private val streamingGated = Set("d10_stream_dedup",
-    "e07_stream_hourly_counts", "e14_kinesis_roundtrip_agg",
-    "e16_stream_sessions", "e18_stream_static_join",
-    "e19_stream_interval_join", "e21_stream_outer_join",
-    "e24_stream_dedup_watermark", "e26_stream_full_outer_join",
-    "e27_stream_chained_agg")
-
   test("q06: all predicates pushed into the parquet scan, columns pruned") {
     val p = plan("q06_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1200))

@@ -9,6 +9,18 @@ trait SparkTestBase extends AnyFunSuite {
   val sfSmoke = "/root/testdata/sf0.001"
   val sfVerify = "/root/testdata/sf0.01"
 
+  /** Streaming-gated queries execute a real run at construction time
+    * (their returned batch result is the gate's memory table); the
+    * board-wide batch sweeps cover only queries whose construction
+    * stays lazy. Shared by every sweep so a new gate is excluded once.
+    */
+  protected val streamingGated: Set[String] = Set("d10_stream_dedup",
+    "e07_stream_hourly_counts", "e14_kinesis_roundtrip_agg",
+    "e16_stream_sessions", "e18_stream_static_join",
+    "e19_stream_interval_join", "e21_stream_outer_join",
+    "e24_stream_dedup_watermark", "e26_stream_full_outer_join",
+    "e27_stream_chained_agg")
+
   /** Run `body` with session confs overridden, restoring (or unsetting)
     * every key afterwards — the session is shared JVM-wide across
     * suites, so any conf override MUST go through here or it leaks into

@@ -331,6 +331,54 @@ object Pipeline {
         .orderBy($"split", $"source")
     },
 
+    "p09_snapshot_drift" -> { (s, dir) =>
+      import s.implicits._
+      // SNAPSHOT DRIFT report — the audit run between two corpus
+      // manifests before a retrain: per language, volume and length
+      // shifts plus a POPULATION STABILITY INDEX over the source
+      // distribution (the standard drift scalar: Σ (p_new − p_old) ·
+      // ln(p_new / p_old); <0.1 stable, >0.25 investigate). The two
+      // snapshots here are the even/odd doc_id halves — deterministic
+      // stand-ins for yesterday's and today's manifest, which is what
+      // this operator diffs in production. Laplace-smoothed shares
+      // ((cnt + 1) / (n + |sources|)) keep empty cells finite, and the
+      // full lang × source grid is built explicitly so both engines
+      // agree on cell membership. Shapes at 100 TB: one (lang, source)
+      // conditional-count agg with map-side partials; the grid, the
+      // per-lang totals, and the source count are all tiny and
+      // broadcast; PSI terms round to DECIMAL before the per-lang sum
+      // (the t16 discipline) so term order cannot leak into the gate.
+      val d = docs(s, dir).select($"lang", $"source",
+        ($"doc_id" % 2 === 0).as("is_old"), $"n_chars")
+      val cell = d.groupBy($"lang", $"source").agg(
+        sum(when($"is_old", 1L).otherwise(0L)).as("c_old"),
+        sum(when(!$"is_old", 1L).otherwise(0L)).as("c_new"))
+      val grid = docs(s, dir).select($"lang").distinct()
+        .crossJoin(docs(s, dir).select($"source").distinct())
+      val cells = grid.join(cell, Seq("lang", "source"), "left")
+        .select($"lang", $"source",
+          coalesce($"c_old", lit(0L)).as("c_old"),
+          coalesce($"c_new", lit(0L)).as("c_new"))
+      val langTot = d.groupBy($"lang").agg(
+        sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"),
+        round(avg(when($"is_old", $"n_chars")), 4).as("avg_chars_old"),
+        round(avg(when(!$"is_old", $"n_chars")), 4).as("avg_chars_new"))
+      val nSrc = docs(s, dir)
+        .agg(countDistinct($"source").as("n_src"))
+      val psi = cells
+        .join(broadcast(langTot.select($"lang", $"n_old", $"n_new")), "lang")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("term", expr(psiTermSql))
+        .groupBy($"lang").agg(sum($"term").as("psi_d"))
+      langTot.join(psi, "lang")
+        .select($"lang", $"n_old", $"n_new",
+          $"avg_chars_old", $"avg_chars_new",
+          round($"avg_chars_new" - $"avg_chars_old", 4).as("chars_drift"),
+          expr("round(cast(psi_d as double), 6)").as("psi_sources"))
+        .orderBy($"lang")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -376,6 +424,20 @@ object Pipeline {
     * uniform; see the threshold comment in p07.
     */
   private val CoinScale = 1048576L
+
+  /** p09's per-cell PSI contribution — one dialect-shared expression
+    * over exact integer inputs (c_old/c_new cell counts, n_old/n_new
+    * lang totals, n_src the smoothing denominator), so both engines
+    * compute identical doubles; rounded to DECIMAL before the per-lang
+    * sum so term order cannot leak into the gate.
+    */
+  private val psiTermSql =
+    """cast(round(
+      |  (cast(c_new + 1 as double) / cast(n_new + n_src as double) -
+      |   cast(c_old + 1 as double) / cast(n_old + n_src as double)) *
+      |  ln((cast(c_new + 1 as double) / cast(n_new + n_src as double)) /
+      |     (cast(c_old + 1 as double) / cast(n_old + n_src as double))), 6)
+      |as decimal(14,6))""".stripMargin
 
   /** p06's intra-source shard width in documents (production packers
     * shard by file/block; a doc_id block is the deterministic stand-in,
@@ -582,6 +644,49 @@ object Pipeline {
         |  source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
+    "p09_snapshot_drift" ->
+      s"""WITH d AS (
+        |  SELECT lang, source, doc_id % 2 = 0 AS is_old, n_chars
+        |  FROM documents),
+        |cell AS (
+        |  SELECT lang, source,
+        |    CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_old,
+        |    CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_new
+        |  FROM d GROUP BY lang, source),
+        |grid AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+        |cells AS (
+        |  SELECT g.lang, g.source, coalesce(c.c_old, 0) AS c_old,
+        |    coalesce(c.c_new, 0) AS c_new
+        |  FROM grid g LEFT JOIN cell c
+        |    ON g.lang = c.lang AND g.source = c.source),
+        |lt AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_old,
+        |    CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_new,
+        |    round(avg(CASE WHEN is_old THEN n_chars END), 4)
+        |      AS avg_chars_old,
+        |    round(avg(CASE WHEN is_old THEN NULL ELSE n_chars END), 4)
+        |      AS avg_chars_new
+        |  FROM d GROUP BY lang),
+        |ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+        |psi AS (
+        |  SELECT c.lang, sum($psiTermSql) AS psi_d
+        |  FROM cells c
+        |  JOIN lt ON lt.lang = c.lang CROSS JOIN ns
+        |  GROUP BY c.lang)
+        |SELECT lt.lang, n_old, n_new, avg_chars_old, avg_chars_new,
+        |  round(avg_chars_new - avg_chars_old, 4) AS chars_drift,
+        |  round(CAST(psi_d AS DOUBLE), 6) AS psi_sources
+        |FROM lt JOIN psi ON psi.lang = lt.lang
+        |ORDER BY lt.lang""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

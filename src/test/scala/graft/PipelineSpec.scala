@@ -85,6 +85,36 @@ class PipelineSpec extends SparkTestBase {
       "tokens past the gate can only shrink at dedup")
   }
 
+  test("p09: PSI is non-negative, snapshots partition the corpus, and " +
+      "identical snapshots report exactly zero drift") {
+    val p09 = ops.Pipeline.queries("p09_snapshot_drift")(spark, sfVerify)
+      .cache()
+    // every PSI term (p_new − p_old)·ln(p_new/p_old) has matching signs,
+    // so the sum is non-negative for ANY pair of distributions
+    assert(p09.filter(col("psi_sources") < 0).count() == 0)
+    val total = p09.agg(sum(col("n_old") + col("n_new"))).collect()(0)
+      .getLong(0)
+    assert(total == Tables.load(spark, sfVerify, "documents").count(),
+      "even/odd snapshots must partition the corpus")
+    // planted null case: duplicate every doc into BOTH parity classes —
+    // the two snapshots are then distribution-identical, so PSI and the
+    // length drift must be EXACTLY zero (smoothing included)
+    val dir = tmpDir("p09")
+    val docs = Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.selectExpr("doc_id * 2 AS doc_id", "text", "lang", "source",
+        "n_chars")
+      .union(docs.selectExpr("doc_id * 2 + 1 AS doc_id", "text", "lang",
+        "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = ops.Pipeline.queries("p09_snapshot_drift")(spark, dir)
+    assert(z.filter(col("psi_sources") =!= 0.0 ||
+      col("chars_drift") =!= 0.0).count() == 0,
+      "identical snapshots must show zero drift")
+    assert(z.filter(col("n_old") =!= col("n_new")).count() == 0)
+    p09.unpersist()
+  }
+
   test("p08: splits exactly partition the corpus, are deterministic, " +
       "and land near the 12/2/2 carve") {
     val p08 = ops.Pipeline.queries("p08_train_val_test")(spark, sfVerify)

@@ -326,6 +326,29 @@ object Events {
         .orderBy($"user_id", $"session_start")
     },
 
+    "e28_dynamic_gap_sessions" -> { (s, dir) =>
+      import s.implicits._
+      // Session windows with a DYNAMIC, per-event gap — the
+      // session_window surface e04's fixed 30 minutes doesn't cover:
+      // click bursts close after 10 idle minutes, everything else after
+      // 30 (engagement-weighted sessionization, the common production
+      // form). Spark merges the per-event intervals [ts, ts + gap);
+      // with a NON-constant gap the session end is the RUNNING MAX of
+      // prior interval ends, not last-event + gap — a long-gap event
+      // can keep a session open across several short-gap events, which
+      // is exactly the case the oracle's running-max formulation pins
+      // (the fixed-gap lag() oracle would split those). Same grouping
+      // discipline as e04: session_window IS the grouping column.
+      ev(s, dir)
+        .groupBy(session_window($"ts",
+          when($"event_type" === "click", "10 minutes")
+            .otherwise("30 minutes")), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("session_start"), $"user_id",
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+
     "e05_daily_type_share" -> { (s, dir) =>
       import s.implicits._
       // Two-level aggregation + window share-of-total.
@@ -942,6 +965,33 @@ object Events {
     // e16 is the STREAMING computation of exactly e04's aggregation —
     // one oracle contract, gated twice (batch path and streaming path).
     "e16_stream_sessions" -> SessionWindowOracleSql,
+
+    "e28_dynamic_gap_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 600000000
+        |         ELSE 1800000000 END AS gap_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    max(epoch_us(ts) + gap_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_end
+        |  FROM g),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "e05_daily_type_share" ->
       """WITH daily AS (

@@ -375,6 +375,30 @@ object Relational {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    "q34_order_count_distribution" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q13 shape — CUSTOMER DISTRIBUTION: how many customers
+      // placed exactly k qualifying orders, INCLUDING k = 0. The
+      // double-aggregation idiom (groupBy of a groupBy) with the
+      // outer-join subtlety Q13 exists to test: zero-order customers
+      // only appear if the join is LEFT OUTER and the count counts the
+      // JOIN-SIDE key (count(o_orderkey) skips the nulls; count(*)
+      // would report 1). The priority filter rides the join, not a
+      // WHERE — a post-join WHERE on an orders column would silently
+      // turn the outer join back into an inner one and drop the k = 0
+      // row. Shapes at 100 TB: one shuffle join on custkey, then a
+      // k-keyed agg whose cardinality is max-orders-per-customer —
+      // tiny; both aggs take map-side partials.
+      val o = t(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_orderkey", $"o_custkey")
+      t(s, dir, "customer").select($"c_custkey")
+        .join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
     "q33_volume_shipping" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q7 shape — VOLUME SHIPPING between two trading nations:
@@ -844,6 +868,15 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q34_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q33_volume_shipping" ->
       """WITH v AS (

@@ -91,6 +91,38 @@ class EventsSpec extends SparkTestBase {
     e27.unpersist()
   }
 
+  test("e28: dynamic-gap sessions use the running-max interval end — " +
+      "an open long-gap interval absorbs later short-gap events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("e28")
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      // user 1: click (10-min gap) then view 15 min later — the click
+      // interval closes first, so TWO singleton sessions
+      (1L, ts(0), 1L, "click", 0.0, "{}"),
+      (2L, ts(15), 1L, "view", 0.0, "{}"),
+      // user 2: view@0 holds [0, 30) open; click@5 ends at 15, so a
+      // LAST-EVENT-GAP rule would split before view@20 — the correct
+      // running-max merge keeps one session of 3
+      (3L, ts(0), 2L, "view", 0.0, "{}"),
+      (4L, ts(5), 2L, "click", 0.0, "{}"),
+      (5L, ts(20), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Events.queries("e28_dynamic_gap_sessions")(spark, dir)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(r.filter(_._1 == 1L).map(_._2) == Seq(1L, 1L),
+      s"user 1 should split into two singleton sessions: $r")
+    assert(r.filter(_._1 == 2L).map(_._2) == Seq(3L),
+      s"user 2 must stay ONE session under running-max merging: $r")
+    // fixture-level conservation: sessionization never drops events
+    val e28 = ops.Events.queries("e28_dynamic_gap_sessions")(spark, sfSmoke)
+    assert(e28.agg(sum("n_events")).collect()(0).getLong(0) ==
+      Tables.load(spark, sfSmoke, "events").count())
+  }
+
   test("e17 cohort retention: day-0 row is the cohort maximum and " +
       "cohort sizes sum to the user universe") {
     import spark.implicits._

@@ -49,6 +49,31 @@ class RelationalSpec extends SparkTestBase {
     assert(anti + semi == c.count())
   }
 
+  test("q34: the distribution accounts for every customer and every " +
+      "qualifying order, including the zero-order bucket") {
+    import org.apache.spark.sql.functions._
+    val q34 = ops.Relational.queries("q34_order_count_distribution")(
+      spark, sfVerify).cache()
+    val nCust = Tables.load(spark, sfVerify, "customer").count()
+    val nQualOrders = Tables.load(spark, sfVerify, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(q34.agg(sum("custdist")).collect()(0).getLong(0) == nCust,
+      "every customer lands in exactly one bucket")
+    assert(q34.agg(sum(col("c_count") * col("custdist"))).collect()(0)
+      .getLong(0) == nQualOrders,
+      "bucket-weighted counts must recover the qualifying order total")
+    // the k = 0 bucket must equal the anti-join count — the row an
+    // accidental inner join silently drops
+    val zero = q34.filter(col("c_count") === 0)
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+    val anti = Tables.load(spark, sfVerify, "customer")
+      .join(Tables.load(spark, sfVerify, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zero == anti, s"zero-order bucket $zero != anti-join $anti")
+    q34.unpersist()
+  }
+
   test("q26 grouping sets: each set's subtotals sum to the grand total") {
     val rows = SparkEntry.queries("q26_grouping_sets")(spark, sfVerify)
       .collect()

@@ -784,6 +784,48 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    "d21_lsh_recall_audit" -> { (s, dir) =>
+      import s.implicits._
+      // QUALITY AUDIT of the MinHash/LSH dedup pipeline: on a
+      // deterministic 30 % document sample (doc_id % 10 < 3), compare
+      // the pipeline's verified pairs (band candidates → est Jaccard ≥
+      // 0.5, exactly d03's operator) against ground truth — EXACT
+      // shingle-set Jaccard ≥ 0.5 — and report recall and precision.
+      // At 100 TB the truth set is uncomputable on the full corpus;
+      // running the audit on a pinned sample IS the production form
+      // (the sample fraction is the knob between audit cost and
+      // confidence), and a deterministic id-hash frame means every
+      // engine and every rerun audits the same pairs. The exact side
+      // joins on shingle STRINGS (d05's collision rationale) and only
+      // ever pairs docs sharing ≥ 1 shingle — candidate-bounded, never
+      // all-pairs. One row out: the numbers a dedup-quality dashboard
+      // plots per corpus snapshot.
+      val sampleIds = docs(s, dir).filter($"doc_id" % 10 < 3)
+        .select($"doc_id")
+      val lsh = verifiedPairs(s, dir)
+        .join(sampleIds.toDF("a_id"), "a_id")
+        .join(sampleIds.toDF("b_id"), "b_id")
+        .select($"a_id", $"b_id")
+      val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select($"doc_id".as("a_id"), $"sh")
+      val b = sh.select($"doc_id".as("b_id"), $"sh")
+      val truth = a.join(b, Seq("sh")).filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_inter"))
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .filter(round($"n_inter" /
+          ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
+        .select($"a_id", $"b_id")
+      val hit = truth.join(lsh, Seq("a_id", "b_id"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select($"n_true", $"n_lsh", $"n_hit",
+          round($"n_hit" / $"n_true".cast("double"), 6).as("recall"),
+          round($"n_hit" / $"n_lsh".cast("double"), 6).as("precision"))
+    },
+
     "d18_dup_cascade" -> { (s, dir) =>
       // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
@@ -955,6 +997,52 @@ object Dedup {
            |JOIN sigs sb ON sb.doc_id = b_id
            |WHERE round(($matchSum) / 6.0, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d21_lsh_recall_audit" ->
+        s"""WITH $shingleHashSql,
+           |sample AS (
+           |  SELECT doc_id FROM documents WHERE doc_id % 10 < 3),
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |lsh AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  JOIN sample pa ON pa.doc_id = a_id
+           |  JOIN sample pb ON pb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |ssh AS (
+           |  SELECT s.doc_id, s.sh FROM sh s
+           |  JOIN sample p ON p.doc_id = s.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh
+           |          GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    count(*) AS n_inter
+           |  FROM ssh a JOIN ssh b
+           |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(n_inter /
+           |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+           |hit AS (
+           |  SELECT t.a_id FROM truth t
+           |  JOIN lsh l ON l.a_id = t.a_id AND l.b_id = t.b_id)
+           |SELECT (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM lsh) AS n_lsh,
+           |  (SELECT count(*) FROM hit) AS n_hit,
+           |  round((SELECT count(*) FROM hit) /
+           |    CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           |  round((SELECT count(*) FROM hit) /
+           |    CAST((SELECT count(*) FROM lsh) AS DOUBLE), 6) AS precision
+           |""".stripMargin,
 
       "d18_dup_cascade" ->
         s"""WITH RECURSIVE $shingleHashSql,

@@ -157,6 +157,24 @@ class DedupSpec extends SparkTestBase {
       "every shingle flagged — threshold degenerate")
   }
 
+  test("d21: audit counts are consistent (hit <= both sides, ratios " +
+      "bounded) and the fixture's planted dups are all recovered") {
+    val r = ops.Dedup.queries("d21_lsh_recall_audit")(spark, sfVerify)
+      .collect()
+    assert(r.length == 1)
+    val (nTrue, nLsh, nHit) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    val (recall, precision) = (r(0).getDouble(3), r(0).getDouble(4))
+    assert(nHit <= math.min(nTrue, nLsh))
+    assert(recall >= 0 && recall <= 1 && precision >= 0 && precision <= 1)
+    assert(nTrue > 0, "sample frame found no true near-dup pairs — the " +
+      "audit is vacuous on this fixture")
+    // the fixture's planted near-dups sit far from the 0.5 boundary, so
+    // the 6-slot estimate must not miss any of them (a recall drop here
+    // means the signature pipeline broke, not that the corpus changed)
+    assert(recall == 1.0, s"LSH missed planted near-dups: $nHit/$nTrue")
+  }
+
   test("d09 skew guard: star candidates stay linear in bucket occupancy " +
       "(all-pairs would be quadratic)") {
     import spark.implicits._

@@ -575,6 +575,48 @@ object Events {
         .orderBy($"hour_start", $"event_type")
     },
 
+    "e29_stream_join_rollup" -> { (s, dir) =>
+      import s.implicits._
+      // Stream-stream JOIN feeding a windowed AGGREGATION in one query —
+      // the other multi-stateful combination (e27 chains agg→agg): e19's
+      // click→purchase interval join rolled up to attributed-conversion
+      // counts per click hour, without landing the joined stream in an
+      // intermediate topic first. Both operators are stateful and evict
+      // on the propagated watermark; the aggregation windows on the
+      // JOINED row's click time, which still carries its watermark
+      // through the join. Append mode: an hour finalizes once the
+      // propagated watermark (min over sides of max ts − 1 h, minus the
+      // 30-min join range) passes its end — the gate compares the
+      // closed-horizon region with a 3-hour cutoff (1 h delay + 30 min
+      // range + margin), computed in-plan from the same fixture.
+      val horizonDf = ev(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type").agg(max($"ts").as("m"))
+        .agg((min($"m") - expr("INTERVAL 3 HOURS")).as("cutoff"))
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = Tables.loadStream(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val rollup = clicks.join(purchases,
+          $"user_id" === $"p_user" && $"p_ts" >= $"c_ts" &&
+            $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+        .groupBy(window($"c_ts", "1 hour"))
+        .agg(count(lit(1)).as("n_attributed"),
+          sum(unix_micros($"p_ts") - unix_micros($"c_ts"))
+            .as("gap_us_total"))
+      graft.streaming.MemoryGate.append(s, rollup,
+        "e29_out_" + Integer.toHexString(dir.hashCode))
+        .join(broadcast(horizonDf), $"window.end" <= $"cutoff")
+        .select($"window.start".as("hour_start"), $"n_attributed",
+          $"gap_us_total")
+        .orderBy($"hour_start")
+    },
+
     "e24_stream_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       // BOUNDED-STATE streaming dedup — the production form d10's plain
@@ -847,6 +889,30 @@ object Events {
         |WHERE hour_start + INTERVAL 1 HOUR <=
         |  (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "e29_stream_join_rollup" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c_ts, epoch_us(p_ts) - epoch_us(c_ts) AS gap
+        |  FROM c JOIN p ON p_user = c_user AND p_ts >= c_ts
+        |    AND p_ts <= c_ts + INTERVAL 30 MINUTE),
+        |h AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', c_ts) AS hour_start,
+        |    count(*) AS n_attributed,
+        |    CAST(sum(gap) AS BIGINT) AS gap_us_total
+        |  FROM j GROUP BY 1)
+        |SELECT hour_start, n_attributed, gap_us_total FROM h
+        |WHERE hour_start + INTERVAL 1 HOUR <=
+        |  (SELECT min(m) - INTERVAL 3 HOUR FROM (
+        |     SELECT event_type, max(ts) AS m FROM events
+        |     WHERE event_type IN ('click', 'purchase')
+        |     GROUP BY event_type) x)
+        |ORDER BY hour_start""".stripMargin,
 
     "e26_stream_full_outer_join" ->
       """WITH c AS (

@@ -91,6 +91,34 @@ class EventsSpec extends SparkTestBase {
     e27.unpersist()
   }
 
+  test("e29: the chained stream join→rollup equals the batch join " +
+      "rolled up over the same closed horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e29 = ops.Events.queries("e29_stream_join_rollup")(spark, sfSmoke)
+    val ev = Tables.load(spark, sfSmoke, "events")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val cutoff = ev.filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type").agg(max($"ts").as("m"))
+      .agg((min($"m") - expr("INTERVAL 3 HOURS")).as("cutoff"))
+    val batch = c.join(p, $"user_id" === $"p_user" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 30 MINUTES"))
+      .groupBy(date_trunc("hour", $"c_ts").as("hour_start"))
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(unix_micros($"p_ts") - unix_micros($"c_ts"))
+          .as("gap_us_total"))
+      .crossJoin(broadcast(cutoff))
+      .filter($"hour_start" + expr("INTERVAL 1 HOUR") <= $"cutoff")
+      .select($"hour_start", $"n_attributed", $"gap_us_total")
+    assert(e29.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(e29).count() == 0,
+      "streaming join→rollup diverged from the batch rollup")
+  }
+
   test("e28: dynamic-gap sessions use the running-max interval end — " +
       "an open long-gap interval absorbs later short-gap events") {
     import spark.implicits._

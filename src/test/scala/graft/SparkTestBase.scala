@@ -19,7 +19,7 @@ trait SparkTestBase extends AnyFunSuite {
     "e16_stream_sessions", "e18_stream_static_join",
     "e19_stream_interval_join", "e21_stream_outer_join",
     "e24_stream_dedup_watermark", "e26_stream_full_outer_join",
-    "e27_stream_chained_agg")
+    "e27_stream_chained_agg", "e29_stream_join_rollup")
 
   /** Run `body` with session confs overridden, restoring (or unsetting)
     * every key afterwards — the session is shared JVM-wide across

@@ -34,6 +34,11 @@ object Pipeline {
     */
   private val MinTokens = 5
 
+  /** p10's token budget — the mixture is expressed as an allocation out
+    * of a fixed sampling budget so epochs-per-source is dimensionless.
+    */
+  private val MixBudget = 1000000L
+
   /** p01's curation plan, shared by the registered query (no
     * observations — CollectMetrics is an optimizer barrier, and the
     * gated plan's pushdown/fusion shape must not depend on auditing)
@@ -379,6 +384,43 @@ object Pipeline {
         .orderBy($"lang")
     },
 
+    "p10_domain_mixture" -> { (s, dir) =>
+      import s.implicits._
+      // DOMAIN MIXTURE reweighting — the sampling table a training run
+      // reads: per-source token counts, α-tempered weights
+      // w ∝ tokens^α (α = 1/2: the standard temperature between
+      // proportional α=1, which lets a mega-crawl drown curated
+      // sources, and uniform α=0, which over-samples tiny ones), the
+      // token allocation out of a fixed budget, and the implied epochs
+      // over each source (>1 ⇒ that source repeats — the signal data
+      // teams watch for memorization risk). Shapes at 100 TB: ONE
+      // wordcount-shaped agg (map-side partials, |sources| rows out);
+      // the weight normalization is a broadcast one-row total. Parity:
+      // per-source sqrt is a single correctly-rounded IEEE op on an
+      // exact BIGINT, rounded to DECIMAL before the cross-source sum
+      // (order-insensitive); the budget allocation multiplies a
+      // 6-dp-rounded weight by the integer budget in DECIMAL — exact,
+      // so the BIGINT cast can't straddle engines' round-vs-truncate
+      // difference; epochs is one double division rounded at the end.
+      val toks = docs(s, dir)
+        .groupBy($"source")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        .withColumn("w_raw", expr(
+          "cast(round(sqrt(cast(n_tokens as double)), 6) " +
+            "as decimal(18,6))"))
+      val tot = toks.agg(sum($"w_raw").as("w_tot"))
+      toks.crossJoin(broadcast(tot))
+        .withColumn("weight", expr(
+          "round(cast(w_raw as double) / cast(w_tot as double), 6)"))
+        .withColumn("alloc_tokens", expr(
+          s"cast(cast(weight as decimal(10,6)) * $MixBudget as bigint)"))
+        .withColumn("epochs", expr(
+          "round(cast(alloc_tokens as double) / cast(n_tokens as double), 4)"))
+        .select($"source", $"n_tokens", $"weight", $"alloc_tokens",
+          $"epochs")
+        .orderBy($"source")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -687,6 +729,32 @@ object Pipeline {
         |  round(CAST(psi_d AS DOUBLE), 6) AS psi_sources
         |FROM lt JOIN psi ON psi.lang = lt.lang
         |ORDER BY lt.lang""".stripMargin,
+
+    "p10_domain_mixture" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS w_raw
+        |  FROM t),
+        |tot AS (SELECT sum(w_raw) AS w_tot FROM w),
+        |a AS (
+        |  SELECT source, n_tokens,
+        |    round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6)
+        |      AS weight
+        |  FROM w CROSS JOIN tot),
+        |b AS (
+        |  SELECT source, n_tokens, weight,
+        |    CAST(CAST(weight AS DECIMAL(10,6)) * $MixBudget AS BIGINT)
+        |      AS alloc_tokens
+        |  FROM a)
+        |SELECT source, n_tokens, weight, alloc_tokens,
+        |  round(CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+        |    AS epochs
+        |FROM b ORDER BY source""".stripMargin,
 
     "p03_corpus_profile" ->
       """SELECT count(*) AS n_docs,

@@ -375,6 +375,50 @@ object Relational {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    "q35_waiting_suppliers" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q21 shape — SUPPLIERS WHO KEPT ORDERS WAITING: for
+      // finished orders with ≥2 distinct suppliers, count per supplier
+      // the orders where that supplier was the ONLY late one. The
+      // fixture's lineitem has no commit/receipt dates, so lateness is
+      // shipped > 60 days after order date — the predicate is one
+      // line; the operator is the Q21 join/quantifier pattern. Q21's
+      // textbook form is a self-joined EXISTS + NOT EXISTS (the oracle
+      // keeps it — an independent formulation is the stronger gate);
+      // at scale that plans two extra lineitem self-join shuffles, so
+      // the Spark side uses the aggregate rewrite: reduce once to
+      // (order, supplier, late), then per-order counts via a window
+      // over that already-tiny aggregate — one fact shuffle for the
+      // join, one for the (order, supplier) agg, one |orders|-keyed
+      // window, supplier/nation dims broadcast. The filter
+      // late ∧ n_supps ≥ 2 ∧ n_late = 1 IS Q21's ∃/∄ pair, decided
+      // without revisiting lineitem.
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val lo = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when($"l_shipdate" >
+            $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+          .as("late"))
+      val wOrd = Window.partitionBy($"l_orderkey")
+      lo.withColumn("n_supps", count(lit(1)).over(wOrd))
+        .withColumn("n_late", sum($"late").over(wOrd))
+        .filter($"late" === 1 && $"n_supps" >= 2 && $"n_late" === 1)
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_name", $"n_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+
     "q34_order_count_distribution" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q13 shape — CUSTOMER DISTRIBUTION: how many customers
@@ -868,6 +912,31 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q35_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey)
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM lo l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.late = 1
+        |  AND EXISTS (
+        |    SELECT 1 FROM lo l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late = 1)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q34_order_count_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

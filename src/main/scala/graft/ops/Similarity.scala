@@ -522,6 +522,38 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "s12_diverse_topk" -> { (s, dir) =>
+      import s.implicits._
+      // DIVERSITY-QUOTA retrieval (MMR-lite): the best candidate PER
+      // CELL (label cluster), then the global top-K over those per-cell
+      // champions — at most one neighbor per cluster, the degenerate-
+      // but-distributable point of the MMR family. True MMR re-scores
+      // candidates against the growing selected set — a sequential
+      // driver loop by construction; the cell-quota form keeps the
+      // diversity guarantee a training-data curator actually wants
+      // (no near-duplicate neighbors from one dense cluster) while
+      // staying a two-window declarative plan. Shapes at 100 TB:
+      // scoring is s01's broadcast-query corpus scan; the per-cell cut
+      // runs through the bounded-heap TopKPerKey keyed (q_id, label) —
+      // heap size 1, no per-cell sort — and the global rank's window
+      // input is ≤ |queries|·|cells| champion rows. Both windows are
+      // partitioned (PlanShapeSpec sweeps this).
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val scored = e.select($"vec_id".as("n_id"), $"label", $"v")
+        .join(broadcast(q), $"q_id" =!= $"n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"label", $"n_id", $"cos")
+      val champs = graft.plans.TopKPerKey(scored, Seq("q_id", "label"),
+        struct($"cos" * -1, $"n_id"), 1)
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      champs.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id", $"label", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -781,6 +813,30 @@ object Similarity {
          |  SELECT q_id, n_id, cos, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM rer)
+         |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s12_diverse_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[],
+         |                               embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |      WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.label, e.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos
+         |  FROM q JOIN e ON q.q_id <> e.vec_id),
+         |champ AS (
+         |  SELECT q_id, label, n_id, cos
+         |  FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY q_id, label
+         |    ORDER BY cos DESC, n_id) = 1),
+         |ranked AS (
+         |  SELECT q_id, n_id, label, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM champ)
+         |SELECT q_id, n_id, label, cos, rnk FROM ranked
          |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     "s07_int8_quant" ->

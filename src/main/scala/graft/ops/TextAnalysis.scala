@@ -171,6 +171,50 @@ object TextAnalysis {
       |  ln(cast(cnt2 as double) / cast(cnt1 as double)), 6)
       |as decimal(14,6))""".stripMargin
 
+  /** t16's per-doc surprisal table (doc_id, len, surprisal), UNSORTED —
+    * t16 adds presentation order, t21 buckets over it (the
+    * exactTopKCore convention: no orderBy inside a composed core, it
+    * would plan a useless range exchange in every consumer). Shapes at
+    * 100 TB: one wordcount shuffle (doc_id, term) with map-side
+    * partials; the corpus distribution is |vocab|-sized and broadcast;
+    * corpus totals ride along as one broadcast row. Parity: the
+    * per-term contribution is ONE shared expression string (explicit
+    * double casts, see bm25ScoreSql's rationale) rounded then summed in
+    * DECIMAL, so cross-term order cannot leak into the gate; the final
+    * division is one double op pair.
+    */
+  private def unigramSurprisalCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dist = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = dist.agg(sum($"cnt").as("total"))
+    val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    tf.join(broadcast(dist), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("sc", expr(surprisalScoreSql))
+      .groupBy($"doc_id").agg(sum($"sc").as("s"))
+      .join(lens, "doc_id")
+      .select($"doc_id", $"len".cast("long").as("len"),
+        expr("round(-(cast(s as double)) / cast(len as double), 6)")
+          .as("surprisal"))
+  }
+
+  /** t20's scrub pattern — a configurable denylist of sensitive terms,
+    * shared verbatim with the oracle SQL (single definition, the
+    * letterHistExpr convention). In production the alternation hosts
+    * the usual PII regexes (emails, phone numbers, SSNs, IPs); the
+    * fixture alphabet is lowercase a–z + space (no digits or '@'), so
+    * literal PII patterns would be dead code the gate can't exercise —
+    * the denylist form drives the identical plan shape through real
+    * matches. \b works identically in Java regex and RE2 for [a-z]
+    * words. "account" never occurs: the zero-hit-term path stays
+    * covered too.
+    */
+  private[graft] val RedactPattern = "\\b(customer|order|account)\\b"
+  private val RedactTag = "[REDACTED]"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
@@ -374,28 +418,74 @@ object TextAnalysis {
       // unigram distribution. Repetitive/boilerplate docs score low,
       // vocabulary-dense docs score high — the standard first
       // perplexity-ish quality cut before paying for a real LM pass.
-      // Shapes at 100 TB: one wordcount shuffle (doc_id, term) with
-      // map-side partials; the corpus distribution is |vocab|-sized and
-      // broadcast; corpus totals ride along as one broadcast row.
-      // Parity: the per-term contribution is ONE shared expression
-      // string (explicit double casts, see bm25ScoreSql's rationale)
-      // rounded then summed in DECIMAL, so cross-term order cannot leak
-      // into the gate; the final division is one double op pair.
-      val tf = docs(s, dir)
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dist = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
-      val tot = dist.agg(sum($"cnt").as("total"))
-      val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
-      tf.join(broadcast(dist), "term")
-        .crossJoin(broadcast(tot))
-        .withColumn("sc", expr(surprisalScoreSql))
-        .groupBy($"doc_id").agg(sum($"sc").as("s"))
-        .join(lens, "doc_id")
-        .select($"doc_id", $"len".cast("long").as("len"),
-          expr("round(-(cast(s as double)) / cast(len as double), 6)")
-            .as("surprisal"))
-        .orderBy($"doc_id")
+      // Body lives in [[unigramSurprisalCore]] (t21 buckets over the
+      // same per-doc table); this entry adds only presentation order.
+      unigramSurprisalCore(s, dir).orderBy($"doc_id")
+    },
+
+    "t21_surprisal_buckets" -> { (s, dir) =>
+      import s.implicits._
+      // The SECOND half of the CCNet recipe: t16 scores, t21 BUCKETS —
+      // per-source surprisal deciles with per-bucket volume and length
+      // stats, i.e. the table a curator reads to pick the keep/drop
+      // cutoff per domain (CCNet filters per language bucket; sources
+      // play that role here). Shapes at 100 TB: the ntile window runs
+      // over the per-doc AGGREGATE (one row per doc), partitioned by
+      // source — the corpus token stream never reaches a window. A
+      // mega-source would serialize its one partition; the production
+      // variant swaps ntile for fixed thresholds interpolated from a
+      // sampled quantile pass (the e23/q25 sketch machinery), trading
+      // exact decile edges for full parallelism — at fixture scale the
+      // exact form is the stronger gate. Parity: ntile's frame is a
+      // total order (surprisal is round(…,6) — gate-identical across
+      // engines via t16 — with doc_id tiebreak), and per-bucket means
+      // sum DECIMAL-cast contributions before ONE double division.
+      val sup = unigramSurprisalCore(s, dir)
+        .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy($"source").orderBy($"surprisal", $"doc_id")
+      sup.withColumn("bucket", ntile(10).over(w))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"len") / count(lit(1)).cast("double"), 4)
+            .as("avg_len"),
+          round(sum(expr("cast(surprisal as decimal(14,6))"))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_surprisal"))
+        .orderBy($"source", $"bucket")
+    },
+
+    "t20_pii_redaction" -> { (s, dir) =>
+      import s.implicits._
+      // PII/denylist scrub — the compliance pass every training corpus
+      // gets before release: match a configurable pattern set
+      // ([[RedactPattern]] — see its note on why the fixture uses a
+      // term denylist rather than literal email/phone regexes), replace
+      // in place, and account for what was removed per source. The
+      // per-source report is what an auditor signs off on: docs
+      // touched, total redactions, net character delta, plus an md5
+      // over a deterministic representative (min over redacted-text
+      // hashes) pinning the REPLACEMENT bytes — a count-only gate
+      // would pass even if the substitution itself were wrong. Shapes
+      // at 100 TB: match + replace are narrow maps fused into the scan
+      // (RegExpExtractAll/RegExpReplace are codegen'd native
+      // expressions); the only shuffle carries one pre-aggregated row
+      // per (task, source). Parity: counts and length deltas are exact
+      // ints; Java regex and RE2 agree on \b/alternation over [a-z]
+      // words; min() over lowercase-hex md5 strings is
+      // collation-trivial.
+      val red = docs(s, dir)
+        .withColumn("n_hits",
+          size(regexp_extract_all($"text", lit(RedactPattern), lit(0))))
+        .withColumn("red",
+          regexp_replace($"text", RedactPattern, RedactTag))
+      red.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_hits" > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum($"n_hits").cast("long").as("total_hits"),
+          sum(length($"red") - length($"text")).cast("long")
+            .as("delta_chars"),
+          min(md5($"red")).as("sample_md5"))
+        .orderBy($"source")
     },
 
     "t18_bigram_surprisal" -> { (s, dir) =>
@@ -863,6 +953,54 @@ object TextAnalysis {
          |  round(-(cast(s as double)) / cast(n_bigrams as double), 6)
          |    AS surprisal
          |FROM agg a JOIN lens l USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    "t21_surprisal_buckets" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term),
+         |dist AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+         |  GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM dist),
+         |lens AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT tf.doc_id, $surprisalScoreSql AS sc
+         |  FROM tf JOIN dist USING (term) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, sum(sc) AS s FROM sc GROUP BY doc_id),
+         |sup AS (
+         |  SELECT a.doc_id, l.len,
+         |    round(-(cast(s as double)) / cast(len as double), 6)
+         |      AS surprisal
+         |  FROM agg a JOIN lens l USING (doc_id)),
+         |b AS (
+         |  SELECT d.source, sup.len, sup.surprisal,
+         |    ntile(10) OVER (PARTITION BY d.source
+         |      ORDER BY sup.surprisal, sup.doc_id) AS bucket
+         |  FROM sup JOIN documents d USING (doc_id))
+         |SELECT source, bucket, count(*) AS n_docs,
+         |  round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_len,
+         |  round(CAST(sum(CAST(surprisal AS DECIMAL(14,6))) AS DOUBLE)
+         |        / count(*), 6) AS avg_surprisal
+         |FROM b GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
+
+    "t20_pii_redaction" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+         |      '$RedactPattern')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_hit,
+         |  CAST(sum(len(regexp_extract_all(text, '$RedactPattern')))
+         |    AS BIGINT) AS total_hits,
+         |  CAST(sum(length(regexp_replace(text, '$RedactPattern',
+         |      '[REDACTED]', 'g')) - length(text)) AS BIGINT)
+         |    AS delta_chars,
+         |  min(md5(regexp_replace(text, '$RedactPattern',
+         |      '[REDACTED]', 'g'))) AS sample_md5
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "t16_unigram_surprisal" ->
       s"""WITH tf AS (

@@ -144,4 +144,36 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(shares("test") - 0.125) < 0.06, shares.toString)
     p08.unpersist()
   }
+
+  test("p10: weights normalize, the budget is conserved to rounding, " +
+      "epochs recompute, and α=1/2 tempers toward uniform") {
+    import spark.implicits._
+    val p10 = ops.Pipeline.queries("p10_domain_mixture")(spark, sfSmoke)
+      .collect()
+    val nSrc = p10.length
+    assert(nSrc > 1)
+    val wSum = p10.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) <= nSrc * 5e-7 + 1e-9, s"Σw = $wSum")
+    val allocSum = p10.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(math.abs(allocSum - 1000000L) <= nSrc.toLong,
+      s"allocated $allocSum of 1000000")
+    p10.foreach { r =>
+      val eps = BigDecimal(r.getAs[Long]("alloc_tokens").toDouble /
+        r.getAs[Long]("n_tokens"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("epochs") - eps) <= 1e-9,
+        s"epochs mismatch for ${r.getAs[String]("source")}")
+    }
+    // α-tempering: the largest source is under-sampled relative to its
+    // proportional share, the smallest over-sampled — the point of α<1
+    val total = p10.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val biggest = p10.maxBy(_.getAs[Long]("n_tokens"))
+    val smallest = p10.minBy(_.getAs[Long]("n_tokens"))
+    assert(biggest.getAs[Long]("n_tokens") !=
+      smallest.getAs[Long]("n_tokens"), "fixture sources degenerate")
+    assert(biggest.getAs[Double]("weight") <
+      biggest.getAs[Long]("n_tokens") / total)
+    assert(smallest.getAs[Double]("weight") >
+      smallest.getAs[Long]("n_tokens") / total)
+  }
 }

@@ -85,4 +85,42 @@ class RelationalSpec extends SparkTestBase {
     assert(byStatus == total && byPrio == total,
       s"subtotals $byStatus/$byPrio must both sum to $total")
   }
+
+  test("q35: the aggregate rewrite equals the textbook exists/not-exists " +
+      "formulation, computed independently via semi/anti joins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q35_waiting_suppliers")(spark, sfVerify)
+      .collect().toSeq
+    assert(got.nonEmpty && got.size <= 20)
+    // independent formulation: Q21's quantifiers as explicit joins
+    val ord = Tables.load(spark, sfVerify, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val lo = Tables.load(spark, sfVerify, "lineitem")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" >
+          $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("late")).cache()
+    val l2 = lo.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val l3 = lo.filter($"late" === 1)
+      .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    val wait = lo.filter($"late" === 1)
+      .join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2",
+        "left_semi")
+      .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3",
+        "left_anti")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+    val ref = wait
+      .join(Tables.load(spark, sfVerify, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.load(spark, sfVerify, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name").limit(20)
+      .collect().toSeq
+    assert(got == ref, s"aggregate form diverged:\n$got\nvs\n$ref")
+    lo.unpersist()
+  }
 }

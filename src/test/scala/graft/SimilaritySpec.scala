@@ -126,4 +126,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(capped(1L).getLong(1) == 45L &&
       capped(1L).getDouble(2) == first16(1L).getDouble(2))
   }
+
+  test("s12: one neighbor per cell, champions are true per-cell maxima, " +
+      "and the global rank orders by cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val s12 = ops.Similarity.queries("s12_diverse_topk")(spark, sfSmoke)
+      .collect()
+    assert(s12.nonEmpty)
+    s12.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val labels = rs.map(_.getAs[Int]("label"))
+      assert(labels.distinct.length == labels.length,
+        s"query $q returned two neighbors from one cell")
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"query $q ranks not ordered by cosine")
+    }
+    // champions must equal the per-(query, cell) max cosine computed
+    // independently by brute force
+    val e = Tables.load(spark, sfSmoke, "embeddings")
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val best = e.select($"vec_id".as("n_id"), $"label", $"v")
+      .join(broadcast(q), $"q_id" =!= $"n_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+      .groupBy($"q_id", $"label").agg(max($"cos").as("best_cos"))
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("label")) ->
+        r.getAs[Double]("best_cos")).toMap
+    s12.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Int]("label"))
+      assert(r.getAs[Double]("cos") == best(k),
+        s"champion for $k is not the cell max")
+    }
+  }
 }

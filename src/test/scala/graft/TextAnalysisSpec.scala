@@ -180,4 +180,66 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a.toSet.intersect(b.toSet).nonEmpty,
       s"no shared fingerprint despite 6-token shared run: $a vs $b")
   }
+
+  test("t20: redaction counts equal token-equality counts, the char " +
+      "delta has its closed form, and the scrub is complete") {
+    import spark.implicits._
+    val t20 = ops.TextAnalysis.queries("t20_pii_redaction")(spark, sfSmoke)
+      .cache()
+    // fixture text is single-space token soup, so \b-regex hits must
+    // equal exact-token matches counted independently via explode
+    val terms = Set("customer", "order", "account")
+    val ref = Tables.load(spark, sfSmoke, "documents")
+      .select($"source", $"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("hit", when($"tok".isin(terms.toSeq: _*), 1L)
+        .otherwise(0L))
+      .withColumn("dchar", when($"hit" === 1,
+        lit(10) - length($"tok")).otherwise(0L))
+      .groupBy($"source")
+      .agg(sum($"hit").as("ref_hits"),
+        countDistinct(when($"hit" === 1, $"doc_id")).as("ref_docs_hit"),
+        sum($"dchar").as("ref_delta"))
+    val j = t20.join(ref, "source")
+    assert(j.count() == t20.count())
+    assert(j.filter($"total_hits" =!= $"ref_hits").count() == 0)
+    assert(j.filter($"docs_hit" =!= $"ref_docs_hit").count() == 0)
+    assert(j.filter($"delta_chars" =!= $"ref_delta").count() == 0)
+    assert(t20.agg(sum($"total_hits")).head.getLong(0) > 0,
+      "denylist never fired — the gate is dead")
+    // completeness: re-scanning the redacted text finds zero hits
+    val residual = Tables.load(spark, sfSmoke, "documents")
+      .select(regexp_replace($"text", ops.TextAnalysis.RedactPattern,
+        "[REDACTED]").as("red"))
+      .filter(size(regexp_extract_all($"red",
+        lit(ops.TextAnalysis.RedactPattern), lit(0))) > 0)
+    assert(residual.count() == 0, "redacted text still matches the pattern")
+    t20.unpersist()
+  }
+
+  test("t21: per-source buckets are complete, near-equal-sized, and " +
+      "mean surprisal is non-decreasing in the bucket index") {
+    import spark.implicits._
+    val t21 = ops.TextAnalysis.queries("t21_surprisal_buckets")(
+      spark, sfSmoke).cache()
+    assert(t21.filter($"bucket" < 1 || $"bucket" > 10).count() == 0)
+    val perSrc = t21.groupBy($"source").agg(
+      sum($"n_docs").as("n"), max($"n_docs").as("mx"),
+      min($"n_docs").as("mn")).cache()
+    val docCounts = Tables.load(spark, sfSmoke, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_src"))
+    assert(perSrc.join(docCounts, "source")
+      .filter($"n" =!= $"n_src").count() == 0,
+      "bucketed doc counts must partition each source")
+    assert(perSrc.filter($"mx" - $"mn" > 1).count() == 0,
+      "ntile buckets within a source must differ by at most one doc")
+    // deciles ordered by surprisal ⇒ segment means are non-decreasing
+    val rows = t21.orderBy($"source", $"bucket")
+      .select($"source", $"avg_surprisal").collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val means = rs.map(_.getDouble(1))
+      assert(means.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"bucket means not monotone for $src: ${means.mkString(",")}")
+    }
+    perSrc.unpersist(); t21.unpersist()
+  }
 }

@@ -33,6 +33,14 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q36's market subset and inactivity cutoff (Q22's seven country
+    * codes, re-keyed to the nation dim — see the query's note). Shared
+    * with the oracle so both engines read one definition.
+    */
+  private val Q36Markets = Seq("NATION_1", "NATION_3", "NATION_5",
+    "NATION_7", "NATION_9", "NATION_11", "NATION_13")
+  private val Q36Cutoff = "2000-01-01"
+
   /** The exact interpolated quantiles q18 gates and q25's sketch gate
     * compares against — ONE definition per engine, so the hash contract
     * (rounding, column names) cannot drift between the two queries.
@@ -373,6 +381,45 @@ object Relational {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
+    },
+
+    "q36_sales_opportunity" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q22 shape — GLOBAL SALES OPPORTUNITY: well-funded but
+      // inactive customers per market. Q22's country code lives in a
+      // phone-number substring the fixture doesn't carry; the nation
+      // dim plays that role (same selective-membership semantics), and
+      // "inactive" is no order since 2000-01-01 (Q22's no-orders-ever
+      // is empty on the fixture — every customer ordered). The pattern
+      // under test is Q22's: a SCALAR subquery (positive-balance
+      // average over the same market set) gating the row filter, then
+      // an ANTI join, then per-market aggregation. Shapes at 100 TB:
+      // the nation subset broadcasts; the average is a one-row
+      // broadcast rider (in-plan, the e21 discipline — no driver
+      // collect, no second eager job); the anti join shuffles on
+      // custkey with the date filter pushed to the orders scan; the
+      // final agg is |markets|-keyed. Parity: the cutoff is an exact
+      // DECIMAL sum with ONE double division on both engines; balances
+      // sum in DECIMAL and take one rounded double at the end.
+      val sel = broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin(Q36Markets: _*))
+        .select($"n_nationkey", $"n_name"))
+      val cust = t(s, dir, "customer")
+        .join(sel, $"c_nationkey" === $"n_nationkey")
+      val avgbal = cust.filter($"c_acctbal" > 0)
+        .agg((sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("a"))
+      val recent = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(Q36Cutoff).cast("timestamp"))
+        .select($"o_custkey")
+      cust.crossJoin(broadcast(avgbal))
+        .filter($"c_acctbal" > $"a")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum($"c_acctbal".cast("decimal(18,2)")), 2)
+            .cast("double").as("totacctbal"))
+        .orderBy($"n_name")
     },
 
     "q35_waiting_suppliers" -> { (s, dir) =>
@@ -912,6 +959,27 @@ object Relational {
         |    WHERE o.o_custkey = c.c_custkey
         |      AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q36_sales_opportunity" ->
+      s"""WITH sel AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN (${Q36Markets.map("'" + _ + "'").mkString(", ")})),
+        |avgbal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS a
+        |  FROM customer JOIN sel ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer JOIN sel ON c_nationkey = n_nationkey
+        |CROSS JOIN avgbal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '$Q36Cutoff')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q35_waiting_suppliers" ->
       """WITH lo AS (

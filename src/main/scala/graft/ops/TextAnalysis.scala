@@ -185,18 +185,30 @@ object TextAnalysis {
     */
   private def unigramSurprisalCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = docs(s, dir)
+    // the explicit isNotNull keeps every branch's scan subtree
+    // canonically IDENTICAL: a consumer that later joins the core on
+    // doc_id (t21) pushes an inferred isnotnull(doc_id) into the tf
+    // branch only, and that asymmetry is exactly what stops AQE's
+    // ReusedExchange from deduplicating the wordcount stage
+    val tf = docs(s, dir).filter($"doc_id".isNotNull)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dist = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
     val tot = dist.agg(sum($"cnt").as("total"))
-    val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    // len rides the SCORE aggregation (sum(tf) per doc — each tf row
+    // appears exactly once after the broadcast term join), not a
+    // separate lens branch: a lens join re-derives the whole wordcount
+    // subtree (Spark re-executes shared lineage per consumer unless
+    // AQE's stage reuse proves the subtrees canonically equal, and the
+    // lens join's inferred isnotnull(doc_id) broke exactly that) — one
+    // corpus scan, one shuffle and one join fewer, measured 4 → 2
+    // documents scans in the executed adaptive plan.
     tf.join(broadcast(dist), "term")
       .crossJoin(broadcast(tot))
       .withColumn("sc", expr(surprisalScoreSql))
-      .groupBy($"doc_id").agg(sum($"sc").as("s"))
-      .join(lens, "doc_id")
-      .select($"doc_id", $"len".cast("long").as("len"),
+      .groupBy($"doc_id")
+      .agg(sum($"sc").as("s"), sum($"tf").cast("long").as("len"))
+      .select($"doc_id", $"len",
         expr("round(-(cast(s as double)) / cast(len as double), 6)")
           .as("surprisal"))
   }
@@ -522,11 +534,13 @@ object TextAnalysis {
         .withColumn("w1", substring_index($"bg", " ", 1))
         .join(broadcast(cnt1), "w1")
         .select($"bg", $"cnt2", $"cnt1")
-      val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("n_bigrams"))
+      // n_bigrams rides the score aggregation (the t16 core's fused
+      // form — a separate lens join re-derives the bigram wordcount
+      // subtree per consumer)
       tf.join(model, "bg")
         .withColumn("sc", expr(bigramScoreSql))
-        .groupBy($"doc_id").agg(sum($"sc").as("s"))
-        .join(lens, "doc_id")
+        .groupBy($"doc_id")
+        .agg(sum($"sc").as("s"), sum($"tf").cast("long").as("n_bigrams"))
         .select($"doc_id", $"n_bigrams",
           expr("round(-(cast(s as double)) / cast(n_bigrams as double), 6)")
             .as("surprisal"))

@@ -123,4 +123,46 @@ class RelationalSpec extends SparkTestBase {
     assert(got == ref, s"aggregate form diverged:\n$got\nvs\n$ref")
     lo.unpersist()
   }
+
+  test("q36: the broadcast-scalar DataFrame form equals the scalar-" +
+      "subquery SQL form Catalyst decorrelates, and the cutoff bites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q36_sales_opportunity")(spark, sfVerify)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    Seq("customer", "orders", "nation").foreach { n =>
+      Tables.load(spark, sfVerify, n).createOrReplaceTempView(s"q36_$n")
+    }
+    try {
+      val ref = spark.sql(
+        """SELECT n_name, count(*) AS numcust,
+          |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS totacctbal
+          |FROM q36_customer JOIN q36_nation ON c_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+          |                 'NATION_9','NATION_11','NATION_13')
+          |  AND c_acctbal > (
+          |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+          |             AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |    FROM q36_customer c2 JOIN q36_nation n2
+          |      ON c2.c_nationkey = n2.n_nationkey
+          |    WHERE n2.n_name IN ('NATION_1','NATION_3','NATION_5',
+          |                        'NATION_7','NATION_9','NATION_11',
+          |                        'NATION_13')
+          |      AND c2.c_acctbal > 0)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM q36_orders
+          |    WHERE o_custkey = c_custkey
+          |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        .collect().toSeq
+      assert(got == ref, s"DataFrame form diverged from SQL form")
+    } finally Seq("customer", "orders", "nation")
+      .foreach(n => spark.catalog.dropTempView(s"q36_$n"))
+    // the inactivity cutoff must bite: without it (no orders EVER) the
+    // fixture qualifies nobody, which would make the gate vacuous
+    val avg = got.map(_.getAs[Long]("numcust")).sum
+    assert(avg > 0)
+  }
 }

@@ -103,23 +103,31 @@ object Events {
       import s.implicits._
       // Ordered-funnel analytics: users who viewed, then clicked AFTER
       // their first view, then purchased AFTER that first qualifying
-      // click — the strictly-ordered conversion funnel. Each step is a
-      // hash aggregation + an equi-join on user_id (all three shuffles
-      // share the user_id key, so at scale they co-partition); no
-      // window sort, no per-user collection. ts comparisons are on the
-      // µs-floored timestamps both engines agree on.
-      val e = ev(s, dir).select($"user_id", $"event_type", $"ts")
-      val v = e.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
-      val c = e.filter($"event_type" === "click")
-        .join(v, "user_id").filter($"ts" > $"v_ts")
-        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
-      val p = e.filter($"event_type" === "purchase")
-        .join(c, "user_id").filter($"ts" > $"c_ts")
-        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
-      v.agg(count(lit(1)).as("n_view_users"))
-        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchase_funnel")))
+      // click — the strictly-ordered conversion funnel. ONE events scan
+      // and ONE user_id shuffle: each step is a conditional min over
+      // the SAME user partition (three chained Window projections share
+      // a single exchange — each step's cutoff is the previous window's
+      // result, which a single groupBy can't express), then a per-user
+      // dedup agg and a global count. The old per-step agg+join chain
+      // read events five times and shuffled three (the scan-audit
+      // finding); every filter here rides one pass. No sort frames —
+      // unordered min over the full partition; ts comparisons are on
+      // the µs-floored timestamps both engines agree on.
+      val w = Window.partitionBy($"user_id")
+      val per = ev(s, dir)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .select($"user_id", $"event_type", $"ts")
+        .withColumn("v_ts",
+          min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("c_ts", min(when(
+          $"event_type" === "click" && $"ts" > $"v_ts", $"ts")).over(w))
+        .withColumn("p_ts", min(when(
+          $"event_type" === "purchase" && $"ts" > $"c_ts", $"ts")).over(w))
+        .groupBy($"user_id").agg(max($"v_ts").as("v_ts"),
+          max($"c_ts").as("c_ts"), max($"p_ts").as("p_ts"))
+      per.agg(count($"v_ts").as("n_view_users"),
+          count($"c_ts").as("n_click_after_view"),
+          count($"p_ts").as("n_purchase_funnel"))
         .withColumn("conversion",
           round($"n_purchase_funnel" / $"n_view_users".cast("double"), 6))
     },

@@ -140,12 +140,15 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
     // Candidate discovery carries ONLY (vec_id, bucket): the 64-dim
-    // payloads stay out of the union, the join, and the distinct's
-    // dedup key (a pair appearing in several tables dedups on two ids,
-    // not ~1 KB of doubles — the r1 bench's 2nd-worst shuffle).
-    val tabs = (0 until NTables).map { t =>
-      e.select($"vec_id", tableBucketCol(t).as("bucket"))
-    }.reduce(_ union _)
+    // payloads stay out of the join and the distinct's dedup key (a
+    // pair appearing in several tables dedups on two ids, not ~1 KB of
+    // doubles — the r1 bench's 2nd-worst shuffle). All NTables buckets
+    // come out of ONE corpus scan as an exploded array — the previous
+    // per-table union re-scanned embeddings NTables times (the
+    // scan-audit finding); the table id is baked into the bucket
+    // string, so the row multiset is identical.
+    val tabs = e.select($"vec_id", explode(array(
+      (0 until NTables).map(t => tableBucketCol(t)): _*)).as("bucket"))
     val qb = tabs.filter($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"bucket".as("q_bucket"))
     val pairs = tabs.select($"vec_id".as("n_id"), $"bucket")

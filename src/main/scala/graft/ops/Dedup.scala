@@ -100,7 +100,14 @@ object Dedup {
     */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashCore(s, dir)
+    // the signature table fans out to FOUR consumers below (both sides
+    // of the band self-join, both sides of the verify rejoin), and a
+    // narrow subtree is re-executed per consumer — no exchange
+    // boundary, so AQE stage reuse can't help. Materializing it is the
+    // d18 trade made explicit: |docs| × 7 longs (tiny vs the corpus
+    // text it derives from) buys back four shingle+md5+minhash passes;
+    // an ingest service keeps exactly this index materialized anyway.
+    val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
     val bands = bandsOf(s, sigs)
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
@@ -666,7 +673,9 @@ object Dedup {
       // to equi-joins (the index is what an ingest service keeps); the
       // batch side is small; signature rejoin for verification keys on
       // ids — never all-pairs.
-      val sigs = minhashCore(s, dir)
+      // materialized once (the verifiedPairs rationale): six narrow
+      // consumers fork from sigs below
+      val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
       val inc = sigs.filter($"doc_id" % 5 === 4)
       val corp = sigs.filter($"doc_id" % 5 =!= 4)
       val bInc = bandsOf(s, inc)
@@ -806,7 +815,11 @@ object Dedup {
         .join(sampleIds.toDF("a_id"), "a_id")
         .join(sampleIds.toDF("b_id"), "b_id")
         .select($"a_id", $"b_id")
+      // materialized AFTER the sample cut (30 % of shingle rows), with
+      // three consumers below — the audit's truth side is the one
+      // place the raw shingle stream is legitimately needed thrice
       val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
+        .localCheckpoint(eager = false)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.select($"doc_id".as("a_id"), $"sh")
       val b = sh.select($"doc_id".as("b_id"), $"sh")
@@ -817,10 +830,15 @@ object Dedup {
         .filter(round($"n_inter" /
           ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
         .select($"a_id", $"b_id")
-      val hit = truth.join(lsh, Seq("a_id", "b_id"))
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      // one FULL OUTER pass over the union of pair sets produces all
+      // three counts — the crossJoin-of-three-aggregates terminal it
+      // replaces re-executed the truth lineage twice and the pipeline
+      // lineage twice (the scan-audit finding: 8 documents reads)
+      val cmp = truth.withColumn("t", lit(1))
+        .join(lsh.withColumn("l", lit(1)), Seq("a_id", "b_id"),
+          "full_outer")
+      cmp.agg(count($"t").as("n_true"), count($"l").as("n_lsh"),
+          count(when($"t" === 1 && $"l" === 1, 1)).as("n_hit"))
         .select($"n_true", $"n_lsh", $"n_hit",
           round($"n_hit" / $"n_true".cast("double"), 6).as("recall"),
           round($"n_hit" / $"n_lsh".cast("double"), 6).as("precision"))

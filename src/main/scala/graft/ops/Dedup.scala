@@ -418,7 +418,11 @@ object Dedup {
       // self-join shape; LSH replaces the unblocked form at scale).
       // Global top-10 most-similar pairs, deterministic tiebreaks.
       val d = docs(s, dir).select($"doc_id", $"source")
+      // three consumers fork from the shingle stream below (sizes and
+      // both join sides) — materialized once, the verifiedPairs
+      // rationale
       val sh = shingleHashes(s, dir).join(d, "doc_id")
+        .localCheckpoint(eager = false)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("a_id", "sh_a", "h_a", "source")
       val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
@@ -515,7 +519,10 @@ object Dedup {
       // of the training corpus stays shuffle-free up to the per-doc
       // count aggregation. Top 20 by ratio, deterministic tiebreaks.
       val d = docs(s, dir).select($"doc_id", $"source")
+      // three consumers fork from the shingle stream (eval set, sizes,
+      // probe side) — materialized once, the verifiedPairs rationale
       val sh = shingleHashes(s, dir).join(d, "doc_id")
+        .localCheckpoint(eager = false)
       val evalSet = sh.filter($"source" === "src0")
         .select($"sh").distinct()
       val train = sh.filter($"source" =!= "src0")
@@ -578,6 +585,11 @@ object Dedup {
       val f0 = sh.withColumn("fp", min($"h").over(wnd))
         .filter($"i" <= $"n" - 5) // complete 4-windows only
         .select($"doc_id", $"fp").distinct()
+        // four consumers fork from the fingerprint table (rare, both
+        // join sides, sizes) — materialized once, the verifiedPairs
+        // rationale; |docs|·|fps per doc| rows, far below the
+        // exploded shingle stream it derives from
+        .localCheckpoint(eager = false)
       val rare = f0.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" <= DfCap).select($"fp")
       val f = f0.join(rare, "fp")
@@ -732,7 +744,11 @@ object Dedup {
       // scale the verify join shuffles |survivors| ≈ |true matches|
       // rows instead of every training shingle.
       val d = docs(s, dir).select($"doc_id", $"source")
+      // the shingle stream feeds the bloom build, the probe side and
+      // the verify join — materialized once, the verifiedPairs
+      // rationale
       val sh = shingleHashes(s, dir).join(d, "doc_id")
+        .localCheckpoint(eager = false)
       val evalSet = sh.filter($"source" === "src0").select($"sh").distinct()
       val train = sh.filter($"source" =!= "src0")
       val bloom = evalSet

@@ -273,9 +273,14 @@ object Pipeline {
       // needs). Shapes: per-source totals are one map-side-partial agg;
       // the threshold table is sources-sized and broadcasts back; the
       // sample pass is a narrow filter over the scan.
+      // the token-count frame feeds both the threshold computation and
+      // the sampling pass; materialized once (3 narrow columns — far
+      // below the text it derives from), so the corpus text is read
+      // and tokenized a single time
       val d = docs(s, dir).select($"doc_id", $"source",
         when($"text".isNull, lit(0L))
           .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .localCheckpoint(eager = false)
       val per = d.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tok_s"))
       val tot = per.agg(sum($"tok_s").as("t_total"),

@@ -301,6 +301,52 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("scan-multiplicity guard: the de-amplified queries keep their " +
+      "bounded real-scan counts in the EXECUTED adaptive plan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // counts REAL FileSourceScan nodes: descends into query stages,
+    // skips ReusedExchange stubs (a reused stage reads nothing), and
+    // includes subquery plans. A checkpointed frame contributes its
+    // one materialization scan via the checkpoint job, not this plan —
+    // the bound asserts what the recurring per-query execution reads.
+    def realScans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => realScans(a.executedPlan)
+      case q: QueryStageExec => realScans(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.mkString.split("/").last)
+      case other => other.children.flatMap(realScans) ++
+        other.subqueries.flatMap(realScans)
+    }
+    // name -> (table, max real scans). Bounds are the post-fix counts
+    // (SCALE.md scan-multiplicity pass); a regression to per-consumer
+    // re-execution fails here, not at 100 TB.
+    val bounds = Seq(
+      ("t16_unigram_surprisal", "documents.parquet", 1),
+      ("t18_bigram_surprisal", "documents.parquet", 1),
+      ("t21_surprisal_buckets", "documents.parquet", 2), // + source join
+      ("e13_funnel_steps", "events.parquet", 1),
+      ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
+      ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
+      ("d12_decontamination", "documents.parquet", 1),
+      ("d15_winnowing_overlap", "documents.parquet", 1),
+      ("d17_incremental_near_dedup", "documents.parquet", 1),
+      ("d19_bloom_decontamination", "documents.parquet", 1),
+      ("d21_lsh_recall_audit", "documents.parquet", 1),
+      ("p07_source_mixture", "documents.parquet", 1))
+    val offenders = bounds.flatMap { case (name, table, cap) =>
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      df.collect()
+      val n = realScans(df.queryExecution.executedPlan)
+        .count(_ == table)
+      if (n > cap) Some(s"$name: $n > $cap scans of $table") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("s09: the query-term filter runs before the wordcount exchange " +
       "(postings only, never the full token stream)") {
     val p = plan("s09_bm25_topk")

@@ -422,6 +422,98 @@ object Relational {
         .orderBy($"n_name")
     },
 
+    "q37_large_volume_customers" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q18 shape — LARGE VOLUME CUSTOMERS: orders whose total
+      // lineitem quantity exceeds a threshold, with the customer and
+      // order header attached. The pattern under test is HAVING-gated
+      // aggregation feeding a fact join: the per-order quantity sum is
+      // computed FIRST (one map-side-partial agg on l_orderkey), the
+      // >280 cut shrinks it to a sliver (84 orders at sf0.01), and only
+      // that sliver joins orders and customer — at 100 TB the big
+      // orders/customer tables are probed by a broadcast-sized build
+      // side instead of shuffling lineitem a second time (Q18's classic
+      // IN-subquery plans exactly this after decorrelation). Parity:
+      // l_quantity is integer-valued, so the sum is exact in any order
+      // and the threshold cut is engine-deterministic; o_totalprice is
+      // read, not computed.
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("sum_qty"))
+        .filter($"sum_qty" > 280)
+      t(s, dir, "orders")
+        .join(broadcast(bigOrders), $"o_orderkey" === $"l_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          round($"o_totalprice", 2).as("totalprice"),
+          round($"sum_qty", 2).as("sum_qty"))
+        .orderBy($"totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+
+    "q38_top_supplier" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q15 shape — TOP SUPPLIER: the supplier(s) with maximum
+      // revenue over a quarter. Q15's CREATE VIEW + scalar max becomes
+      // a reused per-supplier aggregate and a one-row max rider joined
+      // in-plan (q36/e21 discipline — no driver collect): the revenue
+      // table is |suppliers|-sized, its max broadcasts back onto it,
+      // and the equality keeps every tied supplier (Q15's documented
+      // tie semantics). Parity: revenue sums DECIMAL-cast contributions
+      // — exact in both engines, so the max EQUALITY cannot flip on
+      // summation order; the one double cast happens at presentation.
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            $"l_discount".cast("decimal(18,2)"))).as("total_rev"))
+      val maxRev = rev.agg(max($"total_rev").as("m"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter($"total_rev" === $"m")
+        .join(broadcast(t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          round($"total_rev", 2).cast("double").as("total_rev"))
+        .orderBy($"s_suppkey")
+    },
+
+    "q39_small_quantity_revenue" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q17 shape — SMALL-QUANTITY-ORDER REVENUE: the weekly
+      // revenue that would vanish if sub-threshold orders (below half
+      // the part's average order quantity) stopped being filled, per
+      // brand for three brands. The operator is Q17's correlated
+      // average, decorrelated: the per-part mean is its own aggregate
+      // (|parts|-keyed, map-side partial over ONE lineitem pass) and
+      // joins back as the row filter's right side. At 100 TB the
+      // per-part table is far smaller than lineitem but not
+      // broadcast-small, so it shuffle-joins on partkey — the same key
+      // the brand probe uses, and AQE can reuse the exchange; the
+      // 3-brand part subset IS broadcast. Parity: l_quantity is
+      // integer-valued so sum (hence avg = sum/count, one double
+      // division of exact operands) is engine-identical and the
+      // < 0.5·avg cut cannot flip; revenue sums DECIMAL with one
+      // double division by 7 at the end.
+      val perPart = t(s, dir, "lineitem")
+        .groupBy($"l_partkey".as("pk"))
+        .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+      val brands = broadcast(t(s, dir, "part")
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+        .select($"p_partkey", $"p_brand"))
+      t(s, dir, "lineitem")
+        .join(brands, $"l_partkey" === $"p_partkey")
+        .join(perPart, $"l_partkey" === $"pk")
+        .filter($"l_quantity" < $"avg_qty" * 0.5)
+        .groupBy($"p_brand")
+        .agg((round(sum($"l_extendedprice".cast("decimal(18,2)")), 2)
+          .cast("double") / 7.0).as("avg_yearly"))
+        .select($"p_brand", round($"avg_yearly", 4).as("avg_yearly"))
+        .orderBy($"p_brand")
+    },
+
     "q35_waiting_suppliers" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q21 shape — SUPPLIERS WHO KEPT ORDERS WAITING: for
@@ -980,6 +1072,50 @@ object Relational {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '$Q36Cutoff')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q37_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o_totalprice, 2) AS totalprice,
+        |  round(sum_qty, 2) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 280) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q38_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) -
+        |         CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q39_small_quantity_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(l_quantity) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |        AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = pk
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l_quantity < avg_qty * 0.5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q35_waiting_suppliers" ->
       """WITH lo AS (

@@ -39,6 +39,8 @@ package object functions {
       e => ShingleSimHash64(e(0))),
     ("zorder64", classOf[ZOrder64].getName,
       e => ZOrder64(e(0), e(1))),
+    ("hash_clf_score", classOf[HashClfScore].getName,
+      e => HashClfScore(e(0))),
     // Spark's own bloom expressions, surfaced (they exist in the jars
     // but are absent from the public FunctionRegistry — see
     // BloomFilterFns)

@@ -466,6 +466,42 @@ object TextAnalysis {
         .orderBy($"source", $"bucket")
     },
 
+    "t22_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      // Hashed-linear-classifier INFERENCE — the fastText-shaped
+      // quality/toxicity scoring pass every LLM curation stack runs
+      // between the heuristic cuts (t04) and the LM-based ones (t16):
+      // token → feature-hash bucket → weight lookup → sum → keep/drop,
+      // then per-source decision stats (the table a curator reads to
+      // see what the classifier would do to each domain). The weights
+      // are a deterministic synthetic model ([[graft.functions
+      // .HashClfScore]] — the container has no trained artifact); the
+      // OPERATOR is the plumbing, and its scale shape is the point: the
+      // per-doc score is ONE fused kernel call inside a codegen'd
+      // narrow projection — the token stream never becomes rows, never
+      // shuffles, never leaves its input partition (the oracle has to
+      // explode tokens because SQL has no such kernel; at 100 TB that
+      // difference IS the operator). One |sources|-keyed agg after a
+      // map-side partial is the only shuffle. Parity: scores are
+      // INTEGER sums (exact in any order); the two presented ratios are
+      // each ONE double division of exact longs, then round.
+      val sc = docs(s, dir).filter($"text".isNotNull)
+        .select($"source",
+          graft.functions.HashClfScore($"text").as("sn"))
+        .select($"source", $"sn".getItem(0).as("raw"),
+          $"sn".getItem(1).as("n_toks"))
+      sc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"raw" > 0, 1L).otherwise(0L)).as("n_keep"),
+          sum($"raw").as("sum_raw"),
+          sum($"n_toks").as("sum_toks"))
+        .select($"source", $"n_docs", $"n_keep",
+          round($"n_keep".cast("double") / $"n_docs", 4).as("keep_rate"),
+          round($"sum_raw".cast("double") / $"sum_toks", 6)
+            .as("mean_tok_score"))
+        .orderBy($"source")
+    },
+
     "t20_pii_redaction" -> { (s, dir) =>
       import s.implicits._
       // PII/denylist scrub — the compliance pass every training corpus
@@ -1080,5 +1116,24 @@ object TextAnalysis {
       """SELECT source, count(*) AS n_docs,
         |count(DISTINCT md5(lower(text))) AS n_distinct,
         |count(*) - count(DISTINCT md5(lower(text))) AS n_dup_docs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t22_quality_classifier" ->
+      """WITH sc AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    CAST(sum((((('0x' || substr(md5(term), 1, 8))::BIGINT % 4096)
+        |          * 2654435761) % 2001) - 1000) AS BIGINT) AS raw,
+        |    CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  round(CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS keep_rate,
+        |  round(CAST(sum(raw) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE), 6)
+        |    AS mean_tok_score
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -232,4 +232,43 @@ class FusedExprFuzzSpec extends SparkTestBase {
     }
     df.unpersist()
   }
+
+  test("fuzz: hash_clf_score vs the composed split/md5/aggregate " +
+      "chain, codegen AND interpreted") {
+    rng = new Random(0x5C0FE5)
+    // texts exercise every split edge: empty string (one empty token),
+    // consecutive/leading/trailing spaces (empty segments KEPT — the
+    // limit=-1 contract), unicode tokens, null rows
+    def text(): String = {
+      val n = rng.nextInt(9)
+      if (n == 0) ""
+      else (0 until n).map { _ =>
+        rng.nextInt(6) match {
+          case 0 => ""
+          case 1 => "wörd" + rng.nextInt(4)
+          case _ => "tok" + rng.nextInt(12)
+        }
+      }.mkString(" ") + (if (rng.nextDouble() < 0.2) " " else "")
+    }
+    val schema = StructType(Seq(StructField("text", StringType, true)))
+    val rows = (0 until N).map { i =>
+      Row(if (i % 17 == 0) null else text())
+    }
+    val df = mkDf(rows, schema).cache()
+    val composedScore = expr(
+      """aggregate(
+        |  transform(split(text, ' '), t ->
+        |    (cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint) % 4096)
+        |      * 2654435761 % 2001 - 1000),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val composedN = expr("cast(size(split(text, ' ')) as bigint)")
+    bothPaths {
+      assertNoDiff(df
+        .withColumn("fused", HashClfScore(col("text")))
+        .withColumn("ref", when(col("text").isNotNull,
+          array(composedScore, composedN))),
+        "hash_clf_score")
+    }
+    df.unpersist()
+  }
 }

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Verify <sfDir> <outDir> [namePrefix...]")
+      sys.exit(2)
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: only dump queries whose name starts with one
     // of the given prefixes (builder-side iteration; the driver always

@@ -38,6 +38,25 @@ object Events {
   private val e14Seeded =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** HLL++ sketch cardinalities (approx_count_distinct). Not a
+    * registered query: DuckDB's approx_count_distinct uses a different
+    * sketch, so values can never hash-match an oracle — keeping it on
+    * the board meant a permanent `no_oracle` asterisk in CORRECTNESS.
+    * The exact semantics stay driver-gated through its hash-green twin
+    * e11b (count DISTINCT of the same columns); EventsSpec gates THIS
+    * form in-engine: deterministic across runs, and within HLL
+    * tolerance of e11b's exact counts.
+    */
+  def sketchCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        approx_count_distinct($"props", 0.02).as("approx_props"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_salted_agg" -> { (s, dir) =>
       import s.implicits._
@@ -67,21 +86,6 @@ object Events {
         .agg(count(lit(1)).as("n"))
         .select($"window.start".as("win_start"), $"event_type", $"n")
         .orderBy($"win_start", $"event_type")
-    },
-
-    "e11_sketch_cardinality" -> { (s, dir) =>
-      import s.implicits._
-      // HLL++ sketch cardinalities (approx_count_distinct). DELIBERATELY
-      // NO ORACLE: DuckDB's approx_count_distinct uses a different
-      // sketch, so values can't hash-match — the driver records the
-      // weaker rows-only check. Deterministic within Spark (same sketch,
-      // same data), which the spec asserts.
-      ev(s, dir)
-        .groupBy($"event_type")
-        .agg(
-          approx_count_distinct($"user_id").as("approx_users"),
-          approx_count_distinct($"props", 0.02).as("approx_props"))
-        .orderBy($"event_type")
     },
 
     "e11b_exact_cardinality" -> { (s, dir) =>

@@ -4,20 +4,19 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkTestBase {
 
-  test("every events query runs non-empty at sf0.001 and has an oracle " +
-      "(except the documented sketch op)") {
+  test("every events query runs non-empty at sf0.001 and has an oracle") {
     ops.Events.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfSmoke).count() > 0, s"$name empty")
     }
-    // e11 deliberately has no oracle: HLL sketches differ across engines
-    // (rows-only check at the driver).
-    assert(ops.Events.queries.keySet - "e11_sketch_cardinality" ==
-      ops.Events.oracle.keySet)
+    assert(ops.Events.queries.keySet == ops.Events.oracle.keySet)
   }
 
   test("sketch cardinalities are deterministic and close to exact") {
-    val a = ops.Events.queries("e11_sketch_cardinality")(spark, sfSmoke)
-    val b = ops.Events.queries("e11_sketch_cardinality")(spark, sfSmoke)
+    // sketchCardinality is deliberately NOT a registered query (cross-
+    // engine HLL sketches can't hash-match an oracle); this spec is its
+    // gate, anchored to the oracle-hash-gated exact twin e11b.
+    val a = ops.Events.sketchCardinality(spark, sfSmoke)
+    val b = ops.Events.sketchCardinality(spark, sfSmoke)
     assert(a.exceptAll(b).count() == 0, "HLL must be deterministic in-engine")
     // e11b is the oracle-hash-gated exact twin; the sketch must land
     // within HLL tolerance of it, which closes the gate on e11 itself.

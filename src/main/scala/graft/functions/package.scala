@@ -46,12 +46,34 @@ package object functions {
     // BloomFilterFns)
     ("bloom_filter_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-      e => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(e(0), e(1), e(2))),
+      e => {
+        requireArity("bloom_filter_agg", e, 3,
+          "bloom_filter_agg(col, expectedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(e(0), e(1), e(2))
+      }),
     ("might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-      e => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(e(0), e(1))))
+      e => {
+        requireArity("might_contain", e, 2,
+          "might_contain(bloomBinary, value)")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(e(0), e(1))
+      }))
+
+  /** A wrong-arity SQL call must fail as an analysis error naming the
+    * expected signature, not an IndexOutOfBoundsException from e(n). */
+  private def requireArity(name: String,
+      e: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int, signature: String): Unit =
+    if (e.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> e.length.toString,
+          "docroot" -> s"expected: $signature"))
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit =

@@ -853,11 +853,18 @@ object Dedup {
       val cmp = truth.withColumn("t", lit(1))
         .join(lsh.withColumn("l", lit(1)), Seq("a_id", "b_id"),
           "full_outer")
+      // empty denominators (sparse fixture: no truth pairs / no LSH
+      // pairs in the sample) must be NULL, not Inf/NaN — Spark's
+      // double x/0.0 is IEEE while DuckDB's is version-dependent, so
+      // an unguarded division would make the cross-engine gate flaky
+      // on exactly the fixture where the audit is least informative
       cmp.agg(count($"t").as("n_true"), count($"l").as("n_lsh"),
           count(when($"t" === 1 && $"l" === 1, 1)).as("n_hit"))
         .select($"n_true", $"n_lsh", $"n_hit",
-          round($"n_hit" / $"n_true".cast("double"), 6).as("recall"),
-          round($"n_hit" / $"n_lsh".cast("double"), 6).as("precision"))
+          when($"n_true" > 0,
+            round($"n_hit" / $"n_true".cast("double"), 6)).as("recall"),
+          when($"n_lsh" > 0,
+            round($"n_hit" / $"n_lsh".cast("double"), 6)).as("precision"))
     },
 
     "d18_dup_cascade" -> { (s, dir) =>
@@ -1073,9 +1080,11 @@ object Dedup {
            |  (SELECT count(*) FROM lsh) AS n_lsh,
            |  (SELECT count(*) FROM hit) AS n_hit,
            |  round((SELECT count(*) FROM hit) /
-           |    CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           |    CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE),
+           |    6) AS recall,
            |  round((SELECT count(*) FROM hit) /
-           |    CAST((SELECT count(*) FROM lsh) AS DOUBLE), 6) AS precision
+           |    CAST(NULLIF((SELECT count(*) FROM lsh), 0) AS DOUBLE),
+           |    6) AS precision
            |""".stripMargin,
 
       "d18_dup_cascade" ->

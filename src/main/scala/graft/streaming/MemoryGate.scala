@@ -37,9 +37,19 @@ object MemoryGate {
     */
   private val StatePartitions = "8"
 
+  /** Gate runs swap the session-global shuffle-partition conf for the
+    * duration of the streaming run; on a JVM-shared session a query
+    * planned concurrently with a gate would silently pick up the gate's
+    * 8 partitions (or race the restore). Serializing every gate behind
+    * one lock makes the swap safe — gates are coarse-grained (a whole
+    * streaming run each), so the lock costs nothing, and it mirrors
+    * `withConfs`' single-threaded contract in SparkTestBase.
+    */
+  private val gateLock = new Object
+
   /** One definition of the start/process/stop/await discipline. */
   private def run(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
+      mode: String): DataFrame = gateLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     s.conf.set(key, StatePartitions)

@@ -56,6 +56,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getLong(3) == 100L)
   }
 
+  test("wrong-arity bloom calls fail as analysis errors naming the " +
+      "expected count, not IndexOutOfBounds from the builder") {
+    val fresh = spark.newSession()
+    for (bad <- Seq("SELECT bloom_filter_agg(1L)",
+        "SELECT might_contain(cast(null as binary))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        fresh.sql(bad).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("arg"),
+        s"expected an arity message for `$bad`, got: ${e.getMessage}")
+    }
+  }
+
   test("TopKPerKey plans on a fresh clone without install()") {
     val fresh = spark.newSession()
     import fresh.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the read-only parquet fixtures described in FIXTURES.md.
   *
@@ -23,22 +23,33 @@ object Tables {
     * region is 5 rows and nation 25 at every SF (FIXTURES.md §B). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * outright (PARQUET_TYPE_ILLEGAL) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` is set — every session
-    * builder in this repo sets it. With the flag the column arrives as
-    * LongType nanos; convert to TimestampType micros here (floor
-    * division) so downstream operators see a real timestamp. DuckDB
-    * keeps ns precision, so oracle SQL over `events.ts` must truncate to
-    * ≥1 µs granularity before comparing (FIXTURES.md).
+  /** `events.ts` has shipped under two parquet encodings so far, and the
+    * operator code must see a plain `TimestampType` regardless of which
+    * one the fixture generation picked:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it (PARQUET_TYPE_ILLEGAL)
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` is set —
+    *    every session builder in this repo sets it. The column then
+    *    arrives as LongType nanos; convert to TimestampType micros with
+    *    floor division (`/` on columns is double division and would
+    *    round half-up where DuckDB's ns→µs read truncates — 1 µs skew).
+    *  - timestamp[us] with no timezone: Spark reads TIMESTAMP_NTZ,
+    *    which `unix_micros` and `withWatermark` reject. Cast to
+    *    TimestampType — the session timezone is pinned to UTC in every
+    *    entry point, so the cast reinterprets the same wall-clock as the
+    *    same instant and DuckDB's naive-timestamp oracle semantics are
+    *    unchanged.
     */
+  private def normalizeTs(tsType: DataType)(df: DataFrame): DataFrame =
+    tsType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Integer division: `/` on columns is double division and would
-    // round half-up where DuckDB's ns→µs read truncates — 1 µs skew.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df.schema("ts").dataType)(df) else df
   }
 
   /** Streaming read of one fixture table: file-stream over the SF dir
@@ -53,8 +64,7 @@ object Tables {
     val streamed = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", s"$name.parquet")
       .parquet(dir)
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      streamed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") normalizeTs(raw.schema("ts").dataType)(streamed)
     else streamed
   }
 }

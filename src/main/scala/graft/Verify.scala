@@ -26,6 +26,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be a VISIBLE red row, not an absence: the
+    // round-6 fixture regression surfaced as a *smaller* CORRECTNESS file
+    // because failures only printed to stderr. Collect them and write an
+    // _errors.json sidecar the driver (and the judge) can read.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter { case (name, _) =>
       prefixes.isEmpty || prefixes.exists(name.startsWith)
     }.foreach { case (name, fn) =>
@@ -33,6 +38,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +56,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty {} on a green run) so its absence vs emptiness
+    // is itself a signal. Exit stays 0 either way — the driver must still
+    // run the DuckDB compare for the queries that DID succeed.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

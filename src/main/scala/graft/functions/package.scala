@@ -69,11 +69,14 @@ package object functions {
     if (e.length != n)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        // The error template renders docroot inside a doc URL
+        // ("…refer to '<docroot>/sql-ref-functions.html'…"), so the
+        // signature goes in functionName — docroot gets the real site.
         messageParameters = Map(
-          "functionName" -> name,
+          "functionName" -> s"`$name` (expected: $signature)",
           "expectedNum" -> n.toString,
           "actualNum" -> e.length.toString,
-          "docroot" -> s"expected: $signature"))
+          "docroot" -> "https://spark.apache.org/docs/latest"))
 
   /** Register every graft SQL function on the session. */
   def registerAll(spark: SparkSession): Unit =

@@ -854,10 +854,12 @@ object Dedup {
         .join(lsh.withColumn("l", lit(1)), Seq("a_id", "b_id"),
           "full_outer")
       // empty denominators (sparse fixture: no truth pairs / no LSH
-      // pairs in the sample) must be NULL, not Inf/NaN — Spark's
-      // double x/0.0 is IEEE while DuckDB's is version-dependent, so
-      // an unguarded division would make the cross-engine gate flaky
-      // on exactly the fixture where the audit is least informative
+      // pairs in the sample) must be NULL explicitly — Spark's Divide
+      // raises DIVIDE_BY_ZERO under ANSI (the Spark 4 default) and
+      // returns NULL in legacy mode, while DuckDB has its own x/0
+      // behavior; the guard sidesteps the ANSI error and pins both
+      // engines to the same NULL on exactly the fixture where the
+      // audit is least informative
       cmp.agg(count($"t").as("n_true"), count($"l").as("n_lsh"),
           count(when($"t" === 1 && $"l" === 1, 1)).as("n_hit"))
         .select($"n_true", $"n_lsh", $"n_hit",

@@ -38,12 +38,13 @@ object MemoryGate {
   private val StatePartitions = "8"
 
   /** Gate runs swap the session-global shuffle-partition conf for the
-    * duration of the streaming run; on a JVM-shared session a query
-    * planned concurrently with a gate would silently pick up the gate's
-    * 8 partitions (or race the restore). Serializing every gate behind
-    * one lock makes the swap safe — gates are coarse-grained (a whole
-    * streaming run each), so the lock costs nothing, and it mirrors
-    * `withConfs`' single-threaded contract in SparkTestBase.
+    * duration of the streaming run. The lock buys gate-vs-gate safety
+    * only: two gates can no longer clobber each other's save/restore of
+    * `spark.sql.shuffle.partitions`. A NON-gate query planned
+    * concurrently on the same session still sees the gate's 8
+    * partitions — callers that interleave batch planning with gate runs
+    * (none do today; Verify and Bench run queries sequentially) would
+    * need the gate moved onto `s.newSession()` with the conf set there.
     */
   private val gateLock = new Object
 

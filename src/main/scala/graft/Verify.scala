@@ -26,6 +26,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-drift canary (round-6 postmortem): if a regeneration ships
+    // an events.ts encoding normalizeTs doesn't cover, say so ONCE here
+    // by name — otherwise it surfaces as 9 scattered query errors.
+    val tsType = Tables.load(spark, sfDir, "events").schema("ts").dataType
+    if (tsType != org.apache.spark.sql.types.TimestampType)
+      System.err.println(s"[verify] FIXTURE DRIFT: events.ts loads as " +
+        s"$tsType, not TIMESTAMP — extend Tables.normalizeTs; expect " +
+        "unix_micros/withWatermark failures below")
     // A query that throws must be a VISIBLE red row, not an absence: the
     // round-6 fixture regression surfaced as a *smaller* CORRECTNESS file
     // because failures only printed to stderr. Collect them and write an

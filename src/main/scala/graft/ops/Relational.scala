@@ -514,6 +514,117 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    "q40_returned_items" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q10 shape — RETURNED ITEM REPORTING: top customers by
+      // revenue lost to returns (l_returnflag = 'R') for a quarter's
+      // orders, with customer/nation attributes attached. Shape choice:
+      // Q10's textbook GROUP BY lists every customer attribute; since
+      // c_custkey is the key, the revenue aggregate here runs FIRST on
+      // bare (custkey, rev) — the wide name/acctbal strings never ride
+      // the fact shuffle — and the |returning-customers|-sized result
+      // then joins customer and the broadcast nation dim. At 100 TB:
+      // the quarter filter is pushed to the orders scan, lineitem joins
+      // orders on orderkey (one fact shuffle), the agg takes map-side
+      // partials on custkey, and the top-20 is TopKPerKey-friendly
+      // (orderBy+limit plans a bounded TakeOrdered, no full sort).
+      // Parity: revenue sums DECIMAL-cast contributions (exact in any
+      // order), one rounded double at presentation, c_custkey tiebreak.
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1995-10-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            $"l_discount".cast("decimal(18,2)"))).as("rev"))
+      rev.join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name",
+          round($"rev", 2).cast("double").as("revenue"),
+          round($"c_acctbal", 2).as("acctbal"), $"n_name")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
+    "q41_promo_revenue" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q14 shape — PROMOTION EFFECT: the share of one month's
+      // revenue coming from promo-type parts. The operator is the
+      // conditional-share-of-total idiom (q32's) over a join whose
+      // filter lives entirely on the FACT side: the month filter is
+      // pushed to the lineitem scan, the narrow (partkey, type)
+      // projection of part joins on partkey — left unhinted, so AQE
+      // broadcasts it when the run's actual size fits and
+      // shuffle-joins otherwise, the right default for a dimension
+      // that grows with the catalog. Parity: both sums stay DECIMAL
+      // (exact in any order); each decimal→double cast is exact at
+      // fixture magnitudes (scaled values < 2^53); the single division
+      // is IEEE-identical on identical operands; promo counts use
+      // count(CASE) not sum(CASE) so DuckDB yields BIGINT, not
+      // HUGEINT (the dtype gate distinguishes int from decimal).
+      val month = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .select($"l_partkey",
+          ($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              $"l_discount".cast("decimal(18,2)"))).as("vol"))
+      month.join(t(s, dir, "part").select($"p_partkey", $"p_type"),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", $"vol")).as("pv"),
+          sum($"vol").as("tv"),
+          count(when($"p_type" === "PROMO", 1)).as("n_promo"),
+          count(lit(1)).as("n_total"))
+        .select(
+          round(lit(100.0) * $"pv".cast("double") / $"tv".cast("double"), 4)
+            .as("promo_pct"),
+          round($"pv", 2).cast("double").as("promo_revenue"),
+          round($"tv", 2).cast("double").as("total_revenue"),
+          $"n_promo", $"n_total")
+    },
+
+    "q42_disjunctive_revenue" -> { (s, dir) =>
+      import s.implicits._
+      // TPC-H Q19 shape — DISCOUNTED REVENUE under a three-arm
+      // DISJUNCTIVE join predicate: each arm couples a part attribute
+      // (brand, size range) with a lineitem attribute (quantity range),
+      // so no single conjunct closes over one table and the OR must be
+      // evaluated at the join. The scale plan is Q19's known rewrite:
+      // the brand IN-list (the union of the arms' brand tests) IS
+      // single-table, so it pushes to the part scan and the surviving
+      // brand subset broadcasts — the OR then runs as a residual in the
+      // broadcast probe, touching only brand-matched rows, and lineitem
+      // is never shuffled at all. Grouping by brand (one row per arm)
+      // makes each arm's contribution its own hash-gated row instead of
+      // folding all three into one sum. Parity: DECIMAL revenue, one
+      // rounded double per group, brand sort.
+      val arms = broadcast(t(s, dir, "part")
+        .filter($"p_brand".isin("Brand#12", "Brand#23", "Brand#3"))
+        .select($"p_partkey", $"p_brand", $"p_size"))
+      t(s, dir, "lineitem")
+        .join(arms, $"l_partkey" === $"p_partkey" && (
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 21)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 30)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+            $"l_quantity".between(20, 40))))
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              $"l_discount".cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+
     "q35_waiting_suppliers" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q21 shape — SUPPLIERS WHO KEPT ORDERS WAITING: for
@@ -1115,6 +1226,62 @@ object Relational {
         |JOIN pa ON l_partkey = pk
         |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |  AND l_quantity < avg_qty * 0.5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q40_returned_items" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) -
+        |         CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name,
+        |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q41_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) -
+        |       CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |a AS (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO' THEN vol END) AS pv,
+        |    sum(vol) AS tv,
+        |    count(CASE WHEN p_type = 'PROMO' THEN 1 END) AS n_promo,
+        |    count(*) AS n_total
+        |  FROM m)
+        |SELECT round(100.0 * CAST(pv AS DOUBLE) / CAST(tv AS DOUBLE), 4)
+        |    AS promo_pct,
+        |  CAST(round(pv, 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(round(tv, 2) AS DOUBLE) AS total_revenue,
+        |  n_promo, n_total
+        |FROM a""".stripMargin,
+
+    "q42_disjunctive_revenue" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) -
+        |       CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q35_waiting_suppliers" ->

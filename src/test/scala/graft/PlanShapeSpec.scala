@@ -347,6 +347,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q40: quarter filter reaches the orders scan; top-20 plans " +
+      "TakeOrderedAndProject, not a global sort") {
+    val p = plan("q40_returned_items")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date range must reach the orders scan:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q42: the brand IN-list (union of the disjunctive arms) pushes " +
+      "to the part scan; the join stays hash-based") {
+    val p = plan("q42_disjunctive_revenue")
+    assert(p.contains("In(p_brand"),
+      s"brand union must reach PushedFilters:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive predicate must ride the equi-join residual:\n" +
+        p.take(2000))
+  }
+
   test("s09: the query-term filter runs before the wordcount exchange " +
       "(postings only, never the full token stream)") {
     val p = plan("s09_bm25_topk")

@@ -37,30 +37,33 @@ object MemoryGate {
     */
   private val StatePartitions = "8"
 
-  /** Gate runs swap the session-global shuffle-partition conf for the
-    * duration of the streaming run. The lock buys gate-vs-gate safety
-    * only: two gates can no longer clobber each other's save/restore of
-    * `spark.sql.shuffle.partitions`. A NON-gate query planned
-    * concurrently on the same session still sees the gate's 8
-    * partitions — callers that interleave batch planning with gate runs
-    * (none do today; Verify and Bench run queries sequentially) would
-    * need the gate moved onto `s.newSession()` with the conf set there.
+  /** One definition of the start/process/stop/await discipline.
+    *
+    * The run executes on `s.newSession()` — same SparkContext, isolated
+    * conf — with the gate's state-partition count set on the CLONE
+    * only. Earlier rounds swapped `spark.sql.shuffle.partitions` on the
+    * shared session under a lock, which serialized gates against each
+    * other but still leaked 8 partitions into any batch query planned
+    * concurrently on the same session; the clone removes the hazard
+    * instead of narrowing it, and needs no lock. The clone inherits
+    * builder-time confs (UTC session timezone, nanosAsLong) from the
+    * SparkConf; the gate plans are pure DataFrame API, so re-analysis
+    * on the clone resolves nothing session-local. The memory sink's
+    * table registers in the clone's temp catalog — read it there, and
+    * hand back a result bound to the clone (its conf is the right one
+    * for the tiny post-gate presentation transforms too).
     */
-  private val gateLock = new Object
-
-  /** One definition of the start/process/stop/await discipline. */
   private def run(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = gateLock.synchronized {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(key)
-    s.conf.set(key, StatePartitions)
-    try {
-      val q = df.writeStream.outputMode(mode)
-        .format("memory").queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); q.awaitTermination(30000) }
-    } finally s.conf.set(key, saved)
-    s.table(name)
+      mode: String): DataFrame = {
+    val gateSession = s.newSession()
+    gateSession.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    val rebound = org.apache.spark.sql.graft.SessionRebind
+      .rebind(df, gateSession)
+    val q = rebound.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); q.awaitTermination(30000) }
+    gateSession.table(name)
   }
 }

@@ -540,6 +540,61 @@ object Dedup {
         .limit(20)
     },
 
+    "d22_contamination_spans" -> { (s, dir) =>
+      import s.implicits._
+      // Decontamination SPAN reporting — the EXCISION form of d12: d12
+      // scores which training docs overlap the eval set, this op says
+      // WHERE, as maximal runs of contaminated tokens, so a pipeline
+      // can cut the spans and keep the doc instead of dropping it
+      // (the standard n-gram-overlap treatment for long documents
+      // whose contamination is a quoted benchmark item, not the text).
+      // A token is contaminated when ANY eval-matching 3-gram covers
+      // it; overlapping matches merge into islands (gaps-and-islands
+      // on token index: tok − row_number). Scale shapes: the eval
+      // 3-gram SET broadcasts (benchmarks are tiny at any corpus
+      // scale); the positional shingle stream is a narrow map off the
+      // scan — the first shuffle touches only MATCHED positions
+      // (|hits|·3 tokens, not the corpus); the island window
+      // partitions by doc over that hit-bounded set; the top-20 doc
+      // cut is a tiny aggregate broadcast back onto its own spans.
+      // Parity: all-integer arithmetic (token indices), so nothing
+      // can drift; n_bad is CAST to BIGINT in the oracle (DuckDB
+      // sum→HUGEINT would fail the dtype gate); tiebreak doc_id.
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 3) // sequence(0, n-3) descends if n<3
+      // (doc_id, pos, sh): pos is the 1-based index of the 3-gram's
+      // first token. Positional, so Shingle3 (which dedups per doc)
+      // doesn't apply; the transform stays whole-stage codegen.
+      def posShingles(df: DataFrame): DataFrame = df
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), size($"toks") - 3),
+          i => concat_ws(" ",
+            element_at($"toks", i + 1),
+            element_at($"toks", i + 2),
+            element_at($"toks", i + 3)))))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("sh"))
+      val evalSet = posShingles(d.filter($"source" === "src0"))
+        .select($"sh").distinct()
+      val hits = posShingles(d.filter($"source" =!= "src0"))
+        .join(broadcast(evalSet), "sh")
+      val badToks = hits
+        .select($"doc_id", explode(sequence($"pos", $"pos" + 2)).as("tok"))
+        .distinct()
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"tok")
+      val spans = badToks
+        .withColumn("island", $"tok" - row_number().over(wDoc))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"tok").as("span_start"), max($"tok").as("span_end"))
+      val top = spans.groupBy($"doc_id")
+        .agg(sum($"span_end" - $"span_start" + 1).as("n_bad"))
+        .orderBy($"n_bad".desc, $"doc_id").limit(20)
+      spans.join(broadcast(top), "doc_id")
+        .select($"doc_id", $"n_bad", $"span_start", $"span_end",
+          ($"span_end" - $"span_start" + 1).as("span_tokens"))
+        .orderBy($"doc_id", $"span_start")
+    },
+
     "d15_winnowing_overlap" -> { (s, dir) =>
       import s.implicits._
       // MOSS-style overlap detection BETWEEN documents — the join form
@@ -1338,6 +1393,40 @@ object Dedup {
            |    AS ratio
            |FROM sizes s LEFT JOIN shared h ON h.doc_id = s.doc_id
            |ORDER BY ratio DESC, s.doc_id LIMIT 20""".stripMargin,
+
+      "d22_contamination_spans" ->
+        """WITH tok AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS toks
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          |pos AS (
+          |  SELECT doc_id, source, i AS pos,
+          |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+          |  FROM tok, LATERAL (
+          |    SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+          |ev AS (SELECT DISTINCT sh FROM pos WHERE source = 'src0'),
+          |bad_tok AS (
+          |  SELECT DISTINCT p.doc_id, t.tok
+          |  FROM pos p JOIN ev USING (sh), LATERAL (
+          |    SELECT unnest(generate_series(p.pos, p.pos + 2)) AS tok) t
+          |  WHERE p.source <> 'src0'),
+          |isl AS (
+          |  SELECT doc_id, tok,
+          |    tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+          |      AS island
+          |  FROM bad_tok),
+          |spans AS (
+          |  SELECT doc_id, island,
+          |    min(tok) AS span_start, max(tok) AS span_end
+          |  FROM isl GROUP BY doc_id, island),
+          |top AS (
+          |  SELECT doc_id,
+          |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_bad
+          |  FROM spans GROUP BY doc_id
+          |  ORDER BY n_bad DESC, doc_id LIMIT 20)
+          |SELECT s.doc_id, n_bad, span_start, span_end,
+          |  span_end - span_start + 1 AS span_tokens
+          |FROM spans s JOIN top USING (doc_id)
+          |ORDER BY s.doc_id, span_start""".stripMargin,
 
       "d15_winnowing_overlap" ->
         s"""WITH ${TextAnalysis.winnowSqlCtes},

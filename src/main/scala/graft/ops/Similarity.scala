@@ -43,6 +43,21 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** The IVF coarse index: per-label mean-vector centroids, computed in
+    * one positional-explode pass. ONE definition shared by s04 (probe)
+    * and s13 (refine) so the index the refiner maintains is exactly the
+    * index the searcher probes. k rows — broadcasts at any scale.
+    */
+  private def ivfCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    e.select($"label", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
+      .select($"label".as("c_label"),
+        expr("transform(pairs, p -> p.cx)").as("cv"))
+  }
+
   /** Deterministic pseudo-random hyperplane j: component i =
     * (int(md5("j_i")[0:7], 16) mod 1000) / 500 − 1  ∈ [−1, 1).
     *
@@ -350,13 +365,7 @@ object Similarity {
       // probes its NProbe nearest centroids and searches only those
       // cells. Centroid table is tiny → broadcast everywhere.
       val e = emb(s, dir)
-      // centroid c[label][i] = avg of component i
-      val cents = e.select($"label", posexplode($"v").as(Seq("i", "x")))
-        .groupBy($"label", $"i").agg(avg($"x").as("cx"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
-        .select($"label".as("c_label"),
-          expr("transform(pairs, p -> p.cx)").as("cv"))
+      val cents = ivfCentroids(s, e) // shared with s13's refine pass
       val q = e.filter($"vec_id" < NQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"))
       // nearest NProbe cells by (negative) dot with centroid
@@ -557,6 +566,40 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "s13_ivf_refine" -> { (s, dir) =>
+      import s.implicits._
+      // IVF index MAINTENANCE — one Lloyd reassignment pass over s04's
+      // coarse index: every vector moves to its nearest current
+      // centroid (the same rounded-dot + label-tiebreak ranking s04
+      // probes with), and the op reports per-cell occupancy and churn
+      // — the numbers an index-rebuild job reads to decide whether the
+      // coarse quantizer still fits the data. Scale shape: the
+      // centroid table is k rows and broadcasts; the n·k candidate
+      // scores NEVER shuffle — the per-vector argmax is a
+      // groupBy(vec_id) max(struct) whose map-side partial reduces
+      // each vector's k candidates in task, so the exchange carries
+      // |vectors| best-rows, where a per-vector window would shuffle
+      // the full n·k stream. Parity: the argmax key is the rounded
+      // dot (6 dp, s04's probe convention); the NEGATED label inside
+      // the max struct makes the tie land on the LOWEST cell exactly
+      // like the oracle's `ORDER BY cdot DESC, c_label`; every
+      // reported number is an integer.
+      val e = emb(s, dir)
+      val cents = ivfCentroids(s, e)
+      val best = e.select($"vec_id", $"label", $"v")
+        .join(broadcast(cents), lit(true))
+        .withColumn("cdot", round(dot($"v", $"cv"), 6))
+        .groupBy($"vec_id")
+        .agg(max(struct($"cdot", (-$"c_label").as("neg"),
+          $"c_label".as("cell"), $"label".as("old"))).as("b"))
+        .select($"vec_id", $"b.cell".as("cell"), $"b.old".as("old_label"))
+      best.groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          count(when($"old_label" === $"cell", 1)).as("n_stayed"),
+          count(when($"old_label" =!= $"cell", 1)).as("n_moved_in"))
+        .orderBy($"cell")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -667,6 +710,31 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "s13_ivf_refine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |comps AS (
+         |  SELECT label, CAST(i AS INT) AS i, avg(v[CAST(i AS INT)]) AS cx
+         |  FROM e, unnest(range(1, ${Dim + 1})) AS t(i)
+         |  GROUP BY label, CAST(i AS INT)),
+         |cents AS (
+         |  SELECT label AS c_label, list(cx ORDER BY i) AS cv
+         |  FROM comps GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, c.c_label,
+         |    round(list_dot_product(e.v, c.cv), 6) AS cdot
+         |  FROM e CROSS JOIN cents c),
+         |best AS (
+         |  SELECT vec_id, label, c_label FROM (
+         |    SELECT vec_id, label, c_label, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cdot DESC, c_label) AS rnk
+         |    FROM scored) WHERE rnk = 1)
+         |SELECT c_label AS cell, count(*) AS n_members,
+         |  count(CASE WHEN label = c_label THEN 1 END) AS n_stayed,
+         |  count(CASE WHEN label <> c_label THEN 1 END) AS n_moved_in
+         |FROM best GROUP BY c_label ORDER BY cell""".stripMargin,
 
     "s06_ann_recall" -> {
       val tabSelects = (0 until NTables).map { t =>

@@ -29,16 +29,29 @@ object Verify {
     // Fixture-drift canary (round-6 postmortem): if a regeneration ships
     // an events.ts encoding normalizeTs doesn't cover, say so ONCE here
     // by name — otherwise it surfaces as 9 scattered query errors.
-    val tsType = Tables.load(spark, sfDir, "events").schema("ts").dataType
-    if (tsType != org.apache.spark.sql.types.TimestampType)
-      System.err.println(s"[verify] FIXTURE DRIFT: events.ts loads as " +
-        s"$tsType, not TIMESTAMP — extend Tables.normalizeTs; expect " +
-        "unix_micros/withWatermark failures below")
     // A query that throws must be a VISIBLE red row, not an absence: the
     // round-6 fixture regression surfaced as a *smaller* CORRECTNESS file
     // because failures only printed to stderr. Collect them and write an
     // _errors.json sidecar the driver (and the judge) can read.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // The canary itself must not be able to abort the run: a missing or
+    // unreadable events.parquet would otherwise throw BEFORE any query
+    // executed — no _errors.json, no partial results — which is the
+    // exact silent-absence failure mode the canary exists to prevent.
+    // Degrade to a named drift report instead and let the query loop
+    // surface per-query failures normally.
+    try {
+      val tsType = Tables.load(spark, sfDir, "events").schema("ts").dataType
+      if (tsType != org.apache.spark.sql.types.TimestampType)
+        System.err.println(s"[verify] FIXTURE DRIFT: events.ts loads as " +
+          s"$tsType, not TIMESTAMP — extend Tables.normalizeTs; expect " +
+          "unix_micros/withWatermark failures below")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] FIXTURE DRIFT: events table failed " +
+        s"to load: ${e.getMessage} — expect event-query failures below")
+      errors("_fixture_canary") =
+        Option(e.getMessage).getOrElse(e.getClass.getName)
+    }
     SparkEntry.queries.filter { case (name, _) =>
       prefixes.isEmpty || prefixes.exists(name.startsWith)
     }.foreach { case (name, fn) =>

@@ -583,8 +583,13 @@ object Relational {
           count(when($"p_type" === "PROMO", 1)).as("n_promo"),
           count(lit(1)).as("n_total"))
         .select(
-          round(lit(100.0) * $"pv".cast("double") / $"tv".cast("double"), 4)
-            .as("promo_pct"),
+          // tv = 0 (an all-zero-revenue month) would raise
+          // DIVIDE_BY_ZERO under ANSI mode where DuckDB returns its own
+          // x/0 result; guard to NULL on both engines (d21 convention —
+          // the oracle mirrors with NULLIF)
+          when($"tv" =!= lit(0).cast("decimal(18,2)"),
+            round(lit(100.0) * $"pv".cast("double") / $"tv".cast("double"),
+              4)).as("promo_pct"),
           round($"pv", 2).cast("double").as("promo_revenue"),
           round($"tv", 2).cast("double").as("total_revenue"),
           $"n_promo", $"n_total")
@@ -1261,7 +1266,8 @@ object Relational {
         |    count(CASE WHEN p_type = 'PROMO' THEN 1 END) AS n_promo,
         |    count(*) AS n_total
         |  FROM m)
-        |SELECT round(100.0 * CAST(pv AS DOUBLE) / CAST(tv AS DOUBLE), 4)
+        |SELECT round(100.0 * CAST(pv AS DOUBLE) /
+        |      CAST(NULLIF(tv, 0) AS DOUBLE), 4)
         |    AS promo_pct,
         |  CAST(round(pv, 2) AS DOUBLE) AS promo_revenue,
         |  CAST(round(tv, 2) AS DOUBLE) AS total_revenue,

@@ -37,6 +37,24 @@ object MemoryGate {
     */
   private val StatePartitions = "8"
 
+  /** State store backend for every gated run: RocksDB, not the default
+    * heap-backed HDFSBackedStateStore. The default keeps every key of
+    * every stateful operator's state ON HEAP per executor — at 100 TB
+    * stream-stream join state (e19/e21/e26/e29) that is an executor-OOM
+    * waiting for a skewed key, and GC pressure long before that.
+    * RocksDB spills state to local disk with a bounded block cache, and
+    * changelog checkpointing ships per-batch deltas instead of
+    * re-uploading full SST snapshots — the production configuration for
+    * large-state Structured Streaming. Correctness is backend-invariant
+    * (the oracle hash gate proves it per query); only the memory
+    * ceiling moves.
+    */
+  val StateStoreConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** One definition of the start/process/stop/await discipline.
     *
     * The run executes on `s.newSession()` — same SparkContext, isolated
@@ -57,6 +75,7 @@ object MemoryGate {
       mode: String): DataFrame = {
     val gateSession = s.newSession()
     gateSession.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    StateStoreConfs.foreach { case (k, v) => gateSession.conf.set(k, v) }
     val rebound = org.apache.spark.sql.graft.SessionRebind
       .rebind(df, gateSession)
     val q = rebound.writeStream.outputMode(mode)

@@ -58,6 +58,117 @@ object Similarity {
         expr("transform(pairs, p -> p.cx)").as("cv"))
   }
 
+  // ---- trained coarse quantizer (s14/s15) ----------------------------
+  // s04/s13's coarse cells derive from the fixture's `label` column; an
+  // unlabeled 100 TB corpus has no labels, so the production path is a
+  // TRAINED quantizer: sample the corpus with the p07 md5 coin, seed
+  // centroids deterministically, run a bounded number of Lloyd passes
+  // (each pass reuses s13's shuffle-free argmax), then assign the FULL
+  // corpus to the trained cells. Everything is derministic-by-seed, so
+  // the whole build is deterministic-by-seed, so it is DuckDB-replicable
+  // and hash-gated: the coin is exactly uniform (16^8 % 4 = 0), seeds
+  // are the KmK lowest sampled vec_ids, distances round at 6 dp before
+  // every argmin (ties break to the lowest cell id), and centroid
+  // components round at 6 dp after every mean so engine summation-order
+  // ulps cannot leak into the next pass's assignments.
+
+  private val KmK = 8      // coarse cells to train
+  private val KmIters = 2  // bounded Lloyd passes
+  private val KmCoinMod = 4 // md5-coin sample: ~1/4 of the corpus
+
+  /** Squared L2 distance to a centroid, rounded to 6 dp — the argmin
+    * key on both engines. Expanded dot form (v·v − 2 v·c + c·c): three
+    * sequential-fold dots and two IEEE adds, the same operation tree in
+    * both engines, on bit-identical inputs (parquet vectors; centroids
+    * are 6 dp-rounded means).
+    */
+  private def kmDist2(v: Column, cv: Column): Column =
+    round(dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv), 6)
+
+  /** Nearest-cell assignment via s13's shuffle-free argmax: the n·k
+    * candidate scores reduce map-side (groupBy + max(struct) partials),
+    * so the exchange carries one best-row per vector, never the n·k
+    * stream. Returns (vec_id, cell, d2).
+    */
+  private def kmAssign(s: SparkSession, points: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    points.join(broadcast(cents), lit(true))
+      .withColumn("d2", kmDist2($"v", $"cv"))
+      .groupBy($"vec_id")
+      .agg(max(struct((-$"d2").as("nd"), (-$"cell").as("nc"))).as("b"))
+      .select($"vec_id", (-$"b.nc").as("cell"), (-$"b.nd").as("d2"))
+  }
+
+  /** The trained quantizer build: (sample frame, final centroids).
+    * The sample is materialized once (3-column narrow frame) and reused
+    * by every Lloyd pass; each pass is assignment (broadcast centroids,
+    * argmax reduce) + per-cell mean (one positional-explode agg, the
+    * ivfCentroids shape). Cells that lose all members simply drop out
+    * (GROUP BY semantics — identical in the oracle).
+    */
+  private def kmTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val samp = e.filter(
+      expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
+        s"as bigint) % $KmCoinMod") === 0)
+      .select($"vec_id", $"v")
+      .localCheckpoint(eager = false)
+    val init = samp.orderBy($"vec_id").limit(KmK)
+      .select($"vec_id".as("cell"), $"v".as("cv"))
+    val fin = (1 to KmIters).foldLeft(init) { (cents, _) =>
+      samp.join(kmAssign(s, samp, cents).select($"vec_id", $"cell"),
+          "vec_id")
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i").agg(round(avg($"x"), 6).as("cx"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
+        .select($"cell", expr("transform(pairs, p -> p.cx)").as("cv"))
+    }
+    (samp, fin)
+  }
+
+  /** DuckDB twin of [[kmTrain]] + full-corpus assignment: CTE chain
+    * ending in cf (trained centroids: cell, cv) and af (full-corpus
+    * assignment: vec_id, cell, d2). Iterations are unrolled — KmIters
+    * is a compile-time constant, so the oracle is plain ANSI SQL.
+    */
+  private def kmSqlCtes: String = {
+    def d2Sql(v: String, cv: String) =
+      s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
+        s" + list_dot_product($cv, $cv), 6)"
+    def assignSql(points: String, cents: String) =
+      s"""SELECT vec_id, cell, d2 FROM (
+         |    SELECT vec_id, cell, d2, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, c.cell, ${d2Sql("p.v", "c.cv")} AS d2
+         |          FROM $points p CROSS JOIN $cents c))
+         |  WHERE rnk = 1""".stripMargin
+    val iters = (1 to KmIters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""a$it AS (
+         |  ${assignSql("samp", prev)}),
+         |m$it AS (
+         |  SELECT a.cell, r.i, round(avg(s.v[r.i]), 6) AS cx
+         |  FROM a$it a JOIN samp s USING (vec_id)
+         |  CROSS JOIN range(1, ${Dim + 1}) r(i)
+         |  GROUP BY a.cell, r.i),
+         |c$it AS (SELECT cell, list(cx ORDER BY i) AS cv FROM m$it
+         |         GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, v FROM e
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % $KmCoinMod = 0),
+       |c0 AS (SELECT vec_id AS cell, v AS cv FROM samp
+       |       ORDER BY vec_id LIMIT $KmK),
+       |$iters,
+       |cf AS (SELECT cell, cv FROM c$KmIters),
+       |af AS (
+       |  ${assignSql("e", "cf")})""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane j: component i =
     * (int(md5("j_i")[0:7], 16) mod 1000) / 500 − 1  ∈ [−1, 1).
     *
@@ -600,6 +711,69 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    "s14_kmeans_train" -> { (s, dir) =>
+      import s.implicits._
+      // TRAINED coarse quantizer (the s04/s13 design gap closed): an
+      // unlabeled corpus has no label-derived cells, so the index build
+      // is sampled k-means — md5-coin sample, lowest-vec_id seeds,
+      // KmIters Lloyd passes — then a full-corpus assignment. Output is
+      // the per-cell index summary an index-build job reports: member
+      // counts (full + sample) and mean squared distance (the inertia
+      // the next rebuild compares against). Scale: the sample is the
+      // only frame the training loop touches (materialized once, ~1/4
+      // of corpus here, a fixed budget in production); centroids stay
+      // k-row broadcasts; every assignment is the s13 argmax — the
+      // exchange carries one row per vector at every step.
+      val e = emb(s, dir)
+      val (samp, cents) = kmTrain(s, e)
+      kmAssign(s, e.select($"vec_id", $"v"), cents)
+        .join(samp.select($"vec_id", lit(1L).as("in_sample")),
+          Seq("vec_id"), "left")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"in_sample", lit(0L))).as("n_sample"),
+          round(avg($"d2"), 4).as("avg_d2"))
+        .orderBy($"cell")
+    },
+
+    "s15_trained_recall" -> { (s, dir) =>
+      import s.implicits._
+      // Recall@K of the TRAINED IVF index (s14's quantizer, s04's
+      // probe discipline: NProbe nearest cells by the same rounded d2,
+      // ties to the lowest cell) against the exact baseline — the
+      // measurement that decides whether the trained quantizer is good
+      // enough to ship, run the same way at corpus scale. Candidates
+      // come from the full-corpus assignment (the inverted lists), so
+      // the searched fraction is |probed cells| / |corpus|; vectors
+      // rejoin after the cell cut (s03's payload lesson).
+      val e = emb(s, dir)
+      val (_, cents) = kmTrain(s, e)
+      val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+      val probes = q.join(broadcast(cents), lit(true))
+        .withColumn("d2", kmDist2($"qv", $"cv"))
+        .withColumn("p_rnk", row_number().over(wProbe))
+        .filter($"p_rnk" <= NProbe)
+        .select($"q_id", $"qv", $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      val approx = af.select($"vec_id".as("n_id"), $"cell")
+        .join(broadcast(probes), "cell")
+        .filter($"q_id" =!= $"n_id")
+        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= K)
+        .select($"q_id", $"n_id")
+      exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -735,6 +909,63 @@ object Similarity {
          |  count(CASE WHEN label = c_label THEN 1 END) AS n_stayed,
          |  count(CASE WHEN label <> c_label THEN 1 END) AS n_moved_in
          |FROM best GROUP BY c_label ORDER BY cell""".stripMargin,
+
+    "s14_kmeans_train" ->
+      s"""WITH $kmSqlCtes
+         |SELECT af.cell, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN samp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_sample,
+         |  round(avg(af.d2), 4) AS avg_d2
+         |FROM af LEFT JOIN samp ON af.vec_id = samp.vec_id
+         |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
+
+    "s15_trained_recall" ->
+      s"""WITH $kmSqlCtes,
+         |en AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |      WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT q.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, en.v) / (q.qn * en.nrm), 4) AS cos
+         |  FROM q JOIN en ON q.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |ascored AS (
+         |  SELECT c.q_id, c.n_id,
+         |    round(list_dot_product(q.qv, en.v) / (q.qn * en.nrm), 4) AS cos
+         |  FROM cand c JOIN q ON c.q_id = q.q_id
+         |  JOIN en ON c.n_id = en.vec_id),
+         |atop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM ascored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
     "s06_ann_recall" -> {
       val tabSelects = (0 until NTables).map { t =>

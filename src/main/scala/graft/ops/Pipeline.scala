@@ -426,6 +426,44 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p11_sequence_pack_bpe" -> { (s, dir) =>
+      import s.implicits._
+      // p06's packing arithmetic fed by TOKENIZER token counts (t23's
+      // BPE merge application) instead of whitespace counts — the form
+      // a real training run budgets with: chunk counts, boundary
+      // splits, and tail padding all shift once ~3% of adjacent pairs
+      // fuse, and THIS is the number the batch scheduler sees. Same
+      // scale shape as p06 (windowed cumsum per (source, shard), never
+      // per source alone); the merge application itself is a narrow
+      // per-row fold (see TextAnalysis.bpeTokenCounts).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      TextAnalysis.bpeTokenCounts(s, dir)
+        .select($"doc_id", $"source",
+          expr(s"doc_id div $ShardDocs").as("shard"),
+          $"n_bpe".as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("split_doc", $"n_toks" > 0 &&
+          expr(s"(cum - n_toks) div $PackLen") =!=
+          expr(s"(cum - 1) div $PackLen"))
+        .groupBy($"source", $"shard")
+        .agg(count(lit(1)).as("s_docs"),
+          sum($"n_toks").as("s_tokens"),
+          expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen").as("s_chunks"),
+          sum(when($"split_doc", 1L).otherwise(0L)).as("s_splits"),
+          (expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen") * PackLen -
+            sum($"n_toks")).as("s_pad"))
+        .groupBy($"source")
+        .agg(sum($"s_docs").as("n_docs"),
+          sum($"s_tokens").as("total_tokens"),
+          sum($"s_chunks").as("n_chunks"),
+          sum($"s_splits").as("n_split_docs"),
+          sum($"s_pad").as("tail_pad"))
+        .orderBy($"source")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -623,6 +661,36 @@ object Pipeline {
          |    CAST(CASE WHEN text IS NULL THEN 0
          |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
          |  FROM documents),
+         |c AS (
+         |  SELECT source, shard, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |sh AS (
+         |  SELECT source, shard, count(*) AS s_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS s_tokens,
+         |    CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
+         |      AS s_chunks,
+         |    CAST(sum(CASE WHEN n_toks > 0 AND
+         |        (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s_splits,
+         |    CAST(((sum(n_toks) + $PackLen - 1) // $PackLen) * $PackLen
+         |      - sum(n_toks) AS BIGINT) AS s_pad
+         |  FROM c GROUP BY source, shard)
+         |SELECT source,
+         |  CAST(sum(s_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(s_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(s_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(s_splits) AS BIGINT) AS n_split_docs,
+         |  CAST(sum(s_pad) AS BIGINT) AS tail_pad
+         |FROM sh GROUP BY source ORDER BY source""".stripMargin,
+
+    "p11_sequence_pack_bpe" ->
+      s"""WITH ${TextAnalysis.bpeCountsSqlCtes},
+         |d AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+         |    n_bpe AS n_toks
+         |  FROM bpec),
          |c AS (
          |  SELECT source, shard, n_toks,
          |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id

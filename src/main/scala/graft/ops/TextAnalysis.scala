@@ -41,6 +41,97 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  // ---- BPE merge application (t23, p11) ------------------------------
+  // t13 produces one BPE-training iteration's merge table; these apply
+  // it, so downstream token budgets (p11 packing) count TOKENIZER
+  // tokens, not whitespace tokens. Application semantics: for each
+  // merge "a b" in rank order (count desc, pair asc — t13's order),
+  // every occurrence of adjacent tokens a b fuses into one token
+  // a<US>b, via string replace on the space-wrapped doc (" a b " →
+  // " a<US>b "). replace() consumes the shared separator between
+  // CONSECUTIVE occurrences ("b c b c" matches alternately), so each
+  // merge is applied in TWO passes — the second pass catches the
+  // alternation remainder. This double-pass rule is deterministic and
+  // byte-identical in both engines (both replace() kernels scan
+  // left-to-right, non-overlapping); it can under-merge long
+  // same-token chains ("a a a a a a" yields 2 merges where sequential
+  // greedy yields 3) — an accepted, documented deviation (such chains
+  // are noise in natural text, and engine-exact beats
+  // sequential-greedy-but-ungateable). Merged supertokens contain the
+  // US joiner, so no later merge (built from plain-space pairs) can
+  // rematch them — one training iteration's merges never cascade, by
+  // construction.
+  //
+  // Scale posture: the merge table is ~20 rows → ONE array literal
+  // broadcast to every task; application is a narrow per-row fold
+  // (40 bounded replace scans per doc) fused into the document scan —
+  // no shuffle anywhere before the per-source rollup.
+
+  /** The doubled, rank-ordered merge list as a 1-row array frame. */
+  private def bpeMergeList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"toks", explode(expr("sequence(1, size(toks) - 1)"))
+        .as("i"))
+      .select(concat_ws(" ", expr("element_at(toks, i)"),
+        expr("element_at(toks, i + 1)")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(20)
+      .agg(array_sort(collect_list(struct((-$"n").as("nn"), $"pair")))
+        .as("ps"))
+      .select(expr("flatten(transform(ps, p -> array(p.pair, p.pair)))")
+        .as("ms"))
+  }
+
+  /** Whitespace and post-merge token counts per document —
+    * (doc_id, source, n_ws, n_bpe). Shared by t23 and p11.
+    */
+  private[ops] def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).crossJoin(broadcast(bpeMergeList(s, dir)))
+      .withColumn("n_ws", when($"text".isNull, lit(0L))
+        .otherwise(size(split($"text", " ")).cast("long")))
+      .withColumn("n_bpe", when($"text".isNull, lit(0L))
+        .otherwise(size(split(trim(expr(
+          """aggregate(ms, concat(' ', text, ' '),
+            |  (acc, m) -> replace(acc, concat(' ', m, ' '),
+            |    concat(' ', replace(m, ' ', chr(31)), ' ')))"""
+            .stripMargin)), " ")).cast("long")))
+      .select($"doc_id", $"source", $"n_ws", $"n_bpe")
+  }
+
+  /** DuckDB twin of [[bpeTokenCounts]]: CTE chain ending in
+    * bpec(doc_id, source, n_ws, n_bpe).
+    */
+  private[ops] val bpeCountsSqlCtes: String =
+    """bx AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bp AS (
+      |  SELECT toks[CAST(i AS INT)] || ' ' ||
+      |         toks[CAST(i AS INT) + 1] AS pair
+      |  FROM bx, unnest(range(1, len(toks))) AS t(i)),
+      |btp AS (
+      |  SELECT pair, count(*) AS n FROM bp
+      |  GROUP BY pair ORDER BY n DESC, pair LIMIT 20),
+      |bml AS (
+      |  SELECT flatten(list_transform(list(pair ORDER BY n DESC, pair),
+      |                                m -> [m, m])) AS ms
+      |  FROM btp),
+      |bpec AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN text IS NULL THEN 0
+      |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_ws,
+      |    CAST(CASE WHEN text IS NULL THEN 0
+      |         ELSE len(string_split(trim(list_reduce(
+      |           list_prepend(' ' || text || ' ', ms),
+      |           (acc, m) -> replace(acc, ' ' || m || ' ',
+      |             ' ' || replace(m, ' ', chr(31)) || ' '))), ' '))
+      |    END AS BIGINT) AS n_bpe
+      |  FROM documents CROSS JOIN bml)""".stripMargin
+
   /** Shared repetition signals — t11 publishes them, p02 gates on them.
     * ONE definition per engine (the exactQuantileCols convention): a
     * drift between "the score t11 reports" and "the signal p02 filters
@@ -399,6 +490,26 @@ object TextAnalysis {
           expr("element_at(toks, i + 1)")).as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair").limit(20)
+    },
+
+    "t23_bpe_apply" -> { (s, dir) =>
+      import s.implicits._
+      // APPLY t13's merge table (the operator that was missing between
+      // "train the tokenizer" and "budget by tokenizer tokens"): per
+      // source, whitespace vs post-merge token totals and the realized
+      // merge rate. See bpeTokenCounts for the engine-exact double-pass
+      // replace semantics; p11 feeds sequence packing from the same
+      // core.
+      bpeTokenCounts(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_ws").as("ws_tokens"),
+          sum($"n_bpe").as("bpe_tokens"),
+          sum($"n_ws" - $"n_bpe").as("n_merged"),
+          round(sum($"n_ws" - $"n_bpe").cast("double") /
+            nullif(sum($"n_ws"), lit(0)).cast("double"), 4)
+            .as("merge_rate"))
+        .orderBy($"source")
     },
 
     "t14_unicode_normalize" -> { (s, dir) =>
@@ -910,6 +1021,16 @@ object TextAnalysis {
         |  FROM x, unnest(range(1, len(toks))) AS t(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "t23_bpe_apply" ->
+      s"""WITH $bpeCountsSqlCtes
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(n_ws - n_bpe) AS BIGINT) AS n_merged,
+         |  round(CAST(sum(n_ws - n_bpe) AS DOUBLE) /
+         |        CAST(NULLIF(sum(n_ws), 0) AS DOUBLE), 4) AS merge_rate
+         |FROM bpec GROUP BY source ORDER BY source""".stripMargin,
 
     // chr(769)=U+0301 COMBINING ACUTE, chr(778)=U+030A COMBINING RING —
     // the decomposed suffix the Spark side appends; nfc_normalize is

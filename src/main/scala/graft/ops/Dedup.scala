@@ -73,6 +73,26 @@ object Dedup {
     */
   private val DfCap = 20L
 
+  /** d15's candidate-pair stream on an injectable fingerprint table
+    * (doc_id, fp): the df-cap suppression then the fp equi-join. The
+    * cap is what makes d15's never-quadratic claim true — the join's
+    * output is bounded by Σ_fp df·cap rows, linear in corpus size —
+    * and the skew spec plants a flooded fingerprint against THIS
+    * definition, so the shipped cap is the tested cap (the s05
+    * CohesionCap discipline).
+    */
+  private[graft] def winnowCandidates(s: SparkSession, f0: DataFrame,
+      cap: Long): DataFrame = {
+    import s.implicits._
+    val rare = f0.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cap).select($"fp")
+    val f = f0.join(rare, "fp")
+    f.toDF("fp", "a_id")
+      .join(f.toDF("fp2", "b_id"),
+        $"fp" === $"fp2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+  }
+
   /** d16's SemDeDup similarity threshold — fixture-tuned (synthetic
     * vectors top out ~0.5 within a cell; real embedding spaces run
     * ~0.95+). The keep rule and join shape are threshold-agnostic.
@@ -645,13 +665,8 @@ object Dedup {
         // rationale; |docs|·|fps per doc| rows, far below the
         // exploded shingle stream it derives from
         .localCheckpoint(eager = false)
-      val rare = f0.groupBy($"fp").agg(count(lit(1)).as("df"))
-        .filter($"df" <= DfCap).select($"fp")
-      val f = f0.join(rare, "fp")
       val sizes = f0.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
-      val pairs = f.toDF("fp", "a_id")
-        .join(f.toDF("fp2", "b_id"),
-          $"fp" === $"fp2" && $"a_id" < $"b_id")
+      val pairs = winnowCandidates(s, f0, DfCap)
         .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 3)
       pairs

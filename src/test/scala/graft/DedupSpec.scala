@@ -260,4 +260,28 @@ class DedupSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == expectAdmitted,
       s"admitted total disagrees with the anti-join formulation")
   }
+
+  test("d15 skew guard: a flooded fingerprint is suppressed and the " +
+      "candidate-pair count stays within the df-cap bound") {
+    import spark.implicits._
+    // One boilerplate fingerprint in 500 docs (df far over the cap)
+    // plus healthy fingerprints shared by 4 docs each. Without the cap
+    // the flooded fp alone contributes 500·499/2 ≈ 125k pairs.
+    val cap = 20L
+    val flooded = spark.range(500)
+      .select(col("id").as("doc_id"), lit(999999L).as("fp"))
+    val healthy = (0L until 8L)
+      .flatMap(fp => (0L until 4L).map(d => (1000L + fp * 10 + d, fp)))
+      .toDF("doc_id", "fp")
+    val f0 = flooded.unionByName(healthy)
+    val cand = ops.Dedup.winnowCandidates(spark, f0, cap)
+    val n = cand.count()
+    // flooded fp: zero pairs; each healthy fp: 4·3/2 = 6 pairs
+    assert(n == 8 * 6,
+      s"candidate count $n; flooded fingerprint must contribute 0 " +
+        s"(all-pairs would add ${500L * 499 / 2})")
+    // the structural bound the 100 TB claim rests on: Σ_fp df·cap over
+    // surviving (df ≤ cap) fingerprints
+    assert(n <= 8 * 4 * cap, s"pair count $n exceeds the df·cap bound")
+  }
 }

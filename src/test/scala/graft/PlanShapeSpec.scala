@@ -366,6 +366,64 @@ class PlanShapeSpec extends SparkTestBase {
         p.take(2000))
   }
 
+  test("s13/s14: the n·k argmax reduces map-side — partial max before " +
+      "the exchange, and no Window over the candidate stream") {
+    // The scale claim: per-vector nearest-centroid selection is a
+    // groupBy + max(struct) whose map-side partials reduce each
+    // vector's k candidates in task, so the exchange carries one row
+    // per vector. A window formulation (row_number over vec_id) would
+    // shuffle the full n·k stream — if a refactor reintroduces it,
+    // these plans grow a Window node and lose the partial_max.
+    for (name <- Seq("s13_ivf_refine", "s14_kmeans_train")) {
+      val p = plan(name)
+      assert(p.contains("partial_max"),
+        s"$name: argmax must aggregate partially before the exchange:\n" +
+          p.take(2000))
+      assert(!p.contains("Window"),
+        s"$name: candidate argmax must not plan a Window:\n${p.take(2000)}")
+    }
+  }
+
+  test("d22: no corpus-stream shuffle below the broadcast eval-set " +
+      "join (the first shuffle carries only matched positions)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // The scale property: the corpus-side token stream (posexplode of
+    // every document) must reach the broadcast contamination join as a
+    // narrow map — its first Exchange happens only AFTER the join cut
+    // the stream to |hits|. An Exchange whose subtree scans documents
+    // WITHOUT the eval-set pushed filter and WITHOUT a broadcast join
+    // beneath it would be shuffling the full corpus stream.
+    def walk(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk)
+    }) :+ p
+    def offends(e: SparkPlan): Boolean = {
+      val sub = walk(e)
+      val corpusScan = sub.exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString.contains("documents") &&
+            !f.metadata.getOrElse("PushedFilters", "").contains("src0")
+        case _ => false
+      }
+      val hasBhj = sub.exists(_.isInstanceOf[BroadcastHashJoinExec])
+      corpusScan && !hasBhj
+    }
+    val df = SparkEntry.queries("d22_contamination_spans")(spark, sfSmoke)
+    df.collect()
+    val bad = walk(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[ShuffleExchangeLike])
+      .filter(e => offends(e))
+    assert(bad.isEmpty,
+      s"corpus stream shuffled before the eval-set join:\n" +
+        bad.map(_.nodeName).mkString(", "))
+  }
+
   test("s09: the query-term filter runs before the wordcount exchange " +
       "(postings only, never the full token stream)") {
     val p = plan("s09_bm25_topk")

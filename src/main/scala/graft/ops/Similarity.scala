@@ -169,6 +169,125 @@ object Similarity {
        |  ${assignSql("e", "cf")})""".stripMargin
   }
 
+  // ---- product quantization (s16/s17) --------------------------------
+  // The FAISS-style scale representation for ANN beyond IVF: split each
+  // vector into PqM subvectors, train an independent PqK-codeword
+  // codebook per subspace (the s14 k-means machinery with `sub` as an
+  // extra key — same coin, same seeds-by-lowest-id, same 6 dp rounding
+  // discipline), and encode the corpus as PqM small codes. A 64-dim
+  // float vector (256 B) becomes 8 codes (8 B) — the 32× footprint cut
+  // that lets a 100 TB corpus's index live in memory. Search is ADC
+  // (asymmetric distance computation): per query, a PqM×PqK lookup
+  // table of subspace distances; a candidate's distance is the sum of
+  // its codes' table entries — codes never decode back to floats.
+  // Per-entry distances round at 6 dp and sum in DECIMAL (the bm25
+  // discipline), so the cross-subspace sum is exact and
+  // order-insensitive in both engines.
+
+  private val PqM = 8  // subspaces
+  private val PqD = Dim / PqM
+  private val PqK = 16 // codewords per subspace
+
+  /** (vec_id, sub, sv): the subvector expansion of (vec_id, v). */
+  private def pqSubs(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select($"vec_id", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("sub"), slice($"v", m * PqD + 1, PqD).as("sv"))
+      ): _*)).as("x"))
+      .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
+  }
+
+  /** Per-(vector, subspace) nearest-codeword assignment — s13's
+    * shuffle-free argmax keyed (vec_id, sub); the exchange carries one
+    * best-row per (vector, subspace), never the n·PqK candidate
+    * stream. Returns (vec_id, sub, cell, d2).
+    */
+  private def pqAssign(s: SparkSession, points: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    import s.implicits._
+    points.join(broadcast(codebook), "sub")
+      .withColumn("d2", kmDist2($"sv", $"cv"))
+      .groupBy($"vec_id", $"sub")
+      .agg(max(struct((-$"d2").as("nd"), (-$"cell").as("nc"))).as("b"))
+      .select($"vec_id", $"sub", (-$"b.nc").as("cell"),
+        (-$"b.nd").as("d2"))
+  }
+
+  /** Train all PqM codebooks jointly (one plan, `sub` as a key) and
+    * return (sample-subvector frame, final codebook (sub, cell, cv)).
+    */
+  private def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val samp = e.filter(
+      expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
+        s"as bigint) % $KmCoinMod") === 0)
+      .select($"vec_id", $"v")
+    val sampSubs = pqSubs(s, samp).localCheckpoint(eager = false)
+    val seeds = samp.orderBy($"vec_id").limit(PqK)
+      .select($"vec_id".as("seed_id"))
+    val c0 = sampSubs.join(broadcast(seeds), $"vec_id" === $"seed_id")
+      .select($"sub", $"vec_id".as("cell"), $"sv".as("cv"))
+    val fin = (1 to KmIters).foldLeft(c0) { (cb, _) =>
+      sampSubs.join(pqAssign(s, sampSubs, cb)
+          .select($"vec_id", $"sub", $"cell"), Seq("vec_id", "sub"))
+        .select($"sub", $"cell", posexplode($"sv").as(Seq("i", "x")))
+        .groupBy($"sub", $"cell", $"i").agg(round(avg($"x"), 6).as("cx"))
+        .groupBy($"sub", $"cell")
+        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
+        .select($"sub", $"cell",
+          expr("transform(pairs, p -> p.cx)").as("cv"))
+    }
+    (sampSubs, fin)
+  }
+
+  /** DuckDB twin of [[pqTrain]] + full-corpus encode: CTE chain ending
+    * in cfp (codebooks: sub, cell, cv) and enc (corpus codes: vec_id,
+    * sub, cell, d2). Same unrolled-iteration convention as kmSqlCtes.
+    */
+  private def pqSqlCtes: String = {
+    def d2Sql(v: String, cv: String) =
+      s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
+        s" + list_dot_product($cv, $cv), 6)"
+    def assignSql(points: String, cents: String) =
+      s"""SELECT vec_id, sub, cell, d2 FROM (
+         |    SELECT vec_id, sub, cell, d2, row_number() OVER (
+         |        PARTITION BY vec_id, sub ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, p.sub, c.cell,
+         |            ${d2Sql("p.sv", "c.cv")} AS d2
+         |          FROM $points p JOIN $cents c USING (sub)))
+         |  WHERE rnk = 1""".stripMargin
+    val iters = (1 to KmIters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""a$it AS (
+         |  ${assignSql("ssv", prev)}),
+         |m$it AS (
+         |  SELECT a.sub, a.cell, r.i, round(avg(s.sv[r.i]), 6) AS cx
+         |  FROM a$it a JOIN ssv s USING (vec_id, sub)
+         |  CROSS JOIN range(1, ${PqD + 1}) r(i)
+         |  GROUP BY a.sub, a.cell, r.i),
+         |c$it AS (SELECT sub, cell, list(cx ORDER BY i) AS cv FROM m$it
+         |         GROUP BY sub, cell)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(r.m AS INT) AS sub,
+       |    list_slice(v, r.m*$PqD+1, r.m*$PqD+$PqD) AS sv
+       |  FROM e CROSS JOIN range(0, $PqM) r(m)),
+       |samp AS (
+       |  SELECT vec_id FROM e
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % $KmCoinMod = 0),
+       |ssv AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
+       |seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (
+       |  SELECT sub, vec_id AS cell, sv AS cv
+       |  FROM ssv JOIN seeds USING (vec_id)),
+       |$iters,
+       |cfp AS (SELECT sub, cell, cv FROM c$KmIters),
+       |enc AS (
+       |  ${assignSql("sv", "cfp")})""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplane j: component i =
     * (int(md5("j_i")[0:7], 16) mod 1000) / 500 − 1  ∈ [−1, 1).
     *
@@ -774,6 +893,57 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s16_pq_train" -> { (s, dir) =>
+      import s.implicits._
+      // PRODUCT-QUANTIZATION codebook training + corpus encode (the
+      // 32× index-footprint cut; see the PQ section comment). All PqM
+      // subspaces train in ONE plan with `sub` as a key; output is the
+      // per-(subspace, codeword) occupancy and mean quantization
+      // distortion — the fidelity numbers that decide PqM/PqK before a
+      // corpus-scale re-encode.
+      val e = emb(s, dir)
+      val (_, cb) = pqTrain(s, e)
+      pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
+        .groupBy($"sub", $"cell")
+        .agg(count(lit(1)).as("n_members"),
+          round(avg($"d2"), 4).as("avg_d2"))
+        .orderBy($"sub", $"cell")
+    },
+
+    "s17_pq_adc_topk" -> { (s, dir) =>
+      import s.implicits._
+      // ADC search over the PQ codes: per query, a PqM×PqK broadcast
+      // lookup table of 6 dp-rounded subspace distances (DECIMAL, so
+      // the cross-subspace sum is exact in any order); a candidate's
+      // distance is the sum of its codes' entries — the corpus side
+      // touches only (vec_id, sub, code) triples, never the float
+      // vectors. The per-candidate sum partial-aggregates in task
+      // (codes of one vector are co-located by construction), the
+      // exchange carries one skinny row per (query, vector), and the
+      // bounded-heap TopKPerKey cuts to K before any sort.
+      val e = emb(s, dir)
+      val (_, cb) = pqTrain(s, e)
+      val enc = pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
+        .select($"vec_id", $"sub", $"cell")
+      val q = pqSubs(s, e.filter($"vec_id" < NQueries)
+          .select($"vec_id", $"v"))
+        .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+      val qtab = q.join(broadcast(cb), "sub")
+        .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
+        .select($"q_id", $"sub", $"cell", $"qd2")
+      val adc = enc.join(broadcast(qtab), Seq("sub", "cell"))
+        .filter($"q_id" =!= $"vec_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"qd2").as("adc"))
+        .select($"q_id", $"vec_id".as("n_id"), $"adc")
+      val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
+        struct($"adc", $"n_id"), K)
+      val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
+      top.withColumn("rnk", row_number().over(w))
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -966,6 +1136,33 @@ object Similarity {
          |FROM xtop x LEFT JOIN atop a
          |  ON a.q_id = x.q_id AND a.n_id = x.n_id
          |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    "s16_pq_train" ->
+      s"""WITH $pqSqlCtes
+         |SELECT sub, cell, count(*) AS n_members,
+         |  round(avg(d2), 4) AS avg_d2
+         |FROM enc GROUP BY sub, cell ORDER BY sub, cell""".stripMargin,
+
+    "s17_pq_adc_topk" ->
+      s"""WITH $pqSqlCtes,
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |      WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT t.q_id, enc.vec_id AS n_id, sum(t.qd2) AS adc
+         |  FROM enc JOIN qtab t ON enc.sub = t.sub AND enc.cell = t.cell
+         |  WHERE t.q_id <> enc.vec_id
+         |  GROUP BY t.q_id, enc.vec_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     "s06_ann_recall" -> {
       val tabSelects = (0 until NTables).map { t =>

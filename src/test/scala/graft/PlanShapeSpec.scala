@@ -374,7 +374,8 @@ class PlanShapeSpec extends SparkTestBase {
     // per vector. A window formulation (row_number over vec_id) would
     // shuffle the full n·k stream — if a refactor reintroduces it,
     // these plans grow a Window node and lose the partial_max.
-    for (name <- Seq("s13_ivf_refine", "s14_kmeans_train")) {
+    for (name <- Seq("s13_ivf_refine", "s14_kmeans_train",
+        "s16_pq_train")) {
       val p = plan(name)
       assert(p.contains("partial_max"),
         s"$name: argmax must aggregate partially before the exchange:\n" +

@@ -88,9 +88,18 @@ object TextAnalysis {
   /** Whitespace and post-merge token counts per document —
     * (doc_id, source, n_ws, n_bpe). Shared by t23 and p11.
     */
-  private[ops] def bpeTokenCounts(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    bpeTokenCountsOn(s, docs(s, dir), bpeMergeList(s, dir))
+
+  /** [[bpeTokenCounts]] on injectable docs/merge frames — the
+    * differential spec drives synthetic token streams through THIS
+    * definition against an independent Scala reference of the
+    * double-pass rule, so the shipped fold is the tested fold.
+    */
+  private[graft] def bpeTokenCountsOn(s: SparkSession, d: DataFrame,
+      merges: DataFrame): DataFrame = {
     import s.implicits._
-    docs(s, dir).crossJoin(broadcast(bpeMergeList(s, dir)))
+    d.crossJoin(broadcast(merges))
       .withColumn("n_ws", when($"text".isNull, lit(0L))
         .otherwise(size(split($"text", " ")).cast("long")))
       .withColumn("n_bpe", when($"text".isNull, lit(0L))

@@ -163,4 +163,27 @@ class SimilaritySpec extends SparkTestBase {
         s"champion for $k is not the cell max")
     }
   }
+
+  test("s14/s16: trained assignments PARTITION the corpus (every vector " +
+      "in exactly one cell, per subspace for PQ); s15 recall bounded") {
+    val n = Tables.load(spark, sfSmoke, "embeddings").count()
+    val s14 = ops.Similarity.queries("s14_kmeans_train")(spark, sfSmoke)
+      .collect()
+    assert(s14.map(_.getAs[Long]("n_members")).sum == n,
+      "k-means cells must partition the corpus")
+    assert(s14.forall(r => r.getAs[Long]("n_sample") <=
+      r.getAs[Long]("n_members")), "sample members outnumber members")
+    val s16 = ops.Similarity.queries("s16_pq_train")(spark, sfSmoke)
+      .collect()
+    s16.groupBy(_.getAs[Int]("sub")).foreach { case (sub, rs) =>
+      assert(rs.map(_.getAs[Long]("n_members")).sum == n,
+        s"PQ subspace $sub does not partition the corpus")
+    }
+    val s15 = ops.Similarity.queries("s15_trained_recall")(spark, sfSmoke)
+      .collect()
+    assert(s15.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0
+    }, "recall out of [0,1]")
+  }
 }

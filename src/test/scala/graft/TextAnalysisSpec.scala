@@ -242,4 +242,48 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     perSrc.unpersist(); t21.unpersist()
   }
+
+  test("t23 merge fold: Spark HOF equals an independent Scala reference " +
+      "of the double-pass rule (seeded fuzz incl. same-token chains)") {
+    import spark.implicits._
+    // Independent reference: the same documented semantics (space-wrap,
+    // per-merge double replace, US joiner) via java.lang.String.replace
+    // — a different kernel from both engines' SQL replace, so a
+    // semantics drift in the HOF fold shows up here without DuckDB.
+    def reference(text: String, merges: Seq[String]): Long = {
+      var s = " " + text + " "
+      for (m <- merges; _ <- 1 to 2)
+        s = s.replace(" " + m + " ", " " + m.replace(' ', '\u001f') + " ")
+      s.trim.split(" ", -1).length.toLong
+    }
+    val merges = Seq("a a", "b c", "c aa")
+    val doubled = merges.flatMap(m => Seq(m, m))
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "aa", "d")
+    val fuzz = (0 until 200).map { i =>
+      (1 to 1 + rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+    }
+    // the adversarial shapes the fuzz may miss: long same-token chains
+    // (the alternation remainder), overlapping merge targets, the
+    // empty-ish docs, a double space (empty token)
+    val edges = Seq("a a a a a a a", "b c b c b c", "a a b c c aa",
+      "a", "", "a  b", "c aa a a")
+    val texts = fuzz ++ edges
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "s0", t) }
+      .toDF("doc_id", "source", "text")
+    val m = Seq(Tuple1(doubled)).toDF("ms")
+    val got = ops.TextAnalysis.bpeTokenCountsOn(spark, d, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (ws, bpe) = got(i.toLong)
+      assert(ws == t.split(" ", -1).length.toLong,
+        s"doc $i ws-count: got $ws for '$t'")
+      assert(bpe == reference(t, merges),
+        s"doc $i: fold gives $bpe, reference ${reference(t, merges)} " +
+          s"for '$t'")
+    }
+  }
 }

@@ -464,6 +464,37 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p12_pack_manifest" -> { (s, dir) =>
+      import s.implicits._
+      // The packing MANIFEST — p06 reports the totals, this emits the
+      // per-document assignment a packer actually writes out: which
+      // chunk a doc starts in, which it ends in, its token offset
+      // inside the first chunk, and whether it straddles a boundary
+      // (the attention-continuity loss p06 counts). A resumable 100 TB
+      // packing job is driven by exactly this table: deterministic
+      // under any partitioning (windowed cumsum over a total
+      // per-(source, shard) order), all-integer so the gate is exact.
+      // Zero-token docs (null text) are excluded — they occupy no
+      // chunk space and have no well-defined offset.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select($"doc_id", $"source",
+          expr(s"doc_id div $ShardDocs").as("shard"),
+          when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .filter($"n_toks" > 0)
+        .select($"doc_id", $"source", $"shard", $"n_toks",
+          expr(s"(cum - n_toks) div $PackLen").as("chunk_first"),
+          expr(s"(cum - 1) div $PackLen").as("chunk_last"),
+          expr(s"(cum - n_toks) % $PackLen").as("offset_in_chunk"))
+        .withColumn("spans_boundary", $"chunk_first" =!= $"chunk_last")
+        .orderBy($"doc_id")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -714,6 +745,25 @@ object Pipeline {
          |  CAST(sum(s_splits) AS BIGINT) AS n_split_docs,
          |  CAST(sum(s_pad) AS BIGINT) AS tail_pad
          |FROM sh GROUP BY source ORDER BY source""".stripMargin,
+
+    "p12_pack_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, shard, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, shard, n_toks,
+         |  CAST((cum - n_toks) // $PackLen AS BIGINT) AS chunk_first,
+         |  CAST((cum - 1) // $PackLen AS BIGINT) AS chunk_last,
+         |  CAST((cum - n_toks) % $PackLen AS BIGINT) AS offset_in_chunk,
+         |  (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
+         |    AS spans_boundary
+         |FROM c WHERE n_toks > 0 ORDER BY doc_id""".stripMargin,
 
     "p07_source_mixture" ->
       s"""WITH d AS (

@@ -176,4 +176,35 @@ class PipelineSpec extends SparkTestBase {
     assert(smallest.getAs[Double]("weight") >
       smallest.getAs[Long]("n_tokens") / total)
   }
+
+  test("p12 manifest agrees with p06's totals: boundary-straddlers and " +
+      "chunk spans reconcile per source") {
+    import spark.implicits._
+    val p06 = ops.Pipeline.queries("p06_sequence_pack")(spark, sfVerify)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_split_docs")).toMap
+    val p12 = ops.Pipeline.queries("p12_pack_manifest")(spark, sfVerify)
+    val straddlers = p12.filter($"spans_boundary")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    p06.foreach { case (src, nSplit) =>
+      assert(straddlers.getOrElse(src, 0L) == nSplit,
+        s"$src: manifest says ${straddlers.getOrElse(src, 0L)} " +
+          s"straddlers, p06 counted $nSplit")
+    }
+    // every doc's span is sane: first ≤ last, offset inside the chunk
+    assert(p12.filter($"chunk_first" > $"chunk_last" ||
+      $"offset_in_chunk" < 0 || $"offset_in_chunk" >= 512).count() == 0)
+  }
+
+  test("p12 determinism: identical manifest under a different shuffle " +
+      "partitioning (the resumable-job claim)") {
+    val base = ops.Pipeline.queries("p12_pack_manifest")(spark, sfSmoke)
+      .collect().toSeq
+    withConfs("spark.sql.shuffle.partitions" -> "3") {
+      val alt = ops.Pipeline.queries("p12_pack_manifest")(spark, sfSmoke)
+        .collect().toSeq
+      assert(alt == base, "manifest changed with partition count")
+    }
+  }
 }

@@ -186,4 +186,17 @@ class SimilaritySpec extends SparkTestBase {
       rec >= 0.0 && rec <= 1.0
     }, "recall out of [0,1]")
   }
+
+  test("s14 determinism: identical trained index under a different " +
+      "shuffle partitioning (the 6 dp rounding discipline at work)") {
+    val base = ops.Similarity.queries("s14_kmeans_train")(spark, sfSmoke)
+      .collect().toSeq
+    withConfs("spark.sql.shuffle.partitions" -> "3") {
+      val alt = ops.Similarity.queries("s14_kmeans_train")(spark, sfSmoke)
+        .collect().toSeq
+      assert(alt == base,
+        "trained cells changed with the partition count — a rounding " +
+          "seam is leaking summation order")
+    }
+  }
 }

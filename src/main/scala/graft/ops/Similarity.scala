@@ -240,6 +240,41 @@ object Similarity {
     (sampSubs, fin)
   }
 
+  /** ADC search over the PQ codes (UNSORTED core, shared by s17/s18):
+    * per query, a PqM×PqK broadcast lookup table of 6 dp-rounded
+    * subspace distances (DECIMAL, so the cross-subspace sum is exact in
+    * any order); a candidate's distance is the sum of its codes' table
+    * entries — the corpus side touches only (vec_id, sub, code)
+    * triples, never the float vectors. The per-candidate sum
+    * partial-aggregates in task (codes of one vector are co-located by
+    * construction), the exchange carries one skinny row per (query,
+    * vector), and the bounded-heap TopKPerKey cuts to K before any
+    * sort. Returns (q_id, n_id, adc DECIMAL, rnk).
+    */
+  private def pqAdcTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val (_, cb) = pqTrain(s, e)
+    val enc = pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
+      .select($"vec_id", $"sub", $"cell")
+    val q = pqSubs(s, e.filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v"))
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+    val qtab = q.join(broadcast(cb), "sub")
+      .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
+      .select($"q_id", $"sub", $"cell", $"qd2")
+    val adc = enc.join(broadcast(qtab), Seq("sub", "cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"qd2").as("adc"))
+      .select($"q_id", $"vec_id".as("n_id"), $"adc")
+    val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
+      struct($"adc", $"n_id"), K)
+    val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"adc", $"rnk")
+  }
+
   /** DuckDB twin of [[pqTrain]] + full-corpus encode: CTE chain ending
     * in cfp (codebooks: sub, cell, cv) and enc (corpus codes: vec_id,
     * sub, cell, d2). Same unrolled-iteration convention as kmSqlCtes.
@@ -912,36 +947,27 @@ object Similarity {
 
     "s17_pq_adc_topk" -> { (s, dir) =>
       import s.implicits._
-      // ADC search over the PQ codes: per query, a PqM×PqK broadcast
-      // lookup table of 6 dp-rounded subspace distances (DECIMAL, so
-      // the cross-subspace sum is exact in any order); a candidate's
-      // distance is the sum of its codes' entries — the corpus side
-      // touches only (vec_id, sub, code) triples, never the float
-      // vectors. The per-candidate sum partial-aggregates in task
-      // (codes of one vector are co-located by construction), the
-      // exchange carries one skinny row per (query, vector), and the
-      // bounded-heap TopKPerKey cuts to K before any sort.
-      val e = emb(s, dir)
-      val (_, cb) = pqTrain(s, e)
-      val enc = pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
-        .select($"vec_id", $"sub", $"cell")
-      val q = pqSubs(s, e.filter($"vec_id" < NQueries)
-          .select($"vec_id", $"v"))
-        .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
-      val qtab = q.join(broadcast(cb), "sub")
-        .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-        .select($"q_id", $"sub", $"cell", $"qd2")
-      val adc = enc.join(broadcast(qtab), Seq("sub", "cell"))
-        .filter($"q_id" =!= $"vec_id")
-        .groupBy($"q_id", $"vec_id")
-        .agg(sum($"qd2").as("adc"))
-        .select($"q_id", $"vec_id".as("n_id"), $"adc")
-      val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
-        struct($"adc", $"n_id"), K)
-      val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
-      top.withColumn("rnk", row_number().over(w))
+      pqAdcTopKCore(s, dir)
         .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
         .orderBy($"q_id", $"rnk")
+    },
+
+    "s18_pq_recall" -> { (s, dir) =>
+      import s.implicits._
+      // Recall@K of the ADC ranking vs the exact cosine baseline —
+      // completing the per-index audit family (s06 LSH, s15 trained
+      // IVF, s18 PQ): the number that decides PqM/PqK before a
+      // corpus-scale re-encode, measured exactly as it would be at
+      // scale. (ADC ranks by quantized L2, the baseline by cosine, so
+      // fixture recall also absorbs the metric gap — both are the
+      // deployed pairing's halves.)
+      val approx = pqAdcTopKCore(s, dir).select($"q_id", $"n_id")
+      exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
     },
 
     "s07_int8_quant" -> { (s, dir) =>
@@ -1163,6 +1189,50 @@ object Similarity {
          |  SELECT q_id, n_id, adc, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
          |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s18_pq_recall" ->
+      s"""WITH $pqSqlCtes,
+         |q AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |      WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT t.q_id, enc.vec_id AS n_id, sum(t.qd2) AS adc
+         |  FROM enc JOIN qtab t ON enc.sub = t.sub AND enc.cell = t.cell
+         |  WHERE t.q_id <> enc.vec_id
+         |  GROUP BY t.q_id, enc.vec_id),
+         |atop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |    FROM adc) WHERE rnk <= $K),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT xq.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+         |      AS cos
+         |  FROM xq JOIN en ON xq.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
     "s06_ann_recall" -> {
       val tabSelects = (0 until NTables).map { t =>

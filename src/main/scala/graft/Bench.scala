@@ -40,6 +40,8 @@ object Bench {
     val allPasses = selected.map { case (name, fn) =>
       // a failed query reports -1, not a bogus partial timing
       val times = (1 to passes).map { pass =>
+        // blocks persisted BEFORE this pass are not ours to drop
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val start = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val secs =
@@ -51,16 +53,21 @@ object Bench {
         System.err.println(
           s"[bench] $name pass=$pass start=$start end=${System.currentTimeMillis()} secs=${"%.2f".formatLocal(java.util.Locale.ROOT, secs)}")
         // Several queries localCheckpoint a shared frame; each pass
-        // builds a NEW plan, so the previous pass's blocks are dead
-        // weight that accumulates across 144 queries x 2 passes in the
+        // builds a NEW plan, so this pass's blocks are dead weight that
+        // would accumulate across the whole board x 2 passes in the
         // block manager — storage-memory pressure whose eviction/GC
         // cost lands on whichever LATER query needs the memory, i.e.
         // exactly the kind of unattributable cross-query inflation the
-        // per-pass stamps exist to catch. Dropping dead blocks after
-        // every pass also guarantees pass 2 re-materializes from the
-        // scan (honest timing) rather than whatever the cache kept.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // per-pass stamps exist to catch. Dropping the pass's own blocks
+        // also guarantees pass 2 re-materializes from the scan (honest
+        // timing) rather than whatever the cache kept. Scoped to blocks
+        // CREATED during the pass: unpersisting a localCheckpointed RDD
+        // someone else still holds is unrecoverable (its lineage was
+        // truncated), so a deliberately long-lived cross-query cache
+        // must never be collateral damage of bench hygiene.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
         secs
       }
       name -> times
@@ -116,18 +123,27 @@ object Bench {
     val passTots = (0 until passes).map { i =>
       allPasses.map(_._2(i)).filter(_ >= 0).sum
     }
+    // Self-declared contention: on a quiet box, pass 2 (warm) reads at
+    // or below pass 1, so pass-total skew beyond ~1.3x means something
+    // co-scheduled overlapped one of the passes and the artifact should
+    // say so itself — the r7/r8 inflation episodes both had exactly this
+    // signature and needed manual quiet-box re-runs to attribute.
+    val contended = passTots.size >= 2 && passTots.min > 0 &&
+      passTots.max / passTots.min > 1.3
     val passesJson = allPasses.map { case (name, times) =>
       "\"" + name + "\":[" + times.map(t =>
         "%.2f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "bench_passes.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_passes.json"),
+      java.nio.file.Paths.get(sidecarPath),
       s"""{"sf":$sf,"pass_totals":[${passTots.map(f).mkString(",")}],""" +
-        s""""passes":$passesJson}""" + "\n")
+        s""""contended":$contended,"passes":$passesJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","pass_tot":[${passTots.map(f).mkString(",")}],"queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","pass_tot":[${passTots.map(f).mkString(",")}],"contended":$contended,"queries":$qs,"sf":$sf}""")
     System.out.flush()
     // shutdown warnings printing AFTER the JSON line would evict it from
     // the driver's 2000-char tail window

@@ -275,11 +275,79 @@ object Similarity {
       .select($"q_id", $"n_id", $"adc", $"rnk")
   }
 
+  /** IVF-PQ composed search (UNSORTED core, shared by s19/s20): the
+    * FAISS IVFPQ shape built from the two already-gated halves — probe
+    * the s14-trained coarse cells (NProbe nearest by the same rounded
+    * d2, ties to the lowest cell), then run s17's ADC, restricted to
+    * the probed cells' inverted lists. Codes are RAW-vector PQ codes
+    * (FAISS's `by_residual=false` variant) — residual encoding would
+    * tie each code's meaning to its cell and block sharing one corpus
+    * encode between s17 (flat ADC) and here.
+    *
+    * Scale shape: both trained models stay broadcasts (KmK centroids;
+    * the PqM×PqK per-query DECIMAL distance table); the inverted-list
+    * cut happens BEFORE any per-code work — `af` (vec_id, cell) joins
+    * broadcast probes, so the candidate stream is |corpus|·NProbe/KmK
+    * pairs, never the full corpus per query; the candidate→codes join
+    * is an equi-join on vec_id between two narrow int frames; and the
+    * per-candidate ADC sum partial-aggregates in task (codes of one
+    * vector are co-located by the join) so the final exchange carries
+    * one skinny row per (query, candidate). Distances stay DECIMAL, so
+    * the cross-subspace sum is exact and order-insensitive in both
+    * engines — the ranking hash-gates.
+    */
+  private def ivfpqTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    // coarse half: trained cells + full-corpus inverted lists (s14)
+    val (_, cents) = kmTrain(s, e)
+    val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+      .select($"vec_id", $"cell")
+    // fine half: PQ codebooks + corpus codes (s16)
+    val (_, cb) = pqTrain(s, e)
+    val enc = pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
+      .select($"vec_id", $"sub", $"cell".as("code"))
+    // probe: NProbe nearest trained cells per query (s15's discipline)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("d2", kmDist2($"qv", $"cv"))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter($"p_rnk" <= NProbe)
+      .select($"q_id", $"cell")
+    // candidates: the probed cells' inverted lists
+    val cand = af.join(broadcast(probes), "cell")
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"))
+    // ADC over candidates only
+    val qtab = pqSubs(s, q.select($"q_id".as("vec_id"), $"qv".as("v")))
+      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
+      .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
+    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
+      .join(broadcast(qtab), Seq("q_id", "sub", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qd2").as("adc"))
+    val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
+      struct($"adc", $"n_id"), K)
+    val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"adc", $"rnk")
+  }
+
   /** DuckDB twin of [[pqTrain]] + full-corpus encode: CTE chain ending
     * in cfp (codebooks: sub, cell, cv) and enc (corpus codes: vec_id,
     * sub, cell, d2). Same unrolled-iteration convention as kmSqlCtes.
+    * Internal iteration CTEs are "p"-prefixed so the chain COMPOSES
+    * with kmSqlCtes in one WITH clause (s19/s20's IVF-PQ oracle);
+    * `withBase = false` omits the shared `e`/`samp` base CTEs that
+    * kmSqlCtes already defines identically.
     */
-  private def pqSqlCtes: String = {
+  private def pqSqlCtes: String = pqSqlCtes(withBase = true)
+
+  private def pqSqlCtes(withBase: Boolean): String = {
     def d2Sql(v: String, cv: String) =
       s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
         s" + list_dot_product($cv, $cv), 6)"
@@ -292,33 +360,35 @@ object Similarity {
          |          FROM $points p JOIN $cents c USING (sub)))
          |  WHERE rnk = 1""".stripMargin
     val iters = (1 to KmIters).map { it =>
-      val prev = if (it == 1) "c0" else s"c${it - 1}"
-      s"""a$it AS (
+      val prev = if (it == 1) "pc0" else s"pc${it - 1}"
+      s"""pa$it AS (
          |  ${assignSql("ssv", prev)}),
-         |m$it AS (
+         |pm$it AS (
          |  SELECT a.sub, a.cell, r.i, round(avg(s.sv[r.i]), 6) AS cx
-         |  FROM a$it a JOIN ssv s USING (vec_id, sub)
+         |  FROM pa$it a JOIN ssv s USING (vec_id, sub)
          |  CROSS JOIN range(1, ${PqD + 1}) r(i)
          |  GROUP BY a.sub, a.cell, r.i),
-         |c$it AS (SELECT sub, cell, list(cx ORDER BY i) AS cv FROM m$it
+         |pc$it AS (SELECT sub, cell, list(cx ORDER BY i) AS cv FROM pm$it
          |         GROUP BY sub, cell)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sv AS (
+    val base =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (
+         |  SELECT vec_id, v FROM e
+         |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % $KmCoinMod = 0),
+         |""".stripMargin
+    s"""${if (withBase) base else ""}sv AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS sub,
        |    list_slice(v, r.m*$PqD+1, r.m*$PqD+$PqD) AS sv
        |  FROM e CROSS JOIN range(0, $PqM) r(m)),
-       |samp AS (
-       |  SELECT vec_id FROM e
-       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % $KmCoinMod = 0),
        |ssv AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
        |seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT $PqK),
-       |c0 AS (
+       |pc0 AS (
        |  SELECT sub, vec_id AS cell, sv AS cv
        |  FROM ssv JOIN seeds USING (vec_id)),
        |$iters,
-       |cfp AS (SELECT sub, cell, cv FROM c$KmIters),
+       |cfp AS (SELECT sub, cell, cv FROM pc$KmIters),
        |enc AS (
        |  ${assignSql("sv", "cfp")})""".stripMargin
   }
@@ -970,6 +1040,34 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s19_ivfpq_topk" -> { (s, dir) =>
+      import s.implicits._
+      // The composed production index: IVF coarse probe over s14's
+      // trained cells + s17's PQ/ADC fine ranking, restricted to the
+      // probed inverted lists (see ivfpqTopKCore). This is the search
+      // path a 100 TB deployment actually runs: the corpus is touched
+      // as (vec_id, cell) + 8 B of codes, floats only at train time.
+      ivfpqTopKCore(s, dir)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s20_ivfpq_recall" -> { (s, dir) =>
+      import s.implicits._
+      // Recall@K of the composed IVF-PQ search vs the exact cosine
+      // baseline — the fourth row of the index-audit family (s06 LSH,
+      // s15 trained IVF, s18 flat PQ, s20 IVF-PQ). Comparing s20 to
+      // s18 isolates the recall cost of the IVF cut alone (same codes,
+      // same metric gap) — exactly the number that tunes NProbe.
+      val approx = ivfpqTopKCore(s, dir).select($"q_id", $"n_id")
+      exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -1154,6 +1252,103 @@ object Similarity {
          |    SELECT q_id, n_id, row_number() OVER (
          |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |    FROM ascored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    "s19_ivfpq_topk" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s20_ivfpq_recall" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |atop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |    FROM adc) WHERE rnk <= $K),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT xq.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+         |      AS cos
+         |  FROM xq JOIN en ON xq.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K)
          |SELECT x.q_id,
          |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
          |       AS BIGINT) AS n_hits,

@@ -35,6 +35,17 @@ final case class ShardRecord(sequenceNumber: Long, record: KinesisRecord)
 final case class GetRecordsResult(records: Seq[ShardRecord],
     nextIterator: String)
 
+/** Control-plane view of one shard: identity, lineage, and whether it is
+  * still open for writes — the `ListShards` fields a resharding-aware
+  * consumer needs (`ShardId`, `ParentShardId`/`AdjacentParentShardId`,
+  * and open/closed via the presence of `SequenceNumberRange
+  * .EndingSequenceNumber`). A CLOSED shard's history stays readable until
+  * retention expiry and its [[KinesisGetRecords.latestSequence]] is its
+  * final, immutable length — the drain target the source follows it to.
+  */
+final case class ShardDesc(shardId: String, parentIds: Seq[String],
+    open: Boolean)
+
 /** Read-side client seam, one level above the raw AWS calls the
   * reference's integration suite consumes with
   * (`GetShardIterator`/`GetRecords`,
@@ -77,6 +88,18 @@ trait KinesisGetRecords extends Serializable {
       iteratorType: String, startingSequence: Long = 0L): String
   def getRecords(iterator: String, limit: Int): GetRecordsResult
   def latestSequence(stream: String, shardId: String): Long
+
+  /** Full shard inventory WITH lineage — what the source's
+    * resharding-follow logic plans against (drain closed parents to
+    * their final `latestSequence`, then admit children). The default
+    * models a static layout (everything open, no lineage); a real SDK
+    * implementation must override it from `ListShards`' `ParentShardId`
+    * / `AdjacentParentShardId` / `SequenceNumberRange` fields, or
+    * splits on a live stream will be mis-read as an unfollowable
+    * layout change and fail the query.
+    */
+  def describeShards(stream: String): Seq[ShardDesc] =
+    listShards(stream).map(ShardDesc(_, Nil, open = true))
 }
 
 /** The single-method client seam — the reference's one great testability
@@ -124,22 +147,78 @@ final class FakeKinesis(val latencyMs: Long = 0L)
   /** Fail this many requests, then succeed (for backoff-recovery tests). */
   val failNextRequests = new AtomicInteger(0)
   val requestCount = new AtomicInteger(0)
-  /** Virtual shard count for the read API (see [[listShards]]). The live
-    * value only applies to streams that have never been touched: each
-    * stream FREEZES the count at its first write or read (see
-    * [[shardCount]]), so flipping `numShards` later cannot silently remap
-    * checkpointed per-shard offsets onto different records — real Kinesis
-    * reshards by splitting/merging shards, never by re-hashing history.
+  /** INITIAL shard count for streams created after this point. Each
+    * stream FREEZES its layout at its first write or read (see
+    * [[shardCount]]), so flipping `numShards` later cannot silently
+    * remap checkpointed per-shard offsets onto different records — real
+    * Kinesis reshards by [[splitShard]]/[[mergeShards]], never by
+    * re-hashing history. A flip on an already-touched stream surfaces as
+    * a CONTROL-PLANE divergence only (phantom lineage-less shards in
+    * [[listShards]]/[[describeShards]]) — the shape the source correctly
+    * refuses to follow, unlike a real split/merge which carries lineage.
     */
   val numShards = new AtomicInteger(1)
 
-  private val streams = new ConcurrentHashMap[String, ArrayBuffer[KinesisRecord]]()
-  private val frozenShards = new ConcurrentHashMap[String, Integer]()
+  // ----- shard layout & storage ---------------------------------------
+  //
+  // Real-Kinesis resharding model: every shard owns a CONTIGUOUS range
+  // of the 128-bit MD5 hash-key space and keeps its OWN append log. A
+  // split closes the parent (its log freezes at its final length) and
+  // hands each half of its range to a new child; a merge closes two
+  // ADJACENT shards into one child spanning both ranges. Writes route to
+  // the open owner of md5(partitionKey) — so for every partition key,
+  // parent history strictly precedes child history: the ordering
+  // guarantee the source's drain-parents-then-admit-children follow
+  // logic relies on. Sequence numbers are PER-SHARD dense ordinals
+  // (0,1,2,… within the shard) — the per-shard space real Kinesis has,
+  // which admission control's budgeting relies on; a CLOSED shard's
+  // latestSequence is its final, immutable length (the drain target).
 
-  /** The stream's shard count, frozen at first touch (write or read). */
-  def shardCount(stream: String): Int =
-    frozenShards.computeIfAbsent(stream, _ => Integer.valueOf(numShards.get()))
-      .intValue()
+  private val HashSpace = BigInt(1) << 128
+
+  private final class ShardState(val shardId: String,
+      val startHash: BigInt, val endHash: BigInt, // owns [startHash, endHash)
+      val parentIds: Seq[String]) {
+    val log = new ArrayBuffer[KinesisRecord]()
+    var open: Boolean = true
+  }
+
+  private final class StreamState(val initialCount: Int) {
+    // insertion order = creation order: describeShards lists parents
+    // before their children
+    val shards = new java.util.LinkedHashMap[String, ShardState]()
+    val global = new ArrayBuffer[KinesisRecord]()
+    var nextShardIndex: Int = initialCount
+    var everResharded: Boolean = false
+  }
+
+  private val streams = new ConcurrentHashMap[String, StreamState]()
+
+  private def shardName(i: Int): String = f"shardId-$i%012d"
+
+  /** The stream's state, its layout frozen at first touch (write or
+    * read): `numShards.get()` equal hash-range slices.
+    */
+  private def state(stream: String): StreamState =
+    streams.computeIfAbsent(stream, _ => {
+      val n = numShards.get()
+      val st = new StreamState(n)
+      val step = HashSpace / n
+      (0 until n).foreach { i =>
+        val lo = step * i
+        val hi = if (i == n - 1) HashSpace else step * (i + 1)
+        st.shards.put(shardName(i), new ShardState(shardName(i), lo, hi, Nil))
+      }
+      st
+    })
+
+  /** The stream's INITIAL shard count, frozen at first touch. */
+  def shardCount(stream: String): Int = state(stream).initialCount
+
+  private def hashOf(pk: String): BigInt =
+    BigInt(new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(pk.getBytes("UTF-8"))))
 
   override def putRecords(stream: String,
       records: Seq[KinesisRecord]): Seq[PutResultEntry] = {
@@ -150,7 +229,7 @@ final class FakeKinesis(val latencyMs: Long = 0L)
     // per-record success branch let a numShards flip between a fully
     // failed first write and its retry remap the stream, contradicting
     // the "frozen at first touch" contract above.
-    shardCount(stream)
+    val st = state(stream)
     if (latencyMs > 0) Thread.sleep(latencyMs)
     requestCount.incrementAndGet()
     if (failRequests.get() || failNextRequests.getAndUpdate(n => math.max(0, n - 1)) > 0)
@@ -160,16 +239,23 @@ final class FakeKinesis(val latencyMs: Long = 0L)
         PutResultEntry(Some("ProvisionedThroughputExceededException"),
           Some("injected per-record failure"))
       else {
-        val log = streams.computeIfAbsent(stream, _ => new ArrayBuffer[KinesisRecord]())
-        log.synchronized { log += r }
+        val h = hashOf(r.partitionKey)
+        st.synchronized {
+          val owner = st.shards.values.asScala
+            .find(s => s.open && s.startHash <= h && h < s.endHash)
+            .getOrElse(throw new IllegalStateException(
+              s"no open shard owns hash $h on stream '$stream'"))
+          owner.log += r
+          st.global += r
+        }
         PutResultEntry()
       }
     }
   }
 
   def stored(stream: String): Seq[KinesisRecord] = {
-    val log = streams.get(stream)
-    if (log == null) Seq.empty else log.synchronized { log.toSeq }
+    val st = streams.get(stream)
+    if (st == null) Seq.empty else st.synchronized { st.global.toSeq }
   }
 
   def storedPayloads(stream: String): Seq[String] =
@@ -177,47 +263,108 @@ final class FakeKinesis(val latencyMs: Long = 0L)
 
   def streamNames: Set[String] = streams.keySet().asScala.toSet
 
-  def clear(): Unit = { streams.clear(); frozenShards.clear() }
+  def clear(): Unit = streams.clear()
+
+  // ----- resharding (control-plane mutations) --------------------------
+
+  /** Real-Kinesis `SplitShard`: closes `shardId` and hands each half of
+    * its hash range to a new child. Returns the two child shard ids.
+    */
+  def splitShard(stream: String, shardId: String): (String, String) = {
+    val st = state(stream)
+    st.synchronized {
+      val s = Option(st.shards.get(shardId)).getOrElse(
+        throw new IllegalArgumentException(s"unknown shard '$shardId'"))
+      require(s.open, s"cannot split closed shard '$shardId'")
+      val mid = (s.startHash + s.endHash) / 2
+      require(mid > s.startHash, s"shard '$shardId' range too narrow to split")
+      s.open = false
+      val c1 = new ShardState(shardName(st.nextShardIndex),
+        s.startHash, mid, Seq(shardId))
+      val c2 = new ShardState(shardName(st.nextShardIndex + 1),
+        mid, s.endHash, Seq(shardId))
+      st.nextShardIndex += 2
+      st.shards.put(c1.shardId, c1)
+      st.shards.put(c2.shardId, c2)
+      st.everResharded = true
+      (c1.shardId, c2.shardId)
+    }
+  }
+
+  /** Real-Kinesis `MergeShards`: closes two ADJACENT open shards and
+    * creates one child spanning both hash ranges. Returns the child id.
+    */
+  def mergeShards(stream: String, shardA: String, shardB: String): String = {
+    val st = state(stream)
+    st.synchronized {
+      def get(id: String) = Option(st.shards.get(id)).getOrElse(
+        throw new IllegalArgumentException(s"unknown shard '$id'"))
+      val a = get(shardA)
+      val b = get(shardB)
+      require(a.open && b.open,
+        s"cannot merge closed shard(s): '$shardA' open=${a.open}, " +
+          s"'$shardB' open=${b.open}")
+      val (lo, hi) =
+        if (a.endHash == b.startHash) (a, b)
+        else if (b.endHash == a.startHash) (b, a)
+        else throw new IllegalArgumentException(
+          s"shards '$shardA' and '$shardB' are not adjacent")
+      a.open = false
+      b.open = false
+      val c = new ShardState(shardName(st.nextShardIndex),
+        lo.startHash, hi.endHash, Seq(lo.shardId, hi.shardId))
+      st.nextShardIndex += 1
+      st.shards.put(c.shardId, c)
+      st.everResharded = true
+      c.shardId
+    }
+  }
 
   // ----- read side (KinesisGetRecords) -------------------------------
-  //
-  // Shards are VIRTUAL: storage stays the single per-stream append log
-  // (so write-side ordering assertions are unaffected), and shard k of N
-  // is the subsequence whose partition-key MD5 falls in bucket k — the
-  // same hash-key routing real Kinesis applies to partition keys.
-  // Sequence numbers are PER-SHARD ordinals (0, 1, 2, … within the
-  // shard), dense like real Kinesis's per-shard sequence space — which
-  // the source's admission control relies on: capping each shard's
-  // advance at maxPerTrigger/shards admits ~maxPerTrigger records, not
-  // maxPerTrigger/shards (the bug a global index space caused).
 
-  private def shardName(i: Int): String = f"shardId-$i%012d"
+  /** CONTROL plane: like real Kinesis ListShards, reports the LIVE open
+    * layout. For a stream that has never been split/merged the view is
+    * derived from the live `numShards` value — after a flip it diverges
+    * from the frozen data plane, which is exactly how the source sees a
+    * lineage-less layout change. The DATA plane (routing, iterators,
+    * [[latestSequence]]) is never re-hashed, so the divergence is
+    * visible but can never silently remap checkpointed offsets onto
+    * different records.
+    */
+  override def listShards(stream: String): Seq[String] = {
+    val st = state(stream) // first control-plane touch freezes the data plane
+    st.synchronized {
+      if (st.everResharded)
+        st.shards.values.asScala.filter(_.open).map(_.shardId).toSeq
+      else (0 until numShards.get()).map(shardName)
+    }
+  }
 
-  private def shardIndexOf(pk: String, n: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(pk.getBytes("UTF-8"))
-    new java.math.BigInteger(1, md).mod(java.math.BigInteger.valueOf(n))
-      .intValueExact()
+  /** Full inventory with lineage (open AND closed shards). On an
+    * un-resharded stream whose `numShards` was flipped up, the extra
+    * control-plane shards appear as OPEN shards with NO lineage — the
+    * unfollowable shape (real splits always carry parent ids) the
+    * source's follow logic rejects loudly.
+    */
+  override def describeShards(stream: String): Seq[ShardDesc] = {
+    val st = state(stream)
+    st.synchronized {
+      val real = st.shards.values.asScala.toSeq
+        .map(s => ShardDesc(s.shardId, s.parentIds, s.open))
+      val phantoms =
+        if (!st.everResharded && numShards.get() > st.initialCount)
+          (st.initialCount until numShards.get())
+            .map(i => ShardDesc(shardName(i), Nil, open = true))
+        else Seq.empty
+      real ++ phantoms
+    }
   }
 
   private def shardLog(stream: String, shardId: String): Seq[KinesisRecord] = {
-    val shardIdx = shardId.stripPrefix("shardId-").toInt
-    val n = shardCount(stream)
-    stored(stream).filter(r => shardIndexOf(r.partitionKey, n) == shardIdx)
-  }
-
-  /** CONTROL plane: like real Kinesis ListShards, reports the LIVE
-    * layout — after a `numShards` flip a touched stream's list diverges
-    * from its frozen data plane, which is exactly how the source's
-    * resharding detection sees a real split/merge. The DATA plane
-    * (routing, iterators, [[latestSequence]]) stays frozen at first
-    * touch: history is never re-hashed, so the divergence is visible
-    * but can never silently remap checkpointed offsets onto different
-    * records.
-    */
-  override def listShards(stream: String): Seq[String] = {
-    shardCount(stream) // first control-plane touch freezes the data plane
-    (0 until numShards.get()).map(shardName)
+    val st = state(stream)
+    st.synchronized {
+      Option(st.shards.get(shardId)).map(_.log.toSeq).getOrElse(Seq.empty)
+    }
   }
 
   override def getShardIterator(stream: String, shardId: String,

@@ -19,11 +19,16 @@ import org.json4s.jackson.Serialization
   * Scale model: one input partition per shard per micro-batch, so read
   * parallelism is the stream's shard count — on a real cluster each
   * executor core drains its own shard, exactly how Kinesis consumers
-  * scale. Offsets are per-shard next-sequence-numbers, checkpointed by
-  * Spark; recovery replays the batch from the same `(start, end)` bounds,
-  * so a restarted query never re-delivers records from committed epochs
-  * (the source-side twin of the sink's `TestRestart`,
-  * /root/reference/integration_test.go:175-198).
+  * scale. Offsets are per-shard next-sequence-numbers plus the retired
+  * (drained-to-close) shard set, checkpointed by Spark; recovery replays
+  * the batch from the same `(start, end)` bounds, so a restarted query
+  * never re-delivers records from committed epochs (the source-side twin
+  * of the sink's `TestRestart`,
+  * /root/reference/integration_test.go:175-198). Resharding is FOLLOWED:
+  * closed parents drain to their final sequence, then children are
+  * admitted at TRIM_HORIZON (see `reconcileLayout`), preserving per-key
+  * order across the transition; only a lineage-less layout change fails
+  * the query.
   *
   * Options (same Viper-derived surface as the sink,
   * [[KinesisSinkOptions]]): `stream` (required here), `aws_region_name`
@@ -47,36 +52,60 @@ private[sink] object KinesisGraftSource {
       "kinesis-graft source requires the 'stream' option"))
 }
 
-/** Thrown when the stream's live shard layout no longer matches the
-  * layout the query's checkpointed offsets were committed under — see
-  * `KinesisGraftMicroBatchStream.assertLayoutUnchanged`.
+/** Thrown when the stream's shard layout changed in a way the source
+  * cannot FOLLOW safely: a new shard appeared without lineage (so its
+  * records cannot be ordered against committed data — real splits and
+  * merges always carry parent ids), or a shard vanished while its
+  * checkpointed cursor had not reached its end (retention expired under
+  * the query: data loss). Genuine splits/merges do NOT raise this — see
+  * `KinesisGraftMicroBatchStream.latestOffset`, which drains closed
+  * parents to their final sequence and then admits their children.
   */
 final class KinesisReshardingException(msg: String)
     extends IllegalStateException(msg)
 
-/** Per-shard next-sequence positions, JSON-serialized into the
-  * checkpoint's offset log.
+/** Source progress, JSON-serialized into the checkpoint's offset log:
   *
-  * `json()` MUST be canonical (keys sorted): the streaming engine
-  * detects "new data" by comparing offset JSON strings, so two maps
-  * with equal entries but different insertion order would read as
-  * different offsets — the rotating admission allocation built exactly
-  * that, and every trigger then committed an empty "new" batch forever
-  * (observed: 8,270 consecutive identical-offset commits before the
-  * canonicalization).
+  *  - `shardOffsets` — next-sequence cursor per ACTIVE shard (open, or
+  *    closed-but-still-draining);
+  *  - `done` — shards drained to their close (end-of-shard) and retired;
+  *    kept in the offset so a restart never re-admits a finished parent,
+  *    and so child admission ("all parents done?") survives recovery
+  *    mid-reshard.
+  *
+  * `json()` MUST be canonical (fixed field order, keys sorted): the
+  * streaming engine detects "new data" by comparing offset JSON strings,
+  * so two equal offsets serialized in different orders would read as
+  * different — the rotating admission allocation built exactly that, and
+  * every trigger then committed an empty "new" batch forever (observed:
+  * 8,270 consecutive identical-offset commits before canonicalization).
+  *
+  * `fromJson` also accepts the v1 format (a flat shard→seq map) so a
+  * checkpoint written before resharding-follow restores cleanly (as all
+  * shards active, none done — exactly what v1 could express).
   */
 private[sink] final case class KinesisSourceOffset(
-    shardOffsets: Map[String, Long]) extends Offset {
+    shardOffsets: Map[String, Long],
+    done: Set[String] = Set.empty) extends Offset {
   private implicit val fmts: Formats = DefaultFormats
   override def json(): String =
-    Serialization.write(
-      scala.collection.immutable.SortedMap(shardOffsets.toSeq: _*))
+    Serialization.write(scala.collection.immutable.ListMap(
+      "done" -> done.toSeq.sorted,
+      "pos" -> scala.collection.immutable.SortedMap(shardOffsets.toSeq: _*)))
 }
 
 private[sink] object KinesisSourceOffset {
   private implicit val fmts: Formats = DefaultFormats
-  def fromJson(json: String): KinesisSourceOffset =
-    KinesisSourceOffset(Serialization.read[Map[String, Long]](json))
+  def fromJson(json: String): KinesisSourceOffset = {
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    (parsed \ "pos") match {
+      case o: org.json4s.JObject =>
+        KinesisSourceOffset(o.extract[Map[String, Long]],
+          (parsed \ "done").extract[Seq[String]].toSet)
+      case _ => // v1: flat map
+        KinesisSourceOffset(Serialization.read[Map[String, Long]](json))
+    }
+  }
 }
 
 private[sink] final class KinesisGraftScanBuilder(
@@ -121,45 +150,92 @@ private[sink] final class KinesisGraftMicroBatchStream(
   @transient private lazy val client = KinesisSinkOptions.resolveReadClient(opts)
 
   override def initialOffset(): Offset = {
-    val positions = client.listShards(stream).map { s =>
-      s -> (if (startingPosition == "LATEST") client.latestSequence(stream, s)
-            else 0L)
-    }.toMap
-    KinesisSourceOffset(positions)
+    val desc = client.describeShards(stream)
+    val present = desc.map(_.shardId).toSet
+    if (startingPosition == "LATEST")
+      // skip all history: open shards start at their current end; closed
+      // shards have nothing new to say — born retired
+      KinesisSourceOffset(
+        desc.filter(_.open)
+          .map(d => d.shardId -> client.latestSequence(stream, d.shardId))
+          .toMap,
+        desc.filterNot(_.open).map(_.shardId).toSet)
+    else
+      // TRIM_HORIZON: start at the lineage ROOTS (shards with no parent
+      // still in the layout); descendants are admitted by the follow
+      // logic in latestOffset as their parents drain to close — the
+      // Kinesis ordering guarantee (parent records precede child
+      // records for every partition key) made structural
+      KinesisSourceOffset(
+        desc.filter(_.parentIds.forall(p => !present.contains(p)))
+          .map(_.shardId -> 0L).toMap)
   }
 
   override def latestOffset(): Offset =
-    KinesisSourceOffset(client.listShards(stream)
-      .map(s => s -> client.latestSequence(stream, s)).toMap)
+    KinesisSourceOffset(client.describeShards(stream)
+      .map(d => d.shardId -> client.latestSequence(stream, d.shardId)).toMap)
 
-  /** Resharding detection: this source pins the shard layout for the
-    * life of the query — per-shard offsets in the checkpoint are only
-    * meaningful against the layout they were taken from. The reference
-    * never lists shards at all (its per-stream producer takes the
-    * layout as fixed, `batchproducer/batchproducer.go` has no
-    * ListShards call), so silent wrongness was its failure mode; here a
-    * split/merge is DETECTED on the next trigger and fails the query
-    * loudly instead of delivering against a remapped layout. Operators
-    * restart the query with a fresh checkpoint to adopt the new layout
-    * (at-least-once hand-off, same as the reference's restart
-    * semantics, `sink.go:128-140`).
+  /** Resharding FOLLOW: reconcile the checkpointed cursor set against
+    * the live layout. Real splits/merges carry lineage, and the
+    * consumer's contract (the KCL's) is: drain each closed parent to
+    * its close — its final sequence — THEN admit its children at
+    * TRIM_HORIZON. Because a child's first record was written after its
+    * parent's last, and we never plan a child slice until every parent
+    * is retired, per-key order is preserved across the transition and
+    * nothing is lost or re-read. The layout version travels in the
+    * offset itself (active cursors + retired set), so recovery
+    * mid-reshard resumes the drain exactly. (The reference never lists
+    * shards at all — its producer takes the layout as fixed,
+    * `batchproducer/batchproducer.go` has no ListShards call — and its
+    * consumer is a static-layout integration test,
+    * /root/reference/integration_test.go:112-143.)
+    *
+    * Two layout changes remain UNfollowable and fail the query loudly
+    * (restart with a fresh checkpoint to adopt the new layout):
+    * a new shard with no lineage (its records cannot be ordered against
+    * committed data), and a shard vanishing while undrained (retention
+    * expired under the query — data loss).
     */
-  private def assertLayoutUnchanged(committed: Set[String]): Unit = {
-    val live = client.listShards(stream).toSet
-    if (live != committed) {
-      val added = (live -- committed).toSeq.sorted
-      val removed = (committed -- live).toSeq.sorted
+  private def reconcileLayout(
+      s: KinesisSourceOffset): (Map[String, Long], Set[String]) = {
+    val desc = client.describeShards(stream)
+    val byId = desc.map(d => d.shardId -> d).toMap
+
+    val vanished = s.shardOffsets.keySet.filterNot(byId.contains)
+    if (vanished.nonEmpty)
       throw new KinesisReshardingException(
-        s"stream '$stream' was resharded under a running query: " +
-          s"checkpointed layout has ${committed.size} shard(s), live " +
-          s"layout has ${live.size}" +
-          (if (added.nonEmpty) s"; new: ${added.mkString(",")}" else "") +
-          (if (removed.nonEmpty) s"; gone: ${removed.mkString(",")}"
-           else "") +
-          ". Per-shard offsets are only valid against the layout they " +
-          "were committed under; restart the query with a fresh " +
-          "checkpoint to adopt the new layout.")
+        s"stream '$stream': shard(s) ${vanished.toSeq.sorted.mkString(",")} " +
+          "vanished from the layout while undrained — retention expired " +
+          "under the query (data loss). Restart with a fresh checkpoint.")
+
+    // retire closed shards whose cursor reached their final length
+    var done = s.done
+    var pos = s.shardOffsets
+    s.shardOffsets.foreach { case (sh, p) =>
+      if (!byId(sh).open && p >= client.latestSequence(stream, sh)) {
+        done += sh
+        pos -= sh
+      }
     }
+
+    // admit never-seen shards whose parents are all retired (a parent
+    // absent from the layout counts as retired: it expired before we
+    // first looked). A shard whose parents are still draining — or
+    // themselves not yet admitted, for a split-of-a-split — waits for a
+    // later trigger.
+    desc.foreach { d =>
+      if (!pos.contains(d.shardId) && !done.contains(d.shardId)) {
+        if (d.parentIds.isEmpty)
+          throw new KinesisReshardingException(
+            s"stream '$stream' was resharded without lineage: new shard " +
+              s"'${d.shardId}' has no parent, so its records cannot be " +
+              "ordered against committed data. Restart the query with a " +
+              "fresh checkpoint to adopt the new layout.")
+        if (d.parentIds.forall(p => done.contains(p) || !byId.contains(p)))
+          pos += d.shardId -> 0L
+      }
+    }
+    (pos, done)
   }
 
   /** Trigger counter driving the rotating allocation priority below.
@@ -201,14 +277,17 @@ private[sink] final class KinesisGraftMicroBatchStream(
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    assertLayoutUnchanged(
-      start.asInstanceOf[KinesisSourceOffset].shardOffsets.keySet)
-    val unlimited = latestOffset().asInstanceOf[KinesisSourceOffset]
-    if (maxPerTrigger <= 0) unlimited
+    val (from, done) = reconcileLayout(start.asInstanceOf[KinesisSourceOffset])
+    // drain target per active cursor: an open shard's current end, a
+    // closed shard's final length (max with the cursor so a raced
+    // control-plane read can never move a cursor backwards)
+    val targets = from.map { case (sh, p) =>
+      sh -> math.max(p, client.latestSequence(stream, sh))
+    }
+    if (maxPerTrigger <= 0) KinesisSourceOffset(targets, done)
     else {
-      val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets
-      val lags = unlimited.shardOffsets.toSeq.map { case (shard, end) =>
-        val s0 = from.getOrElse(shard, 0L)
+      val lags = targets.toSeq.map { case (shard, end) =>
+        val s0 = from(shard)
         (shard, s0, math.max(0L, end - s0))
       }.sortBy(_._1)
       val rot = if (lags.isEmpty) 0 else (trigger % lags.size).toInt
@@ -234,7 +313,7 @@ private[sink] final class KinesisGraftMicroBatchStream(
       // lands mid-span when non-lagging shards sit between served ones).
       // This is what makes the ⌈L/C⌉ bound above hold for any cap.
       trigger += math.max(1, lastServed + 1)
-      KinesisSourceOffset(next)
+      KinesisSourceOffset(next, done)
     }
   }
 
@@ -275,7 +354,9 @@ private[sink] final class KinesisGraftBatch(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val client = KinesisSinkOptions.resolveReadClient(opts)
-    client.listShards(stream).sorted.flatMap { shard =>
+    // describeShards, not listShards: a resharded stream keeps its
+    // history in CLOSED parents, which a full batch read must include
+    client.describeShards(stream).map(_.shardId).sorted.flatMap { shard =>
       val end = client.latestSequence(stream, shard)
       if (end > 0L)
         Some(KinesisInputPartition(opts, stream, shard, 0L, end,

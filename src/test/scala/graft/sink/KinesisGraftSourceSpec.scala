@@ -24,7 +24,8 @@ class KinesisGraftSourceSpec extends SparkTestBase {
         g.map(m => KinesisRecord(s"pk-$m", m.getBytes("UTF-8"))))
     }
 
-  /** FakeKinesis's partition-key routing (md5 mod n), in one place: the
+  /** FakeKinesis's partition-key routing (contiguous md5 hash ranges —
+    * shard i of n owns [i·2¹²⁸/n, (i+1)·2¹²⁸/n)), in one place: the
     * liveness tests search for keys landing on specific shards, and four
     * drifting copies of the routing would keep "finding" keys for a
     * routing FakeKinesis no longer uses.
@@ -32,8 +33,8 @@ class KinesisGraftSourceSpec extends SparkTestBase {
   private def shardOf(pk: String, n: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(pk.getBytes("UTF-8"))
-    new java.math.BigInteger(1, md)
-      .mod(java.math.BigInteger.valueOf(n)).intValueExact()
+    val h = BigInt(new java.math.BigInteger(1, md))
+    math.min(n - 1, (h / ((BigInt(1) << 128) / n)).toInt)
   }
 
   /** First key with the given prefix that routes to shard `sh` of `n`. */

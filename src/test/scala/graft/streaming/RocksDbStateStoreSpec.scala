@@ -33,18 +33,27 @@ class RocksDbStateStoreSpec extends SparkTestBase {
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"user_id")
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream.outputMode("complete")
+    // append mode, so the watermark is actually load-bearing (evicts
+    // closed windows from RocksDB) — the production shape every gated
+    // query runs in; complete mode would ignore the watermark and grow
+    // state without bound
+    val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("rocksdb_probe").start()
     try {
-      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
-      source.addData((1L, t(0)), (1L, t(1)), (2L, t(2)))
+      def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+      source.addData((1L, t("00:00")), (1L, t("00:01")), (2L, t("00:02")))
       q.processAllAvailable()
       val metrics = q.lastProgress.stateOperators.toSeq
         .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
       assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
         s"no rocksdb custom metrics in state operator progress: $metrics")
+      // advance the watermark past the hour-0 window's end so append
+      // mode emits (and evicts) its two finalized groups
+      source.addData((3L, t("02:00")))
+      q.processAllAvailable()
     } finally { q.stop(); q.awaitTermination(30000) }
-    // two (window, user) groups: user 1 twice, user 2 once
+    // two finalized (window, user) groups: user 1 twice, user 2 once;
+    // user 3's hour-2 window is still open and correctly NOT emitted
     assert(spark.table("rocksdb_probe").count() == 2)
   }
 }

@@ -105,4 +105,54 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** The pack WRITE the p12 manifest describes: materialize p13's
+    * (document × chunk) slice frame as range-partitioned parquet shards
+    * keyed by (source, shard, chunk, chunk_off) — the sorted-shard
+    * export discipline (SortedExportSpec), so files are key-disjoint
+    * and internally ordered, and a training-data loader reconstructs
+    * any chunk's token stream by reading one file region in order. The
+    * write is DETERMINISTIC (the slice frame is a pure function of the
+    * corpus — windowed cumsum over a total per-(source, shard) order),
+    * so re-running is a no-op in content terms: same slices, same
+    * order, reconciliation unchanged — the resumability contract a
+    * 100 TB packing job restarts on. PackWriteSpec proves all of it
+    * from the written files.
+    */
+  def packWrite(spark: SparkSession, dir: String, outDir: String,
+      shards: Int): Unit =
+    Pipeline.queries("p13_pack_slices")(spark, dir)
+      .repartitionByRange(shards, col("source"), col("shard"),
+        col("chunk"), col("chunk_off"))
+      .sortWithinPartitions(col("source"), col("shard"), col("chunk"),
+        col("chunk_off"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Reconcile a written pack directory against the manifest: per
+    * (source, shard, chunk), compare the written files' slice count,
+    * token sum, and an order-insensitive content fingerprint (md5 over
+    * the sorted per-slice digests) against what the manifest arithmetic
+    * says must be there. Returns the mismatch frame — EMPTY means the
+    * written pack is exactly the manifest's pack; any row names the
+    * chunk and both sides' numbers. Runs as two aggregations and one
+    * full outer join on the chunk key: corpus-scale cheap, no driver
+    * collection — the post-write audit a pack job ships with.
+    */
+  def packReconcile(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    def perChunk(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("source"), col("shard"), col("chunk"))
+        .agg(count(lit(1)).as(s"${pfx}_slices"),
+          sum(col("n_slice_toks")).as(s"${pfx}_toks"),
+          md5(concat_ws(",", sort_array(collect_list(concat_ws(":",
+            col("doc_id"), col("chunk_off"), col("slice_md5"))))))
+            .as(s"${pfx}_fp"))
+    val expected = perChunk(
+      Pipeline.queries("p13_pack_slices")(spark, dir), "e")
+    val written = perChunk(spark.read.parquet(outDir), "w")
+    expected.join(written, Seq("source", "shard", "chunk"), "full_outer")
+      .filter(col("e_slices").isNull || col("w_slices").isNull ||
+        col("e_slices") =!= col("w_slices") ||
+        col("e_toks") =!= col("w_toks") || col("e_fp") =!= col("w_fp"))
+  }
 }

@@ -476,6 +476,13 @@ object Pipeline {
       // per-(source, shard) order), all-integer so the gate is exact.
       // Zero-token docs (null text) are excluded — they occupy no
       // chunk space and have no well-defined offset.
+      // NOTE: chunk ids are scoped to their (source, shard) cumsum
+      // partition — the manifest KEY is (source, shard, chunk), and a
+      // consumer joining on chunk alone would collide across shards.
+      // That scoping is deliberate: it is what keeps the manifest
+      // deterministic under any partitioning AND lets shards pack in
+      // parallel with no cross-shard coordination; a globally unique id
+      // is one concat away for consumers that need it.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source", $"shard").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -493,6 +500,53 @@ object Pipeline {
           expr(s"(cum - n_toks) % $PackLen").as("offset_in_chunk"))
         .withColumn("spans_boundary", $"chunk_first" =!= $"chunk_last")
         .orderBy($"doc_id")
+    },
+
+    "p13_pack_slices" -> { (s, dir) =>
+      import s.implicits._
+      // The physical packing p12 describes: ONE ROW PER (document ×
+      // chunk) SLICE — the unit a pack writer materializes. A doc
+      // spanning chunks [chunk_first..chunk_last] contributes one slice
+      // per chunk; slice boundaries follow from the manifest arithmetic
+      // alone (global token start g0 = chunk_first·PackLen +
+      // offset_in_chunk), and each slice carries the md5 of its actual
+      // token text, so a written pack can be reconciled against the
+      // manifest byte-for-byte (Layout.packReconcile). Within a chunk,
+      // slices tile [0, PackLen) contiguously: (source, shard, chunk,
+      // chunk_off) is a unique key and every chunk except a shard's
+      // last sums to exactly PackLen tokens — PackWriteSpec proves both
+      // from written files. Scale shape: the explode fans each doc out
+      // to its 1 + spans count slices (bounded by n_toks/PackLen), all
+      // arithmetic is per-row after the one windowed cumsum p12 already
+      // pays, and the slice md5 reads each doc's text once in task.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select($"doc_id", $"source",
+          expr(s"doc_id div $ShardDocs").as("shard"), $"text",
+          when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .filter($"n_toks" > 0)
+        .withColumn("g0", $"cum" - $"n_toks")
+        .select($"doc_id", $"source", $"shard", $"text", $"n_toks", $"g0",
+          explode(expr(
+            s"sequence(g0 div $PackLen, (cum - 1) div $PackLen)"))
+            .as("chunk"))
+        .withColumn("lo",
+          greatest(lit(0L), expr(s"chunk * $PackLen") - $"g0"))
+        .withColumn("hi",
+          least($"n_toks", expr(s"(chunk + 1) * $PackLen") - $"g0"))
+        .withColumn("chunk_off",
+          greatest(lit(0L), $"g0" - expr(s"chunk * $PackLen")))
+        .withColumn("slice_md5", md5(array_join(expr(
+          "slice(split(text, ' '), cast(lo + 1 as int), " +
+            "cast(hi - lo as int))"), " ")))
+        .select($"source", $"shard", $"chunk", $"chunk_off", $"doc_id",
+          ($"hi" - $"lo").as("n_slice_toks"), $"slice_md5")
+        .orderBy($"source", $"shard", $"chunk", $"chunk_off")
     },
 
     "p03_corpus_profile" -> { (s, dir) =>
@@ -764,6 +818,37 @@ object Pipeline {
          |  (cum - n_toks) // $PackLen <> (cum - 1) // $PackLen
          |    AS spans_boundary
          |FROM c WHERE n_toks > 0 ORDER BY doc_id""".stripMargin,
+
+    "p13_pack_slices" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard, text,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, shard, text, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, source, shard, text, n_toks,
+         |    CAST(cum - n_toks AS BIGINT) AS g0,
+         |    unnest(generate_series(
+         |      CAST((cum - n_toks) // $PackLen AS BIGINT),
+         |      CAST((cum - 1) // $PackLen AS BIGINT))) AS chunk
+         |  FROM c WHERE n_toks > 0),
+         |x AS (
+         |  SELECT source, shard, chunk,
+         |    greatest(0, g0 - chunk * $PackLen) AS chunk_off, doc_id,
+         |    greatest(0, chunk * $PackLen - g0) AS lo,
+         |    least(n_toks, (chunk + 1) * $PackLen - g0) AS hi, text
+         |  FROM m)
+         |SELECT source, shard, CAST(chunk AS BIGINT) AS chunk,
+         |  CAST(chunk_off AS BIGINT) AS chunk_off, doc_id,
+         |  CAST(hi - lo AS BIGINT) AS n_slice_toks,
+         |  md5(array_to_string(list_slice(string_split(text, ' '),
+         |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
+         |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin,
 
     "p07_source_mixture" ->
       s"""WITH d AS (

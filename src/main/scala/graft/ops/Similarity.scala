@@ -275,6 +275,37 @@ object Similarity {
       .select($"q_id", $"n_id", $"adc", $"rnk")
   }
 
+  /** Trained-IVF search (UNSORTED core, shared by s04/s15): probe the
+    * NProbe nearest s14-trained cells (rounded d2, ties to the lowest
+    * cell), search only their inverted lists, rank candidates by exact
+    * cosine. ONE definition so the recall s15 reports is measured on
+    * exactly the search path s04 ships. Returns (q_id, n_id, cos, rnk),
+    * rnk ≤ K.
+    */
+  private def trainedIvfTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val (_, cents) = kmTrain(s, e)
+    val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("d2", kmDist2($"qv", $"cv"))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter($"p_rnk" <= NProbe)
+      .select($"q_id", $"qv", $"cell")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    af.select($"vec_id".as("n_id"), $"cell")
+      .join(broadcast(probes), "cell")
+      .filter($"q_id" =!= $"n_id")
+      .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"q_id", $"n_id", $"cos", $"rnk")
+  }
+
   /** IVF-PQ composed search (UNSORTED core, shared by s19/s20): the
     * FAISS IVFPQ shape built from the two already-gated halves — probe
     * the s14-trained coarse cells (NProbe nearest by the same rounded
@@ -695,12 +726,25 @@ object Similarity {
 
     "s04_ivf_ann_topk" -> { (s, dir) =>
       import s.implicits._
-      // IVF-style: coarse cells = label clusters with mean-vector
-      // centroids (computed in one positional-explode pass); each query
-      // probes its NProbe nearest centroids and searches only those
-      // cells. Centroid table is tiny → broadcast everywhere.
+      // IVF search on the TRAINED quantizer (trainedIvfTopKCore): probe
+      // NProbe nearest s14-trained cells, search their inverted lists,
+      // rank by exact cosine — the path that works on an UNLABELED
+      // corpus, which is what a 100 TB deployment has. The label-cell
+      // formulation this replaced (cells = fixture label clusters)
+      // survives as the diagnostic s21; s15 measures THIS path's recall.
+      trainedIvfTopKCore(s, dir).orderBy($"q_id", $"rnk")
+    },
+
+    "s21_label_ivf_diag" -> { (s, dir) =>
+      import s.implicits._
+      // FIXTURE DIAGNOSTIC (not the shipped search path): IVF probe
+      // over label-derived cells — coarse cells = the fixture's label
+      // clusters with mean-vector centroids. Useful as an upper-bound
+      // reference when labels exist (how good could the coarse
+      // quantizer be if it matched the generator's clusters); the
+      // production search is s04 on s14's trained cells.
       val e = emb(s, dir)
-      val cents = ivfCentroids(s, e) // shared with s13's refine pass
+      val cents = ivfCentroids(s, e) // shared with s22's refine pass
       val q = e.filter($"vec_id" < NQueries)
         .select($"vec_id".as("q_id"), $"v".as("qv"))
       // nearest NProbe cells by (negative) dot with centroid
@@ -903,22 +947,50 @@ object Similarity {
 
     "s13_ivf_refine" -> { (s, dir) =>
       import s.implicits._
-      // IVF index MAINTENANCE — one Lloyd reassignment pass over s04's
-      // coarse index: every vector moves to its nearest current
-      // centroid (the same rounded-dot + label-tiebreak ranking s04
-      // probes with), and the op reports per-cell occupancy and churn
-      // — the numbers an index-rebuild job reads to decide whether the
-      // coarse quantizer still fits the data. Scale shape: the
-      // centroid table is k rows and broadcasts; the n·k candidate
-      // scores NEVER shuffle — the per-vector argmax is a
-      // groupBy(vec_id) max(struct) whose map-side partial reduces
-      // each vector's k candidates in task, so the exchange carries
-      // |vectors| best-rows, where a per-vector window would shuffle
-      // the full n·k stream. Parity: the argmax key is the rounded
-      // dot (6 dp, s04's probe convention); the NEGATED label inside
-      // the max struct makes the tie land on the LOWEST cell exactly
-      // like the oracle's `ORDER BY cdot DESC, c_label`; every
-      // reported number is an integer.
+      // Index MAINTENANCE on the TRAINED quantizer (the index s04 now
+      // searches): one FULL-CORPUS Lloyd refinement pass — recompute
+      // each trained cell's mean from its current members, reassign
+      // the corpus, and report per-cell occupancy and churn. These are
+      // the numbers an index-rebuild job reads to decide whether the
+      // sampled training still fits the full data (high churn = the
+      // sample under-represented the corpus; rebuild). The label-cell
+      // variant this replaced survives as the diagnostic s22. Scale
+      // shape unchanged: centroids stay k-row broadcasts; both
+      // assignments are the shuffle-free argmax (map-side partial_max,
+      // one best-row per vector on the exchange); the mean recompute
+      // is the one positional-explode agg; every reported number is an
+      // integer, and means round at 6 dp before the reassignment so
+      // engine summation order cannot leak into the argmin.
+      val e = emb(s, dir)
+      val (_, cents) = kmTrain(s, e)
+      val af0 = kmAssign(s, e.select($"vec_id", $"v"), cents)
+        .select($"vec_id", $"cell")
+      val cents1 = af0.join(e.select($"vec_id", $"v"), "vec_id")
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i").agg(round(avg($"x"), 6).as("cx"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("pairs"))
+        .select($"cell", expr("transform(pairs, p -> p.cx)").as("cv"))
+      val af1 = kmAssign(s, e.select($"vec_id", $"v"), cents1)
+        .select($"vec_id", $"cell")
+      af1.join(af0.select($"vec_id", $"cell".as("old_cell")), "vec_id")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          count(when($"old_cell" === $"cell", 1)).as("n_stayed"),
+          count(when($"old_cell" =!= $"cell", 1)).as("n_moved_in"))
+        .orderBy($"cell")
+    },
+
+    "s22_label_refine_diag" -> { (s, dir) =>
+      import s.implicits._
+      // FIXTURE DIAGNOSTIC (see s21): one Lloyd reassignment pass over
+      // the label-derived coarse index — occupancy and churn vs the
+      // generator's labels. The production refinement is s13 on the
+      // trained quantizer. Shapes as before: broadcast centroids, and
+      // the n·k candidate scores never shuffle (groupBy(vec_id)
+      // max(struct) partial-aggregates map-side; the NEGATED label in
+      // the struct makes ties land on the LOWEST cell exactly like the
+      // oracle's `ORDER BY cdot DESC, c_label`).
       val e = emb(s, dir)
       val cents = ivfCentroids(s, e)
       val best = e.select($"vec_id", $"label", $"v")
@@ -962,34 +1034,16 @@ object Similarity {
 
     "s15_trained_recall" -> { (s, dir) =>
       import s.implicits._
-      // Recall@K of the TRAINED IVF index (s14's quantizer, s04's
-      // probe discipline: NProbe nearest cells by the same rounded d2,
-      // ties to the lowest cell) against the exact baseline — the
-      // measurement that decides whether the trained quantizer is good
-      // enough to ship, run the same way at corpus scale. Candidates
-      // come from the full-corpus assignment (the inverted lists), so
-      // the searched fraction is |probed cells| / |corpus|; vectors
-      // rejoin after the cell cut (s03's payload lesson).
-      val e = emb(s, dir)
-      val (_, cents) = kmTrain(s, e)
-      val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
-      val q = e.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("q_id"), $"v".as("qv"))
-      val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
-      val probes = q.join(broadcast(cents), lit(true))
-        .withColumn("d2", kmDist2($"qv", $"cv"))
-        .withColumn("p_rnk", row_number().over(wProbe))
-        .filter($"p_rnk" <= NProbe)
-        .select($"q_id", $"qv", $"cell")
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      val approx = af.select($"vec_id".as("n_id"), $"cell")
-        .join(broadcast(probes), "cell")
-        .filter($"q_id" =!= $"n_id")
-        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
-        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= K)
-        .select($"q_id", $"n_id")
+      // Recall@K of the trained-IVF search against the exact baseline
+      // — the measurement that decides whether the trained quantizer
+      // is good enough to ship, run the same way at corpus scale. The
+      // approx side IS s04's search path (trainedIvfTopKCore, one
+      // definition), so this recall gates the shipped index, not a
+      // lookalike. Candidates come from the full-corpus assignment
+      // (the inverted lists), so the searched fraction is
+      // |probed cells| / |corpus|; vectors rejoin after the cell cut
+      // (s03's payload lesson).
+      val approx = trainedIvfTopKCore(s, dir).select($"q_id", $"n_id")
       exactTopKCore(s, dir).select($"q_id", $"n_id")
         .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
         .groupBy($"q_id")
@@ -1145,6 +1199,35 @@ object Similarity {
     },
 
     "s04_ivf_ann_topk" ->
+      s"""WITH $kmSqlCtes,
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |ascored AS (
+         |  SELECT c.q_id, c.n_id,
+         |    round(list_dot_product(q.qv, en.v) / (q.qn * en.nrm), 4) AS cos
+         |  FROM cand c JOIN q ON c.q_id = q.q_id
+         |  JOIN en ON c.n_id = en.vec_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM ascored) WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "s21_label_ivf_diag" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |         sqrt(list_dot_product(embedding::DOUBLE[],
@@ -1180,6 +1263,31 @@ object Similarity {
          |ORDER BY q_id, rnk""".stripMargin,
 
     "s13_ivf_refine" ->
+      s"""WITH $kmSqlCtes,
+         |mf AS (
+         |  SELECT a.cell, r.i, round(avg(s.v[r.i]), 6) AS cx
+         |  FROM af a JOIN e s USING (vec_id)
+         |  CROSS JOIN range(1, ${Dim + 1}) r(i)
+         |  GROUP BY a.cell, r.i),
+         |cf1 AS (SELECT cell, list(cx ORDER BY i) AS cv FROM mf
+         |        GROUP BY cell),
+         |af1 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, d2, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, c.cell,
+         |            round(list_dot_product(p.v, p.v)
+         |              - 2 * list_dot_product(p.v, c.cv)
+         |              + list_dot_product(c.cv, c.cv), 6) AS d2
+         |          FROM e p CROSS JOIN cf1 c))
+         |  WHERE rnk = 1)
+         |SELECT a1.cell, count(*) AS n_members,
+         |  count(CASE WHEN a0.cell = a1.cell THEN 1 END) AS n_stayed,
+         |  count(CASE WHEN a0.cell <> a1.cell THEN 1 END) AS n_moved_in
+         |FROM af1 a1 JOIN af a0 USING (vec_id)
+         |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin,
+
+    "s22_label_refine_diag" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v
          |  FROM embeddings),

@@ -385,6 +385,45 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("s17: the per-candidate ADC sum partial-aggregates in task, " +
+      "below its (q_id, vec_id) exchange") {
+    // The scale claim at Similarity.pqAdcTopKCore: codes of one vector
+    // are co-located by the assignment join, so the cross-subspace ADC
+    // sum reduces map-side and the exchange carries one skinny row per
+    // (query, candidate), never the candidate×PqM code stream. In the
+    // tree print the parent exchange sits ABOVE its partial child, so
+    // the pin is: a partial_sum exists, and the (q_id, vec_id) exchange
+    // appears above it.
+    val p = plan("s17_pq_adc_topk")
+    val ls = p.linesIterator.toSeq
+    val partialAt = ls.indexWhere(_.contains("partial_sum"))
+    assert(partialAt >= 0,
+      s"ADC sum must plan a map-side partial:\n${p.take(2000)}")
+    assert(ls.take(partialAt).exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("q_id") &&
+          l.contains("vec_id")),
+      "the (q_id, vec_id) exchange must be the partial agg's parent:\n" +
+        ls.slice(math.max(0, partialAt - 6), partialAt + 1).mkString("\n"))
+    // the per-(vector, subspace) code argmax reduces map-side too
+    // (prints as SortAggregate — struct buffers are sort-aggregated)
+    assert(p.contains("partial_max"),
+      s"code assignment argmax must be map-side partial:\n${p.take(2000)}")
+  }
+
+  test("s19: IVF-PQ composes the pinned shapes — map-side argmax for " +
+      "both assignments, in-task ADC partial sum, bounded-heap top-k") {
+    val p = plan("s19_ivfpq_topk")
+    assert(p.contains("partial_max"),
+      s"cell/code assignments must argmax map-side:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"),
+      s"ADC sum must plan a map-side partial:\n${p.take(2000)}")
+    assert(p.contains("TopKPerKey"),
+      s"final cut must be the bounded-heap node:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"probe/candidate joins must stay equi- or broadcast-joins:\n" +
+        p.take(2000))
+  }
+
   test("d22: no corpus-stream shuffle below the broadcast eval-set " +
       "join (the first shuffle carries only matched positions)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

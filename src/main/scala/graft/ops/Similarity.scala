@@ -374,11 +374,14 @@ object Similarity {
     * Internal iteration CTEs are "p"-prefixed so the chain COMPOSES
     * with kmSqlCtes in one WITH clause (s19/s20's IVF-PQ oracle);
     * `withBase = false` omits the shared `e`/`samp` base CTEs that
-    * kmSqlCtes already defines identically.
+    * kmSqlCtes already defines identically; `src` retargets the vector
+    * frame the codebooks train on and the corpus encodes from (s23/s24
+    * train on RESIDUALS — a CTE named `er` with the same (vec_id, v)
+    * shape).
     */
   private def pqSqlCtes: String = pqSqlCtes(withBase = true)
 
-  private def pqSqlCtes(withBase: Boolean): String = {
+  private def pqSqlCtes(withBase: Boolean, src: String = "e"): String = {
     def d2Sql(v: String, cv: String) =
       s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
         s" + list_dot_product($cv, $cv), 6)"
@@ -412,7 +415,7 @@ object Similarity {
     s"""${if (withBase) base else ""}sv AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS sub,
        |    list_slice(v, r.m*$PqD+1, r.m*$PqD+$PqD) AS sv
-       |  FROM e CROSS JOIN range(0, $PqM) r(m)),
+       |  FROM $src CROSS JOIN range(0, $PqM) r(m)),
        |ssv AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
        |seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT $PqK),
        |pc0 AS (
@@ -422,6 +425,74 @@ object Similarity {
        |cfp AS (SELECT sub, cell, cv FROM pc$KmIters),
        |enc AS (
        |  ${assignSql("sv", "cfp")})""".stripMargin
+  }
+
+  /** Residual-encoded IVF-PQ (UNSORTED core, shared by s23/s24): the
+    * FAISS DEFAULT (`by_residual=true`). Codes quantize r = v − c(v)
+    * (the vector minus its coarse centroid) instead of v itself:
+    * residuals concentrate near the origin, so the same PqM×PqK
+    * codebook budget spends its codewords on a tighter distribution —
+    * the accuracy-per-byte reason FAISS defaults to it. The cost is
+    * that a code's meaning depends on its cell, so the per-query ADC
+    * table becomes per-(query, PROBED CELL): NQueries×NProbe×PqM×PqK
+    * rounded-DECIMAL entries — still a broadcast at any corpus size.
+    *
+    * Determinism: the residual is one IEEE subtraction per component
+    * (zip_with here, list_zip in DuckDB) on bit-identical inputs
+    * (parquet vectors; 6 dp-rounded centroid means), so both engines
+    * train, encode, and rank on bit-identical residuals; everything
+    * downstream reuses the s14/s16 rounding discipline and the sum
+    * stays DECIMAL — the ranking hash-gates at all three SFs.
+    *
+    * Scale shape is s19's: candidates cut to the probed inverted lists
+    * BEFORE any per-code work, narrow-int code join, in-task partial
+    * ADC sum, bounded-heap top-k.
+    */
+  private def ivfpqResidualTopKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val (_, cents) = kmTrain(s, e)
+    val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+      .select($"vec_id", $"cell")
+    // residual frame: same (vec_id, v) shape, so the PQ machinery (and
+    // its oracle twin via pqSqlCtes(src = "er")) retargets unchanged
+    val er = e.select($"vec_id", $"v").join(af, "vec_id")
+      .join(broadcast(cents), "cell")
+      .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val (_, cb) = pqTrain(s, er)
+    val enc = pqAssign(s, pqSubs(s, er), cb)
+      .select($"vec_id", $"sub", $"cell".as("code"))
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("d2", kmDist2($"qv", $"cv"))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter($"p_rnk" <= NProbe)
+      .select($"q_id", $"qv", $"cell")
+    val cand = af.join(broadcast(probes.select($"q_id", $"cell")), "cell")
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"), $"cell")
+    // query residual PER PROBED CELL, subvector-expanded
+    val qrs = probes.join(broadcast(cents), "cell")
+      .select($"q_id", $"cell",
+        expr("zip_with(qv, cv, (x, c) -> x - c)").as("rv"))
+      .select($"q_id", $"cell", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("sub"), slice($"rv", m * PqD + 1, PqD).as("qsv"))
+      ): _*)).as("x"))
+      .select($"q_id", $"cell", $"x.sub".as("sub"), $"x.qsv".as("qsv"))
+    val qtab = qrs.join(broadcast(cb.withColumnRenamed("cell", "code")), "sub")
+      .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
+      .select($"q_id", $"cell", $"sub", $"code", $"qd2")
+    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
+      .join(broadcast(qtab), Seq("q_id", "cell", "sub", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qd2").as("adc"))
+    val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
+      struct($"adc", $"n_id"), K)
+    val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"adc", $"rnk")
   }
 
   /** Deterministic pseudo-random hyperplane j: component i =
@@ -1122,6 +1193,34 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s23_ivfpq_residual_topk" -> { (s, dir) =>
+      import s.implicits._
+      // Residual-encoded IVF-PQ — FAISS's by_residual=true DEFAULT
+      // (see ivfpqResidualTopKCore): codes quantize v − centroid, the
+      // accuracy-per-byte winner; ADC tables become per-(query, probed
+      // cell) but stay broadcast-sized. Beside s19 (raw codes), the
+      // pair lets a deployment A/B the two encodings with s24 vs s20.
+      ivfpqResidualTopKCore(s, dir)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s24_ivfpq_residual_recall" -> { (s, dir) =>
+      import s.implicits._
+      // Recall@K of the residual-encoded search vs the exact baseline
+      // — s24 vs s20 isolates what residual encoding buys at the same
+      // code budget (the FAISS-default A/B), completing the audit
+      // family: s06 LSH, s15 IVF, s18 flat PQ, s20 IVF-PQ, s24
+      // residual IVF-PQ.
+      val approx = ivfpqResidualTopKCore(s, dir).select($"q_id", $"n_id")
+      exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -1437,6 +1536,127 @@ object Similarity {
          |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
          |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
          |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |atop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |    FROM adc) WHERE rnk <= $K),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT xq.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+         |      AS cos
+         |  FROM xq JOIN en ON xq.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    "s23_ivfpq_residual_topk" ->
+      s"""WITH $kmSqlCtes,
+         |er AS (
+         |  SELECT e.vec_id,
+         |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS v
+         |  FROM e JOIN af ON e.vec_id = af.vec_id
+         |  JOIN cf c ON af.cell = c.cell),
+         |${pqSqlCtes(withBase = false, src = "er")},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |qres AS (
+         |  SELECT p.q_id, p.cell,
+         |    list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
+         |  FROM probes p JOIN q ON p.q_id = q.q_id
+         |  JOIN cf c ON p.cell = c.cell),
+         |qrs AS (
+         |  SELECT q_id, cell, CAST(r.m AS INT) AS sub,
+         |    list_slice(rv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
+         |  FROM qres CROSS JOIN range(0, $PqM) r(m)),
+         |qtab AS (
+         |  SELECT s.q_id, s.cell, c.sub, c.cell AS code,
+         |    CAST(round(list_dot_product(s.qsv, s.qsv)
+         |        - 2 * list_dot_product(s.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qrs s JOIN cfp c USING (sub)),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id, af.cell
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.cell = cd.cell
+         |    AND t.sub = enc.sub AND t.code = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s24_ivfpq_residual_recall" ->
+      s"""WITH $kmSqlCtes,
+         |er AS (
+         |  SELECT e.vec_id,
+         |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS v
+         |  FROM e JOIN af ON e.vec_id = af.vec_id
+         |  JOIN cf c ON af.cell = c.cell),
+         |${pqSqlCtes(withBase = false, src = "er")},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |qres AS (
+         |  SELECT p.q_id, p.cell,
+         |    list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
+         |  FROM probes p JOIN q ON p.q_id = q.q_id
+         |  JOIN cf c ON p.cell = c.cell),
+         |qrs AS (
+         |  SELECT q_id, cell, CAST(r.m AS INT) AS sub,
+         |    list_slice(rv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
+         |  FROM qres CROSS JOIN range(0, $PqM) r(m)),
+         |qtab AS (
+         |  SELECT s.q_id, s.cell, c.sub, c.cell AS code,
+         |    CAST(round(list_dot_product(s.qsv, s.qsv)
+         |        - 2 * list_dot_product(s.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qrs s JOIN cfp c USING (sub)),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id, af.cell
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.cell = cd.cell
+         |    AND t.sub = enc.sub AND t.code = enc.cell
          |  GROUP BY cd.q_id, cd.n_id),
          |atop AS (
          |  SELECT q_id, n_id FROM (

@@ -123,13 +123,26 @@ object Bench {
     val passTots = (0 until passes).map { i =>
       allPasses.map(_._2(i)).filter(_ >= 0).sum
     }
-    // Self-declared contention: on a quiet box, pass 2 (warm) reads at
-    // or below pass 1, so pass-total skew beyond ~1.3x means something
-    // co-scheduled overlapped one of the passes and the artifact should
-    // say so itself — the r7/r8 inflation episodes both had exactly this
-    // signature and needed manual quiet-box re-runs to attribute.
-    val contended = passTots.size >= 2 && passTots.min > 0 &&
-      passTots.max / passTots.min > 1.3
+    // Self-declared contention. Raw pass-total skew CANNOT be the
+    // signal: JIT/codegen warmup alone makes pass 1 read ~1.3-1.4x
+    // pass 2 on a provably quiet box (r8 quiet sidecar: 106/77), so a
+    // total-ratio threshold flags every clean run. The invariant that
+    // DOES hold on a quiet box is per-query: a WARM pass is never
+    // slower than its own cold pass (JIT only helps; measured 0.0 s
+    // violation on both archived quiet sidecars). Sustained
+    // co-scheduling breaks it — the r8 contended driver artifact shows
+    // 3.1 s of warm-slower-than-cold excess concentrated on the
+    // inflated d17/d18/d20/d21 family — and that is exactly the case
+    // where min-of-two is no longer trustworthy (both passes hit).
+    // Flag when the summed violation (0.1 s/query noise floor) exceeds
+    // max(1.5 s, 2% of the warm board).
+    val warmExcess = allPasses.map { case (_, times) =>
+      val ok = times.filter(_ >= 0)
+      if (ok.size < 2) 0.0
+      else ok.tail.map(t => math.max(0.0, t - ok.head - 0.1)).sum
+    }.sum
+    val contended = passTots.size >= 2 &&
+      warmExcess > math.max(1.5, 0.02 * passTots.last)
     val passesJson = allPasses.map { case (name, times) =>
       "\"" + name + "\":[" + times.map(t =>
         "%.2f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
@@ -139,11 +152,12 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecarPath),
       s"""{"sf":$sf,"pass_totals":[${passTots.map(f).mkString(",")}],""" +
-        s""""contended":$contended,"passes":$passesJson}""" + "\n")
+        s""""contended":$contended,"warm_excess":${f(warmExcess)},""" +
+        s""""passes":$passesJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","pass_tot":[${passTots.map(f).mkString(",")}],"contended":$contended,"queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","pass_tot":[${passTots.map(f).mkString(",")}],"contended":$contended,"warm_excess":${f(warmExcess)},"queries":$qs,"sf":$sf}""")
     System.out.flush()
     // shutdown warnings printing AFTER the JSON line would evict it from
     // the driver's 2000-char tail window

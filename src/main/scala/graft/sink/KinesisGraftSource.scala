@@ -143,8 +143,35 @@ private[sink] final class KinesisGraftScanBuilder(
 private[sink] final class KinesisGraftMicroBatchStream(
     opts: KinesisSinkOptions, startingPosition: String, fetchLimit: Int,
     maxPerTrigger: Long) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   private val stream = KinesisGraftSource.streamName(opts)
+
+  /** Source-side twin of the sink's `ReportsSinkMetrics`: per-trigger
+    * operational gauges in the progress event — the backlog number an
+    * operator alarms on (`recordsBehindLatest`, the Kinesis
+    * MillisBehindLatest analogue in records) plus the reshard-follow
+    * state (active vs retired shard counts, which move exactly when a
+    * split/merge is being drained). Driver-side only: one
+    * latestSequence probe per active shard at progress-reporting time.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (latestConsumedOffset.isPresent) {
+      val off = latestConsumedOffset.get() match {
+        case k: KinesisSourceOffset => k
+        case other => KinesisSourceOffset.fromJson(other.json())
+      }
+      val behind = off.shardOffsets.map { case (sh, p) =>
+        math.max(0L, client.latestSequence(stream, sh) - p)
+      }.sum
+      m.put("recordsBehindLatest", behind.toString)
+      m.put("activeShards", off.shardOffsets.size.toString)
+      m.put("retiredShards", off.done.size.toString)
+    }
+    m
+  }
   // Driver-side client: shard discovery + end-of-shard probes only; the
   // data plane runs in executor-side partition readers.
   @transient private lazy val client = KinesisSinkOptions.resolveReadClient(opts)

@@ -410,18 +410,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"code assignment argmax must be map-side partial:\n${p.take(2000)}")
   }
 
-  test("s19: IVF-PQ composes the pinned shapes — map-side argmax for " +
-      "both assignments, in-task ADC partial sum, bounded-heap top-k") {
-    val p = plan("s19_ivfpq_topk")
-    assert(p.contains("partial_max"),
-      s"cell/code assignments must argmax map-side:\n${p.take(2000)}")
-    assert(p.contains("partial_sum"),
-      s"ADC sum must plan a map-side partial:\n${p.take(2000)}")
-    assert(p.contains("TopKPerKey"),
-      s"final cut must be the bounded-heap node:\n${p.take(2000)}")
-    assert(!p.contains("CartesianProduct"),
-      s"probe/candidate joins must stay equi- or broadcast-joins:\n" +
-        p.take(2000))
+  test("s19/s23: both IVF-PQ variants compose the pinned shapes — " +
+      "map-side argmax for the assignments, in-task ADC partial sum, " +
+      "bounded-heap top-k") {
+    for (name <- Seq("s19_ivfpq_topk", "s23_ivfpq_residual_topk")) {
+      val p = plan(name)
+      assert(p.contains("partial_max"),
+        s"$name: cell/code assignments must argmax map-side:\n${p.take(2000)}")
+      assert(p.contains("partial_sum"),
+        s"$name: ADC sum must plan a map-side partial:\n${p.take(2000)}")
+      assert(p.contains("TopKPerKey"),
+        s"$name: final cut must be the bounded-heap node:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: probe/candidate joins must stay equi- or " +
+          s"broadcast-joins:\n${p.take(2000)}")
+    }
   }
 
   test("d22: no corpus-stream shuffle below the broadcast eval-set " +

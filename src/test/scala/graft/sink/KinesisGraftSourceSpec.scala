@@ -416,8 +416,8 @@ class KinesisGraftSourceSpec extends SparkTestBase {
       s"error must tell the operator what happened and the remedy: " +
         reshard.get.getMessage)
     // the documented remedy works: a fresh checkpoint adopts the new
-    // layout (the fake's frozen data plane still routes mod the layout
-    // at first touch, so all records remain readable)
+    // layout (the fake's data plane still routes over the hash ranges
+    // frozen at first touch, so all records remain readable)
     try q.stop() catch { case _: Exception => () }
     received.clear()
     val ckpt2 = Files.createTempDirectory("ckpt-src-reshard2").toString
@@ -627,6 +627,45 @@ class KinesisGraftSourceSpec extends SparkTestBase {
     // the control plane reports the live flip (resharding detection's
     // view); the frozen DATA plane is what keeps the retry un-remapped
     assert(fake.listShards("fz").size == 8)
+  }
+
+  test("source reports operational metrics in streaming progress: " +
+      "backlog + reshard-follow state (ReportsSourceMetrics, the " +
+      "source-side twin of the sink's custom metrics)") {
+    val fake = FakeKinesis.named("src-metrics")
+    fake.clear()
+    fake.numShards.set(2)
+    put(fake, "mx", (0 until 30).map(i => s"m$i"))
+    val ckpt = Files.createTempDirectory("ckpt-src-metrics").toString
+    val q = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "mx")
+      .option("client", "fake:src-metrics")
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val m = q.lastProgress.sources.head.metrics
+      assert(m.get("recordsBehindLatest") == "0",
+        s"fully drained stream must report zero backlog: $m")
+      assert(m.get("activeShards") == "2" && m.get("retiredShards") == "0",
+        s"static layout: 2 active, 0 retired: $m")
+      // a split mid-query: once the parent drains, the gauges move —
+      // exactly the signal an operator watches during a reshard
+      fake.splitShard("mx", "shardId-000000000000")
+      put(fake, "mx", (0 until 5).map(i => s"post$i"))
+      q.processAllAvailable()
+      val m2 = q.lastProgress.sources.head.metrics
+      assert(m2.get("recordsBehindLatest") == "0", s"drained again: $m2")
+      assert(m2.get("retiredShards") == "1",
+        s"drained parent must show as retired: $m2")
+      assert(m2.get("activeShards") == "3",
+        s"two children + the untouched shard stay active: $m2")
+    } finally { q.stop(); q.awaitTermination(30000) }
   }
 
   test("source option validation: missing stream fails fast") {

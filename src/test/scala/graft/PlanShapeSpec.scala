@@ -336,7 +336,24 @@ class PlanShapeSpec extends SparkTestBase {
       ("d17_incremental_near_dedup", "documents.parquet", 1),
       ("d19_bloom_decontamination", "documents.parquet", 1),
       ("d21_lsh_recall_audit", "documents.parquet", 1),
-      ("p07_source_mixture", "documents.parquet", 1))
+      ("p07_source_mixture", "documents.parquet", 1),
+      // Composed IVF-PQ family: each query BUILDS the index (train +
+      // assign + encode) and searches it in one plan, so the corpus
+      // legitimately feeds several distinct pipelines (coarse
+      // assignment, code encode, query side, recall baselines). The
+      // bounds pin that amplification stays at these ceilings; the
+      // expensive trained subtrees are deduplicated by AQE stage reuse
+      // (ReusedExchange — excluded from this count), and explicit
+      // materialization was MEASURED SLOWER end-to-end (SCALE.md round
+      // 9: checkpoint 1.9x, persist 1.6x the plain plan on the family)
+      // because it severs that reuse. At 100 TB the build half runs
+      // once and its artifacts (af, enc, cb) are WRITTEN tables — the
+      // recurring search scans artifacts, not the corpus; the one-plan
+      // form is the honest build+search benchmark.
+      ("s19_ivfpq_topk", "embeddings.parquet", 5),
+      ("s20_ivfpq_recall", "embeddings.parquet", 7),
+      ("s23_ivfpq_residual_topk", "embeddings.parquet", 6),
+      ("s24_ivfpq_residual_recall", "embeddings.parquet", 8))
     val offenders = bounds.flatMap { case (name, table, cap) =>
       val df = SparkEntry.queries(name)(spark, sfSmoke)
       df.collect()

@@ -33,12 +33,12 @@ object Similarity {
   private val NPlanes = 8   // census bucket width (s02)
   private val NTables = 4   // LSH tables for ANN (s03)
   private val TBits = 6     // planes per table
-  private val K = 5
-  private val NProbe = 2
+  private[ops] val K = 5
+  private[ops] val NProbe = 2
   private val NQueries = 10 // query set: vec_id < 10
   private val RerankC = 50 // s11: stage-1 candidates per query
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -82,7 +82,7 @@ object Similarity {
     * both engines, on bit-identical inputs (parquet vectors; centroids
     * are 6 dp-rounded means).
     */
-  private def kmDist2(v: Column, cv: Column): Column =
+  private[ops] def kmDist2(v: Column, cv: Column): Column =
     round(dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv), 6)
 
   /** Nearest-cell assignment via s13's shuffle-free argmax: the n·k
@@ -90,7 +90,7 @@ object Similarity {
     * so the exchange carries one best-row per vector, never the n·k
     * stream. Returns (vec_id, cell, d2).
     */
-  private def kmAssign(s: SparkSession, points: DataFrame,
+  private[ops] def kmAssign(s: SparkSession, points: DataFrame,
       cents: DataFrame): DataFrame = {
     import s.implicits._
     points.join(broadcast(cents), lit(true))
@@ -107,7 +107,7 @@ object Similarity {
     * ivfCentroids shape). Cells that lose all members simply drop out
     * (GROUP BY semantics — identical in the oracle).
     */
-  private def kmTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+  private[ops] def kmTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val samp = e.filter(
       expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
@@ -184,12 +184,12 @@ object Similarity {
   // discipline), so the cross-subspace sum is exact and
   // order-insensitive in both engines.
 
-  private val PqM = 8  // subspaces
-  private val PqD = Dim / PqM
+  private[ops] val PqM = 8  // subspaces
+  private[ops] val PqD = Dim / PqM
   private val PqK = 16 // codewords per subspace
 
   /** (vec_id, sub, sv): the subvector expansion of (vec_id, v). */
-  private def pqSubs(s: SparkSession, df: DataFrame): DataFrame = {
+  private[ops] def pqSubs(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
     df.select($"vec_id", explode(array((0 until PqM).map(m =>
         struct(lit(m).as("sub"), slice($"v", m * PqD + 1, PqD).as("sv"))
@@ -202,7 +202,7 @@ object Similarity {
     * best-row per (vector, subspace), never the n·PqK candidate
     * stream. Returns (vec_id, sub, cell, d2).
     */
-  private def pqAssign(s: SparkSession, points: DataFrame,
+  private[ops] def pqAssign(s: SparkSession, points: DataFrame,
       codebook: DataFrame): DataFrame = {
     import s.implicits._
     points.join(broadcast(codebook), "sub")
@@ -216,7 +216,7 @@ object Similarity {
   /** Train all PqM codebooks jointly (one plan, `sub` as a key) and
     * return (sample-subvector frame, final codebook (sub, cell, cv)).
     */
-  private def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+  private[ops] def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val samp = e.filter(
       expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +

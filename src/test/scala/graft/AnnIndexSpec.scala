@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AnnIndex
+
+/** The split ANN lifecycle (AnnIndex.build / AnnIndex.search): the
+  * SCALE.md claim "at 100 TB the build half runs once and the
+  * recurring search reads artifacts, not the corpus", proven:
+  *
+  *  - search over the written artifacts reproduces the one-plan s19
+  *    ranking EXACTLY (same model code → same index → same top-k);
+  *  - the search plan contains ZERO corpus (embeddings) scans;
+  *  - the probe's cell filter PRUNES the partitioned inverted lists
+  *    (partition filters in the scan, fewer partitions read than
+  *    exist) — the on-disk payoff of IVF;
+  *  - re-building is byte-deterministic (the resumability contract).
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  test("search over written artifacts == the one-plan s19 ranking; " +
+      "no corpus scan; invlist partitions pruned; rebuild is " +
+      "deterministic") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-index") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir)
+
+    // query frame materialized to literals: the search input carries
+    // no lineage back to the corpus, so any embeddings scan in the
+    // search plan would be the INDEX's fault
+    val qRows = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = qRows.toSeq.toDF("q_id", "qv")
+
+    val got = AnnIndex.search(spark, indexDir, queries, 5)
+      .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+    val want = SparkEntry.queries("s19_ivfpq_topk")(spark, sfVerify)
+
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val wantRows = want.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(gotRows.nonEmpty && gotRows.sameElements(wantRows),
+      s"artifact search must equal the one-plan ranking; got " +
+        s"${gotRows.take(3).mkString(",")} vs ${wantRows.take(3).mkString(",")}")
+
+    // ---- plan properties of the artifact search -----------------------
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val searched = AnnIndex.search(spark, indexDir, queries, 5)
+    searched.collect()
+    val ss = scans(searched.queryExecution.executedPlan)
+    assert(!ss.exists(_.relation.location.rootPaths.mkString
+        .contains("embeddings")),
+      "the artifact search must never scan the vector corpus")
+    val invScan = ss.find(_.relation.location.rootPaths.mkString
+      .contains("invlists"))
+    assert(invScan.isDefined, "search must read the inverted lists")
+    assert(invScan.get.partitionFilters.nonEmpty,
+      s"the probe's cell cut must be a PARTITION filter (pruned at " +
+        s"listing time): ${invScan.get}")
+    val totalCells = new java.io.File(s"$indexDir/invlists").listFiles()
+      .count(_.getName.startsWith("cell="))
+    val readCells = invScan.get.selectedPartitions.partitionCount
+    assert(readCells < totalCells,
+      s"probe must read fewer cells than exist ($readCells of $totalCells)")
+    assert(readCells <= 10 * 2, // NQueries x NProbe upper bound
+      s"probed cells must bound the partitions read: $readCells")
+
+    // ---- rebuild determinism -----------------------------------------
+    def fingerprint(): String = {
+      val inv = spark.read.parquet(s"$indexDir/invlists")
+        .select(concat_ws(":", $"cell", $"vec_id").as("r"))
+      val codes = spark.read.parquet(s"$indexDir/codes")
+        .select(concat_ws(":", $"vec_id", $"sub", $"code").as("r"))
+      inv.union(codes)
+        .agg(md5(concat_ws(",", sort_array(collect_list($"r")))))
+        .head().getString(0)
+    }
+    val before = fingerprint()
+    AnnIndex.build(spark, sfVerify, indexDir)
+    assert(fingerprint() == before,
+      "re-building the index must reproduce identical artifacts")
+  }
+}

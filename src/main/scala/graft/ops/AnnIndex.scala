@@ -63,6 +63,47 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
+  /** Incremental maintenance: index a DELTA of new vectors against the
+    * EXISTING trained model — no retrain, the production cadence
+    * (upsert continuously, rebuild when s13's churn numbers say the
+    * quantizer no longer fits). New vectors assign to the existing
+    * cells and encode with the existing codebooks, then APPEND to the
+    * artifact tables; vec_ids already indexed are skipped (anti-join),
+    * so re-running the same upsert is a no-op — the same resumability
+    * contract as the pack write. `delta` is (vec_id, v).
+    *
+    * Scale shape: two broadcast-join argmax passes over the delta only
+    * (the existing index is touched just for the pre-image anti-join
+    * on a narrow id column), appends land in the cell directories the
+    * searches already prune on.
+    */
+  def upsert(s: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val cb = s.read.parquet(s"$indexDir/codebooks")
+      .select($"sub", $"code".as("cell"), $"cv")
+    val existing = s.read.parquet(s"$indexDir/invlists")
+      .select($"vec_id")
+    // EAGERLY materialized: the anti-join must be evaluated against the
+    // PRE-upsert inverted lists for both writes below — lazily, the
+    // codes write would re-run it after the invlist append and see its
+    // own delta as "already indexed", writing list entries with no
+    // codes (silent index corruption; the spec's dup-codes check would
+    // catch exactly this).
+    val fresh = delta.select($"vec_id", $"v")
+      .join(existing, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    Similarity.kmAssign(s, fresh, cents)
+      .select($"cell", $"vec_id")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/invlists")
+    Similarity.pqAssign(s, Similarity.pqSubs(s, fresh), cb)
+      .select($"vec_id", $"sub", $"cell".as("code"))
+      .repartitionByRange(4, $"vec_id")
+      .sortWithinPartitions($"vec_id", $"sub")
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
   /** Search the written index: top-`k` neighbors per query by the same
     * probe + ADC discipline as s19 (rounded-DECIMAL distance tables,
     * ties to the lowest id). `queries` is (q_id, qv) — the caller's

@@ -96,4 +96,61 @@ class AnnIndexSpec extends SparkTestBase {
     assert(fingerprint() == before,
       "re-building the index must reproduce identical artifacts")
   }
+
+  test("upsert indexes a delta against the existing model: duplicates " +
+      "land in their twins' cells with identical codes, searches see " +
+      "them, and re-upserting is a no-op") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-upsert") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir)
+    val nInv0 = spark.read.parquet(s"$indexDir/invlists").count()
+    val nCodes0 = spark.read.parquet(s"$indexDir/codes").count()
+
+    // delta = EXACT DUPLICATES of corpus vectors 100-119 under new ids:
+    // same model + same vector must mean same cell and same codes —
+    // the sharpest check that upsert runs the index's own assignment
+    val Shift = 1000000L
+    val emb = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val delta = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select(($"vec_id" + Shift).as("vec_id"), $"v")
+    AnnIndex.upsert(spark, indexDir, delta)
+
+    val inv = spark.read.parquet(s"$indexDir/invlists")
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    assert(inv.count() == nInv0 + 20 &&
+      codes.count() == nCodes0 + 20 * 8,
+      "delta must append one list entry and PqM codes per vector")
+    // twin equality: cell and all 8 codes match the original vector's
+    val twinCells = inv.filter($"vec_id" >= Shift)
+      .select(($"vec_id" - Shift).as("vec_id"), $"cell".as("d_cell"))
+      .join(inv, "vec_id")
+      .filter($"d_cell" =!= $"cell")
+    assert(twinCells.count() == 0, "duplicate must land in its twin's cell")
+    val twinCodes = codes.filter($"vec_id" >= Shift)
+      .select(($"vec_id" - Shift).as("vec_id"), $"sub", $"code".as("d_code"))
+      .join(codes, Seq("vec_id", "sub"))
+      .filter($"d_code" =!= $"code")
+    assert(twinCodes.count() == 0, "duplicate must encode to its twin's codes")
+
+    // a search sees the upserted vectors: query = vector 100; its twin
+    // must appear with EXACTLY the ADC of the original (tie on distance)
+    val q = emb.filter($"vec_id" === 100)
+      .select(lit(0L).as("q_id"), $"v".as("qv"))
+    val res = AnnIndex.search(spark, indexDir, q, 50)
+      .select($"n_id", $"adc".cast("double").as("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.contains(100L + Shift),
+      s"search must surface the upserted twin: ${res.keys.toSeq.sorted}")
+    assert(res.get(100L + Shift) == res.get(100L) ||
+      (res.contains(100L + Shift) && !res.contains(100L)),
+      "twin must score exactly like the original when both rank")
+
+    // resumability: the same upsert again is a no-op (anti-join)
+    AnnIndex.upsert(spark, indexDir, delta)
+    assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv0 + 20 &&
+      spark.read.parquet(s"$indexDir/codes").count() == nCodes0 + 20 * 8,
+      "re-upserting the same delta must change nothing")
+  }
 }

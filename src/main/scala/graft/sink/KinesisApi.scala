@@ -23,9 +23,13 @@ final case class PutResultEntry(errorCode: Option[String] = None,
 final class KinesisRequestException(msg: String) extends RuntimeException(msg)
 
 /** A record as returned by the consumption path: the wire record plus the
-  * shard-relative sequence number `GetRecords` stamps on it.
+  * shard-relative sequence number `GetRecords` stamps on it and its
+  * approximate arrival time (the `ApproximateArrivalTimestamp` real
+  * Kinesis attaches server-side — what `AT_TIMESTAMP` iterators seek
+  * on).
   */
-final case class ShardRecord(sequenceNumber: Long, record: KinesisRecord)
+final case class ShardRecord(sequenceNumber: Long, record: KinesisRecord,
+    arrivalMillis: Long = 0L)
 
 /** One `GetRecords` page: records in sequence order plus the iterator for
   * the next page (an open shard always has a next iterator — the
@@ -88,6 +92,16 @@ trait KinesisGetRecords extends Serializable {
       iteratorType: String, startingSequence: Long = 0L): String
   def getRecords(iterator: String, limit: Int): GetRecordsResult
   def latestSequence(stream: String, shardId: String): Long
+
+  /** First sequence number in the shard whose arrival time is at or
+    * after `epochMs` (the shard's length if none is) — the position an
+    * `AT_TIMESTAMP` start resolves to. Arrival times are monotone per
+    * shard (Kinesis stamps server-side at append), so this is a prefix
+    * cut. Default 0 (= TRIM_HORIZON) for implementations without
+    * arrival metadata.
+    */
+  def sequenceAtTimestamp(stream: String, shardId: String,
+      epochMs: Long): Long = 0L
 
   /** Full shard inventory WITH lineage — what the source's
     * resharding-follow logic plans against (drain closed parents to
@@ -158,6 +172,12 @@ final class FakeKinesis(val latencyMs: Long = 0L)
     * refuses to follow, unlike a real split/merge which carries lineage.
     */
   val numShards = new AtomicInteger(1)
+  /** Virtual arrival clock: each stored record is stamped with
+    * `clock.incrementAndGet()` — a strictly monotone fake of real
+    * Kinesis's server-side ApproximateArrivalTimestamp. Tests read it
+    * to learn "now" and replay from a mid-log instant (AT_TIMESTAMP).
+    */
+  val clock = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ----- shard layout & storage ---------------------------------------
   //
@@ -179,7 +199,9 @@ final class FakeKinesis(val latencyMs: Long = 0L)
   private final class ShardState(val shardId: String,
       val startHash: BigInt, val endHash: BigInt, // owns [startHash, endHash)
       val parentIds: Seq[String]) {
-    val log = new ArrayBuffer[KinesisRecord]()
+    /** (record, arrivalMillis) — arrival stamped from [[clock]] at
+      * append, monotone per shard by construction. */
+    val log = new ArrayBuffer[(KinesisRecord, Long)]()
     var open: Boolean = true
   }
 
@@ -245,7 +267,7 @@ final class FakeKinesis(val latencyMs: Long = 0L)
             .find(s => s.open && s.startHash <= h && h < s.endHash)
             .getOrElse(throw new IllegalStateException(
               s"no open shard owns hash $h on stream '$stream'"))
-          owner.log += r
+          owner.log += ((r, clock.incrementAndGet()))
           st.global += r
         }
         PutResultEntry()
@@ -360,7 +382,8 @@ final class FakeKinesis(val latencyMs: Long = 0L)
     }
   }
 
-  private def shardLog(stream: String, shardId: String): Seq[KinesisRecord] = {
+  private def shardLog(stream: String,
+      shardId: String): Seq[(KinesisRecord, Long)] = {
     val st = state(stream)
     st.synchronized {
       Option(st.shards.get(shardId)).map(_.log.toSeq).getOrElse(Seq.empty)
@@ -385,14 +408,21 @@ final class FakeKinesis(val latencyMs: Long = 0L)
     val log = shardLog(stream, shardId) // immutable snapshot
     val start = startStr.toLong.toInt
     val slice = log.slice(start, math.min(log.size, start + limit))
-    val out = slice.zipWithIndex.map { case (r, i) =>
-      ShardRecord((start + i).toLong, r)
+    val out = slice.zipWithIndex.map { case ((r, at), i) =>
+      ShardRecord((start + i).toLong, r, at)
     }
     GetRecordsResult(out, s"$stream|$shardId|${start + slice.size}")
   }
 
   override def latestSequence(stream: String, shardId: String): Long =
     shardLog(stream, shardId).size.toLong
+
+  override def sequenceAtTimestamp(stream: String, shardId: String,
+      epochMs: Long): Long = {
+    val log = shardLog(stream, shardId)
+    val i = log.indexWhere(_._2 >= epochMs)
+    if (i < 0) log.size.toLong else i.toLong
+  }
 }
 
 object FakeKinesis {

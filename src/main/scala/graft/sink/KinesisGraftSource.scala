@@ -34,7 +34,10 @@ import org.json4s.jackson.Serialization
   * [[KinesisSinkOptions]]): `stream` (required here), `aws_region_name`
   * (required — parity with utils.go:24-26), `client` (`fake:<name>` in
   * this zero-egress env), `starting_position`
-  * (`trim_horizon` default | `latest`), `max_records_per_fetch`
+  * (`trim_horizon` default | `latest` | `at_timestamp` with
+  * `starting_timestamp_ms` — the "replay from this instant" entry
+  * point, seeking each shard's ApproximateArrivalTimestamp),
+  * `max_records_per_fetch`
   * (GetRecords page size, default 10000 — the AWS cap),
   * `max_records_per_trigger` (admission control: cap per micro-batch,
   * split across shards; 0 = unbounded).
@@ -118,9 +121,26 @@ private[sink] final class KinesisGraftScanBuilder(
       .toUpperCase match {
       case "TRIM_HORIZON" => "TRIM_HORIZON"
       case "LATEST" => "LATEST"
+      case "AT_TIMESTAMP" => "AT_TIMESTAMP"
       case other => throw new IllegalArgumentException(
-        s"starting_position must be trim_horizon|latest, got '$other'")
+        "starting_position must be trim_horizon|latest|at_timestamp, " +
+          s"got '$other'")
     }
+  // AT_TIMESTAMP's instant (epoch millis) — the operational "replay
+  // from two hours ago" entry point. Required with at_timestamp,
+  // rejected otherwise (a silently ignored timestamp is worse than an
+  // error).
+  private val startingTimestampMs: Long = {
+    val raw = Option(options.get("starting_timestamp_ms"))
+    if (startingPosition == "AT_TIMESTAMP")
+      raw.map(_.toLong).getOrElse(throw new IllegalArgumentException(
+        "starting_position=at_timestamp requires starting_timestamp_ms"))
+    else if (raw.isDefined)
+      throw new IllegalArgumentException(
+        "starting_timestamp_ms is only valid with " +
+          "starting_position=at_timestamp")
+    else 0L
+  }
   private val fetchLimit =
     options.getOrDefault("max_records_per_fetch", "10000").toInt
   // Admission control lives at the source, not in a cluster-spanning
@@ -135,14 +155,15 @@ private[sink] final class KinesisGraftScanBuilder(
     override def readSchema(): StructType = KinesisGraftSource.readSchema
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new KinesisGraftMicroBatchStream(opts, startingPosition, fetchLimit,
-        maxPerTrigger)
+        maxPerTrigger, startingTimestampMs)
     override def toBatch: Batch = new KinesisGraftBatch(opts, fetchLimit)
   }
 }
 
 private[sink] final class KinesisGraftMicroBatchStream(
     opts: KinesisSinkOptions, startingPosition: String, fetchLimit: Int,
-    maxPerTrigger: Long) extends MicroBatchStream
+    maxPerTrigger: Long, startingTimestampMs: Long = 0L)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   private val stream = KinesisGraftSource.streamName(opts)
@@ -176,6 +197,18 @@ private[sink] final class KinesisGraftMicroBatchStream(
   // data plane runs in executor-side partition readers.
   @transient private lazy val client = KinesisSinkOptions.resolveReadClient(opts)
 
+  /** The sequence a newly admitted shard starts at: TRIM_HORIZON (and
+    * LATEST-born children, whose every record postdates query start)
+    * read from 0; AT_TIMESTAMP seeks the shard's first record at or
+    * after the configured instant — which is also 0 for any shard
+    * created after that instant, so one rule serves shards that existed
+    * at start and shards born from later splits alike.
+    */
+  private def admitSeq(shardId: String): Long =
+    if (startingPosition == "AT_TIMESTAMP")
+      client.sequenceAtTimestamp(stream, shardId, startingTimestampMs)
+    else 0L
+
   override def initialOffset(): Offset = {
     val desc = client.describeShards(stream)
     val present = desc.map(_.shardId).toSet
@@ -188,14 +221,17 @@ private[sink] final class KinesisGraftMicroBatchStream(
           .toMap,
         desc.filterNot(_.open).map(_.shardId).toSet)
     else
-      // TRIM_HORIZON: start at the lineage ROOTS (shards with no parent
-      // still in the layout); descendants are admitted by the follow
-      // logic in latestOffset as their parents drain to close — the
-      // Kinesis ordering guarantee (parent records precede child
-      // records for every partition key) made structural
+      // TRIM_HORIZON / AT_TIMESTAMP: start at the lineage ROOTS (shards
+      // with no parent still in the layout) at their admit position;
+      // descendants are admitted by the follow logic in latestOffset as
+      // their parents drain to close — the Kinesis ordering guarantee
+      // (parent records precede child records for every partition key)
+      // made structural. An AT_TIMESTAMP root whose whole log predates
+      // the instant starts at its end and retires on the first
+      // reconcile, handing off to its children.
       KinesisSourceOffset(
         desc.filter(_.parentIds.forall(p => !present.contains(p)))
-          .map(_.shardId -> 0L).toMap)
+          .map(d => d.shardId -> admitSeq(d.shardId)).toMap)
   }
 
   override def latestOffset(): Offset =
@@ -259,7 +295,7 @@ private[sink] final class KinesisGraftMicroBatchStream(
               "ordered against committed data. Restart the query with a " +
               "fresh checkpoint to adopt the new layout.")
         if (d.parentIds.forall(p => done.contains(p) || !byId.contains(p)))
-          pos += d.shardId -> 0L
+          pos += d.shardId -> admitSeq(d.shardId)
       }
     }
     (pos, done)

@@ -153,4 +153,59 @@ class AnnIndexSpec extends SparkTestBase {
       spark.read.parquet(s"$indexDir/codes").count() == nCodes0 + 20 * 8,
       "re-upserting the same delta must change nothing")
   }
+
+  test("streaming ingestion: a vector stream upserts into the index " +
+      "via foreachBatch; at-least-once redelivery is absorbed because " +
+      "upsert is idempotent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexDir = tmpDir("ann-stream") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir)
+    val nInv0 = spark.read.parquet(s"$indexDir/invlists").count()
+
+    val Shift = 2000000L
+    val emb = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def twins(lo: Long, hi: Long) = emb
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select(($"vec_id" + Shift).as("vec_id"), $"v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    val src = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ckpt-ann-stream").toString
+    def run(): Unit = {
+      val q = src.toDF().toDF("vec_id", "v")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          AnnIndex.upsert(spark, indexDir,
+            b.select($"vec_id", $"v".cast("array<double>").as("v")))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    }
+
+    src.addData(twins(200, 210).toSeq: _*)
+    run()
+    assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv0 + 10)
+
+    // redelivery: the SAME rows again (the at-least-once case a
+    // foreachBatch sink must survive) plus genuinely new ones
+    src.addData(twins(200, 210).toSeq: _*)
+    src.addData(twins(210, 215).toSeq: _*)
+    run()
+    assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv0 + 15,
+      "replayed rows must be absorbed; new rows indexed")
+
+    // the streamed vectors are searchable at their twins' distances
+    val q205 = emb.filter($"vec_id" === 205)
+      .select(lit(0L).as("q_id"), $"v".as("qv"))
+    val res = AnnIndex.search(spark, indexDir, q205, 50)
+      .select($"n_id").as[Long].collect().toSet
+    assert(res.contains(205L + Shift),
+      s"streamed twin must be searchable: ${res.toSeq.sorted.take(10)}")
+  }
 }

@@ -221,6 +221,87 @@ class KinesisReshardingSpec extends SparkTestBase {
     assert(KinesisSourceOffset.fromJson(a.json()) == b)
   }
 
+  // ----- AT_TIMESTAMP start ------------------------------------------
+
+  test("at_timestamp replays from the instant: per-shard arrival seek, " +
+      "records before the cut skipped, later records delivered") {
+    val fake = FakeKinesis.named("rs-ts")
+    fake.clear()
+    fake.numShards.set(2)
+    put(fake, "tsq", (0 until 20).map(i => (s"k$i", s"old$i")))
+    val cut = fake.clock.get() + 1 // strictly after everything so far
+    put(fake, "tsq", (0 until 15).map(i => (s"k$i", s"new$i")))
+
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = Files.createTempDirectory("ckpt-rs-ts").toString
+    val q = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "tsq")
+      .option("client", "fake:rs-ts")
+      .option("starting_position", "at_timestamp")
+      .option("starting_timestamp_ms", cut.toString)
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        received.synchronized { received ++= b.collect().map(_.getString(0)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    assert(received.sorted == (0 until 15).map(i => s"new$i").sorted,
+      s"must deliver exactly the records after the instant: $received")
+  }
+
+  test("at_timestamp validation: missing/stray timestamp options fail " +
+      "fast") {
+    def read(opts: Map[String, String]) = {
+      val r = spark.read.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", "x").option("client", "fake:rs-tsv")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load().collect()
+    }
+    val e1 = intercept[Exception] {
+      read(Map("starting_position" -> "at_timestamp"))
+    }
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs(e1).contains("starting_timestamp_ms"), msgs(e1))
+    val e2 = intercept[Exception] {
+      read(Map("starting_timestamp_ms" -> "5"))
+    }
+    assert(msgs(e2).contains("only valid with"), msgs(e2))
+  }
+
+  test("at_timestamp composes with resharding follow: a pre-split " +
+      "instant drains the parent's post-instant tail, then the " +
+      "children's — nothing earlier, nothing twice") {
+    val fake = FakeKinesis.named("rs-ts2")
+    fake.clear()
+    fake.numShards.set(1)
+    val parent = "shardId-000000000000"
+    put(fake, "ts2", (0 until 10).map(i => (s"k$i", s"pre$i")))
+    val cut = fake.clock.get() + 1
+    put(fake, "ts2", (0 until 6).map(i => (s"k$i", s"mid$i")))
+    val (c1, c2) = fake.splitShard("ts2", parent)
+    put(fake, "ts2", (0 until 6).map(i => (s"k$i", s"post$i")))
+
+    val ms = new KinesisGraftMicroBatchStream(
+      opts("rs-ts2", "ts2"), "AT_TIMESTAMP", 10000, 0, cut)
+    var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    // root admitted at the instant's position, not 0
+    assert(cur.shardOffsets == Map(parent -> 10L), s"seek must skip pre: $cur")
+    cur = walk(ms, cur, 0) // drain parent's mid tail (6)
+    assert(cur.shardOffsets == Map(parent -> 16L))
+    cur = walk(ms, cur, 0) // retire parent; children at THEIR seek = 0
+    assert(cur.done == Set(parent) &&
+      cur.shardOffsets.keySet == Set(c1, c2) &&
+      cur.shardOffsets.values.sum == 6L,
+      s"children carry exactly the post-split records: $cur")
+    assert(walk(ms, cur, 0) == cur)
+  }
+
   // ----- full engine loop through a reshard ---------------------------
 
   test("split + merge under a running query: exactly-once delivery and " +

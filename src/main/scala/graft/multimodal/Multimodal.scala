@@ -97,6 +97,40 @@ object Multimodal {
         .orderBy($"media_id", $"chunk_idx")
     },
 
+    "m07_media_shard_plan" -> { (s, dir) =>
+      import s.implicits._
+      // WebDataset-style SHARD PLANNING: media blobs are atomic (no
+      // mid-file splits), so training shards fill greedily to a byte
+      // budget and close on the first blob that crosses it — a shard
+      // may overflow by less than one blob, exactly tar-shard `maxsize`
+      // semantics. The assignment is a pure prefix-sum function (shard
+      // = bytes-before-me div budget within the format's id order), so
+      // it is deterministic under any partitioning, parallelizes per
+      // format with one windowed cumsum, and the oracle replays it
+      // exactly. Shards are modality-homogeneous (per format) — the
+      // layout dataloaders want. Output is the shard manifest: counts,
+      // bytes, id range, an order-sensitive content digest (what a
+      // writer verifies after the copy), and the overflow flag.
+      val w = Window.partitionBy($"format").orderBy($"media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mediaTable(s, dir)
+        .withColumn("nbytes", octet_length($"content").cast("long"))
+        .filter($"nbytes" > 0)
+        .withColumn("cum", sum($"nbytes").over(w))
+        .withColumn("shard", expr(s"(cum - nbytes) div $MediaShardBytes"))
+        .withColumn("m_md5", md5($"content"))
+        .groupBy($"format", $"shard")
+        .agg(count(lit(1)).as("n_media"),
+          sum($"nbytes").as("shard_bytes"),
+          min($"media_id").as("first_id"),
+          max($"media_id").as("last_id"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(media_id, m_md5)))," +
+              " p -> p.m_md5)"))).as("shard_md5"))
+        .withColumn("overflow", $"shard_bytes" > MediaShardBytes)
+        .orderBy($"format", $"shard")
+    },
+
     "m01_media_catalog" -> { (s, dir) =>
       import s.implicits._
       // Catalog stats per format: byte sizes + dimension aggregates over
@@ -242,6 +276,12 @@ object Multimodal {
   /** DuckDB media-catalog CTE mirroring [[mediaTable]] (content stays a
     * VARCHAR on the DuckDB side; the bytes are identical UTF-8).
     */
+  /** m07's shard byte budget — small against real tar shards (100 MB+)
+    * so the fixture yields multi-shard plans with occasional
+    * single-blob overflows; the arithmetic is budget-agnostic.
+    */
+  private val MediaShardBytes = 4096L
+
   private val mediaSql =
     """media AS (
       |  SELECT doc_id AS media_id, text AS content,
@@ -264,6 +304,29 @@ object Multimodal {
          |  CAST(strlen(chunk) AS BIGINT) AS chunk_len,
          |  md5(chunk) AS chunk_md5
          |FROM chunks ORDER BY media_id, chunk_idx""".stripMargin,
+
+    "m07_media_shard_plan" ->
+      s"""WITH $mediaSql,
+         |b AS (
+         |  SELECT media_id, format, content,
+         |    CAST(strlen(content) AS BIGINT) AS nbytes
+         |  FROM media WHERE strlen(content) > 0),
+         |c AS (
+         |  SELECT *, sum(nbytes) OVER (
+         |    PARTITION BY format ORDER BY media_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b)
+         |SELECT format,
+         |  CAST((cum - nbytes) // $MediaShardBytes AS BIGINT) AS shard,
+         |  count(*) AS n_media,
+         |  CAST(sum(nbytes) AS BIGINT) AS shard_bytes,
+         |  min(media_id) AS first_id, max(media_id) AS last_id,
+         |  md5(string_agg(md5(content), ',' ORDER BY media_id))
+         |    AS shard_md5,
+         |  CAST(sum(nbytes) AS BIGINT) > $MediaShardBytes AS overflow
+         |FROM c
+         |GROUP BY format, CAST((cum - nbytes) // $MediaShardBytes AS BIGINT)
+         |ORDER BY format, shard""".stripMargin,
 
     "m01_media_catalog" ->
       s"""WITH $mediaSql

@@ -107,4 +107,36 @@ class MultimodalSpec extends SparkTestBase {
     // 40 members over 20 buckets: 2 per bucket -> 1 edge each
     assert(jpeg.getLong(6) == 20, s"jpeg cands = ${jpeg.getLong(6)}")
   }
+
+  test("m07 shard-plan invariants: contiguous shards, conserved bytes, " +
+      "disjoint ascending id ranges, close-on-crossing semantics") {
+    import spark.implicits._
+    val Budget = 4096L // mirror of Multimodal.MediaShardBytes
+    val plan = SparkEntry.queries("m07_media_shard_plan")(spark, sfVerify)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(plan.nonEmpty)
+    plan.groupBy(_._1).foreach { case (fmt, rows) =>
+      val byShard = rows.sortBy(_._2)
+      // shards are 0..max with no gaps
+      assert(byShard.map(_._2).toSeq == (0L until byShard.size.toLong),
+        s"$fmt: shard ids must be contiguous from 0")
+      // id ranges are disjoint and ascending (greedy order assignment)
+      byShard.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 < b._5,
+            s"$fmt: shard ${a._2} id range must precede shard ${b._2}")
+        case _ =>
+      }
+      // close-on-crossing: every NON-final shard's cumulative end
+      // crosses its budget boundary (else the next blob would have
+      // stayed in it); a shard overflows by less than one blob
+      val cums = byShard.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      byShard.init.zip(cums.init).foreach { case (sh, cumEnd) =>
+        assert(cumEnd >= (sh._2 + 1) * Budget,
+          s"$fmt: shard ${sh._2} closed early (cum $cumEnd)")
+      }
+    }
+  }
 }

@@ -939,6 +939,83 @@ object Dedup {
             round($"n_hit" / $"n_lsh".cast("double"), 6)).as("precision"))
     },
 
+    "d23_lsh_operating_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The TUNING TABLE behind d03's banding choice: every (bands ×
+      // rows) factorization of the 6-slot signature — b6r1, b3r2
+      // (shipped), b2r3, b1r6 — evaluated in ONE query on d21's
+      // deterministic 30% audit sample: candidate volume (the cost
+      // axis), verified pairs, and recall/precision against the exact
+      // shingle-Jaccard truth (the quality axis). This is the
+      // operating curve an operator actually reads before moving the
+      // band knob on a 100 TB corpus — measured, not derived from the
+      // idealized S-curve, so it reflects the corpus's real similarity
+      // distribution. Scale shape: ONE pass over the sampled signature
+      // frame explodes all configs' band keys (the cfg prefix keys the
+      // join, so cross-config bands never meet), candidates stay
+      // equi-join-bounded per config, verification reuses the shared
+      // 6-slot estimate, and the truth side is d21's sample-bounded
+      // exact join. A config whose sample yields zero candidates
+      // reports no row (identically in the oracle).
+      val sampleIds = docs(s, dir).filter($"doc_id" % 10 < 3)
+        .select($"doc_id")
+      val sigs = minhashCore(s, dir).join(sampleIds, "doc_id")
+        .localCheckpoint(eager = false)
+      val cfgs = Seq((6, 1), (3, 2), (2, 3), (1, 6))
+      val bandArr = array(cfgs.flatMap { case (nb, r) =>
+        (0 until nb).map { bi =>
+          concat_ws(":", lit(s"b${nb}r$r"), lit(bi),
+            concat_ws("_", (0 until r).map(j => col(s"mh${bi * r + j}")): _*))
+        }
+      }: _*)
+      val bands = sigs.select($"doc_id", explode(bandArr).as("band"))
+      val aB = bands.as("a"); val bB = bands.as("b")
+      val cand = aB.join(bB, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(substring_index(col("a.band"), ":", 1).as("cfg"),
+          col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+      val matches = (0 until 6).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      val scored = cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("v",
+          (round(matches / lit(6.0), 6) >= 0.5).cast("long"))
+        .select($"cfg", $"a_id", $"b_id", $"v")
+      val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
+        .localCheckpoint(eager = false)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val ta = sh.select($"doc_id".as("a_id"), $"sh")
+      val tb = sh.select($"doc_id".as("b_id"), $"sh")
+      val truth = ta.join(tb, Seq("sh")).filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_inter"))
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .filter(round($"n_inter" /
+          ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
+        .select($"a_id", $"b_id")
+        .localCheckpoint(eager = false) // reused: per-cfg join + count
+      val nTruth = truth.agg(count(lit(1)).as("n_true"))
+      scored.join(truth.withColumn("t", lit(1)),
+          Seq("a_id", "b_id"), "left")
+        .groupBy($"cfg")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum($"v").as("n_verified"),
+          count(when($"v" === 1 && $"t" === 1, 1)).as("n_hit"))
+        .crossJoin(broadcast(nTruth))
+        .select($"cfg",
+          substring($"cfg", 2, 1).cast("int").as("n_bands"),
+          substring($"cfg", 4, 1).cast("int").as("rows_per_band"),
+          $"n_candidates", $"n_verified", $"n_hit", $"n_true",
+          when($"n_true" > 0,
+            round($"n_hit" / $"n_true".cast("double"), 6)).as("recall"),
+          when($"n_verified" > 0,
+            round($"n_hit" / $"n_verified".cast("double"), 6))
+            .as("precision"))
+        .orderBy($"n_bands".desc)
+    },
+
     "d18_dup_cascade" -> { (s, dir) =>
       // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
@@ -1158,6 +1235,72 @@ object Dedup {
            |    CAST(NULLIF((SELECT count(*) FROM lsh), 0) AS DOUBLE),
            |    6) AS precision
            |""".stripMargin,
+
+      "d23_lsh_operating_curve" -> {
+        val sweepBands = Seq((6, 1), (3, 2), (2, 3), (1, 6)).flatMap {
+          case (nb, r) =>
+            (0 until nb).map { bi =>
+              val slots = (0 until r).map(j => s"mh${bi * r + j}")
+                .mkString(" || '_' || ")
+              s"SELECT doc_id, 'b${nb}r$r' || ':' || $bi || ':' || " +
+                s"$slots AS band FROM ssigs"
+            }
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleHashSql,
+           |sample AS (
+           |  SELECT doc_id FROM documents WHERE doc_id % 10 < 3),
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |ssigs AS (SELECT sigs.* FROM sigs JOIN sample USING (doc_id)),
+           |bands AS ($sweepBands),
+           |cand AS (
+           |  SELECT DISTINCT split_part(a.band, ':', 1) AS cfg,
+           |    a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT cfg, a_id, b_id,
+           |    CASE WHEN round(($matchSum) / 6.0, 6) >= 0.5
+           |         THEN 1 ELSE 0 END AS v
+           |  FROM cand
+           |  JOIN ssigs sa ON sa.doc_id = a_id
+           |  JOIN ssigs sb ON sb.doc_id = b_id),
+           |ssh AS (
+           |  SELECT s.doc_id, s.sh FROM sh s
+           |  JOIN sample p ON p.doc_id = s.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh
+           |          GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    count(*) AS n_inter
+           |  FROM ssh a JOIN ssh b
+           |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(n_inter /
+           |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+           |j AS (
+           |  SELECT s.cfg, s.v,
+           |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t
+           |  FROM scored s LEFT JOIN truth t
+           |    ON t.a_id = s.a_id AND t.b_id = s.b_id)
+           |SELECT cfg,
+           |  CAST(substr(cfg, 2, 1) AS INT) AS n_bands,
+           |  CAST(substr(cfg, 4, 1) AS INT) AS rows_per_band,
+           |  count(*) AS n_candidates,
+           |  CAST(sum(v) AS BIGINT) AS n_verified,
+           |  count(CASE WHEN v = 1 AND t = 1 THEN 1 END) AS n_hit,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  round(count(CASE WHEN v = 1 AND t = 1 THEN 1 END) /
+           |    CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE),
+           |    6) AS recall,
+           |  round(count(CASE WHEN v = 1 AND t = 1 THEN 1 END) /
+           |    CAST(NULLIF(CAST(sum(v) AS BIGINT), 0) AS DOUBLE),
+           |    6) AS precision
+           |FROM j GROUP BY cfg ORDER BY n_bands DESC""".stripMargin
+      },
 
       "d18_dup_cascade" ->
         s"""WITH RECURSIVE $shingleHashSql,

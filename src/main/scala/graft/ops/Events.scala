@@ -57,6 +57,21 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** e30's per-(window, type) PSI contribution — p09's dialect-shared
+    * expression retargeted at (window count c_w / total n_w) vs
+    * (baseline count c_base / total n_base), Laplace-smoothed over the
+    * n_types universe; exact integer inputs, identical doubles in both
+    * engines, rounded to DECIMAL before the per-window sum.
+    */
+  private val PsiWindowTermSql =
+    """cast(round(
+      |  (cast(c_w + 1 as double) / cast(n_w + n_types as double) -
+      |   cast(c_base + 1 as double) / cast(n_base + n_types as double)) *
+      |  ln((cast(c_w + 1 as double) / cast(n_w + n_types as double)) /
+      |     (cast(c_base + 1 as double) / cast(n_base + n_types as double))),
+      |  6)
+      |as decimal(14,6))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_salted_agg" -> { (s, dir) =>
       import s.implicits._
@@ -629,6 +644,57 @@ object Events {
         .orderBy($"hour_start")
     },
 
+    "e30_stream_drift_monitor" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING DRIFT MONITOR — p09's Population Stability Index
+      // moved to INGEST TIME: per closed hourly window, the event-type
+      // mix vs the whole-corpus baseline, Laplace-smoothed, with the
+      // standard thresholds (<=0.1 stable, <=0.25 watch, else
+      // investigate) as an explicit status column. This is the alert a
+      // pipeline fires the hour its traffic mix shifts, not at the
+      // next batch audit. Scale shape: the windowed count is the only
+      // stateful operator (watermark-evicted, RocksDB-backed like
+      // every gate); the baseline, type universe, and per-window
+      // totals are tiny broadcasts; the full (window x type) grid is
+      // built explicitly so both engines agree on cell membership; PSI
+      // terms are one dialect-shared expression rounded to DECIMAL
+      // before the per-window sum (p09's discipline), so term order
+      // cannot leak into the gate.
+      val base = ev(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).as("c_base"))
+      val baseTot = ev(s, dir).agg(count(lit(1)).as("n_base"),
+        countDistinct($"event_type").as("n_types"))
+      val horizonDf = ev(s, dir)
+        .agg((max($"ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+      val windowed = Tables.loadStream(s, dir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("c_w"))
+      val gated = graft.streaming.MemoryGate.append(s, windowed,
+        "e30_out_" + Integer.toHexString(dir.hashCode))
+        .join(broadcast(horizonDf), $"window.end" <= $"cutoff")
+        .select($"window.start".as("hour_start"), $"event_type", $"c_w")
+      val hours = gated.select($"hour_start").distinct()
+      val wTot = gated.groupBy($"hour_start")
+        .agg(sum($"c_w").as("n_w"))
+      val cells = hours.crossJoin(broadcast(base))
+        .join(gated, Seq("hour_start", "event_type"), "left")
+        .select($"hour_start", $"event_type", $"c_base",
+          coalesce($"c_w", lit(0L)).as("c_w"))
+      cells.join(broadcast(wTot), "hour_start")
+        .crossJoin(broadcast(baseTot))
+        .withColumn("term", expr(PsiWindowTermSql))
+        .groupBy($"hour_start")
+        .agg(sum($"c_w").as("n_events"), sum($"term").as("psi_d"))
+        .select($"hour_start", $"n_events",
+          expr("round(cast(psi_d as double), 6)").as("psi"))
+        .withColumn("drift_status",
+          when($"psi" > 0.25, lit("investigate"))
+            .when($"psi" > 0.1, lit("watch"))
+            .otherwise(lit("stable")))
+        .orderBy($"hour_start")
+    },
+
     "e24_stream_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       // BOUNDED-STATE streaming dedup — the production form d10's plain
@@ -901,6 +967,44 @@ object Events {
         |WHERE hour_start + INTERVAL 1 HOUR <=
         |  (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "e30_stream_drift_monitor" ->
+      s"""WITH base AS (
+         |  SELECT event_type, count(*) AS c_base FROM events GROUP BY 1),
+         |bt AS (
+         |  SELECT count(*) AS n_base,
+         |    count(DISTINCT event_type) AS n_types FROM events),
+         |w AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         |    event_type, count(*) AS c_w
+         |  FROM events GROUP BY 1, 2),
+         |wk AS (
+         |  SELECT * FROM w WHERE hour_start + INTERVAL 1 HOUR <=
+         |    (SELECT max(ts) - INTERVAL 2 HOUR FROM events)),
+         |wt AS (
+         |  SELECT hour_start, CAST(sum(c_w) AS BIGINT) AS n_w
+         |  FROM wk GROUP BY 1),
+         |cells AS (
+         |  SELECT h.hour_start, b.event_type, b.c_base,
+         |    coalesce(k.c_w, 0) AS c_w
+         |  FROM (SELECT DISTINCT hour_start FROM wk) h
+         |  CROSS JOIN base b
+         |  LEFT JOIN wk k ON k.hour_start = h.hour_start
+         |    AND k.event_type = b.event_type),
+         |terms AS (
+         |  SELECT c.hour_start, c.c_w,
+         |    ${PsiWindowTermSql} AS term
+         |  FROM cells c JOIN wt ON wt.hour_start = c.hour_start
+         |  CROSS JOIN bt),
+         |agg AS (
+         |  SELECT hour_start, CAST(sum(c_w) AS BIGINT) AS n_events,
+         |    round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         |  FROM terms GROUP BY 1)
+         |SELECT hour_start, n_events, psi,
+         |  CASE WHEN psi > 0.25 THEN 'investigate'
+         |       WHEN psi > 0.1 THEN 'watch'
+         |       ELSE 'stable' END AS drift_status
+         |FROM agg ORDER BY hour_start""".stripMargin,
 
     "e29_stream_join_rollup" ->
       """WITH c AS (

@@ -221,6 +221,92 @@ class KinesisReshardingSpec extends SparkTestBase {
     assert(KinesisSourceOffset.fromJson(a.json()) == b)
   }
 
+  test("offset-walk fuzz: random put/split/merge/cap interleavings " +
+      "deliver every record exactly once in per-key order (seeded, " +
+      "60 scenarios, no Spark jobs)") {
+    // Property form of the follow protocol, at the offset level: drive
+    // latestOffset/planInputPartitions-equivalent walks directly
+    // against FakeKinesis under adversarial schedules — resharding can
+    // land between ANY two triggers, with or without admission caps,
+    // including mid-drain splits of shards that are themselves
+    // children. Invariants: nothing lost, nothing twice, and for every
+    // partition key the delivered order equals the put order.
+    val rnd = new scala.util.Random(0xF00D)
+    for (scenario <- 0 until 60) {
+      val clientName = s"rs-fuzz-$scenario"
+      val fake = FakeKinesis.named(clientName)
+      fake.clear()
+      fake.numShards.set(1 + rnd.nextInt(3))
+      val stream = "fz"
+      val keys = (0 until 4 + rnd.nextInt(5)).map(i => s"k$i")
+      val perKey = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      val sent = mutable.ArrayBuffer.empty[String]
+      def putSome(): Unit = {
+        val batch = (0 until 1 + rnd.nextInt(12)).map { _ =>
+          val k = keys(rnd.nextInt(keys.size))
+          val m = s"$k#${perKey(k)}"; perKey(k) += 1
+          (k, m)
+        }
+        put(fake, stream, batch)
+        sent ++= batch.map(_._2)
+      }
+      def reshard(): Unit = {
+        val open = fake.describeShards(stream).filter(_.open).map(_.shardId)
+        if (open.size > 1 && rnd.nextBoolean()) {
+          open.combinations(2).find { case Seq(x, y) =>
+            try { fake.mergeShards(stream, x, y); true }
+            catch { case _: IllegalArgumentException => false }
+          }
+          ()
+        } else fake.splitShard(stream, open(rnd.nextInt(open.size)))
+      }
+      val cap = if (rnd.nextBoolean()) 0L else (1 + rnd.nextInt(9)).toLong
+      val ms = new KinesisGraftMicroBatchStream(
+        opts(clientName, stream), "TRIM_HORIZON", 10000, cap)
+      putSome()
+      var cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+      val received = mutable.ArrayBuffer.empty[String]
+      def deliver(from: KinesisSourceOffset, to: KinesisSourceOffset): Unit =
+        to.shardOffsets.toSeq.sortBy(_._1).foreach { case (sh, end) =>
+          val start = from.shardOffsets.getOrElse(sh, 0L)
+          if (end > start) {
+            val it = fake.getShardIterator(stream, sh,
+              "AT_SEQUENCE_NUMBER", start)
+            received ++= fake.getRecords(it, 100000).records
+              .takeWhile(_.sequenceNumber < end)
+              .map(r => new String(r.record.data, "UTF-8"))
+          }
+        }
+      // random schedule of puts/reshards with walks in between, then
+      // walk to quiescence
+      (0 until 6 + rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => putSome()
+          case 1 => reshard()
+          case _ => ()
+        }
+        val next = walk(ms, cur, cap)
+        deliver(cur, next)
+        cur = next
+      }
+      var next = walk(ms, cur, cap)
+      while (next != cur) {
+        deliver(cur, next); cur = next; next = walk(ms, cur, cap)
+      }
+      assert(received.sorted == sent.sorted,
+        s"scenario $scenario: sent ${sent.size}, got ${received.size} " +
+          s"(${received.size - received.distinct.size} dups)")
+      keys.foreach { k =>
+        val got = received.filter(_.startsWith(s"$k#"))
+        val want = sent.filter(_.startsWith(s"$k#"))
+        assert(got == want,
+          s"scenario $scenario: per-key order broken for $k")
+      }
+      FakeKinesis.drop(clientName)
+    }
+  }
+
   // ----- AT_TIMESTAMP start ------------------------------------------
 
   test("at_timestamp replays from the instant: per-shard arrival seek, " +

@@ -41,6 +41,19 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** t24's boilerplate quantile: a shingle occurrence counts as
+    * corpus-common when its document frequency sits at or above this
+    * doc-weighted percentile of the corpus's own df distribution. A
+    * RELATIVE threshold on purpose: absolute df cuts degenerate as the
+    * corpus grows (measured on the fixtures — df>=3 calls everything
+    * common at sf0.1 and nothing at sf0.01, because trigram collision
+    * rates shift with corpus size), while the quantile self-calibrates
+    * to whatever duplication structure the corpus actually has — the
+    * same reason production boilerplate filters cut on df percentiles,
+    * not counts.
+    */
+  private val NoveltyQuantile = 0.9
+
   // ---- BPE merge application (t23, p11) ------------------------------
   // t13 produces one BPE-training iteration's merge table; these apply
   // it, so downstream token budgets (p11 packing) count TOKENIZER
@@ -519,6 +532,40 @@ object TextAnalysis {
             nullif(sum($"n_ws"), lit(0)).cast("double"), 4)
             .as("merge_rate"))
         .orderBy($"source")
+    },
+
+    "t24_shingle_novelty" -> { (s, dir) =>
+      import s.implicits._
+      // Per-document NOVELTY: the share of a doc's distinct 3-token
+      // shingles that are corpus-COMMON — df at or above the corpus's
+      // own doc-weighted NoveltyQuantile (see its doc for why the
+      // threshold is relative). d20 ranks the boilerplate n-grams
+      // themselves; this is the per-document consumption of the same
+      // signal — the templatedness/memorization-risk score a curation
+      // run uses to down-weight documents that are mostly recycled
+      // text (low novelty = near-pure boilerplate even when no single
+      // near-dup partner exists, the case pairwise dedup structurally
+      // misses). Scale shape: wordcount-shaped df aggregation over the
+      // distinct shingle stream (map-side partials), one equi-join
+      // back on the shingle key, a one-row percentile broadcast, and a
+      // per-doc count — bounded shuffles, never pairwise. Shingle
+      // definition shared verbatim with the dedup family (Shingle3 /
+      // Dedup.shingleSql), so "common" means exactly what d20 ranks.
+      val sh = docs(s, dir).filter($"text".isNotNull)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id",
+          explode(graft.functions.Shingle3($"toks")).as("sh"))
+      val dfs = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val joined = sh.join(dfs, "sh")
+      val thr = joined.agg(
+        percentile($"df", lit(NoveltyQuantile)).as("thr"))
+      joined.crossJoin(broadcast(thr))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when($"df" >= $"thr", 1)).as("n_common"))
+        .withColumn("novelty", round(lit(1.0) -
+          $"n_common" / $"n_shingles".cast("double"), 6))
+        .orderBy($"doc_id")
     },
 
     "t14_unicode_normalize" -> { (s, dir) =>
@@ -1040,6 +1087,26 @@ object TextAnalysis {
          |  round(CAST(sum(n_ws - n_bpe) AS DOUBLE) /
          |        CAST(NULLIF(sum(n_ws), 0) AS DOUBLE), 4) AS merge_rate
          |FROM bpec GROUP BY source ORDER BY source""".stripMargin,
+
+    "t24_shingle_novelty" ->
+      s"""WITH toksed AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |shg AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${Dedup.shingleSql}) AS sh
+         |    FROM toksed)),
+         |dfs AS (SELECT sh, count(*) AS df FROM shg GROUP BY sh),
+         |jn AS (SELECT doc_id, df FROM shg JOIN dfs USING (sh)),
+         |thr AS (
+         |  SELECT quantile_cont(df, $NoveltyQuantile) AS thr FROM jn)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  count(CASE WHEN df >= (SELECT thr FROM thr) THEN 1 END)
+         |    AS n_common,
+         |  round(1.0 -
+         |    count(CASE WHEN df >= (SELECT thr FROM thr) THEN 1 END) /
+         |    CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM jn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // chr(769)=U+0301 COMBINING ACUTE, chr(778)=U+030A COMBINING RING —
     // the decomposed suffix the Spark side appends; nfc_normalize is

@@ -549,6 +549,43 @@ object Pipeline {
         .orderBy($"source", $"shard", $"chunk", $"chunk_off")
     },
 
+    "p14_epoch_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      // SEEDED EPOCH SHUFFLE — the dataloader's data-order contract:
+      // each training epoch consumes the packed chunks in a fresh
+      // deterministic permutation, reproducible from the manifest
+      // alone (epoch-keyed md5 of the chunk's identity; changing the
+      // epoch reshuffles, re-running doesn't). The ORDER IS THE KEY:
+      // consumption order is ORDER BY (epoch, skey), which
+      // range-partitions at any scale — deliberately NO materialized
+      // rank column, because ranking per epoch would be a
+      // |epochs|-partition window whose two giant sorted tasks are
+      // exactly the shape the board bans; a loader that wants ranks
+      // zips them per range shard (the SortedExport pattern). Chunk
+      // identities derive from p06's packing arithmetic (one agg per
+      // (source, shard), then a sequence explode), so the manifest is
+      // a pure function of the corpus, spec-pinned deterministic under
+      // repartitioning (PipelineSpec).
+      val chunks = docs(s, dir)
+        .select($"source", expr(s"doc_id div $ShardDocs").as("shard"),
+          when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .groupBy($"source", $"shard")
+        .agg(expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen")
+          .as("n_chunks"))
+        .filter($"n_chunks" > 0)
+        .select($"source", $"shard",
+          explode(expr("sequence(cast(0 as bigint), n_chunks - 1)"))
+            .as("chunk"))
+      chunks
+        .select($"source", $"shard", $"chunk",
+          explode(array(lit(0), lit(1))).as("epoch"))
+        .withColumn("skey", md5(concat_ws(":",
+          $"epoch", $"source", $"shard", $"chunk")))
+        .select($"epoch", $"skey", $"source", $"shard", $"chunk")
+        .orderBy($"epoch", $"skey")
+    },
+
     "p03_corpus_profile" -> { (s, dir) =>
       import s.implicits._
       // Corpus profiling in ONE pass — the data-quality snapshot every
@@ -849,6 +886,31 @@ object Pipeline {
          |  md5(array_to_string(list_slice(string_split(text, ' '),
          |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
          |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin,
+
+    "p14_epoch_shuffle" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |shd AS (
+         |  SELECT source, shard,
+         |    CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
+         |      AS n_chunks
+         |  FROM d GROUP BY 1, 2),
+         |ch AS (
+         |  SELECT source, shard,
+         |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1))
+         |      AS chunk
+         |  FROM shd WHERE n_chunks > 0),
+         |ep AS (
+         |  SELECT ch.source, ch.shard, ch.chunk, e.epoch
+         |  FROM ch CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+         |SELECT epoch,
+         |  md5(epoch || ':' || source || ':' || shard || ':' || chunk)
+         |    AS skey,
+         |  source, shard, chunk
+         |FROM ep ORDER BY epoch, skey""".stripMargin,
 
     "p07_source_mixture" ->
       s"""WITH d AS (

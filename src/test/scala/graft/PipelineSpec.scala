@@ -207,4 +207,35 @@ class PipelineSpec extends SparkTestBase {
       assert(alt == base, "manifest changed with partition count")
     }
   }
+
+  test("p14 epoch shuffle: each epoch is a permutation of the chunk " +
+      "set, epochs genuinely reshuffle, and the manifest is " +
+      "deterministic under repartitioning") {
+    val rows = ops.Pipeline.queries("p14_epoch_shuffle")(spark, sfSmoke)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        (r.getString(2), r.getLong(3), r.getLong(4))))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    // permutation: both epochs cover exactly the same chunk identities
+    val c0 = byEpoch(0).map(_._3).toSet
+    val c1 = byEpoch(1).map(_._3).toSet
+    assert(c0 == c1 && c0.size == byEpoch(0).length,
+      "each epoch must cover every chunk exactly once")
+    // reshuffle: the two epochs' key-orders must not agree (an
+    // epoch-independent key would make every epoch identical — the
+    // exact bug this op exists to prevent)
+    val order0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val order1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(order0 != order1, "epochs must consume in different orders")
+    // determinism under a different partitioning (the p12 claim)
+    val base = rows.toSeq
+    withConfs("spark.sql.shuffle.partitions" -> "3") {
+      val alt = ops.Pipeline.queries("p14_epoch_shuffle")(spark, sfSmoke)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          (r.getString(2), r.getLong(3), r.getLong(4)))).toSeq
+      assert(alt == base, "shuffle manifest changed with partition count")
+    }
+  }
 }

@@ -391,7 +391,16 @@ private[sink] final class KinesisGraftMicroBatchStream(
     val from = start.asInstanceOf[KinesisSourceOffset].shardOffsets
     val to = end.asInstanceOf[KinesisSourceOffset].shardOffsets
     to.toArray.sortBy(_._1).flatMap { case (shard, endSeq) =>
-      val startSeq = from.getOrElse(shard, 0L)
+      // A shard in `to` but absent from `from` was admitted THIS trigger
+      // by reconcileLayout — at admitSeq, which under AT_TIMESTAMP is >0
+      // for a child whose split predates the configured instant (the
+      // child holds pre-instant history). Falling back to 0 here would
+      // deliver that history (breaking the "nothing earlier" contract)
+      // AND overshoot max_records_per_trigger, whose lag budget was
+      // computed from admitSeq. Replay-safe: the instant is fixed config
+      // and arrival stamps below the planned end are immutable, so the
+      // recomputed seek is identical on recovery.
+      val startSeq = from.getOrElse(shard, admitSeq(shard))
       if (endSeq > startSeq)
         Some(KinesisInputPartition(opts, stream, shard, startSeq, endSeq,
           fetchLimit): InputPartition)

@@ -388,6 +388,69 @@ class KinesisReshardingSpec extends SparkTestBase {
     assert(walk(ms, cur, 0) == cur)
   }
 
+  test("at_timestamp with a PRE-instant split: children hold pre-instant " +
+      "records, are admitted at their timestamp seek, and are PLANNED " +
+      "from it — no pre-instant delivery, admission budget holds") {
+    val fake = FakeKinesis.named("rs-ts3")
+    fake.clear()
+    fake.numShards.set(1)
+    val parent = "shardId-000000000000"
+    put(fake, "ts3", (0 until 10).map(i => (s"k$i", s"pre$i")))
+    val (c1, c2) = fake.splitShard("ts3", parent)
+    // children receive records BEFORE the instant — their timestamp seek
+    // is therefore > 0, the case a 0-fallback planner mis-plans
+    put(fake, "ts3", (0 until 8).map(i => (s"k$i", s"mid$i")))
+    val cut = fake.clock.get() + 1
+    put(fake, "ts3", (0 until 8).map(i => (s"k$i", s"post$i")))
+
+    val cap = 5L
+    val ms = new KinesisGraftMicroBatchStream(
+      opts("rs-ts3", "ts3"), "AT_TIMESTAMP", 10000, cap, cut)
+    val cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    // the closed parent is still listed, so it (not the children) is the
+    // lineage root; its whole log predates the instant → starts at end
+    assert(cur.shardOffsets == Map(parent -> 10L), s"root seek: $cur")
+    val next = walk(ms, cur, cap) // parent retires; children admitted
+    assert(next.done == Set(parent) &&
+      next.shardOffsets.keySet == Set(c1, c2), s"follow: $next")
+
+    // the (cur, next) batch: each child slice must START at its
+    // per-shard timestamp seek, not 0 — and the batch must respect cap
+    val parts = ms.planInputPartitions(cur, next)
+      .map(_.asInstanceOf[KinesisInputPartition])
+    parts.foreach { p =>
+      val seek = fake.sequenceAtTimestamp("ts3", p.shardId, cut)
+      assert(p.startSeq == seek,
+        s"child ${p.shardId} planned from ${p.startSeq}, seek is $seek")
+    }
+    assert(parts.map(p => p.endSeq - p.startSeq).sum <= cap,
+      s"admission budget exceeded: ${parts.toSeq}")
+
+    // end-to-end: the engine delivers exactly the post-instant records
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = Files.createTempDirectory("ckpt-rs-ts3").toString
+    val q = spark.readStream.format("kinesis-graft")
+      .option("aws_region_name", "us-east-1")
+      .option("stream", "ts3")
+      .option("client", "fake:rs-ts3")
+      .option("starting_position", "at_timestamp")
+      .option("starting_timestamp_ms", cut.toString)
+      .option("max_records_per_trigger", cap.toString)
+      .load()
+      .select(col("data").cast("string").as("payload"))
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        received.synchronized { received ++= b.collect().map(_.getString(0)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    assert(received.sorted == (0 until 8).map(i => s"post$i").sorted,
+      s"must deliver exactly the post-instant records: $received")
+    FakeKinesis.drop("rs-ts3")
+  }
+
   // ----- full engine loop through a reshard ---------------------------
 
   test("split + merge under a running query: exactly-once delivery and " +

@@ -61,20 +61,34 @@ object Similarity {
   // ---- trained coarse quantizer (s14/s15) ----------------------------
   // s04/s13's coarse cells derive from the fixture's `label` column; an
   // unlabeled 100 TB corpus has no labels, so the production path is a
-  // TRAINED quantizer: sample the corpus with the p07 md5 coin, seed
-  // centroids deterministically, run a bounded number of Lloyd passes
-  // (each pass reuses s13's shuffle-free argmax), then assign the FULL
-  // corpus to the trained cells. Everything is derministic-by-seed, so
-  // the whole build is deterministic-by-seed, so it is DuckDB-replicable
-  // and hash-gated: the coin is exactly uniform (16^8 % 4 = 0), seeds
-  // are the KmK lowest sampled vec_ids, distances round at 6 dp before
-  // every argmin (ties break to the lowest cell id), and centroid
-  // components round at 6 dp after every mean so engine summation-order
-  // ulps cannot leak into the next pass's assignments.
+  // TRAINED quantizer: take a BOUNDED deterministic sample of the
+  // corpus (the TrainN lowest vectors by md5 rank — an absolute count,
+  // so training cost is CONSTANT in corpus size; the earlier md5-COIN
+  // sampled a fraction, which at 100 TB pushed ~25 TB through every
+  // Lloyd pass), seed centroids deterministically, run a bounded number
+  // of Lloyd passes (each pass reuses s13's shuffle-free argmax), then
+  // assign the FULL corpus to the trained cells. Everything is
+  // deterministic-by-seed, so the whole build is DuckDB-replicable and
+  // hash-gated: the md5 rank is a total order both engines share
+  // (lowercase hex, binary string compare), seeds are the KmK lowest
+  // sampled vec_ids, distances round at 6 dp before every argmin (ties
+  // break to the lowest cell id), and centroid components round at 6 dp
+  // after every mean so engine summation-order ulps cannot leak into
+  // the next pass's assignments. Plan shape of the sample: Spark's
+  // TakeOrderedAndProject — per-partition top-N map-side, a TrainN-row
+  // merge on the driver, no full sort shuffle.
 
   private val KmK = 8      // coarse cells to train
   private val KmIters = 2  // bounded Lloyd passes
-  private val KmCoinMod = 4 // md5-coin sample: ~1/4 of the corpus
+  /** Bounded training-sample size, shared by the coarse quantizer and
+    * the PQ codebooks (one sample frame → the CTE chains compose).
+    * Public FAISS guidance is ~k·256 training points per quantizer
+    * (max(KmK, PqK)·256 = 4096 at these ks); the repo pins 256 for the
+    * same reason KmK is 8 and not 65536 — the smallest fixture corpus
+    * is 500 vectors, and the bound must sit BELOW it so every gated SF
+    * exercises the sample<corpus path a production build lives in.
+    */
+  private[ops] val TrainN = 256
 
   /** Squared L2 distance to a centroid, rounded to 6 dp — the argmin
     * key on both engines. Expanded dot form (v·v − 2 v·c + c·c): three
@@ -107,12 +121,20 @@ object Similarity {
     * ivfCentroids shape). Cells that lose all members simply drop out
     * (GROUP BY semantics — identical in the oracle).
     */
+  /** The bounded deterministic training sample: the TrainN lowest
+    * vectors by md5 rank (vec_id tiebreak is vestigial — md5 over
+    * distinct ids cannot collide — but keeps the ORDER BY total on
+    * both engines by construction). Plans as TakeOrderedAndProject:
+    * map-side per-partition top-N, never a full sort shuffle.
+    */
+  private def trainSample(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"))
+      .orderBy(expr("md5(cast(vec_id as string))"), col("vec_id"))
+      .limit(TrainN)
+
   private[ops] def kmTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
-    val samp = e.filter(
-      expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
-        s"as bigint) % $KmCoinMod") === 0)
-      .select($"vec_id", $"v")
+    val samp = trainSample(e)
       .localCheckpoint(eager = false)
     val init = samp.orderBy($"vec_id").limit(KmK)
       .select($"vec_id".as("cell"), $"v".as("cv"))
@@ -159,8 +181,7 @@ object Similarity {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |samp AS (
        |  SELECT vec_id, v FROM e
-       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-       |        % $KmCoinMod = 0),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainN),
        |c0 AS (SELECT vec_id AS cell, v AS cv FROM samp
        |       ORDER BY vec_id LIMIT $KmK),
        |$iters,
@@ -173,7 +194,7 @@ object Similarity {
   // The FAISS-style scale representation for ANN beyond IVF: split each
   // vector into PqM subvectors, train an independent PqK-codeword
   // codebook per subspace (the s14 k-means machinery with `sub` as an
-  // extra key — same coin, same seeds-by-lowest-id, same 6 dp rounding
+  // extra key — same bounded sample, same seeds-by-lowest-id, same 6 dp
   // discipline), and encode the corpus as PqM small codes. A 64-dim
   // float vector (256 B) becomes 8 codes (8 B) — the 32× footprint cut
   // that lets a 100 TB corpus's index live in memory. Search is ADC
@@ -218,10 +239,12 @@ object Similarity {
     */
   private[ops] def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
-    val samp = e.filter(
-      expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) " +
-        s"as bigint) % $KmCoinMod") === 0)
-      .select($"vec_id", $"v")
+    // One shared evaluation of the TrainN-row sample (lazy checkpoint,
+    // kmTrain's discipline): `seeds` and `sampSubs` prune different
+    // columns, so left un-materialized they'd build two differently-
+    // pruned copies of the (expensive when e is the residual frame)
+    // upstream subtree that AQE exchange reuse cannot unify.
+    val samp = trainSample(e).localCheckpoint(eager = false)
     val sampSubs = pqSubs(s, samp).localCheckpoint(eager = false)
     val seeds = samp.orderBy($"vec_id").limit(PqK)
       .select($"vec_id".as("seed_id"))
@@ -409,8 +432,7 @@ object Similarity {
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |samp AS (
          |  SELECT vec_id, v FROM e
-         |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-         |        % $KmCoinMod = 0),
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainN),
          |""".stripMargin
     s"""${if (withBase) base else ""}sv AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS sub,
@@ -1082,7 +1104,7 @@ object Similarity {
       import s.implicits._
       // TRAINED coarse quantizer (the s04/s13 design gap closed): an
       // unlabeled corpus has no label-derived cells, so the index build
-      // is sampled k-means — md5-coin sample, lowest-vec_id seeds,
+      // is sampled k-means — bounded md5-rank sample, lowest-vec_id seeds,
       // KmIters Lloyd passes — then a full-corpus assignment. Output is
       // the per-cell index summary an index-build job reports: member
       // counts (full + sample) and mean squared distance (the inertia

@@ -350,10 +350,14 @@ class PlanShapeSpec extends SparkTestBase {
       // once and its artifacts (af, enc, cb) are WRITTEN tables — the
       // recurring search scans artifacts, not the corpus; the one-plan
       // form is the honest build+search benchmark.
-      ("s19_ivfpq_topk", "embeddings.parquet", 5),
-      ("s20_ivfpq_recall", "embeddings.parquet", 7),
-      ("s23_ivfpq_residual_topk", "embeddings.parquet", 6),
-      ("s24_ivfpq_residual_recall", "embeddings.parquet", 8))
+      // (ceilings tightened round 10: the bounded TrainN sample is
+      // materialized once per train call — lazy localCheckpoint — so
+      // the seeds/sampSubs branches no longer build differently-pruned
+      // copies of the upstream subtree)
+      ("s19_ivfpq_topk", "embeddings.parquet", 4),
+      ("s20_ivfpq_recall", "embeddings.parquet", 6),
+      ("s23_ivfpq_residual_topk", "embeddings.parquet", 5),
+      ("s24_ivfpq_residual_recall", "embeddings.parquet", 7))
     val offenders = bounds.flatMap { case (name, table, cap) =>
       val df = SparkEntry.queries(name)(spark, sfSmoke)
       df.collect()

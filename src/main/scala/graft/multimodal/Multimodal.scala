@@ -48,7 +48,11 @@ object Multimodal {
     val NFeatures = 8
 
     def features(md: MessageDigest, content: Array[Byte]): Array[Double] =
-      (0 until NFeatures).map { j =>
+      features(md, content, NFeatures)
+
+    def features(md: MessageDigest, content: Array[Byte],
+        n: Int): Array[Double] =
+      (0 until n).map { j =>
         md.reset()
         md.update(content)
         md.update(s"_$j".getBytes("UTF-8"))
@@ -70,6 +74,23 @@ object Multimodal {
           ($"doc_id" % 4 + 1).cast("int")).as("format"),
         ($"n_chars" % 640 + 16).cast("int").as("width"),
         ($"n_chars" % 480 + 16).cast("int").as("height"))
+  }
+
+  /** The media corpus as a VECTOR frame — (vec_id, v ARRAY<DOUBLE>),
+    * 64 codec features per item, the image-embedding stand-in — shaped
+    * for `AnnIndex.buildFrom`: media similarity indexes through the
+    * SAME lifecycle as text embeddings (build once, search artifacts,
+    * upsert deltas), it just plugs a different vector producer into the
+    * front. Decode stays in `mapPartitions` (one codec per task); the
+    * output is a narrow two-column frame, so the index build never
+    * re-reads media bytes.
+    */
+  def mediaVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[Media].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map(m => (m.media_id, FakeCodec.features(md, m.content, 64)))
+    }.toDF("vec_id", "v")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -9,68 +9,113 @@ import org.apache.spark.sql.functions._
   * train/assign/encode half runs ONCE and its artifacts are WRITTEN
   * tables; the recurring search job reads the artifacts, never the
   * vector corpus. This module is that split, made real and spec-proven
-  * (AnnIndexSpec): [[build]] writes the four artifacts of the composed
-  * raw-code IVF-PQ index (s19's model — Similarity's kmTrain/pqTrain,
-  * so the index is bit-identical to the one the gated queries search),
-  * and [[search]] reproduces s19's exact ranking from the artifacts
-  * alone — its plan contains ZERO corpus scans.
+  * (AnnIndexSpec): [[build]] writes the artifacts of the composed
+  * IVF-PQ index in EITHER encoding — raw codes (s19's model,
+  * `byResidual = false`) or residual codes (s23's model, the FAISS
+  * default `by_residual=true`: codes quantize v − c(v), spending the
+  * same codebook budget on the tighter near-origin distribution) — and
+  * [[search]] reproduces the matching board query's exact ranking from
+  * the artifacts alone: its plan contains ZERO corpus scans. The
+  * encoding travels in a `meta` artifact, so search/upsert
+  * self-describe — a caller never has to remember how an index was
+  * built. [[buildFrom]] accepts ANY (vec_id, v) frame — the fixture
+  * corpus is one producer among several (the multimodal family's codec
+  * feature vectors index through the same lifecycle, see
+  * `Multimodal.mediaVectors`).
   *
   * Artifact layout (all parquet under `indexDir`):
   *
-  *  - `centroids/`  (cell, cv)            — KmK rows; broadcast at read.
-  *  - `codebooks/`  (sub, code, cv)       — PqM×PqK rows; broadcast.
-  *  - `invlists/`   cell=<c>/ (vec_id)    — the inverted lists,
+  *  - `meta/`       (by_residual)          — 1 row; the encoding flag.
+  *  - `centroids/`  (cell, cv)             — KmK rows; broadcast at read.
+  *  - `codebooks/`  (sub, code, cv)        — PqM×PqK rows; broadcast.
+  *    Residual indexes train these on r = v − c(v).
+  *  - `invlists/`   cell=<c>/ (vec_id)     — the inverted lists,
   *    DIRECTORY-PARTITIONED by cell so a probe's `cell IN (...)` filter
   *    prunes to the probed cells' directories: the search reads
   *    |probed|/KmK of the list bytes, the on-disk form of IVF's whole
   *    point. (Hive-style partitioning, not file-level range metadata —
   *    pruning happens at listing time, before any footer is opened.)
-  *  - `codes/`      (vec_id, sub, code)   — sorted by vec_id within
+  *  - `codes/`      (vec_id, sub, code)    — sorted by vec_id within
   *    shards so the per-candidate code lookup joins against
   *    min/max-tight row groups.
   *
   * Scale shape of [[search]]: centroid + codebook + the per-query
-  * distance table stay broadcasts; candidates come from the pruned
-  * inverted-list scan joined to the broadcast probe set; the ADC sum
-  * partial-aggregates in task; the bounded-heap TopKPerKey cuts to K
-  * before any sort — the same pinned shapes as s19, minus the build.
+  * distance table stay broadcasts (for a residual index the table is
+  * per-(query, probed cell) — NQueries×NProbe×PqM×PqK rounded-DECIMAL
+  * entries, still broadcast-sized at any corpus size); candidates come
+  * from the pruned inverted-list scan joined to the broadcast probe
+  * set; the ADC sum partial-aggregates in task; the bounded-heap
+  * TopKPerKey cuts to K before any sort — the same pinned shapes as
+  * s19/s23, minus the build.
   */
 object AnnIndex {
 
   /** Train on the corpus at `dir` and write the index artifacts.
     * Deterministic end-to-end (the s14/s16 rounding discipline), so
     * re-building overwrites byte-identical content — resumable like
-    * the pack write.
+    * the pack write. `byResidual = true` builds s23's residual-encoded
+    * model (the FAISS default; the one a deployment should serve);
+    * `false` builds s19's raw-code model (the encoding that can share
+    * one corpus encode with flat ADC, s17).
     */
-  def build(s: SparkSession, dir: String, indexDir: String): Unit = {
+  def build(s: SparkSession, dir: String, indexDir: String,
+      byResidual: Boolean = false): Unit =
+    buildFrom(s, Similarity.emb(s, dir).select(col("vec_id"), col("v")),
+      indexDir, byResidual)
+
+  /** [[build]] for ANY vector frame: `vectors` is (vec_id LONG,
+    * v ARRAY<DOUBLE>) with Similarity.Dim components — embeddings,
+    * codec feature vectors, anything. The index is self-describing
+    * (`meta`), so downstream [[search]]/[[upsert]] calls need only the
+    * directory.
+    */
+  def buildFrom(s: SparkSession, vectors: DataFrame, indexDir: String,
+      byResidual: Boolean): Unit = {
     import s.implicits._
-    val e = Similarity.emb(s, dir)
+    val e = vectors.select($"vec_id", $"v")
+    s.createDataset(Seq(byResidual)).toDF("by_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     val (_, cents) = Similarity.kmTrain(s, e)
     cents.select($"cell", $"cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val (_, cb) = Similarity.pqTrain(s, e)
+    // lazily materialized: a residual build reads af twice (inverted
+    // lists + the residual frame) — one assignment pass over the
+    // corpus, not two (af is the narrow (vec_id, cell) pair)
+    val af = Similarity.kmAssign(s, e, cents).select($"vec_id", $"cell")
+      .localCheckpoint(eager = false)
+    // the frame the PQ half trains on and encodes: raw vectors, or the
+    // per-vector residual against its coarse centroid (one IEEE
+    // subtraction per component on bit-identical inputs — the s23
+    // determinism argument, so rebuild stays byte-identical)
+    val pqFrame =
+      if (!byResidual) e
+      else e.join(af, "vec_id").join(broadcast(cents), "cell")
+        .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val (_, cb) = Similarity.pqTrain(s, pqFrame)
     cb.select($"sub", $"cell".as("code"), $"cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    Similarity.kmAssign(s, e.select($"vec_id", $"v"), cents)
-      .select($"cell", $"vec_id")
-      .write.mode("overwrite").partitionBy("cell")
+    af.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/invlists")
-    Similarity.pqAssign(s,
-        Similarity.pqSubs(s, e.select($"vec_id", $"v")), cb)
+    Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
+  private def isResidual(s: SparkSession, indexDir: String): Boolean =
+    s.read.parquet(s"$indexDir/meta").head().getBoolean(0)
+
   /** Incremental maintenance: index a DELTA of new vectors against the
     * EXISTING trained model — no retrain, the production cadence
     * (upsert continuously, rebuild when s13's churn numbers say the
     * quantizer no longer fits). New vectors assign to the existing
-    * cells and encode with the existing codebooks, then APPEND to the
-    * artifact tables; vec_ids already indexed are skipped (anti-join),
-    * so re-running the same upsert is a no-op — the same resumability
-    * contract as the pack write. `delta` is (vec_id, v).
+    * cells and encode with the existing codebooks — for a residual
+    * index, encode r = v − c(v) against the cell the vector just
+    * assigned to — then APPEND to the artifact tables; vec_ids already
+    * indexed are skipped (anti-join), so re-running the same upsert is
+    * a no-op — the same resumability contract as the pack write.
+    * `delta` is (vec_id, v).
     *
     * Scale shape: two broadcast-join argmax passes over the delta only
     * (the existing index is touched just for the pre-image anti-join
@@ -79,6 +124,7 @@ object AnnIndex {
     */
   def upsert(s: SparkSession, indexDir: String, delta: DataFrame): Unit = {
     import s.implicits._
+    val residual = isResidual(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
       .select($"sub", $"code".as("cell"), $"cv")
@@ -93,11 +139,17 @@ object AnnIndex {
     val fresh = delta.select($"vec_id", $"v")
       .join(existing, Seq("vec_id"), "left_anti")
       .localCheckpoint()
-    Similarity.kmAssign(s, fresh, cents)
-      .select($"cell", $"vec_id")
-      .write.mode("append").partitionBy("cell")
+    val afd = Similarity.kmAssign(s, fresh, cents)
+      .select($"vec_id", $"cell")
+      // both writes below derive from the assignment; one evaluation
+      .localCheckpoint()
+    afd.write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/invlists")
-    Similarity.pqAssign(s, Similarity.pqSubs(s, fresh), cb)
+    val pqFrame =
+      if (!residual) fresh
+      else fresh.join(afd, "vec_id").join(broadcast(cents), "cell")
+        .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
@@ -105,7 +157,8 @@ object AnnIndex {
   }
 
   /** Search the written index: top-`k` neighbors per query by the same
-    * probe + ADC discipline as s19 (rounded-DECIMAL distance tables,
+    * probe + ADC discipline as the matching board query (s19 for a raw
+    * index, s23 for a residual one — rounded-DECIMAL distance tables,
     * ties to the lowest id). `queries` is (q_id, qv) — the caller's
     * frame; nothing here touches the corpus. Returns
     * (q_id, n_id, adc DECIMAL, rnk).
@@ -113,6 +166,7 @@ object AnnIndex {
   def search(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int): DataFrame = {
     import s.implicits._
+    val residual = isResidual(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
     val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
@@ -136,22 +190,49 @@ object AnnIndex {
           org.apache.spark.sql.types.IntegerType)
         probedCells.toSeq.map(_.toInt)
       else probedCells.toSeq
+    // candidates KEEP their cell: a residual code only has meaning
+    // against the cell it was encoded in, so the ADC join is keyed by
+    // it (for a raw index the key degenerates to (q_id, sub, code))
     val cand = inv.filter($"cell".isin(cellLits: _*))
       .withColumn("cell", $"cell".cast("long"))
       .join(broadcast(probes.select($"q_id", $"cell")), "cell")
       .filter($"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"))
-    val qtab = Similarity.pqSubs(s,
-        queries.select($"q_id".as("vec_id"), $"qv".as("v")))
-      .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
-      .join(broadcast(cb), "sub")
+      .select($"q_id", $"vec_id".as("n_id"), $"cell")
+    // the per-query ADC table: subvector distances to every codeword.
+    // Raw index: the query's own subvectors — per-(query) table, keyed
+    // (q_id, sub, code). Residual index: the query RESIDUAL against
+    // each probed cell — per-(query, cell) table, keyed
+    // (q_id, cell, sub, code). Both broadcast-sized.
+    val qsubs =
+      if (!residual)
+        Similarity.pqSubs(s,
+            queries.select($"q_id".as("vec_id"), $"qv".as("v")))
+          .select($"vec_id".as("q_id"), lit(-1L).as("cell"),
+            $"sub", $"sv".as("qsv"))
+      else {
+        val qr = probes.join(broadcast(cents), "cell")
+          .select($"q_id", $"cell",
+            expr("zip_with(qv, cv, (x, c) -> x - c)").as("rv"))
+        Similarity.pqSubs(s, qr.select(
+            // pqSubs slices a (vec_id, v) frame; smuggle (q_id, cell)
+            // through as a struct id, then unpack
+            struct($"q_id", $"cell").as("vec_id"), $"rv".as("v")))
+          .select($"vec_id.q_id".as("q_id"), $"vec_id.cell".as("cell"),
+            $"sub", $"sv".as("qsv"))
+      }
+    val qtab = qsubs.join(broadcast(cb), "sub")
       .withColumn("qd2",
         Similarity.kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-      .select($"q_id", $"sub", $"code", $"qd2")
+      .select($"q_id", $"cell", $"sub", $"code", $"qd2")
     val enc = s.read.parquet(s"$indexDir/codes")
-    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
-      .join(broadcast(qtab), Seq("q_id", "sub", "code"))
-      .groupBy($"q_id", $"n_id")
+    val joined =
+      if (!residual)
+        enc.join(cand.drop("cell"), enc("vec_id") === cand("n_id"))
+          .join(broadcast(qtab.drop("cell")), Seq("q_id", "sub", "code"))
+      else
+        enc.join(cand, enc("vec_id") === cand("n_id"))
+          .join(broadcast(qtab), Seq("q_id", "cell", "sub", "code"))
+    val adc = joined.groupBy($"q_id", $"n_id")
       .agg(sum($"qd2").as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), k)

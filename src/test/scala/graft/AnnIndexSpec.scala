@@ -97,6 +97,170 @@ class AnnIndexSpec extends SparkTestBase {
       "re-building the index must reproduce identical artifacts")
   }
 
+  test("residual index lifecycle: build(byResidual) artifacts " +
+      "reproduce the one-plan s23 ranking with no corpus scan and " +
+      "pruned invlists; rebuild deterministic; upsert encodes the " +
+      "delta's residuals against its assigned cells") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-res") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = true)
+
+    val qRows = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = qRows.toSeq.toDF("q_id", "qv")
+
+    val t0 = System.nanoTime()
+    val got = AnnIndex.search(spark, indexDir, queries, 5)
+      .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    info(f"residual artifact search: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val wantRows = SparkEntry.queries("s23_ivfpq_residual_topk")(
+        spark, sfVerify).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(gotRows.nonEmpty && gotRows.sameElements(wantRows),
+      s"residual artifact search must equal s23's one-plan ranking; got " +
+        s"${gotRows.take(3).mkString(",")} vs ${wantRows.take(3).mkString(",")}")
+
+    // plan properties: zero corpus scans; cell cut is a partition filter
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val searched = AnnIndex.search(spark, indexDir, queries, 5)
+    searched.collect()
+    val ss = scans(searched.queryExecution.executedPlan)
+    assert(!ss.exists(_.relation.location.rootPaths.mkString
+        .contains("embeddings")),
+      "the residual artifact search must never scan the vector corpus")
+    val invScan = ss.find(_.relation.location.rootPaths.mkString
+      .contains("invlists"))
+    assert(invScan.isDefined && invScan.get.partitionFilters.nonEmpty,
+      s"probe cut must prune the invlists at listing time: $invScan")
+
+    // rebuild determinism (same fingerprint discipline as the raw test)
+    def fingerprint(): String = {
+      val inv = spark.read.parquet(s"$indexDir/invlists")
+        .select(concat_ws(":", $"cell", $"vec_id").as("r"))
+      val codes = spark.read.parquet(s"$indexDir/codes")
+        .select(concat_ws(":", $"vec_id", $"sub", $"code").as("r"))
+      inv.union(codes)
+        .agg(md5(concat_ws(",", sort_array(collect_list($"r")))))
+        .head().getString(0)
+    }
+    val before = fingerprint()
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = true)
+    assert(fingerprint() == before,
+      "re-building the residual index must reproduce identical artifacts")
+
+    // upsert: exact duplicates must land in their twins' cells AND get
+    // their twins' codes — which for a residual index proves the delta
+    // was encoded as r = v − c(v) against the JUST-assigned cell (raw
+    // encoding of a duplicate would yield different codes whenever the
+    // codebooks differ between raw and residual space)
+    val Shift = 1000000L
+    val emb = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val delta = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select(($"vec_id" + Shift).as("vec_id"), $"v")
+    AnnIndex.upsert(spark, indexDir, delta)
+    val inv = spark.read.parquet(s"$indexDir/invlists")
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val twinCells = inv.filter($"vec_id" >= Shift)
+      .select(($"vec_id" - Shift).as("vec_id"), $"cell".as("d_cell"))
+      .join(inv, "vec_id").filter($"d_cell" =!= $"cell")
+    val twinCodes = codes.filter($"vec_id" >= Shift)
+      .select(($"vec_id" - Shift).as("vec_id"), $"sub", $"code".as("d_code"))
+      .join(codes, Seq("vec_id", "sub")).filter($"d_code" =!= $"code")
+    assert(twinCells.count() == 0 && twinCodes.count() == 0,
+      "residual upsert must reproduce the twin's cell and codes")
+    // and a search sees the upserted twin at the original's distance
+    val q100 = emb.filter($"vec_id" === 100)
+      .select(lit(0L).as("q_id"), $"v".as("qv"))
+    val res = AnnIndex.search(spark, indexDir, q100, 50)
+      .select($"n_id", $"adc".cast("double").as("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.contains(100L + Shift),
+      s"search must surface the residual-upserted twin")
+    // idempotence
+    val nInv = spark.read.parquet(s"$indexDir/invlists").count()
+    AnnIndex.upsert(spark, indexDir, delta)
+    assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv,
+      "re-upserting the same delta must change nothing")
+  }
+
+  test("buildFrom indexes ANY (vec_id, v) frame: the multimodal codec " +
+      "vectors go through the same lifecycle, and search stays " +
+      "artifact-only") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-media") + "/idx"
+    val vecs = graft.multimodal.Multimodal.mediaVectors(spark, sfVerify)
+    AnnIndex.buildFrom(spark, vecs, indexDir, byResidual = true)
+
+    // query with a known corpus vector under a fresh id: its source
+    // item must rank FIRST (ADC distance to itself is the minimum —
+    // exact-duplicate media share content, hence codes, and tie).
+    // Materialized to literals: the query input carries no lineage to
+    // the media fixture, so any fixture scan in the search plan would
+    // be the INDEX's fault (same discipline as the raw-index test).
+    val probeRows = vecs.filter($"vec_id" === 42L)
+      .select(lit(0L).as("q_id"), $"v".as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probe = probeRows.toSeq.toDF("q_id", "qv")
+    val top = AnnIndex.search(spark, indexDir, probe, 5)
+      .orderBy($"rnk")
+      .select($"n_id", $"adc".cast("double").as("adc")).collect()
+    assert(top.length == 5, s"5 neighbors expected: ${top.length}")
+    val minAdc = top.map(_.getDouble(1)).min
+    val firstIds = top.filter(_.getDouble(1) == minAdc)
+      .map(_.getLong(0)).toSet
+    assert(firstIds.contains(42L),
+      s"the query's own source item must sit in the minimum-ADC tie: " +
+        s"${top.mkString(",")}")
+
+    // lifecycle parity: upsert a twin of item 42; it must become
+    // searchable with the same ADC as 42 itself
+    val delta = vecs.filter($"vec_id" === 42L)
+      .select(lit(5000000L).as("vec_id"), $"v")
+    AnnIndex.upsert(spark, indexDir, delta)
+    val res = AnnIndex.search(spark, indexDir, probe, 50)
+      .select($"n_id", $"adc".cast("double").as("adc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.contains(5000000L) && res(5000000L) == res(42L),
+      s"media twin must score exactly like its source: $res")
+
+    // search never re-reads media bytes or the documents fixture
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val searched = AnnIndex.search(spark, indexDir, probe, 5)
+    searched.collect()
+    assert(!scans(searched.queryExecution.executedPlan)
+        .exists(_.relation.location.rootPaths.mkString
+          .contains("documents")),
+      "artifact search must not re-read the media fixture")
+  }
+
   test("upsert indexes a delta against the existing model: duplicates " +
       "land in their twins' cells with identical codes, searches see " +
       "them, and re-upserting is a no-op") {

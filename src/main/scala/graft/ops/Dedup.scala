@@ -242,14 +242,26 @@ object Dedup {
           .as("simhash"))
   }
 
-  private def minhashCore(s: SparkSession, dir: String): DataFrame = {
+  private def minhashCore(s: SparkSession, dir: String): DataFrame =
+    minhashCoreOf(s, docs(s, dir))
+
+  /** [[minhashCore]] for ANY (doc_id, text) frame — the seam
+    * [[DedupIndex]] builds and probes through, so an index built from
+    * one corpus and a batch signed at ingest time use the SAME fused
+    * kernels (identical As/Bs/P → identical signatures → identical
+    * band values; collision semantics carry over by construction).
+    */
+  private[ops] def minhashCoreOf(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
     // fused codegen'd slots (see MinHashSlot.scala) — value-identical
     // to array_min(transform(hs, h -> (h*a + b) % p)), spec-proven
     val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), j) =>
       graft.functions.MinHashSlot($"hs", a, b, P).as(s"mh$j")
     }
-    shingleHashArr(s, dir).select($"doc_id" +: sigCols: _*)
+    d.withColumn("toks", split($"text", " "))
+      .select($"doc_id", graft.functions.Shingle3($"toks").as("shs"))
+      .select($"doc_id", graft.functions.Md5Prefix28($"shs").as("hs"))
+      .select($"doc_id" +: sigCols: _*)
   }
 
   /** DuckDB CTE producing (doc_id, h) distinct shingle hashes. */

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The persisted dedup index — [[AnnIndex]]'s twin for the admission
+  * queries (d13 exact, d17 near): at 100 TB an ingest service does NOT
+  * recompute the corpus fingerprint set and LSH band index inside every
+  * admission run (the one-plan d13/d17 board formulations do, because
+  * they gate build+probe together); it probes a WRITTEN index and
+  * appends what it admits. This module is that split (DedupIndexSpec):
+  * [[build]] writes the two probe-side artifacts, [[probe]] decides a
+  * batch's admission with a plan that scans NO corpus text and prunes
+  * both artifact scans to the batch's collision buckets, [[append]]
+  * upserts admitted docs idempotently.
+  *
+  * Artifact layout (parquet under `indexDir`):
+  *
+  *  - `fps/`   fpb=<hex nibble>/ (doc_id, fp) — the exact-dup
+  *    fingerprint table (d13's md5-of-lowercased-text), DIRECTORY-
+  *    PARTITIONED by the fingerprint's first nibble: a batch's probe
+  *    prunes to the nibbles it actually carries.
+  *  - `bands/` pb=<bucket>/ (band, doc_id, mh0..mh5) — the LSH band
+  *    index (d17's 3 bands × 2 MinHash slots), partitioned by a
+  *    NPb-way hash of the band value. Each row CARRIES its document's
+  *    full 6-slot signature, so candidate verification (estimated
+  *    Jaccard ≥ 0.5, d03/d17's rule) needs no second corpus lookup —
+  *    3× signature duplication buys a probe that touches exactly one
+  *    artifact per admission rule.
+  *
+  * Scale shape of [[probe]]: the batch side is signed locally (narrow
+  * map over the batch's own text — the only text in the plan); its
+  * distinct partition keys resolve driver-side (≤16 nibbles + ≤NPb
+  * buckets — tiny, the AnnIndex probed-cells discipline) into
+  * IN-filters that prune the artifact scans at listing time; every
+  * join is an equi-join on fp or band; verification compares in-row
+  * signature columns. Nothing is quadratic in the corpus, and the
+  * corpus contributes only pruned index rows.
+  */
+object DedupIndex {
+
+  /** Band-hash partition fan-out. 32 directories keeps listing cheap
+    * while a small batch (the steady-state ingest tick) still collides
+    * into a strict subset — the prunable case the spec pins.
+    */
+  private val NPb = 32
+
+  private def fpOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+
+  /** (doc_id, band, mh0..mh5): each band row carrying its signature. */
+  private def bandRows(s: SparkSession, d: DataFrame): DataFrame = {
+    val sigs = Dedup.minhashCoreOf(s, d)
+    Dedup.bandsOf(s, sigs).join(sigs, "doc_id")
+  }
+
+  def build(s: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
+    fpOf(corpus)
+      .withColumn("fpb", substring(col("fp"), 1, 1))
+      .write.mode("overwrite").partitionBy("fpb")
+      .parquet(s"$indexDir/fps")
+    bandRows(s, corpus)
+      .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$indexDir/bands")
+  }
+
+  /** Decide a batch's admission against the index. Returns one row per
+    * batch doc with BOTH rule families' raw verdicts, so callers
+    * aggregate whichever policy they run (d13's exact funnel, d17's
+    * near funnel, or exact-then-near):
+    *
+    *  - `fp_in_corpus`  — exact fingerprint already indexed (d13's
+    *    corpus rejection);
+    *  - `fp_batch_rn`   — 1-based rank within the batch per
+    *    fingerprint, ordered by doc_id (d13's first-copy-wins: rn > 1
+    *    is a within-batch exact dup);
+    *  - `near_rej_corpus` — some indexed doc shares a band AND
+    *    verifies at estimated Jaccard ≥ 0.5 (d17's corpus rejection);
+    *  - `near_rej_batch`  — some verified LOWER-id batch neighbor
+    *    (d17's greedy first-wins within the batch).
+    */
+  def probe(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    // ---- exact half -------------------------------------------------
+    val bFp = fpOf(batch).localCheckpoint(eager = false)
+    val nibbles: Seq[Any] = bFp
+      .select(substring($"fp", 1, 1)).distinct().collect().map(_.getString(0))
+    val corpusFp = s.read.parquet(s"$indexDir/fps")
+      .filter($"fpb".isin(nibbles: _*))
+      .select($"fp").distinct().withColumn("fp_in_corpus", lit(true))
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    val exact = bFp
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("fp_batch_rn", row_number().over(wFp))
+      .select($"doc_id",
+        coalesce($"fp_in_corpus", lit(false)).as("fp_in_corpus"),
+        $"fp_batch_rn")
+
+    // ---- near half --------------------------------------------------
+    // batch band rows, materialized once: the corpus probe, the
+    // batch-batch self-join and the partition-key resolution all fork
+    // from here (six-consumer rationale, d17)
+    val bBands = bandRows(s, batch).localCheckpoint(eager = false)
+    val pbs = bBands.select(pmod(xxhash64($"band"), lit(NPb)))
+      .distinct().collect().map(_.getLong(0))
+    val idx = s.read.parquet(s"$indexDir/bands")
+    // IN-literal type must match the inferred partition column type,
+    // or the filter demotes to post-scan and pruning dies (the
+    // AnnIndex literal-type guard)
+    val pbLits: Seq[Any] =
+      if (idx.schema("pb").dataType ==
+          org.apache.spark.sql.types.IntegerType) pbs.toSeq.map(_.toInt)
+      else pbs.toSeq
+    val matches = (0 until 6).map(j =>
+      when(col(s"c$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    val cIdx = idx.filter($"pb".isin(pbLits: _*))
+      .select($"band" +: $"doc_id".as("c_id") +:
+        (0 until 6).map(j => col(s"mh$j").as(s"c$j")): _*)
+    val bSide = bBands
+      .select($"band" +: $"doc_id".as("b_id") +:
+        (0 until 6).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val rejCorpus = cIdx.join(bSide, "band")
+      .withColumn("est", round(matches / lit(6.0), 6))
+      .filter($"est" >= 0.5)
+      .select($"b_id".as("doc_id")).distinct()
+      .withColumn("near_rej_corpus", lit(true))
+    val aSide = bBands
+      .select($"band" +: $"doc_id".as("c_id") +:
+        (0 until 6).map(j => col(s"mh$j").as(s"c$j")): _*)
+    val rejBatch = aSide.join(bSide, "band")
+      .filter($"c_id" < $"b_id")
+      .withColumn("est", round(matches / lit(6.0), 6))
+      .filter($"est" >= 0.5)
+      .select($"b_id".as("doc_id")).distinct()
+      .withColumn("near_rej_batch", lit(true))
+
+    exact
+      .join(rejCorpus, Seq("doc_id"), "left")
+      .join(rejBatch, Seq("doc_id"), "left")
+      .select($"doc_id", $"fp_in_corpus", $"fp_batch_rn",
+        coalesce($"near_rej_corpus", lit(false)).as("near_rej_corpus"),
+        coalesce($"near_rej_batch", lit(false)).as("near_rej_batch"))
+  }
+
+  /** Upsert admitted docs: doc_ids already indexed are skipped (the
+    * fps table is the membership register — one narrow anti-join), so
+    * re-running the same append is a no-op; the same at-least-once
+    * absorption contract as `AnnIndex.upsert`, proven against a
+    * foreachBatch redelivery in the spec.
+    */
+  def append(s: SparkSession, indexDir: String, admitted: DataFrame): Unit = {
+    import s.implicits._
+    val existing = s.read.parquet(s"$indexDir/fps").select($"doc_id")
+    // eager: both writes below must see the PRE-append membership
+    // (lazily, the bands write would re-read fps after the fps append
+    // and drop its own delta — the AnnIndex.upsert corruption mode)
+    val fresh = admitted.select($"doc_id", $"text")
+      .join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    fpOf(fresh)
+      .withColumn("fpb", substring(col("fp"), 1, 1))
+      .write.mode("append").partitionBy("fpb")
+      .parquet(s"$indexDir/fps")
+    bandRows(s, fresh)
+      .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
+      .write.mode("append").partitionBy("pb")
+      .parquet(s"$indexDir/bands")
+  }
+}

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupIndex
+
+/** The persisted dedup-admission lifecycle (DedupIndex.build / probe /
+  * append): the SCALE.md claim "an ingest service probes a WRITTEN
+  * index, it does not recompute the corpus fingerprint/band index per
+  * admission run", proven:
+  *
+  *  - probe decisions over the written artifacts reproduce BOTH board
+  *    funnels — d13's exact admission and d17's near admission — on
+  *    the same corpus/batch split those queries gate;
+  *  - the probe plan scans NO corpus text (documents.parquet absent)
+  *    and hits both artifact scans with PARTITION filters;
+  *  - a small batch prunes to its collision buckets (fewer partitions
+  *    read than exist — the listing-time payoff of the fpb/pb layout);
+  *  - append is idempotent (anti-join on the membership register) and
+  *    appended docs become probe-rejecting, closing the ingest loop.
+  */
+class DedupIndexSpec extends SparkTestBase {
+
+  private def fixtureDocs: DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfVerify, "documents")
+      .select($"doc_id", $"text", $"source")
+  }
+
+  private def literalBatch(filter: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    // materialized to literals: the probe input carries no lineage back
+    // to the fixture, so any documents scan in the probe plan would be
+    // the INDEX's fault (the AnnIndexSpec discipline)
+    fixtureDocs.filter(filter)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+  }
+
+  test("probe over a written index reproduces the d13 exact and d17 " +
+      "near admission funnels; no corpus text in the plan; both " +
+      "artifact scans partition-filtered") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-index") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), indexDir)
+
+    val batch = literalBatch($"doc_id" % 5 === 4)
+    val decisions = DedupIndex.probe(spark, indexDir, batch)
+      .localCheckpoint() // reused by two funnels + the plan audit below
+    val withSource = decisions
+      .join(fixtureDocs.select($"doc_id", $"source"), "doc_id")
+
+    def rows(df: DataFrame): Seq[(String, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+
+    // d13 parity: exact fingerprints, corpus rejection outranks batch
+    val gotExact = rows(withSource.groupBy($"source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(!$"fp_in_corpus" && $"fp_batch_rn" === 1, 1L)
+          .otherwise(0L)).as("n_admitted"),
+        sum(when($"fp_in_corpus", 1L).otherwise(0L)).as("n_rej_corpus"),
+        sum(when(!$"fp_in_corpus" && $"fp_batch_rn" > 1, 1L)
+          .otherwise(0L)).as("n_rej_batch"))
+      .select($"source", $"n_incoming", $"n_admitted", $"n_rej_corpus",
+        $"n_rej_batch"))
+    val wantExact = rows(
+      SparkEntry.queries("d13_incremental_dedup")(spark, sfVerify)
+        .select($"source", $"n_incoming", $"n_admitted", $"n_rej_corpus",
+          $"n_rej_batch"))
+    assert(gotExact.nonEmpty && gotExact == wantExact,
+      s"probe must reproduce d13's funnel: $gotExact vs $wantExact")
+
+    // d17 parity: near admission, corpus rejection takes precedence
+    val gotNear = rows(withSource.groupBy($"source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when($"near_rej_corpus", 1L).otherwise(0L)).as("n_rej_corpus"),
+        sum(when(!$"near_rej_corpus" && $"near_rej_batch", 1L)
+          .otherwise(0L)).as("n_rej_batch"),
+        sum(when(!$"near_rej_corpus" && !$"near_rej_batch", 1L)
+          .otherwise(0L)).as("n_admitted"))
+      .select($"source", $"n_incoming", $"n_rej_corpus", $"n_rej_batch",
+        $"n_admitted"))
+    val wantNear = rows(
+      SparkEntry.queries("d17_incremental_near_dedup")(spark, sfVerify)
+        .select($"source", $"n_incoming", $"n_rej_corpus", $"n_rej_batch",
+          $"n_admitted"))
+    assert(gotNear == wantNear,
+      s"probe must reproduce d17's funnel: $gotNear vs $wantNear")
+
+    // plan audit on a FRESH probe (the checkpointed one above has its
+    // lineage severed): no fixture scan; partition filters on both
+    // artifact scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val probed = DedupIndex.probe(spark, indexDir, batch)
+    probed.collect()
+    val ss = scans(probed.queryExecution.executedPlan)
+    assert(!ss.exists(_.relation.location.rootPaths.mkString
+        .contains("documents")),
+      "the probe plan must never scan corpus text")
+    for (artifact <- Seq("fps", "bands")) {
+      val sc = ss.filter(_.relation.location.rootPaths.mkString
+        .contains(artifact))
+      assert(sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty),
+        s"$artifact scan must carry a partition filter: $sc")
+    }
+  }
+
+  test("a small batch prunes both artifact scans to its collision " +
+      "buckets: fewer partitions read than exist") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-prune") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), indexDir)
+
+    // 4 docs → ≤12 band rows and ≤4 fingerprint nibbles: strictly
+    // fewer buckets than the corpus populates
+    val batch = literalBatch($"doc_id" % 5 === 4 && $"doc_id" < 20)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    // inspect the PRE-execution plan: a tiny batch can make a probe
+    // branch runtime-empty, and AQE then replaces the (already pruned,
+    // already listed) scan with an empty relation in the final plan —
+    // the pruning decision under test happens at listing time, before
+    // any of that
+    val probed = DedupIndex.probe(spark, indexDir, batch)
+    val ss = scans(probed.queryExecution.executedPlan)
+    for (artifact <- Seq("fps", "bands")) {
+      val dirs = new java.io.File(s"$indexDir/$artifact").listFiles()
+        .count(f => f.getName.contains("="))
+      val sc = ss.filter(_.relation.location.rootPaths.mkString
+        .contains(artifact))
+      assert(sc.nonEmpty, s"$artifact must be scanned")
+      val read = sc.map(_.selectedPartitions.partitionCount).max
+      assert(read < dirs,
+        s"$artifact: probe must read fewer buckets than exist " +
+          s"($read of $dirs)")
+    }
+  }
+
+  test("append upserts admitted docs idempotently, and appended docs " +
+      "become probe-rejecting — the closed ingest loop") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-append") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), indexDir)
+    val batch = literalBatch($"doc_id" % 5 === 4)
+
+    val d0 = DedupIndex.probe(spark, indexDir, batch)
+    // exact-then-near admission policy
+    val admittedIds = d0.filter(!$"fp_in_corpus" && $"fp_batch_rn" === 1 &&
+        !$"near_rej_corpus" && !$"near_rej_batch")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admittedIds.nonEmpty, "fixture split must admit something")
+    val admitted = batch.filter($"doc_id".isin(admittedIds.toSeq: _*))
+
+    DedupIndex.append(spark, indexDir, admitted)
+    val nFp = spark.read.parquet(s"$indexDir/fps").count()
+    val nBands = spark.read.parquet(s"$indexDir/bands").count()
+    // idempotence: the same append again changes nothing
+    DedupIndex.append(spark, indexDir, admitted)
+    assert(spark.read.parquet(s"$indexDir/fps").count() == nFp &&
+      spark.read.parquet(s"$indexDir/bands").count() == nBands,
+      "re-appending the same docs must be a no-op")
+    assert(nBands >= nFp, "every indexed doc carries its band rows")
+
+    // the loop closes: re-probing the same batch now rejects every
+    // previously admitted doc as an exact corpus dup
+    val d1 = DedupIndex.probe(spark, indexDir, batch)
+    val stillAdmitted = d1.filter(!$"fp_in_corpus" && $"fp_batch_rn" === 1 &&
+        !$"near_rej_corpus" && !$"near_rej_batch")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(stillAdmitted.isEmpty,
+      s"appended docs must reject their own re-ingest: $stillAdmitted")
+    val rejectedExact = d1.filter($"fp_in_corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admittedIds.subsetOf(rejectedExact),
+      "every appended doc must now hit the fingerprint table")
+  }
+}

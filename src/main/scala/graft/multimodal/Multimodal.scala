@@ -121,13 +121,17 @@ object Multimodal {
     "m07_media_shard_plan" -> { (s, dir) =>
       import s.implicits._
       // WebDataset-style SHARD PLANNING: media blobs are atomic (no
-      // mid-file splits), so training shards fill greedily to a byte
-      // budget and close on the first blob that crosses it — a shard
-      // may overflow by less than one blob, exactly tar-shard `maxsize`
-      // semantics. The assignment is a pure prefix-sum function (shard
-      // = bytes-before-me div budget within the format's id order), so
-      // it is deterministic under any partitioning, parallelizes per
-      // format with one windowed cumsum, and the oracle replays it
+      // mid-file splits), so training shards fill to a byte budget and
+      // a shard may overflow by less than one blob. The assignment
+      // APPROXIMATES tar-shard `maxsize` semantics via prefix-sum
+      // binning (shard = bytes-before-me div budget within the
+      // format's id order): unlike true greedy close-on-crossing, an
+      // overflowing blob's carry eats the NEXT bin's capacity (budget
+      // 100, blobs 150/60/40 → bins {150},{60},{40} where greedy packs
+      // {150},{60,40}) and shard ids can skip when one blob spans
+      // several bins — the trade for a pure per-row function that is
+      // deterministic under any partitioning, parallelizes per format
+      // with one windowed cumsum, and the oracle replays it
       // exactly. Shards are modality-homogeneous (per format) — the
       // layout dataloaders want. Output is the shard manifest: counts,
       // bytes, id range, an order-sensitive content digest (what a

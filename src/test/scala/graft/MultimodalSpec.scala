@@ -109,7 +109,7 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("m07 shard-plan invariants: contiguous shards, conserved bytes, " +
-      "disjoint ascending id ranges, close-on-crossing semantics") {
+      "disjoint ascending id ranges, prefix-sum binning semantics") {
     import spark.implicits._
     val Budget = 4096L // mirror of Multimodal.MediaShardBytes
     val plan = SparkEntry.queries("m07_media_shard_plan")(spark, sfVerify)
@@ -119,7 +119,8 @@ class MultimodalSpec extends SparkTestBase {
     assert(plan.nonEmpty)
     plan.groupBy(_._1).foreach { case (fmt, rows) =>
       val byShard = rows.sortBy(_._2)
-      // shards are 0..max with no gaps
+      // shards are 0..max with no gaps ON THIS FIXTURE (no blob spans
+      // a whole bin — prefix-sum binning would skip ids if one did)
       assert(byShard.map(_._2).toSeq == (0L until byShard.size.toLong),
         s"$fmt: shard ids must be contiguous from 0")
       // id ranges are disjoint and ascending (greedy order assignment)
@@ -129,9 +130,12 @@ class MultimodalSpec extends SparkTestBase {
             s"$fmt: shard ${a._2} id range must precede shard ${b._2}")
         case _ =>
       }
-      // close-on-crossing: every NON-final shard's cumulative end
-      // crosses its budget boundary (else the next blob would have
-      // stayed in it); a shard overflows by less than one blob
+      // binning: every NON-final shard's cumulative end crosses its
+      // budget boundary (else the next blob would have stayed in it);
+      // a shard overflows by less than one blob. NOTE this is
+      // prefix-sum binning, not true greedy close-on-crossing: an
+      // overflow carry reduces the next bin's capacity (documented in
+      // the operator)
       val cums = byShard.map(_._4).scanLeft(0L)(_ + _).drop(1)
       byShard.init.zip(cums.init).foreach { case (sh, cumEnd) =>
         assert(cumEnd >= (sh._2 + 1) * Budget,

@@ -72,6 +72,84 @@ object Events {
       |  6)
       |as decimal(14,6))""".stripMargin
 
+  /** e31 core — TRAILING-baseline drift monitor, e30's production fix:
+    * e30 compares each closed hour against a STATIC whole-corpus
+    * baseline, so a permanent mix shift alarms forever; production
+    * drift detection re-baselines on a trailing window (here: the 3
+    * prior hours), so a step change alarms while the baseline still
+    * remembers the old mix and re-stabilizes once the trailing window
+    * has rolled past it — the spec drives exactly that trajectory on a
+    * synthetic step-change stream.
+    *
+    * The streaming half is a CHAINED two-stateful-operator query (the
+    * e27 discipline): an hourly windowed count feeding a SLIDING
+    * (3 h, 1 h) windowed sum — per event type, the trailing window
+    * [h−3h, h) materializes as the sliding window whose end is h, both
+    * levels evicting on the propagated watermark, no intermediate
+    * topic. The current-hour counts and the closed-horizon cutoff come
+    * batch-side from the same fixture (e30's mirror image: there the
+    * STREAM carried the current mix and the baseline was batch; here
+    * the stream carries the novel artifact — the trailing baseline —
+    * and e30 already gates streaming current-hour emission). The
+    * comparison join is hours×types — broadcast-tiny at any scale.
+    * Hours with no trailing data yet (the stream's opening hours) have
+    * no defined baseline and are excluded (inner join on hours present
+    * on both sides); the per-hour type grid is the union of current
+    * and baseline types, Laplace-smoothed over its own size, PSI terms
+    * rounded to DECIMAL before the per-hour sum (p09/e30 discipline).
+    */
+  private[graft] def trailingDriftCore(s: SparkSession,
+      streamEvents: DataFrame, batchEvents: DataFrame,
+      gateName: String): DataFrame = {
+    import s.implicits._
+    val cutoffDf = batchEvents
+      .agg((max($"ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+    val hourly = streamEvents
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val trailing = hourly
+      .groupBy(window(window_time($"window"), "3 hours", "1 hour"),
+        $"event_type")
+      .agg(sum($"n").as("c_base"))
+    val baseT = graft.streaming.MemoryGate.append(s, trailing, gateName)
+      .join(broadcast(cutoffDf), $"window.end" <= $"cutoff")
+      .select($"window.end".as("hour_start"), $"event_type",
+        $"c_base".cast("long").as("c_base"))
+    val curK = batchEvents
+      .select(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .groupBy($"hour_start", $"event_type").agg(count(lit(1)).as("c_w"))
+      .join(broadcast(cutoffDf),
+        $"hour_start" + expr("INTERVAL 1 HOUR") <= $"cutoff")
+      .select($"hour_start", $"event_type", $"c_w")
+    val hours = curK.select($"hour_start").distinct()
+      .join(baseT.select($"hour_start").distinct(), "hour_start")
+    val grid = hours.join(
+      curK.select($"hour_start", $"event_type")
+        .union(baseT.select($"hour_start", $"event_type")).distinct(),
+      "hour_start")
+    val cells = grid
+      .join(curK, Seq("hour_start", "event_type"), "left")
+      .join(baseT, Seq("hour_start", "event_type"), "left")
+      .select($"hour_start", $"event_type",
+        coalesce($"c_w", lit(0L)).as("c_w"),
+        coalesce($"c_base", lit(0L)).as("c_base"))
+    val tot = cells.groupBy($"hour_start")
+      .agg(sum($"c_w").as("n_w"), sum($"c_base").as("n_base"),
+        count(lit(1)).as("n_types"))
+    cells.join(broadcast(tot), "hour_start")
+      .withColumn("term", expr(PsiWindowTermSql))
+      .groupBy($"hour_start")
+      .agg(sum($"c_w").as("n_events"), sum($"term").as("psi_d"))
+      .select($"hour_start", $"n_events",
+        expr("round(cast(psi_d as double), 6)").as("psi"))
+      .withColumn("drift_status",
+        when($"psi" > 0.25, lit("investigate"))
+          .when($"psi" > 0.1, lit("watch"))
+          .otherwise(lit("stable")))
+      .orderBy($"hour_start")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_salted_agg" -> { (s, dir) =>
       import s.implicits._
@@ -695,6 +773,11 @@ object Events {
         .orderBy($"hour_start")
     },
 
+    "e31_trailing_drift" -> { (s, dir) =>
+      trailingDriftCore(s, Tables.loadStream(s, dir, "events"), ev(s, dir),
+        "e31_out_" + Integer.toHexString(dir.hashCode))
+    },
+
     "e24_stream_dedup_watermark" -> { (s, dir) =>
       import s.implicits._
       // BOUNDED-STATE streaming dedup — the production form d10's plain
@@ -996,6 +1079,55 @@ object Events {
          |    ${PsiWindowTermSql} AS term
          |  FROM cells c JOIN wt ON wt.hour_start = c.hour_start
          |  CROSS JOIN bt),
+         |agg AS (
+         |  SELECT hour_start, CAST(sum(c_w) AS BIGINT) AS n_events,
+         |    round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         |  FROM terms GROUP BY 1)
+         |SELECT hour_start, n_events, psi,
+         |  CASE WHEN psi > 0.25 THEN 'investigate'
+         |       WHEN psi > 0.1 THEN 'watch'
+         |       ELSE 'stable' END AS drift_status
+         |FROM agg ORDER BY hour_start""".stripMargin,
+
+    "e31_trailing_drift" ->
+      s"""WITH w AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         |    event_type, count(*) AS c_w
+         |  FROM events GROUP BY 1, 2),
+         |cut AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM events),
+         |wk AS (
+         |  SELECT w.* FROM w, cut
+         |  WHERE hour_start + INTERVAL 1 HOUR <= cutoff),
+         |tb AS (
+         |  SELECT h.hour_start, w2.event_type,
+         |    CAST(sum(w2.c_w) AS BIGINT) AS c_base
+         |  FROM (SELECT DISTINCT hour_start FROM wk) h
+         |  JOIN w w2 ON w2.hour_start >= h.hour_start - INTERVAL 3 HOUR
+         |           AND w2.hour_start < h.hour_start
+         |  GROUP BY 1, 2),
+         |hrs AS (
+         |  SELECT DISTINCT hour_start FROM wk
+         |  INTERSECT SELECT DISTINCT hour_start FROM tb),
+         |grid AS (
+         |  SELECT DISTINCT g.hour_start, g.event_type FROM (
+         |    SELECT hour_start, event_type FROM wk
+         |    UNION SELECT hour_start, event_type FROM tb) g
+         |  JOIN hrs USING (hour_start)),
+         |cells AS (
+         |  SELECT g.hour_start, g.event_type,
+         |    coalesce(k.c_w, 0) AS c_w, coalesce(t.c_base, 0) AS c_base
+         |  FROM grid g
+         |  LEFT JOIN wk k USING (hour_start, event_type)
+         |  LEFT JOIN tb t USING (hour_start, event_type)),
+         |tot AS (
+         |  SELECT hour_start, CAST(sum(c_w) AS BIGINT) AS n_w,
+         |    CAST(sum(c_base) AS BIGINT) AS n_base,
+         |    count(*) AS n_types
+         |  FROM cells GROUP BY 1),
+         |terms AS (
+         |  SELECT c.hour_start, c.c_w,
+         |    ${PsiWindowTermSql} AS term
+         |  FROM cells c JOIN tot USING (hour_start)),
          |agg AS (
          |  SELECT hour_start, CAST(sum(c_w) AS BIGINT) AS n_events,
          |    round(CAST(sum(term) AS DOUBLE), 6) AS psi

@@ -90,6 +90,50 @@ class EventsSpec extends SparkTestBase {
     e27.unpersist()
   }
 
+  test("e31: a step mix-change alarms while the trailing baseline " +
+      "still remembers the old mix, then RE-STABILIZES once the " +
+      "window rolls past it — the static-baseline monitor (e30's " +
+      "semantics) would alarm forever") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def hourRows(h: Int, a: Int, b: Int) =
+      (0 until a).map(i => ("A",
+        new java.sql.Timestamp(base + h * 3600000L + i * 10000L))) ++
+      (0 until b).map(i => ("B",
+        new java.sql.Timestamp(base + h * 3600000L + 2000000L + i * 1000L)))
+    // hours 0-5: 45 A + 5 B; hours 6-13: the PERMANENT step change to
+    // 5 A + 45 B (identical counts per hour, so stable hours read
+    // PSI ≈ 0 exactly)
+    val rows = (0 until 14).flatMap(h =>
+      if (h < 6) hourRows(h, 45, 5) else hourRows(h, 5, 45))
+    val src = MemoryStream[(String, java.sql.Timestamp)]
+    src.addData(rows: _*)
+    val out = ops.Events.trailingDriftCore(spark,
+        src.toDF().toDF("event_type", "ts"),
+        rows.toDF("event_type", "ts"), "e31_spec_out")
+      .collect()
+      .map(r => (((r.getTimestamp(0).getTime - base) / 3600000L).toInt,
+        r.getString(3))).toMap
+    // hour 0 has no trailing data (undefined baseline, excluded);
+    // hours 11+ are not closed under the 2 h horizon
+    assert(out.keySet == (1 to 10).toSet,
+      s"closed hours with a defined baseline: ${out.keys.toSeq.sorted}")
+    (1 to 5).foreach(h => assert(out(h) == "stable",
+      s"pre-shift hour $h must be stable, got ${out(h)}"))
+    // the shift hour and its successor compare against a baseline that
+    // is mostly the OLD mix — the alarm
+    assert(out(6) == "investigate" && out(7) == "investigate",
+      s"step change must alarm: h6=${out(6)} h7=${out(7)}")
+    assert(out(8) != "stable", s"h8 baseline still carries one old hour")
+    // once the trailing window holds only post-shift hours, the NEW
+    // mix is the norm — re-stabilized, where a static baseline would
+    // still read 'investigate' forever
+    assert(out(9) == "stable" && out(10) == "stable",
+      s"monitor must re-stabilize: h9=${out(9)} h10=${out(10)}")
+  }
+
   test("e29: the chained stream join→rollup equals the batch join " +
       "rolled up over the same closed horizon") {
     import spark.implicits._

@@ -1028,6 +1028,34 @@ object Dedup {
         .orderBy($"n_bands".desc)
     },
 
+    "d24_cross_source_dup_matrix" -> { (s, dir) =>
+      import s.implicits._
+      // WHERE the duplication lives: d03's verified near-dup pairs
+      // attributed to SOURCE pairs — the curation signal that tells an
+      // operator which feeds copy each other (a mirror scraped twice,
+      // a crawl overlapping a curated dump) before they spend a dedup
+      // pass on the wrong corpus half. Diagonal rows (lo = hi) are
+      // within-source duplication; off-diagonal rows name the TWO
+      // feeds to reconcile. Scale: the pair stream is d03's
+      // band-bounded candidate set (never all-pairs); attribution is
+      // two narrow id→source joins; the output is a |sources|² agg.
+      // Parity: est_jaccard values sum as DECIMAL (exact, any order);
+      // the mean is ONE double division of exact inputs at the end.
+      val src = docs(s, dir).select($"doc_id", $"source")
+      verifiedPairs(s, dir)
+        .join(src.toDF("a_id", "src_a"), "a_id")
+        .join(src.toDF("b_id", "src_b"), "b_id")
+        .select(least($"src_a", $"src_b").as("source_lo"),
+          greatest($"src_a", $"src_b").as("source_hi"),
+          $"est_jaccard".cast("decimal(9,6)").as("est"))
+        .groupBy($"source_lo", $"source_hi")
+        .agg(count(lit(1)).as("n_pairs"), sum($"est").as("sum_e"))
+        .select($"source_lo", $"source_hi", $"n_pairs",
+          round($"sum_e".cast("double") / $"n_pairs", 6)
+            .as("avg_est_jaccard"))
+        .orderBy($"source_lo", $"source_hi")
+    },
+
     "d18_dup_cascade" -> { (s, dir) =>
       // Duplication-cascade attribution via WITH RECURSIVE submitted
       // through spark.sql — Spark 4's recursive-CTE surface exercised
@@ -1199,6 +1227,30 @@ object Dedup {
            |JOIN sigs sb ON sb.doc_id = b_id
            |WHERE round(($matchSum) / 6.0, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      "d24_cross_source_dup_matrix" ->
+        s"""WITH $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id, round(($matchSum) / 6.0, 6) AS est
+           |  FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5)
+           |SELECT least(da.source, db.source) AS source_lo,
+           |  greatest(da.source, db.source) AS source_hi,
+           |  count(*) AS n_pairs,
+           |  round(CAST(sum(CAST(est AS DECIMAL(9,6))) AS DOUBLE)
+           |    / count(*), 6) AS avg_est_jaccard
+           |FROM pairs
+           |JOIN documents da ON da.doc_id = a_id
+           |JOIN documents db ON db.doc_id = b_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "d21_lsh_recall_audit" ->
         s"""WITH $shingleHashSql,

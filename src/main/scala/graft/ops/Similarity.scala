@@ -1243,6 +1243,64 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s25_nprobe_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The IVF tuning table — d23's twin for the OTHER index knob:
+      // recall@K and candidate volume at EVERY probe depth 1..KmK, in
+      // one query. This is the curve an operator reads before moving
+      // NProbe on a 100 TB index (more probes = more inverted-list
+      // bytes scanned per query, linearly; recall saturates), measured
+      // on the corpus's real cell geometry rather than derived from an
+      // idealized distribution — the justification NProbe=2 previously
+      // didn't have as a number. Scale shape: probe ranks come from
+      // one broadcast-centroid pass (every candidate carries its
+      // cell's rank, so "include at depth ≥ r" is a per-row predicate,
+      // not a re-probe per config); the config axis is a KmK-row
+      // broadcast fan-out of the ALREADY-scored candidate stream
+      // (cosine computed once, reused by all depths); per-(query,
+      // depth) ranking is a partitioned window; the truth side is the
+      // exact baseline shared with every recall gate.
+      val e = emb(s, dir)
+      val (_, cents) = kmTrain(s, e)
+      val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+        .select($"vec_id", $"cell")
+      val q = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+      val probes = q.join(broadcast(cents), lit(true))
+        .withColumn("d2", kmDist2($"qv", $"cv"))
+        .withColumn("p_rnk", row_number().over(wProbe))
+        .select($"q_id", $"qv", $"cell", $"p_rnk")
+      val cand = af.select($"vec_id".as("n_id"), $"cell")
+        .join(broadcast(probes), "cell")
+        .filter($"q_id" =!= $"n_id")
+      // scored once, consumed by the volume agg AND the rank pass —
+      // the d23 materialization trade (narrow frame vs recompute)
+      val scored = cand.join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"n_id", $"p_rnk", $"cos")
+        .localCheckpoint(eager = false)
+      val cfgs = (1 to KmK).toDF("nprobe")
+      val perCfg = scored.join(broadcast(cfgs), $"p_rnk" <= $"nprobe")
+      val wR = Window.partitionBy($"q_id", $"nprobe")
+        .orderBy($"cos".desc, $"n_id")
+      val top = perCfg.withColumn("rnk", row_number().over(wR))
+        .filter($"rnk" <= K)
+      val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .withColumn("t", lit(1)).localCheckpoint(eager = false)
+      val nTrue = exact.agg(count(lit(1)).as("n_true"))
+      val hits = top.join(exact, Seq("q_id", "n_id"), "left")
+        .groupBy($"nprobe").agg(sum(coalesce($"t", lit(0))).as("n_hits"))
+      perCfg.groupBy($"nprobe").agg(count(lit(1)).as("n_candidates"))
+        .join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(nTrue))
+        .select($"nprobe", $"n_candidates",
+          coalesce($"n_hits", lit(0L)).as("n_hits"), $"n_true",
+          round(coalesce($"n_hits", lit(0L)) /
+            $"n_true".cast("double"), 4).as("recall"))
+        .orderBy($"nprobe")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -1635,6 +1693,60 @@ object Similarity {
          |  SELECT q_id, n_id, adc, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
          |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s25_nprobe_curve" ->
+      s"""WITH $kmSqlCtes,
+         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |       WHERE vec_id < $NQueries),
+         |pr AS (
+         |  SELECT q_id, qv, cell, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, cell) AS p_rnk
+         |  FROM (SELECT q.q_id, q.qv, c.cell,
+         |          round(list_dot_product(q.qv, q.qv)
+         |            - 2 * list_dot_product(q.qv, c.cv)
+         |            + list_dot_product(c.cv, c.cv), 6) AS d2
+         |        FROM qq q CROSS JOIN cf c)),
+         |sc AS (
+         |  SELECT p.q_id, a.vec_id AS n_id, p.p_rnk,
+         |    round(list_dot_product(p.qv, e2.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) *
+         |       sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM pr p
+         |  JOIN af a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |  JOIN e e2 ON e2.vec_id = a.vec_id),
+         |cfg AS (SELECT CAST(p AS INT) AS nprobe
+         |        FROM range(1, ${KmK + 1}) r(p)),
+         |pc AS (SELECT sc.*, cfg.nprobe FROM sc
+         |       JOIN cfg ON sc.p_rnk <= cfg.nprobe),
+         |top AS (
+         |  SELECT q_id, nprobe, n_id FROM (
+         |    SELECT q_id, nprobe, n_id, row_number() OVER (
+         |      PARTITION BY q_id, nprobe ORDER BY cos DESC, n_id) AS rnk
+         |    FROM pc) WHERE rnk <= $K),
+         |xscored AS (
+         |  SELECT q.q_id, e2.vec_id AS n_id,
+         |    round(list_dot_product(q.qv, e2.v) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) *
+         |       sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM qq q JOIN e e2 ON q.q_id <> e2.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K),
+         |nt AS (SELECT count(*) AS n_true FROM xtop),
+         |h AS (
+         |  SELECT t.nprobe, count(*) AS n_hits FROM top t
+         |  JOIN xtop x ON x.q_id = t.q_id AND x.n_id = t.n_id
+         |  GROUP BY 1),
+         |nc AS (SELECT nprobe, count(*) AS n_candidates FROM pc
+         |       GROUP BY 1)
+         |SELECT nc.nprobe, nc.n_candidates,
+         |  coalesce(h.n_hits, 0) AS n_hits, nt.n_true,
+         |  round(coalesce(h.n_hits, 0) / CAST(nt.n_true AS DOUBLE), 4)
+         |    AS recall
+         |FROM nc LEFT JOIN h ON h.nprobe = nc.nprobe CROSS JOIN nt
+         |ORDER BY nc.nprobe""".stripMargin,
 
     "s24_ivfpq_residual_recall" ->
       s"""WITH $kmSqlCtes,

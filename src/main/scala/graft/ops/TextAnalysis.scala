@@ -341,6 +341,41 @@ object TextAnalysis {
   private val RedactTag = "[REDACTED]"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_repetition_score" -> { (s, dir) =>
+      import s.implicits._
+      // WITHIN-document repetition — the Gopher-family quality signal
+      // the aggregate stats (t05 length/punct ratios) and the t24
+      // corpus-novelty score both miss: a doc whose own 3-gram stream
+      // repeats itself (boilerplate loops, listicles, template spam)
+      // is a poor training document even when every shingle is
+      // corpus-unique. Per doc: total RAW shingles (duplicates kept —
+      // the same composed transform the hashed family dedups),
+      // distinct shingles, the duplicate fraction, and the top
+      // shingle's share (1 − dup_frac catches diffuse repetition;
+      // top_share catches one phrase looping). Thresholds are ABSOLUTE
+      // on RATIOS — scale-invariant, so the t24 cross-SF degeneracy
+      // lesson doesn't apply (Gopher's published repetition filters
+      // are ratio cuts for the same reason); flagged = dup_frac > 0.2
+      // or top_share > 0.05. Scale: one wordcount-shaped shuffle of
+      // (doc_id, shingle) then a per-doc agg — the d05 shape, narrow
+      // all the way.
+      val sh = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(expr(Dedup.shingleExpr)).as("sh"))
+      sh.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_shingles"), count(lit(1)).as("n_distinct"),
+          max($"c").as("top_c"))
+        .select($"doc_id", $"n_shingles", $"n_distinct",
+          round(($"n_shingles" - $"n_distinct") /
+            $"n_shingles".cast("double"), 6).as("dup_frac"),
+          round($"top_c" / $"n_shingles".cast("double"), 6)
+            .as("top_share"))
+        .withColumn("repetitive",
+          $"dup_frac" > 0.2 || $"top_share" > 0.05)
+        .orderBy($"doc_id")
+    },
+
     "t01_token_stats" -> { (s, dir) =>
       import s.implicits._
       // Whitespace tokenization; fixture text is single-space soup so
@@ -977,6 +1012,26 @@ object TextAnalysis {
     })
 
   def oracle: Map[String, String] = Map(
+    "t25_repetition_score" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${Dedup.shingleSql}) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |c AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+         |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_distinct,
+         |  round((n_shingles - n_distinct)
+         |    / CAST(n_shingles AS DOUBLE), 6) AS dup_frac,
+         |  round(top_c / CAST(n_shingles AS DOUBLE), 6) AS top_share,
+         |  (round((n_shingles - n_distinct)
+         |     / CAST(n_shingles AS DOUBLE), 6) > 0.2
+         |   OR round(top_c / CAST(n_shingles AS DOUBLE), 6) > 0.05)
+         |    AS repetitive
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "t01_token_stats" ->
       """SELECT doc_id,
         |len(string_split(text, ' ')) AS n_tokens,

@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   *  - `codes/`      (vec_id, sub, code)    — sorted by vec_id within
   *    shards so the per-candidate code lookup joins against
   *    min/max-tight row groups.
+  *  - `tombstones/` (vec_id)               — logically deleted ids
+  *    (absent until the first [[delete]]); searches anti-join it,
+  *    [[compact]] folds it into the artifacts and clears it.
   *
   * Scale shape of [[search]]: centroid + codebook + the per-query
   * distance table stay broadcasts (for a residual index the table is
@@ -105,6 +108,70 @@ object AnnIndex {
 
   private def isResidual(s: SparkSession, indexDir: String): Boolean =
     s.read.parquet(s"$indexDir/meta").head().getBoolean(0)
+
+  /** The tombstone set — (vec_id) of deleted vectors, absent until the
+    * first [[delete]]. Kept tiny relative to the corpus between
+    * [[compact]]s, so the search-side exclusion stays a broadcast
+    * anti-join.
+    */
+  private def tombstones(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString).select($"vec_id").distinct()
+    else s.createDataset(Seq.empty[Long]).toDF("vec_id")
+  }
+
+  /** Logical deletion — the GDPR/right-to-erasure leg of the
+    * lifecycle: `ids` (vec_id) stop appearing in ANY search result
+    * immediately, without rewriting the (corpus-sized) list and code
+    * artifacts. Implementation is a tombstone table the search
+    * anti-joins (broadcast — deletions are rare relative to corpus
+    * size; [[compact]] folds them in when they accumulate). Idempotent:
+    * already-tombstoned ids are skipped, so re-running a deletion batch
+    * is a no-op. NOTE an id deleted but not yet compacted cannot be
+    * re-inserted by [[upsert]] (its list/code rows still exist, so the
+    * anti-join skips it — and the tombstone keeps it invisible);
+    * revival is compact-then-upsert, the unambiguous order.
+    */
+  def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    import s.implicits._
+    ids.select($"vec_id").distinct()
+      .join(tombstones(s, indexDir), Seq("vec_id"), "left_anti")
+      // eager: the anti-join must see the PRE-append tombstone set
+      .localCheckpoint()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Fold accumulated tombstones into the artifacts: rewrite the
+    * inverted lists and codes WITHOUT the deleted ids and clear the
+    * tombstone table. After compaction the deleted ids' bytes are
+    * physically gone (the erasure guarantee) and searches pay no
+    * anti-join. Both filtered frames are EAGERLY materialized before
+    * the overwrite — a lazy plan would read the very files it is
+    * replacing mid-write. Deterministic given the same inputs, like
+    * every artifact write here; a compacted id becomes insertable
+    * again (see [[delete]] on revival ordering).
+    */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val tomb = tombstones(s, indexDir)
+    if (tomb.isEmpty) return
+    val inv = s.read.parquet(s"$indexDir/invlists")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+      .localCheckpoint()
+    val codes = s.read.parquet(s"$indexDir/codes")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    inv.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/invlists")
+    codes.repartitionByRange(4, $"vec_id")
+      .sortWithinPartitions($"vec_id", $"sub")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Incremental maintenance: index a DELTA of new vectors against the
     * EXISTING trained model — no retrain, the production cadence
@@ -197,6 +264,11 @@ object AnnIndex {
       .withColumn("cell", $"cell".cast("long"))
       .join(broadcast(probes.select($"q_id", $"cell")), "cell")
       .filter($"q_id" =!= $"vec_id")
+      // logically deleted ids never surface (tombstones broadcast —
+      // small between compactions by design; see delete/compact)
+      .join(broadcast(tombstones(s, indexDir)
+        .withColumnRenamed("vec_id", "del_id")),
+        $"vec_id" === $"del_id", "left_anti")
       .select($"q_id", $"vec_id".as("n_id"), $"cell")
     // the per-query ADC table: subvector distances to every codeword.
     // Raw index: the query's own subvectors — per-(query) table, keyed

@@ -318,6 +318,69 @@ class AnnIndexSpec extends SparkTestBase {
       "re-upserting the same delta must change nothing")
   }
 
+  test("delete/compact lifecycle: tombstoned ids vanish from searches " +
+      "immediately, deletion is idempotent, compaction physically " +
+      "removes the bytes without changing any surviving ranking, and " +
+      "a compacted id is insertable again") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-delete") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = true)
+    val nInv0 = spark.read.parquet(s"$indexDir/invlists").count()
+    val nCodes0 = spark.read.parquet(s"$indexDir/codes").count()
+
+    val emb = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val qRows = emb.filter($"vec_id" === 100)
+      .select(lit(0L).as("q_id"), $"v".as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probe = qRows.toSeq.toDF("q_id", "qv")
+
+    def topIds(k: Int): Seq[Long] = AnnIndex
+      .search(spark, indexDir, probe, k)
+      .orderBy($"rnk").select($"n_id").as[Long].collect().toSeq
+
+    // delete the query's current top-2 neighbors: they must vanish and
+    // the REMAINING ranking must be exactly the old one minus them
+    // (tombstoning prunes candidates, it cannot reorder survivors)
+    val before = topIds(10)
+    val dead = before.take(2)
+    AnnIndex.delete(spark, indexDir, dead.toDF("vec_id"))
+    val after = topIds(8)
+    assert(dead.forall(!after.contains(_)),
+      s"deleted ids must not surface: $dead in $after")
+    assert(after == before.filterNot(dead.contains),
+      s"survivors must keep their relative order: $after vs $before")
+
+    // idempotence: deleting the same ids again adds nothing
+    AnnIndex.delete(spark, indexDir, dead.toDF("vec_id"))
+    assert(spark.read.parquet(s"$indexDir/tombstones").count() ==
+      dead.size, "re-deleting must not grow the tombstone set")
+
+    // a deleted-but-not-compacted id cannot sneak back in via upsert
+    val revive = emb.filter($"vec_id" === dead.head).select($"vec_id", $"v")
+    AnnIndex.upsert(spark, indexDir, revive)
+    assert(!topIds(10).contains(dead.head),
+      "tombstone must outrank a pre-compaction re-upsert")
+
+    // compact: bytes physically gone, tombstones cleared, surviving
+    // ranking identical
+    AnnIndex.compact(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/invlists").count() ==
+      nInv0 - dead.size &&
+      spark.read.parquet(s"$indexDir/codes").count() ==
+        nCodes0 - dead.size * 8,
+      "compaction must remove exactly the tombstoned rows")
+    assert(!new java.io.File(s"$indexDir/tombstones").exists(),
+      "compaction must clear the tombstone table")
+    assert(topIds(8) == after,
+      "compaction must not change any surviving ranking")
+
+    // revival, in the documented order: compact then upsert
+    AnnIndex.upsert(spark, indexDir, revive)
+    assert(topIds(10).contains(dead.head),
+      "a compacted id must be insertable again")
+  }
+
   test("streaming ingestion: a vector stream upserts into the index " +
       "via foreachBatch; at-least-once redelivery is absorbed because " +
       "upsert is idempotent") {

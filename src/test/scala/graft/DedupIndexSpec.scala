@@ -156,6 +156,62 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ingest loop: a document stream probes and appends " +
+      "via foreachBatch; at-least-once redelivery is absorbed because " +
+      "probe rejects what append already indexed") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexDir = tmpDir("dedup-stream") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), indexDir)
+    val n0 = spark.read.parquet(s"$indexDir/fps").count()
+
+    val batchRows = fixtureDocs.filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ckpt-dedup-stream").toString
+    def run(): Unit = {
+      val q = src.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the ingest tick: probe, admit by the exact-then-near
+          // policy, append the admissions
+          val batch = b.select($"doc_id", $"text").localCheckpoint()
+          val d = DedupIndex.probe(spark, indexDir, batch)
+          val admit = d.filter(!$"fp_in_corpus" && $"fp_batch_rn" === 1 &&
+              !$"near_rej_corpus" && !$"near_rej_batch")
+            .select($"doc_id")
+          DedupIndex.append(spark, indexDir, batch.join(admit, "doc_id"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    }
+
+    src.addData(batchRows.take(40): _*)
+    run()
+    val n1 = spark.read.parquet(s"$indexDir/fps").count()
+    assert(n1 > n0, "first tick must admit something")
+
+    // redelivery of the SAME rows (at-least-once worst case) plus new
+    // ones: replays must change nothing, new rows process normally
+    src.addData(batchRows.take(40): _*)
+    src.addData(batchRows.drop(40): _*)
+    run()
+    val n2 = spark.read.parquet(s"$indexDir/fps").count()
+    assert(n2 >= n1, "later ticks only add")
+    // every admitted doc now rejects its own re-ingest — the closed
+    // loop, end to end through the streaming path
+    val reprobe = DedupIndex.probe(spark, indexDir,
+      literalBatch($"doc_id" % 5 === 4))
+    assert(reprobe.filter(!$"fp_in_corpus" && $"fp_batch_rn" === 1 &&
+        !$"near_rej_corpus" && !$"near_rej_batch").count() == 0,
+      "nothing admitted on re-ingest after the stream indexed the batch")
+  }
+
   test("append upserts admitted docs idempotently, and appended docs " +
       "become probe-rejecting — the closed ingest loop") {
     import spark.implicits._

@@ -549,6 +549,62 @@ object Pipeline {
         .orderBy($"source", $"shard", $"chunk", $"chunk_off")
     },
 
+    "p15_source_data_card" -> { (s, dir) =>
+      import s.implicits._
+      // The per-source DATA CARD — the one-table summary a data team
+      // publishes (and a mixture designer reads) before any training
+      // run touches a source: volume (docs/tokens/avg length), hygiene
+      // (exact-dup rate by d01's global first-wins rule, within-doc
+      // repetition by t25's ratio thresholds), and language makeup
+      // (distinct langs + dominant-language share). One row per
+      // source; every column re-derivable, so the card can never
+      // drift from the corpus it describes. Scale: four independent
+      // wordcount-shaped aggregates over one corpus read, joined on
+      // the |sources|-sized key — the fp window is partitioned by
+      // fingerprint (d01's shape), the shingle agg is t25's, nothing
+      // is quadratic.
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"lang", $"n_chars", $"text")
+      val base = d.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        round(avg($"n_chars"), 2).as("avg_chars"))
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      val dup = d.select($"source", $"doc_id",
+          md5(lower($"text")).as("fp"))
+        .withColumn("rn", row_number().over(wFp))
+        .filter($"rn" > 1)
+        .groupBy($"source").agg(count(lit(1)).as("n_exact_dups"))
+      val rep = d
+        .withColumn("toks", split($"text", " "))
+        .select($"source", $"doc_id",
+          explode(expr(Dedup.shingleExpr)).as("sh"))
+        .groupBy($"source", $"doc_id", $"sh").agg(count(lit(1)).as("c"))
+        .groupBy($"source", $"doc_id")
+        .agg(sum($"c").as("n_sh"), count(lit(1)).as("n_di"),
+          max($"c").as("top_c"))
+        .filter(
+          round(($"n_sh" - $"n_di") / $"n_sh".cast("double"), 6) > 0.2 ||
+          round($"top_c" / $"n_sh".cast("double"), 6) > 0.05)
+        .groupBy($"source").agg(count(lit(1)).as("n_repetitive"))
+      val langs = d.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_langs"), max($"c").as("top_lang_c"))
+      base
+        .join(dup, Seq("source"), "left")
+        .join(rep, Seq("source"), "left")
+        .join(langs, Seq("source"))
+        .select($"source", $"n_docs", $"n_tokens", $"avg_chars",
+          coalesce($"n_exact_dups", lit(0L)).as("n_exact_dups"),
+          coalesce($"n_repetitive", lit(0L)).as("n_repetitive"),
+          $"n_langs",
+          round($"top_lang_c" / $"n_docs".cast("double"), 6)
+            .as("top_lang_share"))
+        .orderBy($"source")
+    },
+
     "p14_epoch_shuffle" -> { (s, dir) =>
       import s.implicits._
       // SEEDED EPOCH SHUFFLE — the dataloader's data-order contract:
@@ -679,6 +735,51 @@ object Pipeline {
     curationPlan(s, dir, Some(gate), Some(report))
 
   def oracle: Map[String, String] = Map(
+    "p15_source_data_card" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, lang, n_chars, text FROM documents),
+         |base AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens,
+         |    round(avg(n_chars), 2) AS avg_chars
+         |  FROM d GROUP BY 1),
+         |dup AS (
+         |  SELECT source, count(*) AS n_exact_dups FROM (
+         |    SELECT source, row_number() OVER (
+         |      PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+         |    FROM d) WHERE rn > 1 GROUP BY 1),
+         |shc AS (
+         |  SELECT source, doc_id, sh, count(*) AS c FROM (
+         |    SELECT source, doc_id, unnest(${Dedup.shingleSql}) AS sh
+         |    FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
+         |          FROM d))
+         |  GROUP BY 1, 2, 3),
+         |rep AS (
+         |  SELECT source, count(*) AS n_repetitive FROM (
+         |    SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n_sh,
+         |      count(*) AS n_di, CAST(max(c) AS BIGINT) AS top_c
+         |    FROM shc GROUP BY 1, 2)
+         |  WHERE round((n_sh - n_di) / CAST(n_sh AS DOUBLE), 6) > 0.2
+         |     OR round(top_c / CAST(n_sh AS DOUBLE), 6) > 0.05
+         |  GROUP BY 1),
+         |lng AS (
+         |  SELECT source, count(*) AS n_langs,
+         |    CAST(max(c) AS BIGINT) AS top_lang_c
+         |  FROM (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.avg_chars,
+         |  coalesce(dup.n_exact_dups, 0) AS n_exact_dups,
+         |  coalesce(rep.n_repetitive, 0) AS n_repetitive,
+         |  lng.n_langs,
+         |  round(lng.top_lang_c / CAST(b.n_docs AS DOUBLE), 6)
+         |    AS top_lang_share
+         |FROM base b
+         |LEFT JOIN dup USING (source)
+         |LEFT JOIN rep USING (source)
+         |JOIN lng USING (source)
+         |ORDER BY b.source""".stripMargin,
+
     "p01_curation_pipeline" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

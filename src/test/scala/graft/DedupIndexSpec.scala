@@ -156,6 +156,29 @@ class DedupIndexSpec extends SparkTestBase {
     }
   }
 
+  test("rebuild is byte-deterministic (the AnnIndex resumability " +
+      "contract): re-building over the same corpus reproduces " +
+      "identical artifact content") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-rebuild") + "/idx"
+    val corpus = fixtureDocs.filter($"doc_id" % 5 =!= 4)
+    DedupIndex.build(spark, corpus, indexDir)
+    def fingerprint(): String = {
+      val fps = spark.read.parquet(s"$indexDir/fps")
+        .select(concat_ws(":", $"doc_id", $"fp").as("r"))
+      val bands = spark.read.parquet(s"$indexDir/bands")
+        .select(concat_ws(":", $"band", $"doc_id",
+          concat_ws(",", (0 until 6).map(j => col(s"mh$j")): _*)).as("r"))
+      fps.union(bands)
+        .agg(md5(concat_ws(";", sort_array(collect_list($"r")))))
+        .head().getString(0)
+    }
+    val before = fingerprint()
+    DedupIndex.build(spark, corpus, indexDir)
+    assert(fingerprint() == before,
+      "re-building the dedup index must reproduce identical artifacts")
+  }
+
   test("streaming ingest loop: a document stream probes and appends " +
       "via foreachBatch; at-least-once redelivery is absorbed because " +
       "probe rejects what append already indexed") {

@@ -451,6 +451,40 @@ class KinesisReshardingSpec extends SparkTestBase {
     FakeKinesis.drop("rs-ts3")
   }
 
+  test("at_timestamp with a PRE-instant MERGE: the merged child holds " +
+      "pre-instant records and is planned from its timestamp seek — " +
+      "the same admit-position rule as the split case") {
+    val fake = FakeKinesis.named("rs-ts4")
+    fake.clear()
+    fake.numShards.set(2)
+    val p1 = "shardId-000000000000"
+    val p2 = "shardId-000000000001"
+    put(fake, "ts4", (0 until 12).map(i => (s"k$i", s"pre$i")))
+    val child = fake.mergeShards("ts4", p1, p2)
+    put(fake, "ts4", (0 until 6).map(i => (s"k$i", s"mid$i")))
+    val cut = fake.clock.get() + 1
+    put(fake, "ts4", (0 until 6).map(i => (s"k$i", s"post$i")))
+
+    val ms = new KinesisGraftMicroBatchStream(
+      opts("rs-ts4", "ts4"), "AT_TIMESTAMP", 10000, 0, cut)
+    val cur = ms.initialOffset().asInstanceOf[KinesisSourceOffset]
+    // both closed parents are roots; their whole logs predate the
+    // instant, so each starts at its end and retires on first reconcile
+    assert(cur.shardOffsets.keySet == Set(p1, p2), s"roots: $cur")
+    val next = walk(ms, cur, 0)
+    assert(next.done == Set(p1, p2) &&
+      next.shardOffsets.keySet == Set(child), s"merge follow: $next")
+    val parts = ms.planInputPartitions(cur, next)
+      .map(_.asInstanceOf[KinesisInputPartition])
+    val seek = fake.sequenceAtTimestamp("ts4", child, cut)
+    assert(seek > 0, "fixture must place pre-instant records in the child")
+    assert(parts.forall(_.startSeq == seek),
+      s"merged child planned from ${parts.map(_.startSeq).toSeq}, seek $seek")
+    assert(parts.map(p => p.endSeq - p.startSeq).sum == 6,
+      s"exactly the post-instant records: ${parts.toSeq}")
+    FakeKinesis.drop("rs-ts4")
+  }
+
   // ----- full engine loop through a reshard ---------------------------
 
   test("split + merge under a running query: exactly-once delivery and " +

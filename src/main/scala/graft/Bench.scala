@@ -113,8 +113,11 @@ object Bench {
           name -> (times :+ secs)
         }
       }
+    // only repairs that produced a real measurement count (a repair
+    // rerun that itself failed appends -1.0 — reporting it as repaired
+    // would overstate how much of the board got a clean third pass)
     val repaired =
-      repairedPasses.count { case (_, t) => t.size > passes }
+      repairedPasses.count { case (_, t) => t.size > passes && t.last >= 0 }
     val results = repairedPasses.map { case (name, times) =>
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -198,13 +201,20 @@ object Bench {
         "%.2f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Absolute sidecar default: a bench invoked from another working
-    // directory must not silently scatter stale sidecars (the repo
-    // root is where the round ledger and tooling look).
-    val repoRoot = java.nio.file.Paths.get("/root/repo")
+    // directory must not silently scatter stale sidecars (the project
+    // root is where the round ledger and tooling look). The root is
+    // the nearest ancestor of the cwd carrying build.sbt — machine-
+    // agnostic, no hardcoded path; a bench run outside any sbt project
+    // falls back to the (absolute) cwd, and the resolved path is
+    // logged either way.
+    val cwd = java.nio.file.Paths.get(
+      sys.props("user.dir")).toAbsolutePath
+    val repoRoot = Iterator.iterate(cwd)(_.getParent)
+      .takeWhile(_ != null)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(cwd)
     val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
-      (if (java.nio.file.Files.isDirectory(repoRoot))
-        repoRoot.resolve("bench_passes.json")
-      else java.nio.file.Paths.get("bench_passes.json")).toString)
+      repoRoot.resolve("bench_passes.json").toString)
     try {
       val p = java.nio.file.Paths.get(sidecarPath).toAbsolutePath
       java.nio.file.Files.writeString(p,

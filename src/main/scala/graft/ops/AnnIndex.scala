@@ -71,16 +71,32 @@ object AnnIndex {
     * codec feature vectors, anything. The index is self-describing
     * (`meta`), so downstream [[search]]/[[upsert]] calls need only the
     * directory.
+    *
+    * Crash safety: the whole index is built under `indexDir.build.tmp`
+    * and SWAPPED in as one unit. A rebuild that dies mid-way (or one
+    * that flips `byResidual`) can therefore never leave a live index
+    * whose `meta` flag disagrees with its codebooks/codes — searches
+    * and upserts in the window keep reading the complete OLD snapshot,
+    * and the swap itself is two driver-side renames healed by
+    * [[recoverSwap]]. Tombstones are carried across the swap: a
+    * rebuild sourced from a corpus snapshot that still contains
+    * deleted vectors must not resurrect them.
     */
   def buildFrom(s: SparkSession, vectors: DataFrame, indexDir: String,
       byResidual: Boolean): Unit = {
     import s.implicits._
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, dst, new org.apache.hadoop.fs.Path(
+      s"$indexDir.build.tmp"))
+    val tmp = s"$indexDir.build.tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val e = vectors.select($"vec_id", $"v")
     s.createDataset(Seq(byResidual)).toDF("by_residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     val (_, cents) = Similarity.kmTrain(s, e)
     cents.select($"cell", $"cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     // lazily materialized: a residual build reads af twice (inverted
     // lists + the residual frame) — one assignment pass over the
     // corpus, not two (af is the narrow (vec_id, cell) pair)
@@ -96,14 +112,52 @@ object AnnIndex {
         .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
     val (_, cb) = Similarity.pqTrain(s, pqFrame)
     cb.select($"sub", $"cell".as("code"), $"cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
     af.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/invlists")
+      .parquet(s"$tmp/invlists")
     Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
+      s.read.parquet(s"$indexDir/tombstones")
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Replace `dst` with the fully-written `tmp` directory. The
+    * destructive step is two driver-side metadata renames — never a
+    * data write — so an executor (or whole-job) loss during any
+    * artifact write can only ever cost the tmp copy; the live
+    * artifacts survive until a complete replacement exists. The
+    * old tree is set aside (not deleted) before the new one lands, so
+    * the only torn window is between the two renames: milliseconds of
+    * driver-local metadata work, healed by [[recoverSwap]].
+    */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(dst.toString + ".old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(dst)) fs.rename(dst, aside)
+    fs.rename(tmp, dst)
+    fs.delete(aside, true)
+  }
+
+  /** Heal a swap the driver died inside of: if `dst` is missing, the
+    * crash was between [[swapDirs]]' two renames, and a COMPLETE
+    * replacement exists — prefer `tmp` (it was fully written before
+    * the swap began; the aside copy is the superseded old tree, the
+    * fallback if the tmp rename half-finished).
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) return
+    val aside = new org.apache.hadoop.fs.Path(dst.toString + ".old")
+    if (fs.exists(tmp)) fs.rename(tmp, dst)
+    else if (fs.exists(aside)) fs.rename(aside, dst)
   }
 
   private def isResidual(s: SparkSession, indexDir: String): Boolean =
@@ -147,30 +201,47 @@ object AnnIndex {
     * inverted lists and codes WITHOUT the deleted ids and clear the
     * tombstone table. After compaction the deleted ids' bytes are
     * physically gone (the erasure guarantee) and searches pay no
-    * anti-join. Both filtered frames are EAGERLY materialized before
-    * the overwrite — a lazy plan would read the very files it is
-    * replacing mid-write. Deterministic given the same inputs, like
+    * anti-join.
+    *
+    * Crash safety: each filtered copy is written to a DURABLE temp
+    * directory first, then swapped in ([[swapDirs]]) — the destructive
+    * step is a metadata rename, not a write. (An overwrite-in-place
+    * fed by localCheckpoint blocks would be a trap at cluster scale:
+    * the blocks live only in executor memory/disk with their lineage
+    * truncated, so one executor loss mid-overwrite aborts the job
+    * with the target — an index accumulated by upserts whose deltas
+    * are gone — already erased.) Every intermediate window is safe:
+    * the tombstone table is cleared LAST, so a re-run after any crash
+    * re-filters (anti-join no-ops on already-compacted artifacts) and
+    * finishes the job; searches in the window still anti-join the
+    * surviving tombstones. Deterministic given the same inputs, like
     * every artifact write here; a compacted id becomes insertable
     * again (see [[delete]] on revival ordering).
     */
   def compact(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
+    val invDst = new org.apache.hadoop.fs.Path(s"$indexDir/invlists")
+    val codeDst = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val invTmp = new org.apache.hadoop.fs.Path(s"$indexDir/invlists.tmp")
+    val codeTmp = new org.apache.hadoop.fs.Path(s"$indexDir/codes.tmp")
+    val fs = invDst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, invDst, invTmp)
+    recoverSwap(fs, codeDst, codeTmp)
     val tomb = tombstones(s, indexDir)
     if (tomb.isEmpty) return
-    val inv = s.read.parquet(s"$indexDir/invlists")
+    s.read.parquet(s"$indexDir/invlists")
       .join(tomb, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cell")
-      .localCheckpoint()
-    val codes = s.read.parquet(s"$indexDir/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(invTmp.toString)
+    s.read.parquet(s"$indexDir/codes")
       .join(tomb, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    inv.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/invlists")
-    codes.repartitionByRange(4, $"vec_id")
+      .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      .write.mode("overwrite").parquet(codeTmp.toString)
+    swapDirs(fs, invTmp, invDst)
+    swapDirs(fs, codeTmp, codeDst)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
   }
 
   /** Incremental maintenance: index a DELTA of new vectors against the
@@ -180,14 +251,28 @@ object AnnIndex {
     * cells and encode with the existing codebooks — for a residual
     * index, encode r = v − c(v) against the cell the vector just
     * assigned to — then APPEND to the artifact tables; vec_ids already
-    * indexed are skipped (anti-join), so re-running the same upsert is
-    * a no-op — the same resumability contract as the pack write.
-    * `delta` is (vec_id, v).
+    * indexed are skipped, so re-running the same upsert is a no-op —
+    * the same resumability contract as the pack write. `delta` is
+    * (vec_id, v).
+    *
+    * Crash safety: EACH artifact anti-joins against its OWN membership
+    * before its append, so an upsert that dies between the two writes
+    * is repaired — not skipped — by the re-run: the re-run writes
+    * exactly the missing half, never a duplicate row. (A single
+    * membership register would be a one-way trap: ids registered but
+    * crash-torn out of the other artifact would anti-join away on
+    * every retry, unsearchable forever.) Codes are written FIRST and
+    * the inverted lists LAST, because a list row is a promise its code
+    * rows exist — search inner-joins candidates with codes, so a
+    * codes-less list entry would silently vanish from every ranking,
+    * while an orphan code row is inert (candidates only ever come from
+    * the lists).
     *
     * Scale shape: two broadcast-join argmax passes over the delta only
-    * (the existing index is touched just for the pre-image anti-join
-    * on a narrow id column), appends land in the cell directories the
-    * searches already prune on.
+    * (the existing index is touched just for the pre-image anti-joins
+    * on a narrow id column — the codes side prunes to one sub slot so
+    * it reads two columns, no vectors), appends land in the cell
+    * directories the searches already prune on.
     */
   def upsert(s: SparkSession, indexDir: String, delta: DataFrame): Unit = {
     import s.implicits._
@@ -195,32 +280,38 @@ object AnnIndex {
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
       .select($"sub", $"code".as("cell"), $"cv")
-    val existing = s.read.parquet(s"$indexDir/invlists")
+    val inInv = s.read.parquet(s"$indexDir/invlists")
       .select($"vec_id")
-    // EAGERLY materialized: the anti-join must be evaluated against the
-    // PRE-upsert inverted lists for both writes below — lazily, the
-    // codes write would re-run it after the invlist append and see its
-    // own delta as "already indexed", writing list entries with no
-    // codes (silent index corruption; the spec's dup-codes check would
-    // catch exactly this).
+    // one row per vec_id that has codes: sub pruned to a single slot
+    val inCodes = s.read.parquet(s"$indexDir/codes")
+      .filter($"sub" === 0).select($"vec_id")
+    // fully indexed = present in BOTH artifacts; ids present in only
+    // one (a torn previous append) stay in `fresh` so this run can
+    // finish them. EAGERLY materialized: the memberships must be the
+    // PRE-upsert ones for both writes below — lazily, the lists write
+    // would re-read after the codes append and see its own delta as
+    // already indexed (silent index corruption; the spec's dup-codes
+    // check would catch exactly this).
     val fresh = delta.select($"vec_id", $"v")
-      .join(existing, Seq("vec_id"), "left_anti")
+      .join(inInv.join(inCodes, Seq("vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     val afd = Similarity.kmAssign(s, fresh, cents)
       .select($"vec_id", $"cell")
       // both writes below derive from the assignment; one evaluation
       .localCheckpoint()
-    afd.write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/invlists")
     val pqFrame =
       if (!residual) fresh
       else fresh.join(afd, "vec_id").join(broadcast(cents), "cell")
         .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
     Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
+      .join(inCodes, Seq("vec_id"), "left_anti")
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
       .write.mode("append").parquet(s"$indexDir/codes")
+    afd.join(inInv, Seq("vec_id"), "left_anti")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/invlists")
   }
 
   /** Search the written index: top-`k` neighbors per query by the same

@@ -85,10 +85,22 @@ object DedupIndex {
     import s.implicits._
     // ---- exact half -------------------------------------------------
     val bFp = fpOf(batch).localCheckpoint(eager = false)
-    val nibbles: Seq[Any] = bFp
+    val rawNibbles = bFp
       .select(substring($"fp", 1, 1)).distinct().collect().map(_.getString(0))
-    val corpusFp = s.read.parquet(s"$indexDir/fps")
-      .filter($"fpb".isin(nibbles: _*))
+    val fpsTbl = s.read.parquet(s"$indexDir/fps")
+    // IN-literal type must match the inferred partition column type
+    // (the same guard as pb below): a corpus whose fingerprints' first
+    // nibbles are ALL 0-9 infers fpb as int, and string literals would
+    // demote the partition filter to post-scan. Alphabetic batch
+    // nibbles can then be DROPPED, not cast — an int-inferred table
+    // has no a-f partitions, so they can't match anything.
+    val nibbles: Seq[Any] =
+      if (fpsTbl.schema("fpb").dataType ==
+          org.apache.spark.sql.types.IntegerType)
+        rawNibbles.toSeq.collect { case n if n.forall(_.isDigit) => n.toInt }
+      else rawNibbles.toSeq
+    val corpusFp = fpsTbl
+      .filter(if (nibbles.isEmpty) lit(false) else $"fpb".isin(nibbles: _*))
       .select($"fp").distinct().withColumn("fp_in_corpus", lit(true))
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
     val exact = bFp
@@ -115,7 +127,8 @@ object DedupIndex {
       else pbs.toSeq
     val matches = (0 until 6).map(j =>
       when(col(s"c$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
-    val cIdx = idx.filter($"pb".isin(pbLits: _*))
+    val cIdx = idx
+      .filter(if (pbLits.isEmpty) lit(false) else $"pb".isin(pbLits: _*))
       .select($"band" +: $"doc_id".as("c_id") +:
         (0 until 6).map(j => col(s"mh$j").as(s"c$j")): _*)
     val bSide = bBands
@@ -149,6 +162,18 @@ object DedupIndex {
     * re-running the same append is a no-op; the same at-least-once
     * absorption contract as `AnnIndex.upsert`, proven against a
     * foreachBatch redelivery in the spec.
+    *
+    * Write ORDER is the crash-safety contract: bands FIRST, the fps
+    * register LAST. A crash between the two leaves band rows whose fp
+    * is unregistered — harmless (band rows only ever feed existence
+    * checks, extra copies change no verdict, and the docs just look
+    * near-indexed-but-not-exact-indexed until healed) — and the re-run
+    * HEALS it: the anti-join sees the register missing, so both halves
+    * rewrite (the duplicate band rows are absorbed by probe's
+    * distinct). The reverse order would be a silent-dup trap: fp
+    * registered but bands crash-torn away means every retry anti-joins
+    * the docs out, their band rows never exist, and future
+    * near-duplicates of them sail through admission forever.
     */
   def append(s: SparkSession, indexDir: String, admitted: DataFrame): Unit = {
     import s.implicits._
@@ -159,13 +184,13 @@ object DedupIndex {
     val fresh = admitted.select($"doc_id", $"text")
       .join(existing, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    fpOf(fresh)
-      .withColumn("fpb", substring(col("fp"), 1, 1))
-      .write.mode("append").partitionBy("fpb")
-      .parquet(s"$indexDir/fps")
     bandRows(s, fresh)
       .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
       .write.mode("append").partitionBy("pb")
       .parquet(s"$indexDir/bands")
+    fpOf(fresh)
+      .withColumn("fpb", substring(col("fp"), 1, 1))
+      .write.mode("append").partitionBy("fpb")
+      .parquet(s"$indexDir/fps")
   }
 }

@@ -576,17 +576,10 @@ object Pipeline {
         .withColumn("rn", row_number().over(wFp))
         .filter($"rn" > 1)
         .groupBy($"source").agg(count(lit(1)).as("n_exact_dups"))
-      val rep = d
-        .withColumn("toks", split($"text", " "))
-        .select($"source", $"doc_id",
-          explode(expr(Dedup.shingleExpr)).as("sh"))
-        .groupBy($"source", $"doc_id", $"sh").agg(count(lit(1)).as("c"))
-        .groupBy($"source", $"doc_id")
-        .agg(sum($"c").as("n_sh"), count(lit(1)).as("n_di"),
-          max($"c").as("top_c"))
-        .filter(
-          round(($"n_sh" - $"n_di") / $"n_sh".cast("double"), 6) > 0.2 ||
-          round($"top_c" / $"n_sh".cast("double"), 6) > 0.05)
+      // t25's scoring core verbatim (shared seam — the thresholds
+      // live in ONE place, TextAnalysis.repetitionScoreOf)
+      val rep = TextAnalysis.repetitionScoreOf(d, Seq("source", "doc_id"))
+        .filter($"repetitive")
         .groupBy($"source").agg(count(lit(1)).as("n_repetitive"))
       val langs = d.groupBy($"source", $"lang")
         .agg(count(lit(1)).as("c"))
@@ -760,8 +753,10 @@ object Pipeline {
          |    SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n_sh,
          |      count(*) AS n_di, CAST(max(c) AS BIGINT) AS top_c
          |    FROM shc GROUP BY 1, 2)
-         |  WHERE round((n_sh - n_di) / CAST(n_sh AS DOUBLE), 6) > 0.2
-         |     OR round(top_c / CAST(n_sh AS DOUBLE), 6) > 0.05
+         |  WHERE round((n_sh - n_di) / CAST(n_sh AS DOUBLE), 6)
+         |      > ${TextAnalysis.RepDupFracCut}
+         |     OR round(top_c / CAST(n_sh AS DOUBLE), 6)
+         |      > ${TextAnalysis.RepTopShareCut}
          |  GROUP BY 1),
          |lng AS (
          |  SELECT source, count(*) AS n_langs,

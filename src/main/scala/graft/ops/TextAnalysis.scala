@@ -340,6 +340,40 @@ object TextAnalysis {
   private[graft] val RedactPattern = "\\b(customer|order|account)\\b"
   private val RedactTag = "[REDACTED]"
 
+  /** The t25 repetition thresholds — flagged = dup_frac > 0.2 or
+    * top_share > 0.05. One definition shared by t25, p15's data card
+    * and both oracle strings, so a threshold tune can never leave the
+    * card disagreeing with the query it cites.
+    */
+  private[graft] val RepDupFracCut = 0.2
+  private[graft] val RepTopShareCut = 0.05
+
+  /** The t25 repetition score per `keys` group (t25: doc_id; p15:
+    * (source, doc_id) — extra key columns just ride the same
+    * aggregation): raw/distinct shingle counts, the two ratios, and
+    * the threshold flag. Scale: one wordcount-shaped shuffle of
+    * (keys, shingle) then a per-key agg — the d05 shape, narrow all
+    * the way.
+    */
+  private[graft] def repetitionScoreOf(
+      d: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    d.withColumn("toks", split(col("text"), " "))
+      .select(kc :+ explode(expr(Dedup.shingleExpr)).as("sh"): _*)
+      .groupBy(kc :+ col("sh"): _*).agg(count(lit(1)).as("c"))
+      .groupBy(kc: _*)
+      .agg(sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+      .select(kc ++ Seq(col("n_shingles"), col("n_distinct"),
+        round((col("n_shingles") - col("n_distinct")) /
+          col("n_shingles").cast("double"), 6).as("dup_frac"),
+        round(col("top_c") / col("n_shingles").cast("double"), 6)
+          .as("top_share")): _*)
+      .withColumn("repetitive",
+        col("dup_frac") > RepDupFracCut ||
+          col("top_share") > RepTopShareCut)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_repetition_score" -> { (s, dir) =>
       import s.implicits._
@@ -355,25 +389,9 @@ object TextAnalysis {
       // top_share catches one phrase looping). Thresholds are ABSOLUTE
       // on RATIOS — scale-invariant, so the t24 cross-SF degeneracy
       // lesson doesn't apply (Gopher's published repetition filters
-      // are ratio cuts for the same reason); flagged = dup_frac > 0.2
-      // or top_share > 0.05. Scale: one wordcount-shaped shuffle of
-      // (doc_id, shingle) then a per-doc agg — the d05 shape, narrow
-      // all the way.
-      val sh = docs(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .select($"doc_id", explode(expr(Dedup.shingleExpr)).as("sh"))
-      sh.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_shingles"), count(lit(1)).as("n_distinct"),
-          max($"c").as("top_c"))
-        .select($"doc_id", $"n_shingles", $"n_distinct",
-          round(($"n_shingles" - $"n_distinct") /
-            $"n_shingles".cast("double"), 6).as("dup_frac"),
-          round($"top_c" / $"n_shingles".cast("double"), 6)
-            .as("top_share"))
-        .withColumn("repetitive",
-          $"dup_frac" > 0.2 || $"top_share" > 0.05)
-        .orderBy($"doc_id")
+      // are ratio cuts for the same reason); the rule lives in
+      // [[repetitionScoreOf]], shared with p15's data card.
+      repetitionScoreOf(docs(s, dir), Seq("doc_id")).orderBy($"doc_id")
     },
 
     "t01_token_stats" -> { (s, dir) =>
@@ -1027,8 +1045,9 @@ object TextAnalysis {
          |    / CAST(n_shingles AS DOUBLE), 6) AS dup_frac,
          |  round(top_c / CAST(n_shingles AS DOUBLE), 6) AS top_share,
          |  (round((n_shingles - n_distinct)
-         |     / CAST(n_shingles AS DOUBLE), 6) > 0.2
-         |   OR round(top_c / CAST(n_shingles AS DOUBLE), 6) > 0.05)
+         |     / CAST(n_shingles AS DOUBLE), 6) > $RepDupFracCut
+         |   OR round(top_c / CAST(n_shingles AS DOUBLE), 6)
+         |     > $RepTopShareCut)
          |    AS repetitive
          |FROM d ORDER BY doc_id""".stripMargin,
 

@@ -316,6 +316,31 @@ class AnnIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv0 + 20 &&
       spark.read.parquet(s"$indexDir/codes").count() == nCodes0 + 20 * 8,
       "re-upserting the same delta must change nothing")
+
+    // TORN-APPEND healing: simulate a crash between the two artifact
+    // writes (codes landed, the invlist append did not) by stripping
+    // the delta's list rows, then re-run the SAME upsert. Because each
+    // artifact anti-joins its OWN membership, the re-run must write
+    // exactly the missing half: lists restored, codes NOT duplicated
+    // (a duplicated code row would double the vector's ADC sum — a
+    // silently wrong ranking, the worst failure mode of this module).
+    val invPath = new org.apache.hadoop.fs.Path(s"$indexDir/invlists")
+    val fs = invPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = spark.read.parquet(invPath.toString)
+      .filter($"vec_id" < Shift)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .localCheckpoint()
+    fs.delete(invPath, true)
+    kept.write.partitionBy("cell").parquet(invPath.toString)
+    AnnIndex.upsert(spark, indexDir, delta)
+    assert(spark.read.parquet(s"$indexDir/invlists").count() == nInv0 + 20,
+      "healing upsert must restore the missing list rows")
+    assert(spark.read.parquet(s"$indexDir/codes").count() == nCodes0 + 20 * 8,
+      "healing upsert must not duplicate the already-written codes")
+    val healed = AnnIndex.search(spark, indexDir, q, 50)
+      .select($"n_id").collect().map(_.getLong(0)).toSet
+    assert(healed.contains(100L + Shift),
+      "the healed twin must rank in searches again")
   }
 
   test("delete/compact lifecycle: tombstoned ids vanish from searches " +

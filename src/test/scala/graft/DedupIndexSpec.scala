@@ -272,5 +272,33 @@ class DedupIndexSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(admittedIds.subsetOf(rejectedExact),
       "every appended doc must now hit the fingerprint table")
+
+    // TORN-APPEND healing: simulate a crash between the two artifact
+    // writes (bands landed, the fps register did not) by stripping the
+    // admitted docs' fps rows, then re-run the SAME append. The
+    // register is written LAST precisely so this state HEALS: the
+    // anti-join sees the docs unregistered and rewrites both halves —
+    // the duplicate band rows that leaves are absorbed by probe's
+    // existence-check distinct. (The reverse order would skip the docs
+    // forever, and near-dups of them would sail through admission.)
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val fs = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keptFps = spark.read.parquet(fpsPath.toString)
+      .filter(!$"doc_id".isin(admittedIds.toSeq: _*))
+      .select($"doc_id", $"fp", $"fpb".cast("string").as("fpb"))
+      .localCheckpoint()
+    fs.delete(fpsPath, true)
+    keptFps.write.partitionBy("fpb").parquet(fpsPath.toString)
+    DedupIndex.append(spark, indexDir, admitted)
+    assert(spark.read.parquet(s"$indexDir/fps").count() == nFp,
+      "healing append must restore the missing register rows")
+    val d2 = DedupIndex.probe(spark, indexDir, batch)
+    assert(admittedIds.subsetOf(d2.filter($"fp_in_corpus")
+        .select($"doc_id").as[Long].collect().toSet),
+      "healed docs must reject their own re-ingest again")
+    assert(d2.count() == d1.count() &&
+      d2.filter($"near_rej_corpus").count() ==
+        d1.filter($"near_rej_corpus").count(),
+      "duplicate band rows from the healed append must change no verdict")
   }
 }

@@ -78,7 +78,7 @@ object AnnIndex {
     * whose `meta` flag disagrees with its codebooks/codes — searches
     * and upserts in the window keep reading the complete OLD snapshot,
     * and the swap itself is two driver-side renames healed by
-    * [[recoverSwap]]. Tombstones are carried across the swap: a
+    * [[ArtifactSwap.recoverSwap]]. Tombstones are carried across the swap: a
     * rebuild sourced from a corpus snapshot that still contains
     * deleted vectors must not resurrect them.
     */
@@ -87,7 +87,7 @@ object AnnIndex {
     import s.implicits._
     val dst = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, dst, new org.apache.hadoop.fs.Path(
+    ArtifactSwap.recoverSwap(fs, dst, new org.apache.hadoop.fs.Path(
       s"$indexDir.build.tmp"))
     val tmp = s"$indexDir.build.tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -123,41 +123,7 @@ object AnnIndex {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
       s.read.parquet(s"$indexDir/tombstones")
         .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
-  }
-
-  /** Replace `dst` with the fully-written `tmp` directory. The
-    * destructive step is two driver-side metadata renames — never a
-    * data write — so an executor (or whole-job) loss during any
-    * artifact write can only ever cost the tmp copy; the live
-    * artifacts survive until a complete replacement exists. The
-    * old tree is set aside (not deleted) before the new one lands, so
-    * the only torn window is between the two renames: milliseconds of
-    * driver-local metadata work, healed by [[recoverSwap]].
-    */
-  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Unit = {
-    val aside = new org.apache.hadoop.fs.Path(dst.toString + ".old")
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (fs.exists(dst)) fs.rename(dst, aside)
-    fs.rename(tmp, dst)
-    fs.delete(aside, true)
-  }
-
-  /** Heal a swap the driver died inside of: if `dst` is missing, the
-    * crash was between [[swapDirs]]' two renames, and a COMPLETE
-    * replacement exists — prefer `tmp` (it was fully written before
-    * the swap began; the aside copy is the superseded old tree, the
-    * fallback if the tmp rename half-finished).
-    */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      dst: org.apache.hadoop.fs.Path,
-      tmp: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(dst)) return
-    val aside = new org.apache.hadoop.fs.Path(dst.toString + ".old")
-    if (fs.exists(tmp)) fs.rename(tmp, dst)
-    else if (fs.exists(aside)) fs.rename(aside, dst)
+    ArtifactSwap.swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   private def isResidual(s: SparkSession, indexDir: String): Boolean =
@@ -204,7 +170,7 @@ object AnnIndex {
     * anti-join.
     *
     * Crash safety: each filtered copy is written to a DURABLE temp
-    * directory first, then swapped in ([[swapDirs]]) — the destructive
+    * directory first, then swapped in ([[ArtifactSwap.swapDirs]]) — the destructive
     * step is a metadata rename, not a write. (An overwrite-in-place
     * fed by localCheckpoint blocks would be a trap at cluster scale:
     * the blocks live only in executor memory/disk with their lineage
@@ -225,8 +191,8 @@ object AnnIndex {
     val invTmp = new org.apache.hadoop.fs.Path(s"$indexDir/invlists.tmp")
     val codeTmp = new org.apache.hadoop.fs.Path(s"$indexDir/codes.tmp")
     val fs = invDst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, invDst, invTmp)
-    recoverSwap(fs, codeDst, codeTmp)
+    ArtifactSwap.recoverSwap(fs, invDst, invTmp)
+    ArtifactSwap.recoverSwap(fs, codeDst, codeTmp)
     val tomb = tombstones(s, indexDir)
     if (tomb.isEmpty) return
     s.read.parquet(s"$indexDir/invlists")
@@ -239,8 +205,8 @@ object AnnIndex {
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
       .write.mode("overwrite").parquet(codeTmp.toString)
-    swapDirs(fs, invTmp, invDst)
-    swapDirs(fs, codeTmp, codeDst)
+    ArtifactSwap.swapDirs(fs, invTmp, invDst)
+    ArtifactSwap.swapDirs(fs, codeTmp, codeDst)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
   }
 

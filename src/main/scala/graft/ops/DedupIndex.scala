@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *    Jaccard ≥ 0.5, d03/d17's rule) needs no second corpus lookup —
   *    3× signature duplication buys a probe that touches exactly one
   *    artifact per admission rule.
+  *  - `tombstones/` (doc_id) — logically deleted docs (absent until
+  *    the first [[delete]]); probes anti-join it, [[compact]] erases
+  *    the rows and clears it — the erasure leg, mirroring AnnIndex.
   *
   * Scale shape of [[probe]]: the batch side is signed locally (narrow
   * map over the batch's own text — the only text in the plan); its
@@ -66,6 +69,78 @@ object DedupIndex {
       .parquet(s"$indexDir/bands")
   }
 
+  /** The tombstone set — (doc_id) of deleted documents, absent until
+    * the first [[delete]]. Kept tiny relative to the corpus between
+    * [[compact]]s, so probe-side exclusion stays a broadcast
+    * anti-join (the AnnIndex discipline).
+    */
+  private def tombstones(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString).select($"doc_id").distinct()
+    else s.createDataset(Seq.empty[Long]).toDF("doc_id")
+  }
+
+  /** Logical deletion — the erasure leg of the ADMISSION index: a
+    * document removed from the corpus (takedown, right-to-erasure,
+    * curation reversal) must immediately stop REJECTING new documents
+    * that duplicate it (its text is no longer in the corpus, so a
+    * fresh copy is admissible again), without rewriting the
+    * corpus-sized artifacts. Tombstoned doc_ids are anti-joined out of
+    * both probe paths; [[compact]] later erases their fingerprint and
+    * signature rows physically — which matters here beyond hygiene:
+    * an md5 fingerprint and a MinHash signature are DERIVED PERSONAL
+    * DATA when the document is. Idempotent. A deleted-but-uncompacted
+    * doc_id cannot be re-[[append]]ed (its rows still exist, so the
+    * register anti-join skips it); revival is compact-then-append,
+    * the same unambiguous order as AnnIndex.
+    */
+  def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    import s.implicits._
+    ids.select($"doc_id").distinct()
+      .join(tombstones(s, indexDir), Seq("doc_id"), "left_anti")
+      // eager: the anti-join must see the PRE-append tombstone set
+      .localCheckpoint()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Fold accumulated tombstones into the artifacts: rewrite fps and
+    * bands WITHOUT the deleted doc_ids and clear the tombstone table.
+    * Each filtered copy goes to a durable temp directory and swaps in
+    * via metadata renames ([[ArtifactSwap]]) — never an
+    * overwrite-in-place of the live index. Tombstones are cleared
+    * LAST, so a re-run after any crash re-filters and finishes;
+    * probes in any intermediate window still anti-join the surviving
+    * tombstones.
+    */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val fpsDst = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val bandsDst = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fpsTmp = new org.apache.hadoop.fs.Path(s"$indexDir/fps.tmp")
+    val bandsTmp = new org.apache.hadoop.fs.Path(s"$indexDir/bands.tmp")
+    val fs = fpsDst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ArtifactSwap.recoverSwap(fs, fpsDst, fpsTmp)
+    ArtifactSwap.recoverSwap(fs, bandsDst, bandsTmp)
+    val tomb = tombstones(s, indexDir)
+    if (tomb.isEmpty) return
+    val fps = s.read.parquet(fpsDst.toString)
+    fps.join(tomb, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"fp", $"fpb".cast("string").as("fpb"))
+      .write.mode("overwrite").partitionBy("fpb")
+      .parquet(fpsTmp.toString)
+    val bands = s.read.parquet(bandsDst.toString)
+    bands.join(tomb, Seq("doc_id"), "left_anti")
+      .select((bands.columns.filter(_ != "pb").map(col) :+
+        col("pb").cast("long").as("pb")): _*)
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(bandsTmp.toString)
+    ArtifactSwap.swapDirs(fs, fpsTmp, fpsDst)
+    ArtifactSwap.swapDirs(fs, bandsTmp, bandsDst)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+  }
+
   /** Decide a batch's admission against the index. Returns one row per
     * batch doc with BOTH rule families' raw verdicts, so callers
     * aggregate whichever policy they run (d13's exact funnel, d17's
@@ -99,8 +174,14 @@ object DedupIndex {
           org.apache.spark.sql.types.IntegerType)
         rawNibbles.toSeq.collect { case n if n.forall(_.isDigit) => n.toInt }
       else rawNibbles.toSeq
+    // tombstoned docs must stop rejecting: their rows are anti-joined
+    // out of BOTH probe paths until compact erases them (broadcast —
+    // deletions are rare relative to corpus size, see delete/compact)
+    val tomb = broadcast(tombstones(s, indexDir)
+      .withColumnRenamed("doc_id", "del_id"))
     val corpusFp = fpsTbl
       .filter(if (nibbles.isEmpty) lit(false) else $"fpb".isin(nibbles: _*))
+      .join(tomb, $"doc_id" === $"del_id", "left_anti")
       .select($"fp").distinct().withColumn("fp_in_corpus", lit(true))
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
     val exact = bFp
@@ -129,6 +210,7 @@ object DedupIndex {
       when(col(s"c$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
     val cIdx = idx
       .filter(if (pbLits.isEmpty) lit(false) else $"pb".isin(pbLits: _*))
+      .join(tomb, $"doc_id" === $"del_id", "left_anti")
       .select($"band" +: $"doc_id".as("c_id") +:
         (0 until 6).map(j => col(s"mh$j").as(s"c$j")): _*)
     val bSide = bBands

@@ -301,4 +301,79 @@ class DedupIndexSpec extends SparkTestBase {
         d1.filter($"near_rej_corpus").count(),
       "duplicate band rows from the healed append must change no verdict")
   }
+
+  test("delete/compact lifecycle: a deleted doc immediately stops " +
+      "rejecting its duplicates, deletion is idempotent, compaction " +
+      "physically erases the rows without changing any other verdict, " +
+      "and the doc's text is re-admittable after compaction") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-delete") + "/idx"
+    val corpus = fixtureDocs.filter($"doc_id" % 5 =!= 4)
+    DedupIndex.build(spark, corpus, indexDir)
+    // the batch carries a CRAFTED exact duplicate of a corpus doc (the
+    // fixture split has no cross-split exact dups of its own), so the
+    // delete/compact story runs against a guaranteed rejection
+    val victimSrc = corpus.orderBy($"doc_id")
+      .select($"doc_id", $"text").head()
+    val victimBatchId = 9000000L
+    val batch = literalBatch($"doc_id" % 5 === 4)
+      .union(Seq((victimBatchId, victimSrc.getString(1)))
+        .toDF("doc_id", "text"))
+    val d0 = DedupIndex.probe(spark, indexDir, batch).localCheckpoint()
+    assert(d0.filter($"doc_id" === victimBatchId)
+        .head().getAs[Boolean]("fp_in_corpus"),
+      "the crafted duplicate must exact-reject before the deletion")
+    val victimFp = Seq(victimSrc.getString(1)).toDF("text")
+      .select(md5(lower($"text"))).head().getString(0)
+    val corpusTwins = spark.read.parquet(s"$indexDir/fps")
+      .filter($"fp" === victimFp).select($"doc_id").as[Long].collect().toSet
+    assert(corpusTwins.nonEmpty, "an fp-rejected doc must have a corpus twin")
+
+    DedupIndex.delete(spark, indexDir,
+      corpusTwins.toSeq.toDF("doc_id"))
+    val nTomb = spark.read.parquet(s"$indexDir/tombstones").count()
+    DedupIndex.delete(spark, indexDir, corpusTwins.toSeq.toDF("doc_id"))
+    assert(spark.read.parquet(s"$indexDir/tombstones").count() == nTomb,
+      "re-deleting the same docs must be a no-op")
+
+    // the deleted twins no longer exact-reject the victim; every OTHER
+    // doc's exact verdict is untouched
+    val d1 = DedupIndex.probe(spark, indexDir, batch).localCheckpoint()
+    assert(!d1.filter($"doc_id" === victimBatchId)
+        .head().getAs[Boolean]("fp_in_corpus"),
+      "deleting the corpus twin must clear the exact rejection")
+    val exceptVictim = ($"doc_id" =!= victimBatchId)
+    assert(d1.filter(exceptVictim).select($"doc_id", $"fp_in_corpus")
+        .except(d0.filter(exceptVictim)
+          .select($"doc_id", $"fp_in_corpus")).count() == 0,
+      "no other exact verdict may change")
+
+    // compact: rows physically gone, tombstones cleared, verdicts
+    // EXACTLY as under the logical deletion
+    DedupIndex.compact(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/fps")
+        .filter($"doc_id".isin(corpusTwins.toSeq: _*)).count() == 0 &&
+      spark.read.parquet(s"$indexDir/bands")
+        .filter($"doc_id".isin(corpusTwins.toSeq: _*)).count() == 0,
+      "compaction must erase the deleted docs' fps and band rows")
+    assert(!new java.io.File(s"$indexDir/tombstones").exists(),
+      "compaction must clear the tombstone table")
+    val d2 = DedupIndex.probe(spark, indexDir, batch)
+    assert(d2.select($"doc_id", $"fp_in_corpus", $"near_rej_corpus")
+        .except(d1.select($"doc_id", $"fp_in_corpus", $"near_rej_corpus"))
+        .count() == 0,
+      "physical erasure must reproduce the logical-deletion verdicts")
+
+    // the loop reopens: the victim's text is admittable and appendable
+    // again under the exact rule (near rules may still fire off OTHER
+    // surviving corpus docs — assert only the exact path)
+    val victim = batch.filter($"doc_id" === victimBatchId)
+    DedupIndex.append(spark, indexDir, victim)
+    assert(spark.read.parquet(s"$indexDir/fps")
+        .filter($"doc_id" === victimBatchId).count() == 1,
+      "the re-admitted doc must land in the register")
+    assert(DedupIndex.probe(spark, indexDir, victim)
+        .head().getAs[Boolean]("fp_in_corpus"),
+      "the re-admitted doc must exact-reject its own re-ingest")
+  }
 }

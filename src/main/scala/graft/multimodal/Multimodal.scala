@@ -237,23 +237,75 @@ object Multimodal {
       // parity risk. Per format: media count, distinct contents, exact
       // dups, pHash bucket count + the biggest bucket (the candidate-set
       // skew number a near-dup pass needs before it all-pairs a bucket).
-      val phash = concat((0 until FakeCodec.NFeatures).map { j =>
-        when(expr("cast(conv(substr(md5(concat(cast(content as string), " +
-          s"'_$j')), 1, 7), 16, 10) as bigint)") % 1000 >= 500, "1")
-          .otherwise("0")
-      }: _*)
-      // Null content gets a per-row sentinel fingerprint: a NULL fp
-      // would vanish from the distinct count while its row stays in
-      // n_media, silently booking every null-content row as a "dup" —
-      // on BOTH engines, which is exactly the class of bug the parity
-      // gate can never catch.
       val base = mediaTable(s, dir)
-        .select($"format",
-          coalesce(md5($"content".cast("string")),
-            concat(lit("null-"), $"media_id")).as("fp"),
-          phash.as("ph"))
+        .select($"format", fpCol.as("fp"), phashCol.as("ph"))
       dedupStatsFromBase(s, base)
+    },
+
+    "m08_contrastive_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // CONTRASTIVE PAIR ASSEMBLY — the CLIP-style training-set step:
+      // each document pairs with its own media (the positive) plus K
+      // deterministic negatives, drawn uniformly over the DENSE media
+      // id space by pure per-row arithmetic (H(doc:k) mod N, +1 skip
+      // when the draw hits the doc itself) — no rank materialization,
+      // no RNG state, the p08-coin discipline applied to sampling ids
+      // instead of buckets. The op's real content is the
+      // FALSE-NEGATIVE GUARD contrastive training needs: a drawn
+      // negative that is an exact or perceptual-hash twin of the
+      // positive (m05's two dedup signals) is flagged excluded,
+      // because pushing apart two copies of the same image teaches
+      // the encoder noise — the published SemDeDup/CLIP-curation
+      // failure mode, surfaced per pair instead of discovered in
+      // training. Scale: the draw is a narrow map over ids; fp/ph
+      // resolve through two equi-joins against the (media_id, fp, ph)
+      // projection; nothing is all-pairs.
+      val n = mediaTable(s, dir).agg(count(lit(1)).as("n_media"))
+      val sig = mediaTable(s, dir)
+        .select($"media_id", fpCol.as("fp"), phashCol.as("ph"))
+      val draws = mediaTable(s, dir).select($"media_id".as("doc_id"))
+        .crossJoin(broadcast(s.createDataset(Seq(0, 1)).toDF("k")))
+        .crossJoin(broadcast(n))
+        .withColumn("draw", expr(
+          "cast(conv(substr(md5(concat(doc_id, ':', k)), 1, 8), 16, 10) " +
+            "as bigint) % n_media"))
+        .select($"doc_id", $"k",
+          when($"draw" === $"doc_id", ($"draw" + 1) % $"n_media")
+            .otherwise($"draw").as("neg_media_id"))
+      draws
+        .join(sig.select($"media_id".as("doc_id"),
+          $"fp".as("fp_p"), $"ph".as("ph_p")), "doc_id")
+        .join(sig.select($"media_id".as("neg_media_id"),
+          $"fp".as("fp_n"), $"ph".as("ph_n")), "neg_media_id")
+        .select($"doc_id", $"k", $"neg_media_id",
+          ($"fp_p" === $"fp_n" || $"ph_p" === $"ph_n").as("excluded"),
+          when($"fp_p" === $"fp_n", "exact_twin")
+            .when($"ph_p" === $"ph_n", "phash_twin")
+            .otherwise("none").as("reason"))
+        .orderBy($"doc_id", $"k")
     })
+
+  /** m05/m08's content fingerprint. Null content gets a per-row
+    * sentinel: a NULL fp would vanish from m05's distinct count while
+    * its row stays in n_media, silently booking every null-content row
+    * as a "dup" — on BOTH engines, which is exactly the class of bug
+    * the parity gate can never catch.
+    */
+  private def fpCol =
+    coalesce(md5(col("content").cast("string")),
+      concat(lit("null-"), col("media_id")))
+
+  /** m05/m08's perceptual hash: 8 sign bits of the codec features vs
+    * their midpoint (with a real decoder these are pooled-pixel signs,
+    * i.e. a real pHash). The bit test is pure integer, so no float
+    * parity risk. Null content hashes to all-zero bits on both
+    * engines — null rows bucket together, same as m05's accounting.
+    */
+  private def phashCol = concat((0 until FakeCodec.NFeatures).map { j =>
+    when(expr("cast(conv(substr(md5(concat(cast(content as string), " +
+      s"'_$j')), 1, 7), 16, 10) as bigint)") % 1000 >= 500, "1")
+      .otherwise("0")
+  }: _*)
 
   /** m05 core on an injectable (format, fp, ph) frame — the skew spec
     * plants a flooded pHash bucket and asserts the near-dup candidate
@@ -395,6 +447,39 @@ object Multimodal {
          |      CAST(greatest(floor(height / 2), 16) AS INT)) AS thumb_key
          |FROM media WHERE format IN ('png', 'jpeg')
          |ORDER BY media_id""".stripMargin,
+
+    "m08_contrastive_pairs" -> {
+      val bits = (0 until FakeCodec.NFeatures).map { j =>
+        s"CASE WHEN ('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT" +
+          " % 1000 >= 500 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH $mediaSql,
+         |sig AS (
+         |  SELECT media_id,
+         |    coalesce(md5(content), 'null-' || media_id) AS fp,
+         |    $bits AS ph FROM media),
+         |n AS (SELECT count(*) AS n_media FROM media),
+         |draws AS (
+         |  SELECT m.media_id AS doc_id, k.k,
+         |    ('0x' || substr(md5(CAST(m.media_id AS VARCHAR) || ':' ||
+         |        CAST(k.k AS VARCHAR)), 1, 8))::BIGINT % n.n_media AS draw,
+         |    n.n_media
+         |  FROM media m
+         |  CROSS JOIN (SELECT unnest([0, 1]) AS k) k CROSS JOIN n),
+         |d2 AS (
+         |  SELECT doc_id, k,
+         |    CASE WHEN draw = doc_id THEN (draw + 1) % n_media
+         |         ELSE draw END AS neg_media_id
+         |  FROM draws)
+         |SELECT d2.doc_id, d2.k, d2.neg_media_id,
+         |  (p.fp = q.fp OR p.ph = q.ph) AS excluded,
+         |  CASE WHEN p.fp = q.fp THEN 'exact_twin'
+         |       WHEN p.ph = q.ph THEN 'phash_twin'
+         |       ELSE 'none' END AS reason
+         |FROM d2 JOIN sig p ON d2.doc_id = p.media_id
+         |JOIN sig q ON d2.neg_media_id = q.media_id
+         |ORDER BY doc_id, k""".stripMargin
+    },
 
     "m05_media_dedup" -> {
       val bits = (0 until FakeCodec.NFeatures).map { j =>

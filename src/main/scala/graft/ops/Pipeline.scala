@@ -598,6 +598,83 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    "p16_curriculum_mixture" -> { (s, dir) =>
+      import s.implicits._
+      // CURRICULUM mixing — the per-EPOCH form of p10's temperature
+      // table: public LLM practice ANNEALS the mixture over training
+      // (start near the natural token distribution so abundant data
+      // sets the early gradient, end flatter so curated sources
+      // aren't drowned late). The alpha ladder 1 -> 1/2 -> 0
+      // (proportional, sqrt-tempered, uniform) is deliberately the
+      // engine-exact set — identity, one correctly-rounded IEEE sqrt,
+      // constant (the p10/libm discipline; intermediate alphas need
+      // pow, which does not cross engines). Each epoch draws an
+      // INDEPENDENT deterministic sample: the md5 coin is keyed
+      // (epoch, doc_id), so epoch composition is reproducible from
+      // the schedule alone with no RNG state, and a doc can serve
+      // some epochs and sit out others. Scale: ONE tokenize agg
+      // (wordcount shape); the schedule math lives on a
+      // |sources|x|epochs| frame; the sample pass fans the narrow
+      // (doc_id, source, n_toks) projection out |epochs|x through a
+      // broadcast threshold join — no shuffle grows with the corpus.
+      val d = docs(s, dir).select($"doc_id", $"source",
+        when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+        .localCheckpoint(eager = false)
+      val toks = d.groupBy($"source").agg(sum($"n_toks").as("n_tokens"))
+      // the per-epoch budget is CORPUS-RELATIVE (half the corpus
+      // tokens), not an absolute count: an absolute budget saturates
+      // every threshold at small SFs and starves them at large ones —
+      // the t24 degeneracy — while a fraction keeps the sampling LIVE
+      // (some sources capped, some kept whole) at any scale
+      val tot = toks.agg(sum($"n_tokens").as("t_total"))
+      val sched = toks.crossJoin(broadcast(
+          s.createDataset(Seq(0, 1, 2)).toDF("epoch")))
+        .withColumn("alpha", expr("cast(1.0 - epoch * 0.5 as double)"))
+        .withColumn("w_raw", expr(
+          """cast(round(CASE WHEN epoch = 0 THEN cast(n_tokens as double)
+            |  WHEN epoch = 1 THEN sqrt(cast(n_tokens as double))
+            |  ELSE 1.0 END, 6) as decimal(24,6))""".stripMargin))
+      val et = sched.groupBy($"epoch").agg(sum($"w_raw").as("w_tot"))
+      val plan = sched.join(broadcast(et), "epoch")
+        .crossJoin(broadcast(tot))
+        .withColumn("weight", expr(
+          "round(cast(w_raw as double) / cast(w_tot as double), 6)"))
+        // floor(weight * budget) in EXACT integer arithmetic: the 6-dp
+        // weight scales to the integer w6 = weight*1e6, and the
+        // two-term decomposition w6*(b div 1e6) + w6*(b mod 1e6) div
+        // 1e6 equals floor(w6*b/1e6) exactly (first term is integer)
+        // while keeping every product under 2^63 — no double rounding,
+        // no decimal-cast round-vs-truncate straddle (the p10 lesson,
+        // generalized to a non-constant budget)
+        .withColumn("w6", expr(
+          "cast(cast(weight as decimal(10,6)) * 1000000 as bigint)"))
+        .withColumn("budget", expr("t_total div 2"))
+        .withColumn("alloc_tokens", expr(
+          "w6 * (budget div 1000000) + " +
+            "(w6 * (budget % 1000000)) div 1000000"))
+        .withColumn("thresh",
+          when($"alloc_tokens" >= $"n_tokens", lit(CoinScale)).otherwise(
+            floor($"alloc_tokens".cast("double") /
+              $"n_tokens".cast("double") * lit(CoinScale.toDouble))
+              .cast("long")))
+      val kept = d
+        .join(broadcast(plan.select($"epoch", $"source", $"thresh")),
+          "source")
+        .filter(expr(
+          "cast(conv(substr(md5(concat(epoch, ':', doc_id)), 1, 8), " +
+            s"16, 10) as bigint) % $CoinScale") < $"thresh")
+        .groupBy($"epoch", $"source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"n_toks").as("tokens_sampled"))
+      plan.join(kept, Seq("epoch", "source"), "left")
+        .select($"epoch", $"alpha", $"source", $"n_tokens", $"weight",
+          $"alloc_tokens", $"thresh",
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+          coalesce($"tokens_sampled", lit(0L)).as("tokens_sampled"))
+        .orderBy($"epoch", $"source")
+    },
+
     "p14_epoch_shuffle" -> { (s, dir) =>
       import s.implicits._
       // SEEDED EPOCH SHUFFLE — the dataloader's data-order contract:
@@ -1007,6 +1084,59 @@ object Pipeline {
          |    AS skey,
          |  source, shard, chunk
          |FROM ep ORDER BY epoch, skey""".stripMargin,
+
+    "p16_curriculum_mixture" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM toks),
+        |sched AS (
+        |  SELECT t.source, t.n_tokens, e.epoch,
+        |    CAST(1.0 - e.epoch * 0.5 AS DOUBLE) AS alpha,
+        |    CAST(round(CASE WHEN e.epoch = 0 THEN CAST(n_tokens AS DOUBLE)
+        |      WHEN e.epoch = 1 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |      ELSE 1.0 END, 6) AS DECIMAL(24,6)) AS w_raw
+        |  FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e),
+        |et AS (SELECT epoch, sum(w_raw) AS w_tot FROM sched GROUP BY 1),
+        |plan3 AS (
+        |  SELECT *, CASE WHEN alloc_tokens >= n_tokens THEN $CoinScale
+        |    ELSE CAST(floor(CAST(alloc_tokens AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE) * $CoinScale.0) AS BIGINT)
+        |    END AS thresh
+        |  FROM (
+        |    SELECT *, w6 * (budget // 1000000) +
+        |        (w6 * (budget % 1000000)) // 1000000 AS alloc_tokens
+        |    FROM (
+        |      SELECT *,
+        |        CAST(CAST(weight AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+        |          AS w6,
+        |        t_total // 2 AS budget
+        |      FROM (
+        |        SELECT s.epoch, s.alpha, s.source, s.n_tokens, t_total,
+        |          round(CAST(s.w_raw AS DOUBLE)
+        |            / CAST(e.w_tot AS DOUBLE), 6) AS weight
+        |        FROM sched s JOIN et e ON s.epoch = e.epoch
+        |        CROSS JOIN tot)))),
+        |kept AS (
+        |  SELECT p.epoch, d.source, count(*) AS n_sampled,
+        |    CAST(sum(d.n_toks) AS BIGINT) AS tokens_sampled
+        |  FROM d JOIN plan3 p ON d.source = p.source
+        |  WHERE ('0x' || substr(md5(CAST(p.epoch AS VARCHAR) || ':' ||
+        |      CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % $CoinScale < p.thresh
+        |  GROUP BY 1, 2)
+        |SELECT p.epoch, p.alpha, p.source, p.n_tokens, p.weight,
+        |  p.alloc_tokens, p.thresh,
+        |  CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(k.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+        |FROM plan3 p LEFT JOIN kept k
+        |  ON p.epoch = k.epoch AND p.source = k.source
+        |ORDER BY p.epoch, p.source""".stripMargin,
 
     "p07_source_mixture" ->
       s"""WITH d AS (

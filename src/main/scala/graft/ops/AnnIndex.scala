@@ -129,38 +129,28 @@ object AnnIndex {
   private def isResidual(s: SparkSession, indexDir: String): Boolean =
     s.read.parquet(s"$indexDir/meta").head().getBoolean(0)
 
-  /** The tombstone set — (vec_id) of deleted vectors, absent until the
-    * first [[delete]]. Kept tiny relative to the corpus between
-    * [[compact]]s, so the search-side exclusion stays a broadcast
-    * anti-join.
-    */
-  private def tombstones(s: SparkSession, indexDir: String): DataFrame = {
-    import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.parquet(p.toString).select($"vec_id").distinct()
-    else s.createDataset(Seq.empty[Long]).toDF("vec_id")
-  }
+  private def tombstones(s: SparkSession, indexDir: String): DataFrame =
+    ArtifactSwap.tombstones(s, indexDir, "vec_id")
 
   /** Logical deletion — the GDPR/right-to-erasure leg of the
     * lifecycle: `ids` (vec_id) stop appearing in ANY search result
     * immediately, without rewriting the (corpus-sized) list and code
     * artifacts. Implementation is a tombstone table the search
     * anti-joins (broadcast — deletions are rare relative to corpus
-    * size; [[compact]] folds them in when they accumulate). Idempotent:
-    * already-tombstoned ids are skipped, so re-running a deletion batch
-    * is a no-op. NOTE an id deleted but not yet compacted cannot be
-    * re-inserted by [[upsert]] (its list/code rows still exist, so the
-    * anti-join skips it — and the tombstone keeps it invisible);
-    * revival is compact-then-upsert, the unambiguous order.
+    * size; [[compact]] folds them in when they accumulate).
+    * Idempotent, and FILTERED TO THE REGISTER (ids the inverted lists
+    * actually serve — see `ArtifactSwap.deleteIds` for why an orphan
+    * tombstone would shadow a future upsert). NOTE an id deleted but
+    * not yet compacted cannot be re-inserted by [[upsert]] (its
+    * list/code rows still exist, so the anti-join skips it — and the
+    * tombstone keeps it invisible); revival is compact-then-upsert,
+    * the unambiguous order.
     */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     import s.implicits._
-    ids.select($"vec_id").distinct()
-      .join(tombstones(s, indexDir), Seq("vec_id"), "left_anti")
-      // eager: the anti-join must see the PRE-append tombstone set
-      .localCheckpoint()
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+    ArtifactSwap.recover(s, indexDir, s"$indexDir/invlists")
+    ArtifactSwap.deleteIds(s, indexDir, "vec_id",
+      s.read.parquet(s"$indexDir/invlists").select($"vec_id"), ids)
   }
 
   /** Fold accumulated tombstones into the artifacts: rewrite the
@@ -191,6 +181,7 @@ object AnnIndex {
     val invTmp = new org.apache.hadoop.fs.Path(s"$indexDir/invlists.tmp")
     val codeTmp = new org.apache.hadoop.fs.Path(s"$indexDir/codes.tmp")
     val fs = invDst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ArtifactSwap.recover(s, indexDir)
     ArtifactSwap.recoverSwap(fs, invDst, invTmp)
     ArtifactSwap.recoverSwap(fs, codeDst, codeTmp)
     val tomb = tombstones(s, indexDir)
@@ -242,6 +233,10 @@ object AnnIndex {
     */
   def upsert(s: SparkSession, indexDir: String, delta: DataFrame): Unit = {
     import s.implicits._
+    // heal any torn swap FIRST — recovery must not depend on the
+    // crashed operation (a compact, a rebuild) being the one retried
+    ArtifactSwap.recover(s, indexDir,
+      s"$indexDir/invlists", s"$indexDir/codes")
     val residual = isResidual(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")
@@ -290,6 +285,9 @@ object AnnIndex {
   def search(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int): DataFrame = {
     import s.implicits._
+    // read paths heal torn swaps too (see upsert)
+    ArtifactSwap.recover(s, indexDir,
+      s"$indexDir/invlists", s"$indexDir/codes")
     val residual = isResidual(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids")
     val cb = s.read.parquet(s"$indexDir/codebooks")

@@ -58,29 +58,36 @@ object DedupIndex {
     Dedup.bandsOf(s, sigs).join(sigs, "doc_id")
   }
 
+  /** Build (or REBUILD) the index from a corpus snapshot. The whole
+    * index is written under `indexDir.build.tmp` and swapped in as one
+    * unit (`ArtifactSwap`, the AnnIndex.buildFrom discipline): a
+    * rebuild that dies mid-way can never leave fps from the new corpus
+    * next to bands from the old one — probes in the window keep
+    * reading the complete old snapshot. Tombstones ride across the
+    * swap: the rebuild source may still contain deleted documents.
+    */
   def build(s: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ArtifactSwap.recover(s, indexDir)
+    val tmp = s"$indexDir.build.tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fpOf(corpus)
       .withColumn("fpb", substring(col("fp"), 1, 1))
       .write.mode("overwrite").partitionBy("fpb")
-      .parquet(s"$indexDir/fps")
+      .parquet(s"$tmp/fps")
     bandRows(s, corpus)
       .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
       .write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$indexDir/bands")
+      .parquet(s"$tmp/bands")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
+      s.read.parquet(s"$indexDir/tombstones")
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    ArtifactSwap.swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
-  /** The tombstone set — (doc_id) of deleted documents, absent until
-    * the first [[delete]]. Kept tiny relative to the corpus between
-    * [[compact]]s, so probe-side exclusion stays a broadcast
-    * anti-join (the AnnIndex discipline).
-    */
-  private def tombstones(s: SparkSession, indexDir: String): DataFrame = {
-    import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.parquet(p.toString).select($"doc_id").distinct()
-    else s.createDataset(Seq.empty[Long]).toDF("doc_id")
-  }
+  private def tombstones(s: SparkSession, indexDir: String): DataFrame =
+    ArtifactSwap.tombstones(s, indexDir, "doc_id")
 
   /** Logical deletion — the erasure leg of the ADMISSION index: a
     * document removed from the corpus (takedown, right-to-erasure,
@@ -91,18 +98,18 @@ object DedupIndex {
     * both probe paths; [[compact]] later erases their fingerprint and
     * signature rows physically — which matters here beyond hygiene:
     * an md5 fingerprint and a MinHash signature are DERIVED PERSONAL
-    * DATA when the document is. Idempotent. A deleted-but-uncompacted
-    * doc_id cannot be re-[[append]]ed (its rows still exist, so the
-    * register anti-join skips it); revival is compact-then-append,
-    * the same unambiguous order as AnnIndex.
+    * DATA when the document is. Idempotent, and FILTERED TO THE
+    * REGISTER (see `ArtifactSwap.deleteIds` — an orphan tombstone
+    * would silently shadow a future append). A
+    * deleted-but-uncompacted doc_id cannot be re-[[append]]ed (its
+    * rows still exist, so the register anti-join skips it); revival is
+    * compact-then-append, the same unambiguous order as AnnIndex.
     */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     import s.implicits._
-    ids.select($"doc_id").distinct()
-      .join(tombstones(s, indexDir), Seq("doc_id"), "left_anti")
-      // eager: the anti-join must see the PRE-append tombstone set
-      .localCheckpoint()
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+    ArtifactSwap.recover(s, indexDir, s"$indexDir/fps")
+    ArtifactSwap.deleteIds(s, indexDir, "doc_id",
+      s.read.parquet(s"$indexDir/fps").select($"doc_id"), ids)
   }
 
   /** Fold accumulated tombstones into the artifacts: rewrite fps and
@@ -121,6 +128,7 @@ object DedupIndex {
     val fpsTmp = new org.apache.hadoop.fs.Path(s"$indexDir/fps.tmp")
     val bandsTmp = new org.apache.hadoop.fs.Path(s"$indexDir/bands.tmp")
     val fs = fpsDst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ArtifactSwap.recover(s, indexDir)
     ArtifactSwap.recoverSwap(fs, fpsDst, fpsTmp)
     ArtifactSwap.recoverSwap(fs, bandsDst, bandsTmp)
     val tomb = tombstones(s, indexDir)
@@ -158,6 +166,9 @@ object DedupIndex {
     */
   def probe(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
+    // heal any torn swap FIRST — recovery must not depend on the
+    // crashed operation (a compact, a rebuild) being the one retried
+    ArtifactSwap.recover(s, indexDir, s"$indexDir/fps", s"$indexDir/bands")
     // ---- exact half -------------------------------------------------
     val bFp = fpOf(batch).localCheckpoint(eager = false)
     val rawNibbles = bFp
@@ -259,6 +270,7 @@ object DedupIndex {
     */
   def append(s: SparkSession, indexDir: String, admitted: DataFrame): Unit = {
     import s.implicits._
+    ArtifactSwap.recover(s, indexDir, s"$indexDir/fps", s"$indexDir/bands")
     val existing = s.read.parquet(s"$indexDir/fps").select($"doc_id")
     // eager: both writes below must see the PRE-append membership
     // (lazily, the bands write would re-read fps after the fps append

@@ -381,6 +381,12 @@ class AnnIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$indexDir/tombstones").count() ==
       dead.size, "re-deleting must not grow the tombstone set")
 
+    // register filter: deleting an id the index never held writes no
+    // tombstone (an orphan would shadow the id's future upsert)
+    AnnIndex.delete(spark, indexDir, Seq(77777777L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$indexDir/tombstones").count() ==
+      dead.size, "deleting a never-indexed id must be a no-op")
+
     // a deleted-but-not-compacted id cannot sneak back in via upsert
     val revive = emb.filter($"vec_id" === dead.head).select($"vec_id", $"v")
     AnnIndex.upsert(spark, indexDir, revive)

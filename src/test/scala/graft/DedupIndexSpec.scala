@@ -335,6 +335,12 @@ class DedupIndexSpec extends SparkTestBase {
     DedupIndex.delete(spark, indexDir, corpusTwins.toSeq.toDF("doc_id"))
     assert(spark.read.parquet(s"$indexDir/tombstones").count() == nTomb,
       "re-deleting the same docs must be a no-op")
+    // register filter: deleting an id the index never held must write
+    // NOTHING — an orphan tombstone would silently shadow the id's
+    // future append until the next compact
+    DedupIndex.delete(spark, indexDir, Seq(77777777L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$indexDir/tombstones").count() == nTomb,
+      "deleting a never-indexed id must be a no-op")
 
     // the deleted twins no longer exact-reject the victim; every OTHER
     // doc's exact verdict is untouched
@@ -375,5 +381,43 @@ class DedupIndexSpec extends SparkTestBase {
     assert(DedupIndex.probe(spark, indexDir, victim)
         .head().getAs[Boolean]("fp_in_corpus"),
       "the re-admitted doc must exact-reject its own re-ingest")
+  }
+
+  test("a torn artifact swap heals on ANY entry point, not just the " +
+      "writer that crashed: probe over a mid-swap index restores the " +
+      "artifacts and returns the same verdicts") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-recover") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), indexDir)
+    val batch = literalBatch($"doc_id" % 5 === 4)
+    val before = DedupIndex.probe(spark, indexDir, batch).localCheckpoint()
+
+    // simulate a driver death between swapDirs' two renames during a
+    // compact of fps/: the live dir is gone, the fully-written marked
+    // temp tree is not yet renamed in
+    val fps = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fps.tmp")
+    assert(fs.rename(fps, tmp), "test setup: set the mid-swap state")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SWAP_READY")).close()
+
+    val after = DedupIndex.probe(spark, indexDir, batch)
+    assert(after.except(before).count() == 0 &&
+      before.except(after).count() == 0,
+      "the healed probe must return the pre-crash verdicts")
+    assert(fs.exists(fps) && !fs.exists(tmp),
+      "recovery must have renamed the marked temp tree back in")
+
+    // the OTHER torn state — a crashed build-in-progress (unmarked
+    // temp tree, no live dir) — must NOT be promoted: serving a
+    // partial index silently under-rejects
+    val dir2 = tmpDir("dedup-recover2") + "/idx"
+    DedupIndex.build(spark, fixtureDocs.filter($"doc_id" % 5 =!= 4), dir2)
+    val fps2 = new org.apache.hadoop.fs.Path(s"$dir2/fps")
+    val tmp2 = new org.apache.hadoop.fs.Path(s"$dir2/fps.tmp")
+    assert(fs.rename(fps2, tmp2), "test setup: unmarked partial state")
+    intercept[Exception] {
+      DedupIndex.probe(spark, indexDir = dir2, batch).collect()
+    }
   }
 }

@@ -675,6 +675,51 @@ object Pipeline {
         .orderBy($"epoch", $"source")
     },
 
+    "p17_quality_operating_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The QUALITY-GATE OPERATING CURVE — the d23/s25 measured-knob
+      // discipline applied to p02's Gopher cuts: every combination of
+      // halved/shipped/doubled thresholds for (min tokens, max
+      // top-token share, max duplicate-2-gram share) scored corpus-
+      // wide in ONE query, so the shipped (20, 0.15, 0.05) point is a
+      // bracketed, measured choice with its neighbors' kept-fractions
+      // on the table — the sensitivity report a data team reads
+      // before tightening a gate over 100 TB. Scale: the signals pay
+      // their single wordcount shuffle ONCE (the t11/p02 shared
+      // definition); the 27-config fan-out rides the NARROW per-doc
+      // signal projection and collapses immediately in a map-side
+      // partial agg keyed by the 27-row config triple.
+      val grid = for {
+        mt <- Seq(MinQualityTokens / 2, MinQualityTokens,
+          MinQualityTokens * 2)
+        tc <- Seq(MaxTopShare * 0.5, MaxTopShare, MaxTopShare * 2)
+        dc <- Seq(MaxDupShare * 0.5, MaxDupShare, MaxDupShare * 2)
+      } yield (mt, tc, dc)
+      val sig = TextAnalysis.repetitionSignals(docs(s, dir))
+        .select($"doc_id", $"n_tokens", $"tts", $"dup2")
+      sig.crossJoin(broadcast(
+          grid.toDF("min_tokens", "max_tts", "max_dup2")))
+        .groupBy($"min_tokens", $"max_tts", $"max_dup2")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_tokens" >= $"min_tokens" &&
+              $"tts" <= $"max_tts" && $"dup2" <= $"max_dup2", 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(coalesce($"n_tokens" < $"min_tokens", lit(true)), 1L)
+            .otherwise(0L)).as("n_len_fail"),
+          sum(when($"n_tokens" >= $"min_tokens" &&
+              ($"tts" > $"max_tts" || $"dup2" > $"max_dup2"), 1L)
+            .otherwise(0L)).as("n_rep_fail"))
+        .withColumn("kept_frac",
+          round($"n_kept" / $"n_docs".cast("double"), 6))
+        .withColumn("shipped",
+          $"min_tokens" === MinQualityTokens &&
+            $"max_tts" === MaxTopShare && $"max_dup2" === MaxDupShare)
+        .select($"min_tokens", $"max_tts", $"max_dup2", $"n_docs",
+          $"n_kept", $"kept_frac", $"n_len_fail", $"n_rep_fail",
+          $"shipped")
+        .orderBy($"min_tokens", $"max_tts", $"max_dup2")
+    },
+
     "p14_epoch_shuffle" -> { (s, dir) =>
       import s.implicits._
       // SEEDED EPOCH SHUFFLE — the dataloader's data-order contract:
@@ -1084,6 +1129,40 @@ object Pipeline {
          |    AS skey,
          |  source, shard, chunk
          |FROM ep ORDER BY epoch, skey""".stripMargin,
+
+    "p17_quality_operating_curve" -> {
+      // the SQL grid is generated from the SAME Scala values as the
+      // query's, so the two engines can never sweep different cuts
+      val rows = (for {
+        mt <- Seq(MinQualityTokens / 2, MinQualityTokens,
+          MinQualityTokens * 2)
+        tc <- Seq(MaxTopShare * 0.5, MaxTopShare, MaxTopShare * 2)
+        dc <- Seq(MaxDupShare * 0.5, MaxDupShare, MaxDupShare * 2)
+      } yield s"($mt, CAST($tc AS DOUBLE), CAST($dc AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH ${TextAnalysis.repetitionSignalsSql},
+         |grid(min_tokens, max_tts, max_dup2) AS (VALUES $rows)
+         |SELECT min_tokens, max_tts, max_dup2,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tokens >= min_tokens AND tts <= max_tts
+         |    AND dup2 <= max_dup2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  round(CAST(sum(CASE WHEN n_tokens >= min_tokens
+         |      AND tts <= max_tts AND dup2 <= max_dup2
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS kept_frac,
+         |  CAST(sum(CASE WHEN coalesce(n_tokens < min_tokens, TRUE)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+         |  CAST(sum(CASE WHEN n_tokens >= min_tokens
+         |    AND (tts > max_tts OR dup2 > max_dup2)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail,
+         |  (min_tokens = $MinQualityTokens
+         |    AND max_tts = CAST($MaxTopShare AS DOUBLE)
+         |    AND max_dup2 = CAST($MaxDupShare AS DOUBLE)) AS shipped
+         |FROM g CROSS JOIN grid
+         |GROUP BY min_tokens, max_tts, max_dup2
+         |ORDER BY min_tokens, max_tts, max_dup2""".stripMargin
+    },
 
     "p16_curriculum_mixture" ->
       s"""WITH d AS (

@@ -809,6 +809,74 @@ object Dedup {
         .orderBy($"source")
     },
 
+    "d25_admission_attribution" -> { (s, dir) =>
+      import s.implicits._
+      // WHY was my document dropped? The ATTRIBUTION table behind the
+      // d13/d17 admission funnels: one row per REJECTED incoming doc
+      // naming the rule that fired and the PARTNER document that
+      // caused it (the minimum-id culprit — a deterministic choice),
+      // in the funnel's own priority order exact_corpus > exact_batch
+      // > near_corpus > near_batch, so the table is consistent with
+      // the exact-then-near policy the funnels gate. This is the
+      // ingest-ops debugging surface ("doc X rejected because it
+      // duplicates corpus doc Y under rule R") — d18's
+      // cascade-attribution discipline applied at the admission
+      // boundary. Shapes: d13's fp join + window and d17's
+      // band-collision joins with the existence flags upgraded to
+      // min() aggregations — same shuffles, still never all-pairs.
+      val base = docs(s, dir).withColumn("fp", md5(lower($"text")))
+      val inc = base.filter($"doc_id" % 5 === 4)
+        .select($"doc_id", $"source", $"fp")
+      val exC = base.filter($"doc_id" % 5 =!= 4)
+        .groupBy($"fp").agg(min($"doc_id").as("p_exact_corpus"))
+      val incE = inc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"fp").orderBy($"doc_id")))
+        .withColumn("p_exact_batch",
+          min($"doc_id").over(Window.partitionBy($"fp")))
+      // six narrow consumers fork from sigs (the d17 rationale)
+      val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
+      val bInc = bandsOf(s, sigs.filter($"doc_id" % 5 === 4))
+      val bCorp = bandsOf(s, sigs.filter($"doc_id" % 5 =!= 4))
+        .toDF("c_id", "band")
+      val sa = sigs.toDF("a_id" +: (0 until 6).map(j => s"a$j"): _*)
+      val sb = sigs.toDF("b_id" +: (0 until 6).map(j => s"b$j"): _*)
+      val matches = (0 until 6).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      def verifiedMin(cand: DataFrame, out: String): DataFrame = cand
+        .join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est", round(matches / lit(6.0), 6))
+        .filter($"est" >= 0.5)
+        .groupBy($"b_id").agg(min($"a_id").as(out))
+        .withColumnRenamed("b_id", "doc_id")
+      val pNearC = verifiedMin(
+        bInc.join(bCorp, "band")
+          .select($"c_id".as("a_id"), $"doc_id".as("b_id")).distinct(),
+        "p_near_corpus")
+      val a2 = bInc.toDF("a_id", "band")
+      val b2 = bInc.toDF("b_id", "band2")
+      val pNearB = verifiedMin(
+        a2.join(b2, $"band" === $"band2" && $"a_id" < $"b_id")
+          .select($"a_id", $"b_id").distinct(),
+        "p_near_batch")
+      incE.join(exC, Seq("fp"), "left")
+        .join(pNearC, Seq("doc_id"), "left")
+        .join(pNearB, Seq("doc_id"), "left")
+        .withColumn("rule",
+          when($"p_exact_corpus".isNotNull, "exact_corpus")
+            .when($"rn" > 1, "exact_batch")
+            .when($"p_near_corpus".isNotNull, "near_corpus")
+            .when($"p_near_batch".isNotNull, "near_batch"))
+        .filter($"rule".isNotNull)
+        .withColumn("partner_id",
+          when($"rule" === "exact_corpus", $"p_exact_corpus")
+            .when($"rule" === "exact_batch", $"p_exact_batch")
+            .when($"rule" === "near_corpus", $"p_near_corpus")
+            .otherwise($"p_near_batch"))
+        .select($"doc_id", $"source", $"rule", $"partner_id")
+        .orderBy($"doc_id")
+    },
+
     "d19_bloom_decontamination" -> { (s, dir) =>
       import s.implicits._
       // Decontamination for an eval set TOO BIG TO BROADCAST RAW — the
@@ -1396,6 +1464,60 @@ object Dedup {
            |  max(depth) AS max_depth
            |FROM r GROUP BY root
            |ORDER BY n_descendants DESC, doc_id LIMIT 20""".stripMargin,
+
+      "d25_admission_attribution" ->
+        s"""WITH $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |base AS (
+           |  SELECT doc_id, source, md5(lower(text)) AS fp
+           |  FROM documents),
+           |inc AS (
+           |  SELECT doc_id, source, fp,
+           |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+           |    min(doc_id) OVER (PARTITION BY fp) AS p_exact_batch
+           |  FROM base WHERE doc_id % 5 = 4),
+           |exc AS (
+           |  SELECT fp, min(doc_id) AS p_exact_corpus
+           |  FROM base WHERE doc_id % 5 <> 4 GROUP BY fp),
+           |binc AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+           |bcorp AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+           |nearc AS (
+           |  SELECT cand.b_id AS doc_id,
+           |    CAST(min(cand.a_id) AS BIGINT) AS p_near_corpus FROM (
+           |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
+           |    FROM binc i JOIN bcorp c ON i.band = c.band) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5
+           |  GROUP BY cand.b_id),
+           |nearb AS (
+           |  SELECT cand.b_id AS doc_id,
+           |    CAST(min(cand.a_id) AS BIGINT) AS p_near_batch FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM binc a JOIN binc b
+           |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5
+           |  GROUP BY cand.b_id)
+           |SELECT i.doc_id, i.source,
+           |  CASE WHEN e.p_exact_corpus IS NOT NULL THEN 'exact_corpus'
+           |       WHEN i.rn > 1 THEN 'exact_batch'
+           |       WHEN nc.p_near_corpus IS NOT NULL THEN 'near_corpus'
+           |       WHEN nb.p_near_batch IS NOT NULL THEN 'near_batch'
+           |  END AS rule,
+           |  CASE WHEN e.p_exact_corpus IS NOT NULL THEN e.p_exact_corpus
+           |       WHEN i.rn > 1 THEN i.p_exact_batch
+           |       WHEN nc.p_near_corpus IS NOT NULL THEN nc.p_near_corpus
+           |       ELSE nb.p_near_batch END AS partner_id
+           |FROM inc i
+           |LEFT JOIN exc e ON e.fp = i.fp
+           |LEFT JOIN nearc nc ON nc.doc_id = i.doc_id
+           |LEFT JOIN nearb nb ON nb.doc_id = i.doc_id
+           |WHERE (e.p_exact_corpus IS NOT NULL OR i.rn > 1
+           |  OR nc.p_near_corpus IS NOT NULL OR nb.p_near_batch IS NOT NULL)
+           |ORDER BY i.doc_id""".stripMargin,
 
       "d17_incremental_near_dedup" ->
         s"""WITH $shingleHashSql,

@@ -768,6 +768,34 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_source_embedding_coverage" -> { (s, dir) =>
+      import s.implicits._
+      // Per-source EMBEDDING-SPACE COVERAGE over the trained coarse
+      // cells — the distributional-diversity signal a mixture designer
+      // reads next to p15's data card: a source whose vectors collapse
+      // into one or two cells (high top_cell_share, low n_cells_used)
+      // is semantically narrow however many tokens it contributes —
+      // the SemDeDup observation lifted from pairs to sources. Reuses
+      // the SHIPPED trained quantizer (kmTrain/kmAssign, s14's cells),
+      // so "coverage" is measured in the same space the ANN index
+      // serves. Shapes: one trained assignment over the corpus (the
+      // s04 discipline), a narrow id join for the source label, then
+      // two tiny aggs keyed (source, cell) and (source).
+      val e = emb(s, dir)
+      val (_, cents) = kmTrain(s, e)
+      val sc = kmAssign(s, e, cents).select($"vec_id", $"cell")
+        .join(Tables.load(s, dir, "documents")
+          .select($"doc_id".as("vec_id"), $"source"), "vec_id")
+        .groupBy($"source", $"cell").agg(count(lit(1)).as("n"))
+      sc.groupBy($"source").agg(
+          sum($"n").as("n_vecs"),
+          count(lit(1)).as("n_cells_used"),
+          max($"n").as("top_cell_n"))
+        .withColumn("top_cell_share",
+          round($"top_cell_n" / $"n_vecs".cast("double"), 6))
+        .orderBy($"source")
+    },
+
     "s01_cosine_topk" -> { (s, dir) =>
       import s.implicits._
       // Brute-force exact top-k: broadcast the small query side, scan
@@ -1322,6 +1350,18 @@ object Similarity {
     })
 
   def oracle: Map[String, String] = Map(
+    "s26_source_embedding_coverage" ->
+      s"""WITH $kmSqlCtes,
+         |sc AS (
+         |  SELECT d.source, af.cell, count(*) AS n
+         |  FROM af JOIN documents d ON d.doc_id = af.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  count(*) AS n_cells_used,
+         |  CAST(max(n) AS BIGINT) AS top_cell_n,
+         |  round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_cell_share
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
     "s01_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

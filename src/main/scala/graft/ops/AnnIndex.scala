@@ -78,52 +78,48 @@ object AnnIndex {
     * whose `meta` flag disagrees with its codebooks/codes — searches
     * and upserts in the window keep reading the complete OLD snapshot,
     * and the swap itself is two driver-side renames healed by
-    * [[ArtifactSwap.recoverSwap]]. Tombstones are carried across the swap: a
-    * rebuild sourced from a corpus snapshot that still contains
-    * deleted vectors must not resurrect them.
+    * [[ArtifactSwap.recoverSwap]]. Tombstones carry across the swap
+    * FILTERED to ids the new snapshot still holds (a rebuild sourced
+    * from a corpus that still contains deleted vectors must not
+    * resurrect them; one sourced from a cleaned corpus must not keep
+    * orphan tombstones that would shadow re-admission) — see
+    * `ArtifactSwap.buildSwap`.
     */
   def buildFrom(s: SparkSession, vectors: DataFrame, indexDir: String,
       byResidual: Boolean): Unit = {
     import s.implicits._
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    ArtifactSwap.recoverSwap(fs, dst, new org.apache.hadoop.fs.Path(
-      s"$indexDir.build.tmp"))
-    val tmp = s"$indexDir.build.tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val e = vectors.select($"vec_id", $"v")
-    s.createDataset(Seq(byResidual)).toDF("by_residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    val (_, cents) = Similarity.kmTrain(s, e)
-    cents.select($"cell", $"cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    // lazily materialized: a residual build reads af twice (inverted
-    // lists + the residual frame) — one assignment pass over the
-    // corpus, not two (af is the narrow (vec_id, cell) pair)
-    val af = Similarity.kmAssign(s, e, cents).select($"vec_id", $"cell")
-      .localCheckpoint(eager = false)
-    // the frame the PQ half trains on and encodes: raw vectors, or the
-    // per-vector residual against its coarse centroid (one IEEE
-    // subtraction per component on bit-identical inputs — the s23
-    // determinism argument, so rebuild stays byte-identical)
-    val pqFrame =
-      if (!byResidual) e
-      else e.join(af, "vec_id").join(broadcast(cents), "cell")
-        .select($"vec_id", expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
-    val (_, cb) = Similarity.pqTrain(s, pqFrame)
-    cb.select($"sub", $"cell".as("code"), $"cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
-    af.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$tmp/invlists")
-    Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
-      .select($"vec_id", $"sub", $"cell".as("code"))
-      .repartitionByRange(4, $"vec_id")
-      .sortWithinPartitions($"vec_id", $"sub")
-      .write.mode("overwrite").parquet(s"$tmp/codes")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
-      s.read.parquet(s"$indexDir/tombstones")
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    ArtifactSwap.swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
+    ArtifactSwap.buildSwap(s, indexDir, "vec_id", tmp => {
+      val e = vectors.select($"vec_id", $"v")
+      s.createDataset(Seq(byResidual)).toDF("by_residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      val (_, cents) = Similarity.kmTrain(s, e)
+      cents.select($"cell", $"cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      // lazily materialized: a residual build reads af twice (inverted
+      // lists + the residual frame) — one assignment pass over the
+      // corpus, not two (af is the narrow (vec_id, cell) pair)
+      val af = Similarity.kmAssign(s, e, cents).select($"vec_id", $"cell")
+        .localCheckpoint(eager = false)
+      // the frame the PQ half trains on and encodes: raw vectors, or
+      // the per-vector residual against its coarse centroid (one IEEE
+      // subtraction per component on bit-identical inputs — the s23
+      // determinism argument, so rebuild stays byte-identical)
+      val pqFrame =
+        if (!byResidual) e
+        else e.join(af, "vec_id").join(broadcast(cents), "cell")
+          .select($"vec_id",
+            expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+      val (_, cb) = Similarity.pqTrain(s, pqFrame)
+      cb.select($"sub", $"cell".as("code"), $"cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      af.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/invlists")
+      Similarity.pqAssign(s, Similarity.pqSubs(s, pqFrame), cb)
+        .select($"vec_id", $"sub", $"cell".as("code"))
+        .repartitionByRange(4, $"vec_id")
+        .sortWithinPartitions($"vec_id", $"sub")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }, tmp => s.read.parquet(s"$tmp/invlists"))
   }
 
   private def isResidual(s: SparkSession, indexDir: String): Boolean =
@@ -148,9 +144,14 @@ object AnnIndex {
     */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     import s.implicits._
-    ArtifactSwap.recover(s, indexDir, s"$indexDir/invlists")
-    ArtifactSwap.deleteIds(s, indexDir, "vec_id",
-      s.read.parquet(s"$indexDir/invlists").select($"vec_id"), ids)
+    ArtifactSwap.recover(s, indexDir,
+      s"$indexDir/invlists", s"$indexDir/codes")
+    // BOTH artifacts' memberships: a deletion landing while an upsert
+    // is torn (codes written, lists not) must stick — see deleteIds
+    ArtifactSwap.deleteIds(s, indexDir, "vec_id", Seq(
+      s.read.parquet(s"$indexDir/invlists").select($"vec_id"),
+      s.read.parquet(s"$indexDir/codes")
+        .filter($"sub" === 0).select($"vec_id")), ids)
   }
 
   /** Fold accumulated tombstones into the artifacts: rewrite the
@@ -246,6 +247,11 @@ object AnnIndex {
     // one row per vec_id that has codes: sub pruned to a single slot
     val inCodes = s.read.parquet(s"$indexDir/codes")
       .filter($"sub" === 0).select($"vec_id")
+    // BEFORE inserting: clear tombstones that mask nothing (a compact
+    // died between its swaps and its tombstone clear) — an id being
+    // re-admitted under a surviving orphan would come back invisible
+    ArtifactSwap.clearOrphanTombstones(s, indexDir, "vec_id",
+      Seq(inInv, inCodes))
     // fully indexed = present in BOTH artifacts; ids present in only
     // one (a torn previous append) stay in `fresh` so this run can
     // finish them. EAGERLY materialized: the memberships must be the

@@ -107,29 +107,107 @@ private[ops] object ArtifactSwap {
     else s.createDataset(Seq.empty[Long]).toDF(keyCol)
   }
 
-  /** Idempotent logical deletion, FILTERED TO THE REGISTER: only ids
-    * the index actually serves (`register`, the narrow membership
-    * column) may be tombstoned. Without the filter, a deletion for an
-    * id the index never held — or a stale at-least-once redelivery
-    * arriving after a compact already erased and re-admitted the id's
-    * rows were absent for — writes a tombstone with no rows behind it,
-    * and that orphan SHADOWS a future append: the id's fresh rows
-    * exist but every probe/search anti-joins them out until the next
-    * compact, the silent-admission failure the erasure leg exists to
-    * prevent. (Boundary, documented not solved: a redelivered delete
-    * arriving after the SAME id was compacted away and re-appended
-    * re-deletes the new incarnation — same id means same subject in
-    * this keyspace; disambiguating incarnations needs generation
-    * numbers, which no caller here has.)
+  /** Idempotent logical deletion, FILTERED TO THE REGISTERS: only ids
+    * with rows in SOME artifact (`registers` — EVERY artifact's narrow
+    * membership column, not just the last-written one) may be
+    * tombstoned. The filter prevents ORPHAN tombstones: a deletion for
+    * an id the index never held — or a stale at-least-once redelivery
+    * arriving after a compact already erased the rows — would write a
+    * tombstone with nothing behind it, and that orphan SHADOWS a
+    * future append (the id's fresh rows exist but every probe/search
+    * anti-joins them out until the next compact — the
+    * silent-admission failure the erasure leg exists to prevent).
+    * Passing EVERY register matters for the other direction: an id
+    * mid-admission when the writer crashed sits in the first-written
+    * artifact only, and a deletion landing in that window must STICK —
+    * filtering against the last-written register alone would silently
+    * drop an acknowledged erasure request that the append retry then
+    * resurrects. (Boundary, documented not solved: a redelivered
+    * delete arriving after the SAME id was compacted away and
+    * re-appended re-deletes the new incarnation — same id means same
+    * subject in this keyspace; disambiguating incarnations needs
+    * generation numbers no caller here has.)
+    *
+    * Shape: `ids` is the tiny side, so it BROADCASTS into one
+    * pruned-column scan per register — no corpus-scale shuffle per
+    * deletion batch.
     */
   def deleteIds(s: SparkSession, indexDir: String, keyCol: String,
-      register: DataFrame, ids: DataFrame): Unit = {
-    import s.implicits._
-    ids.select(col(keyCol)).distinct()
-      .join(register.select(col(keyCol)), Seq(keyCol), "left_semi")
+      registers: Seq[DataFrame], ids: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val idsD = ids.select(col(keyCol)).distinct()
+    val present = registers
+      .map(_.select(col(keyCol))
+        .join(broadcast(idsD), Seq(keyCol), "left_semi"))
+      .reduce(_ union _).distinct()
+    present
       .join(tombstones(s, indexDir, keyCol), Seq(keyCol), "left_anti")
       // eager: the anti-join must see the PRE-append tombstone set
       .localCheckpoint()
       .write.mode("append").parquet(s"$indexDir/tombstones")
+  }
+
+  /** Clear tombstones that mask NOTHING — ids absent from every
+    * register. Two ways such an orphan arises: a compact that died
+    * after its swaps but before clearing `tombstones/` (the rows are
+    * physically gone, the marker is not), and nothing else would ever
+    * finish that job; or any historical bug that recorded a
+    * tombstone without rows. Incremental writers call this BEFORE
+    * their appends, which is exactly when an orphan turns harmful —
+    * the id being re-admitted would otherwise come back invisible.
+    * Clearing an orphan can never lose a real erasure: by definition
+    * there are no rows for it to mask. The rewrite of the (tiny)
+    * tombstone table goes through the same temp-and-swap protocol as
+    * every other replacement.
+    */
+  def clearOrphanTombstones(s: SparkSession, indexDir: String,
+      keyCol: String, registers: Seq[DataFrame]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val tombP = new Path(s"$indexDir/tombstones")
+    val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, tombP, new Path(tombP.toString + ".tmp"))
+    if (!fs.exists(tombP)) return
+    val tomb = tombstones(s, indexDir, keyCol).localCheckpoint()
+    val present = registers
+      .map(_.select(col(keyCol))
+        .join(broadcast(tomb), Seq(keyCol), "left_semi"))
+      .reduce(_ union _).distinct()
+    val kept = tomb.join(present, Seq(keyCol), "left_semi")
+      .localCheckpoint()
+    if (kept.count() == tomb.count()) return
+    val tmp = new Path(tombP.toString + ".tmp")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    swapDirs(fs, tmp, tombP)
+  }
+
+  /** The whole-index rebuild scaffold AnnIndex.buildFrom and
+    * DedupIndex.build share: build everything under
+    * `indexDir.build.tmp` via `write`, carry FILTERED tombstones, and
+    * swap the tree in as one unit — a rebuild that dies mid-way can
+    * never leave mixed-generation artifacts live. Tombstones carry
+    * only for ids the NEW snapshot still has rows for (`idsOf` reads
+    * the membership column out of the temp tree): a rebuild normally
+    * sources a corpus that already excludes deleted documents, and an
+    * unfiltered carry would turn every such deletion into exactly the
+    * orphan-shadow state [[deleteIds]]' register filter exists to
+    * prevent.
+    */
+  def buildSwap(s: SparkSession, indexDir: String, keyCol: String,
+      write: String => Unit, idsOf: String => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val dst = new Path(indexDir)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, dst, new Path(s"$indexDir.build.tmp"))
+    val tmp = s"$indexDir.build.tmp"
+    fs.delete(new Path(tmp), true)
+    write(tmp)
+    if (fs.exists(new Path(s"$indexDir/tombstones"))) {
+      val tomb = tombstones(s, indexDir, keyCol)
+      idsOf(tmp).select(col(keyCol))
+        .join(broadcast(tomb), Seq(keyCol), "left_semi")
+        .distinct()
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+    swapDirs(fs, new Path(tmp), dst)
   }
 }

@@ -60,31 +60,25 @@ object DedupIndex {
 
   /** Build (or REBUILD) the index from a corpus snapshot. The whole
     * index is written under `indexDir.build.tmp` and swapped in as one
-    * unit (`ArtifactSwap`, the AnnIndex.buildFrom discipline): a
-    * rebuild that dies mid-way can never leave fps from the new corpus
-    * next to bands from the old one — probes in the window keep
-    * reading the complete old snapshot. Tombstones ride across the
-    * swap: the rebuild source may still contain deleted documents.
+    * unit (`ArtifactSwap.buildSwap`, shared with AnnIndex.buildFrom):
+    * a rebuild that dies mid-way can never leave fps from the new
+    * corpus next to bands from the old one — probes in the window keep
+    * reading the complete old snapshot. Tombstones carry across the
+    * swap filtered to doc_ids the new snapshot still holds (see
+    * buildSwap on why an unfiltered carry recreates the orphan-shadow
+    * state).
     */
-  def build(s: SparkSession, corpus: DataFrame, indexDir: String): Unit = {
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
-    ArtifactSwap.recover(s, indexDir)
-    val tmp = s"$indexDir.build.tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fpOf(corpus)
-      .withColumn("fpb", substring(col("fp"), 1, 1))
-      .write.mode("overwrite").partitionBy("fpb")
-      .parquet(s"$tmp/fps")
-    bandRows(s, corpus)
-      .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(s"$tmp/bands")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")))
-      s.read.parquet(s"$indexDir/tombstones")
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    ArtifactSwap.swapDirs(fs, new org.apache.hadoop.fs.Path(tmp), dst)
-  }
+  def build(s: SparkSession, corpus: DataFrame, indexDir: String): Unit =
+    ArtifactSwap.buildSwap(s, indexDir, "doc_id", tmp => {
+      fpOf(corpus)
+        .withColumn("fpb", substring(col("fp"), 1, 1))
+        .write.mode("overwrite").partitionBy("fpb")
+        .parquet(s"$tmp/fps")
+      bandRows(s, corpus)
+        .withColumn("pb", pmod(xxhash64(col("band")), lit(NPb)))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(s"$tmp/bands")
+    }, tmp => s.read.parquet(s"$tmp/fps"))
 
   private def tombstones(s: SparkSession, indexDir: String): DataFrame =
     ArtifactSwap.tombstones(s, indexDir, "doc_id")
@@ -107,9 +101,12 @@ object DedupIndex {
     */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     import s.implicits._
-    ArtifactSwap.recover(s, indexDir, s"$indexDir/fps")
-    ArtifactSwap.deleteIds(s, indexDir, "doc_id",
-      s.read.parquet(s"$indexDir/fps").select($"doc_id"), ids)
+    ArtifactSwap.recover(s, indexDir, s"$indexDir/fps", s"$indexDir/bands")
+    // BOTH artifacts' memberships: a deletion landing while an append
+    // is torn (bands written, fps not) must stick — see deleteIds
+    ArtifactSwap.deleteIds(s, indexDir, "doc_id", Seq(
+      s.read.parquet(s"$indexDir/fps").select($"doc_id"),
+      s.read.parquet(s"$indexDir/bands").select($"doc_id")), ids)
   }
 
   /** Fold accumulated tombstones into the artifacts: rewrite fps and
@@ -271,6 +268,13 @@ object DedupIndex {
   def append(s: SparkSession, indexDir: String, admitted: DataFrame): Unit = {
     import s.implicits._
     ArtifactSwap.recover(s, indexDir, s"$indexDir/fps", s"$indexDir/bands")
+    // BEFORE inserting: clear tombstones that mask nothing (a compact
+    // died between its swaps and its tombstone clear) — a doc being
+    // re-admitted under a surviving orphan would otherwise never
+    // reject its own duplicates again
+    ArtifactSwap.clearOrphanTombstones(s, indexDir, "doc_id", Seq(
+      s.read.parquet(s"$indexDir/fps").select($"doc_id"),
+      s.read.parquet(s"$indexDir/bands").select($"doc_id")))
     val existing = s.read.parquet(s"$indexDir/fps").select($"doc_id")
     // eager: both writes below must see the PRE-append membership
     // (lazily, the bands write would re-read fps after the fps append

@@ -300,6 +300,23 @@ class DedupIndexSpec extends SparkTestBase {
       d2.filter($"near_rej_corpus").count() ==
         d1.filter($"near_rej_corpus").count(),
       "duplicate band rows from the healed append must change no verdict")
+
+    // a deletion landing IN the torn window must stick: the doc sits
+    // in bands only, so a register filter that consulted fps alone
+    // would silently drop the acknowledged erasure and the append
+    // retry would resurrect the doc (deleteIds unions BOTH
+    // memberships precisely for this window)
+    val tornDoc = admittedIds.min
+    val keptFps2 = spark.read.parquet(fpsPath.toString)
+      .filter($"doc_id" =!= tornDoc)
+      .select($"doc_id", $"fp", $"fpb".cast("string").as("fpb"))
+      .localCheckpoint()
+    fs.delete(fpsPath, true)
+    keptFps2.write.partitionBy("fpb").parquet(fpsPath.toString)
+    DedupIndex.delete(spark, indexDir, Seq(tornDoc).toDF("doc_id"))
+    assert(spark.read.parquet(s"$indexDir/tombstones")
+        .filter($"doc_id" === tornDoc).count() == 1,
+      "a delete during a torn append must record its tombstone")
   }
 
   test("delete/compact lifecycle: a deleted doc immediately stops " +
@@ -381,6 +398,50 @@ class DedupIndexSpec extends SparkTestBase {
     assert(DedupIndex.probe(spark, indexDir, victim)
         .head().getAs[Boolean]("fp_in_corpus"),
       "the re-admitted doc must exact-reject its own re-ingest")
+  }
+
+  test("tombstone hygiene: an orphan left by a compact that died " +
+      "before its tombstone clear is healed by the next append, and a " +
+      "rebuild carries only tombstones the new snapshot still masks") {
+    import spark.implicits._
+    val indexDir = tmpDir("dedup-orphan") + "/idx"
+    val corpus = fixtureDocs.filter($"doc_id" % 5 =!= 4)
+    DedupIndex.build(spark, corpus, indexDir)
+
+    // manufacture the orphan state a crashed compact leaves: a
+    // tombstone whose doc has NO rows in any artifact
+    val orphanId = 88888888L
+    Seq(orphanId).toDF("doc_id")
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+    // re-admitting that very id: append clears the orphan FIRST, so
+    // the fresh rows are not shadowed and the doc rejects its own
+    // duplicates again
+    val newDoc = Seq((orphanId, "wholly novel text payload qqq zzz"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(spark, indexDir, newDoc)
+    assert(spark.read.parquet(s"$indexDir/tombstones")
+        .filter($"doc_id" === orphanId).count() == 0,
+      "the orphan tombstone must be cleared by the admitting append")
+    assert(DedupIndex.probe(spark, indexDir, newDoc)
+        .head().getAs[Boolean]("fp_in_corpus"),
+      "the re-admitted doc must reject its own duplicate (not be shadowed)")
+
+    // rebuild-carry filtering: delete a live doc, then rebuild from a
+    // corpus WITHOUT it — its tombstone must not survive into the new
+    // index (nothing left to mask; an unfiltered carry would shadow a
+    // future re-admission). A doc still IN the rebuild source keeps
+    // its tombstone (must not be resurrected).
+    val goneId = corpus.orderBy($"doc_id").select($"doc_id").head().getLong(0)
+    val keptId = corpus.orderBy($"doc_id".desc).select($"doc_id")
+      .head().getLong(0)
+    DedupIndex.delete(spark, indexDir, Seq(goneId, keptId).toDF("doc_id"))
+    DedupIndex.build(spark, corpus.filter($"doc_id" =!= goneId), indexDir)
+    val carried = spark.read.parquet(s"$indexDir/tombstones")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!carried.contains(goneId),
+      "a tombstone for a doc absent from the rebuild source must drop")
+    assert(carried.contains(keptId),
+      "a tombstone for a doc still in the rebuild source must carry")
   }
 
   test("a torn artifact swap heals on ANY entry point, not just the " +

@@ -73,6 +73,17 @@ object Dedup {
     */
   private val DfCap = 20L
 
+  /** d26's minimum repeated-substring length, in tokens: a W-token
+    * window occurring twice anywhere in the corpus marks its tokens as
+    * repeated, so any verbatim repeat of length ≥ W is guaranteed
+    * caught (all its W-windows repeat) — the same min-length knob a
+    * suffix-array dedup tool exposes. 8 tokens is far above chance
+    * collision on natural text while still catching quoted template
+    * sentences; the public suffix-array tooling defaults to ~50 BPE
+    * tokens on web-scale corpora, where boilerplate is longer.
+    */
+  private val RepW = 8
+
   /** d15's candidate-pair stream on an injectable fingerprint table
     * (doc_id, fp): the df-cap suppression then the fp equi-join. The
     * cap is what makes d15's never-quadratic claim true — the join's
@@ -877,6 +888,95 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    "d26_repeated_substrings" -> { (s, dir) =>
+      import s.implicits._
+      // Cross-document REPEATED-SUBSTRING mining — the exact-substring
+      // dedup signal (the suffix-array treatment popularized for LLM
+      // corpora), in distributed window form: any RepW-token window
+      // whose text occurs ≥ 2 times ANYWHERE in the corpus (another
+      // document or the same one — self-repetition is equally
+      // removable redundancy) marks its tokens, and marked tokens
+      // merge into maximal excisable spans — d22's gaps-and-islands
+      // machinery pointed at corpus-internal repetition instead of an
+      // eval set. A suffix array is the single-machine tool for this;
+      // window hashing is the distributed one: discovery is a single
+      // groupBy on the window hash (linear in corpus tokens, never
+      // all-pairs), and a verbatim repeat of length L ≥ RepW is
+      // guaranteed found because every one of its RepW-windows
+      // repeats. Shapes at 100 TB: the window stream is a narrow
+      // positional transform fused into the scan (md5 over a
+      // slice-join — whole-stage codegen); the occurrence count is one
+      // hash-keyed agg with map-side partials; only MATCHED positions
+      // pay the islands window (partitioned by doc); the top-20 doc
+      // cut is a tiny aggregate broadcast back onto its own spans.
+      // Parity: all-integer span arithmetic; n_rep CAST BIGINT in the
+      // oracle; tiebreaks on doc_id.
+      val d = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= RepW)
+      val wins = d
+        .select($"doc_id", $"toks",
+          explode(sequence(lit(1), $"n" - (RepW - 1))).as("pos"))
+        .select($"doc_id", $"pos",
+          md5(concat_ws(" ", slice($"toks", $"pos", lit(RepW)))).as("wh"))
+      val rep = wins.groupBy($"wh").agg(count(lit(1)).as("occ"))
+        .filter($"occ" >= 2).select($"wh")
+      val badToks = wins.join(rep, "wh")
+        .select($"doc_id",
+          explode(sequence($"pos", $"pos" + (RepW - 1))).as("tok"))
+        .distinct()
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"tok")
+      val spans = badToks
+        .withColumn("island", $"tok" - row_number().over(wDoc))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"tok").as("span_start"), max($"tok").as("span_end"))
+      val top = spans.groupBy($"doc_id")
+        .agg(sum($"span_end" - $"span_start" + 1).as("n_rep"))
+        .orderBy($"n_rep".desc, $"doc_id").limit(20)
+      spans.join(broadcast(top), "doc_id")
+        .select($"doc_id", $"n_rep", $"span_start", $"span_end",
+          ($"span_end" - $"span_start" + 1).as("span_tokens"))
+        .orderBy($"doc_id", $"span_start")
+    },
+
+    "d27_split_leakage" -> { (s, dir) =>
+      import s.implicits._
+      // Does the train/val/test carve LEAK near-duplicates across the
+      // boundary? p08 pins the split with a per-doc md5 coin — which
+      // is deliberately content-blind, so two near-identical documents
+      // can land on opposite sides, and the held-out loss then quietly
+      // measures memorization (the contamination mode
+      // dedup-BEFORE-split pipelines exist to prevent; this op is the
+      // audit saying whether, and how much, the current corpus
+      // violates that). One row per unordered split pair: d03's
+      // verified near-dup pairs (operator unchanged) bucketed by the
+      // splits of their two ends, is_leak marking cross-split mass.
+      // Shapes at 100 TB: the split map is a narrow projection off the
+      // scan joined on doc_id at each pair end (equi-joins, pair-set
+      // sized); the terminal agg is at most 6 rows. DECIMAL sum before
+      // the mean (order-insensitive), coin arithmetic identical to
+      // p08's (16 divides the coin range — exactly uniform).
+      val pairs = verifiedPairs(s, dir)
+      val splits = docs(s, dir).select($"doc_id",
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), " +
+            "16, 10) as bigint) % 16").as("b"))
+        .select($"doc_id",
+          when($"b" < 12, "train").when($"b" < 14, "val")
+            .otherwise("test").as("split"))
+      pairs
+        .join(splits.toDF("a_id", "sa"), "a_id")
+        .join(splits.toDF("b_id", "sb"), "b_id")
+        .select(least($"sa", $"sb").as("split_lo"),
+          greatest($"sa", $"sb").as("split_hi"), $"est_jaccard")
+        .groupBy($"split_lo", $"split_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"est_jaccard".cast("decimal(9,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_est_jaccard"))
+        .withColumn("is_leak", $"split_lo" =!= $"split_hi")
+        .orderBy($"split_lo", $"split_hi")
+    },
+
     "d19_bloom_decontamination" -> { (s, dir) =>
       import s.implicits._
       // Decontamination for an eval set TOO BIG TO BROADCAST RAW — the
@@ -1518,6 +1618,75 @@ object Dedup {
            |WHERE (e.p_exact_corpus IS NOT NULL OR i.rn > 1
            |  OR nc.p_near_corpus IS NOT NULL OR nb.p_near_batch IS NOT NULL)
            |ORDER BY i.doc_id""".stripMargin,
+
+      "d26_repeated_substrings" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= $RepW),
+           |win AS (
+           |  SELECT doc_id, i AS pos,
+           |    md5(array_to_string(toks[i:i + ${RepW - 1}], ' ')) AS wh
+           |  FROM tok, LATERAL (
+           |    SELECT unnest(generate_series(1, len(toks) - ${RepW - 1}))
+           |      AS i)),
+           |rep AS (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2),
+           |bad_tok AS (
+           |  SELECT DISTINCT w.doc_id, t.tok
+           |  FROM win w JOIN rep USING (wh), LATERAL (
+           |    SELECT unnest(generate_series(w.pos, w.pos + ${RepW - 1}))
+           |      AS tok) t),
+           |isl AS (
+           |  SELECT doc_id, tok,
+           |    tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+           |      AS island
+           |  FROM bad_tok),
+           |spans AS (
+           |  SELECT doc_id, island,
+           |    min(tok) AS span_start, max(tok) AS span_end
+           |  FROM isl GROUP BY doc_id, island),
+           |top AS (
+           |  SELECT doc_id,
+           |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_rep
+           |  FROM spans GROUP BY doc_id
+           |  ORDER BY n_rep DESC, doc_id LIMIT 20)
+           |SELECT s.doc_id, n_rep, span_start, span_end,
+           |  span_end - span_start + 1 AS span_tokens
+           |FROM spans s JOIN top USING (doc_id)
+           |ORDER BY s.doc_id, span_start""".stripMargin,
+
+      "d27_split_leakage" ->
+        s"""WITH $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id, round(($matchSum) / 6.0, 6) AS est
+           |  FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |spl AS (
+           |  SELECT doc_id,
+           |    CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      % 16 AS b FROM documents))
+           |SELECT least(a.split, b.split) AS split_lo,
+           |  greatest(a.split, b.split) AS split_hi,
+           |  count(*) AS n_pairs,
+           |  round(CAST(sum(CAST(est AS DECIMAL(9,6))) AS DOUBLE)
+           |    / count(*), 6) AS avg_est_jaccard,
+           |  least(a.split, b.split) <> greatest(a.split, b.split)
+           |    AS is_leak
+           |FROM pairs
+           |JOIN spl a ON a.doc_id = a_id
+           |JOIN spl b ON b.doc_id = b_id
+           |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
 
       "d17_incremental_near_dedup" ->
         s"""WITH $shingleHashSql,

@@ -720,6 +720,52 @@ object Pipeline {
         .orderBy($"min_tokens", $"max_tts", $"max_dup2")
     },
 
+    "p18_token_budget_epochs" -> { (s, dir) =>
+      import s.implicits._
+      // TOKEN-BUDGET EPOCH PLANNING — the accounting a data-constrained
+      // training run does before launch: given a total token budget
+      // LARGER than the corpus (EpochBudgetX × corpus tokens — the
+      // over-training regime where data repeats), split it across
+      // sources by a temperature-weighted share (α = 1/2, i.e. sqrt —
+      // upweights small sources; sqrt is the one temperature that is
+      // IEEE-correctly-rounded in every engine, the t-family lesson),
+      // and report how many EPOCHS of each source the plan implies.
+      // Sources pushed past MaxSourceEpochs passes are capped there —
+      // the public data-constrained-scaling guidance that value is
+      // drawn from puts the knee where repeated data stops buying
+      // loss — and the unfillable remainder is reported as shortfall
+      // the operator must cover elsewhere. Shapes at 100 TB: one
+      // token-count agg with map-side partials; everything after is
+      // arithmetic on a |sources|-row frame against one broadcast
+      // total. Parity: the sqrt weights round to DECIMAL before the
+      // denominator sum (order-insensitive); the capped flag compares
+      // INTEGER token counts (alloc > 4·tok_s), never the rounded
+      // epochs float, so flag and shortfall can't disagree.
+      val d = docs(s, dir).select($"source",
+        when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+      val per = d.groupBy($"source").agg(sum($"n_toks").as("tok_s"))
+        .withColumn("sq",
+          round(sqrt($"tok_s".cast("double")), 6).cast("decimal(28,6)"))
+      val tot = per.agg(sum($"sq").as("denom"), sum($"tok_s").as("t_total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("w_share",
+          round($"sq".cast("double") / $"denom".cast("double"), 6))
+        .withColumn("alloc_tokens",
+          floor($"w_share" *
+            ($"t_total" * lit(EpochBudgetX)).cast("double")).cast("long"))
+        .withColumn("capped",
+          $"alloc_tokens" > $"tok_s" * lit(MaxSourceEpochs))
+        .withColumn("achieved_tokens",
+          least($"alloc_tokens", $"tok_s" * lit(MaxSourceEpochs)))
+        .select($"source", $"tok_s".as("total_tokens"), $"w_share",
+          $"alloc_tokens",
+          round($"alloc_tokens" / $"tok_s".cast("double"), 4).as("epochs"),
+          $"capped", $"achieved_tokens",
+          ($"alloc_tokens" - $"achieved_tokens").as("shortfall_tokens"))
+        .orderBy($"source")
+    },
+
     "p14_epoch_shuffle" -> { (s, dir) =>
       import s.implicits._
       // SEEDED EPOCH SHUFFLE — the dataloader's data-order contract:
@@ -802,6 +848,19 @@ object Pipeline {
     * uniform; see the threshold comment in p07.
     */
   private val CoinScale = 1048576L
+
+  /** p18's budget multiple: total training-token budget as a multiple
+    * of the corpus (the over-training / data-constrained regime where
+    * planning epochs matters at all).
+    */
+  private val EpochBudgetX = 3L
+
+  /** p18's per-source repeat ceiling. Public data-constrained-scaling
+    * results put the value of repeated data near fresh-data parity up
+    * to ~4 epochs with rapidly diminishing returns beyond — the knee,
+    * not a fixture fit.
+    */
+  private val MaxSourceEpochs = 4L
 
   /** p09's per-cell PSI contribution — one dialect-shared expression
     * over exact integer inputs (c_old/c_new cell counts, n_old/n_new
@@ -1163,6 +1222,40 @@ object Pipeline {
          |GROUP BY min_tokens, max_tts, max_dup2
          |ORDER BY min_tokens, max_tts, max_dup2""".stripMargin
     },
+
+    "p18_token_budget_epochs" ->
+      s"""WITH d AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS tok_s,
+        |    CAST(round(sqrt(CAST(sum(n_toks) AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6)) AS sq
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT sum(sq) AS denom, CAST(sum(tok_s) AS BIGINT) AS t_total
+        |  FROM per),
+        |w AS (
+        |  SELECT source, tok_s,
+        |    round(CAST(sq AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |      AS w_share,
+        |    t_total
+        |  FROM per CROSS JOIN tot),
+        |a AS (
+        |  SELECT source, tok_s, w_share,
+        |    CAST(floor(w_share *
+        |      CAST(t_total * $EpochBudgetX AS DOUBLE)) AS BIGINT) AS alloc
+        |  FROM w)
+        |SELECT source, tok_s AS total_tokens, w_share,
+        |  alloc AS alloc_tokens,
+        |  round(alloc / CAST(tok_s AS DOUBLE), 4) AS epochs,
+        |  alloc > tok_s * $MaxSourceEpochs AS capped,
+        |  least(alloc, tok_s * $MaxSourceEpochs) AS achieved_tokens,
+        |  alloc - least(alloc, tok_s * $MaxSourceEpochs)
+        |    AS shortfall_tokens
+        |FROM a ORDER BY source""".stripMargin,
 
     "p16_curriculum_mixture" ->
       s"""WITH d AS (

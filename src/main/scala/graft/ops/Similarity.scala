@@ -38,6 +38,10 @@ object Similarity {
   private val NQueries = 10 // query set: vec_id < 10
   private val RerankC = 50 // s11: stage-1 candidates per query
 
+  /** s28's candidate-depth axis: brackets the shipped RerankC (= max)
+    * from below, the d23/s25/p17 bracketing discipline. */
+  private val RerankDepths = Seq(5, 10, 25, 50)
+
   private[ops] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -1329,6 +1333,105 @@ object Similarity {
         .orderBy($"nprobe")
     },
 
+    "s27_ivf_cell_stats" -> { (s, dir) =>
+      import s.implicits._
+      // INDEX HEALTH for the trained IVF — the diagnostics FAISS
+      // prints after a build and an operator reads before trusting an
+      // index: per-cell occupancy and share, mean quantization error
+      // (the d2 the assignment already computed — rising error means
+      // the sampled training no longer represents the corpus), and
+      // the global IMBALANCE FACTOR λ = k_used · Σ n_c² / (Σ n_c)²,
+      // FAISS's own list-balance metric: 1.0 when the inverted lists
+      // are even; expected probe cost per query scales ≈ λ, so a
+      // drifting λ is the retrain trigger for a 100 TB index (the
+      // number s13's churn report pairs with). Shapes: one trained
+      // assignment (broadcast centroids, shuffle-free argmax), one
+      // per-cell agg with map-side partials, one KmK-row broadcast
+      // total. Parity: the mean d2 sums in DECIMAL before dividing
+      // (order-insensitive); λ is integer arithmetic up to a single
+      // double division.
+      val e = emb(s, dir)
+      val (_, cents) = kmTrain(s, e)
+      val af = kmAssign(s, e.select($"vec_id", $"v"), cents)
+      val per = af.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"d2".cast("decimal(18,6)")).as("sd2"))
+      val tot = per.agg(count(lit(1)).as("n_cells"),
+        sum($"n_vecs").as("n_total"),
+        sum($"n_vecs" * $"n_vecs").as("ss"))
+      per.crossJoin(broadcast(tot))
+        .select($"cell", $"n_vecs",
+          round($"n_vecs" / $"n_total".cast("double"), 6).as("cell_share"),
+          round($"sd2".cast("double") / $"n_vecs".cast("double"), 6)
+            .as("mean_d2"),
+          round(($"n_cells" * $"ss").cast("double") /
+            ($"n_total" * $"n_total").cast("double"), 6).as("imbalance"))
+        .orderBy($"cell")
+    },
+
+    "s28_rerank_depth_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The TUNING TABLE behind s11's two-stage retrieval — the third
+      // index knob measured (d23: LSH banding; s25: NProbe; here: the
+      // stage-1 candidate depth): recall@K and candidate volume at
+      // every depth in RerankDepths, in ONE query. Depth is the
+      // rerank path's cost dial — each candidate pays a
+      // full-precision vector fetch + cosine, so at 100 TB the depth
+      // IS the per-query I/O budget — and this curve says what that
+      // budget buys, measured on the corpus's real quantized-score
+      // geometry. Scale shape: stage-1 scores stream through ONE
+      // bounded-heap TopKPerKey at the DEEPEST depth (shallower
+      // depths are a per-row predicate on the stage-1 rank, not a
+      // re-scan); the exact cosine is computed once per candidate and
+      // reused by every depth; per-(query, depth) ranking windows
+      // over ≤ |q|·depth·|cfg| rows; the truth side is the shared
+      // exact baseline. Stage-1 ranks are INTEGER-exact (s11's
+      // argument), so the cut position can't drift between engines.
+      val e = emb(s, dir)
+      val eq = e
+        .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+        .withColumn("qa", expr("transform(v, x -> round(x * 127.0 / amax))"))
+        .select($"vec_id", $"qa")
+      val qq = eq.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"qa".as("qqa"))
+      val scored1 = eq.select($"vec_id".as("n_id"), $"qa")
+        .join(broadcast(qq), $"q_id" =!= $"n_id")
+        .withColumn("iscore", graft.functions.DotProduct($"qqa", $"qa"))
+        .select($"q_id", $"n_id", $"iscore")
+      val cand = graft.plans.TopKPerKey(scored1, Seq("q_id"),
+        struct($"iscore" * -1, $"n_id"), RerankDepths.max)
+      val wS1 = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"n_id")
+      val qv = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      // scored once, consumed by the volume agg AND the rank pass —
+      // the s25 materialization trade (narrow frame vs recompute)
+      val rer = cand.withColumn("r1", row_number().over(wS1))
+        .join(broadcast(qv), "q_id")
+        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"n_id", $"r1", $"cos")
+        .localCheckpoint(eager = false)
+      val cfgs = RerankDepths.toDF("depth")
+      val perCfg = rer.join(broadcast(cfgs), $"r1" <= $"depth")
+      val wR = Window.partitionBy($"q_id", $"depth")
+        .orderBy($"cos".desc, $"n_id")
+      val top = perCfg.withColumn("rnk", row_number().over(wR))
+        .filter($"rnk" <= K)
+      val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .withColumn("t", lit(1)).localCheckpoint(eager = false)
+      val nTrue = exact.agg(count(lit(1)).as("n_true"))
+      val hits = top.join(exact, Seq("q_id", "n_id"), "left")
+        .groupBy($"depth").agg(sum(coalesce($"t", lit(0))).as("n_hits"))
+      perCfg.groupBy($"depth").agg(count(lit(1)).as("n_candidates"))
+        .join(hits, Seq("depth"), "left")
+        .crossJoin(broadcast(nTrue))
+        .select($"depth", $"n_candidates",
+          coalesce($"n_hits", lit(0L)).as("n_hits"), $"n_true",
+          round(coalesce($"n_hits", lit(0L)) /
+            $"n_true".cast("double"), 4).as("recall"))
+        .orderBy($"depth")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -1787,6 +1890,84 @@ object Similarity {
          |    AS recall
          |FROM nc LEFT JOIN h ON h.nprobe = nc.nprobe CROSS JOIN nt
          |ORDER BY nc.nprobe""".stripMargin,
+
+    "s27_ivf_cell_stats" ->
+      s"""WITH $kmSqlCtes,
+         |per AS (
+         |  SELECT cell, count(*) AS n_vecs,
+         |    CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS sd2
+         |  FROM af GROUP BY cell),
+         |tot AS (
+         |  SELECT count(*) AS n_cells,
+         |    CAST(sum(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(sum(n_vecs * n_vecs) AS BIGINT) AS ss
+         |  FROM per)
+         |SELECT cell, n_vecs,
+         |  round(n_vecs / CAST(n_total AS DOUBLE), 6) AS cell_share,
+         |  round(sd2 / CAST(n_vecs AS DOUBLE), 6) AS mean_d2,
+         |  round(CAST(n_cells * ss AS DOUBLE)
+         |    / CAST(n_total * n_total AS DOUBLE), 6) AS imbalance
+         |FROM per CROSS JOIN tot ORDER BY cell""".stripMargin,
+
+    "s28_rerank_depth_curve" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> round(x * 127.0 / amax)) AS qa
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) AS amax
+         |        FROM e)),
+         |cand AS (
+         |  SELECT q_id, n_id, r1 FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.qa, c.qa) DESC, c.vec_id)
+         |        AS r1
+         |    FROM qz q JOIN qz c
+         |      ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE r1 <= ${RerankDepths.max}),
+         |nrm AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+         |rer AS (
+         |  SELECT cand.q_id, cand.n_id, cand.r1,
+         |    round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 4) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = cand.q_id
+         |            JOIN nrm b ON b.vec_id = cand.n_id),
+         |cfg AS (SELECT unnest([${RerankDepths.mkString(", ")}])
+         |          AS depth),
+         |pc AS (SELECT rer.*, cfg.depth FROM rer
+         |       JOIN cfg ON rer.r1 <= cfg.depth),
+         |top AS (
+         |  SELECT q_id, depth, n_id FROM (
+         |    SELECT q_id, depth, n_id, row_number() OVER (
+         |      PARTITION BY q_id, depth ORDER BY cos DESC, n_id) AS rnk
+         |    FROM pc) WHERE rnk <= $K),
+         |xscored AS (
+         |  SELECT q.vec_id AS q_id, e2.vec_id AS n_id,
+         |    round(list_dot_product(q.v, e2.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) *
+         |       sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM e q JOIN e e2
+         |    ON q.vec_id < $NQueries AND q.vec_id <> e2.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K),
+         |nt AS (SELECT count(*) AS n_true FROM xtop),
+         |h AS (
+         |  SELECT t.depth, count(*) AS n_hits FROM top t
+         |  JOIN xtop x ON x.q_id = t.q_id AND x.n_id = t.n_id
+         |  GROUP BY 1),
+         |nc AS (SELECT depth, count(*) AS n_candidates FROM pc
+         |       GROUP BY 1)
+         |SELECT nc.depth, nc.n_candidates,
+         |  coalesce(h.n_hits, 0) AS n_hits, nt.n_true,
+         |  round(coalesce(h.n_hits, 0) / CAST(nt.n_true AS DOUBLE), 4)
+         |    AS recall
+         |FROM nc LEFT JOIN h ON h.depth = nc.depth CROSS JOIN nt
+         |ORDER BY nc.depth""".stripMargin,
 
     "s24_ivfpq_residual_recall" ->
       s"""WITH $kmSqlCtes,

@@ -34,6 +34,10 @@ object Events {
   /** Shared 30-minute session gap in microseconds. */
   private val GapUs = 1800L * 1000 * 1000
 
+  /** e32's gap axis in minutes: brackets the shipped 30-minute gap
+    * (= GapUs) two steps each way. */
+  private val SessionGapsMin = Seq(5, 15, 30, 60, 120)
+
   /** e14's once-per-(JVM, fixture) connector-seeding guard. */
   private val e14Seeded =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -393,6 +397,53 @@ object Events {
           min($"k").as("min_k"),
           max($"k").as("max_k"))
         .orderBy($"event_type")
+    },
+
+    "e32_session_gap_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The SESSION-GAP operating curve — the d23/s25/p17/s28
+      // measured-knob discipline applied to the session family's one
+      // tunable: every candidate inactivity gap (5/15/30/60/120 min,
+      // bracketing the shipped 30) sessionized in ONE query, reporting
+      // session count, events per session, and mean session duration.
+      // This is the table an analyst reads before moving GapUs over
+      // 100 TB of events: too small fragments real visits, too large
+      // fuses distinct ones; the curve's elbow is the argument.
+      // Scale shapes: the per-user gap stream (lag) is computed ONCE;
+      // the 5-row config axis fans out the NARROW (user, us, gap)
+      // projection, and every window downstream is partitioned by
+      // (gap_min, user_id) — the e03 sessionization shape, five
+      // plans-worth of windows sharing one shuffle of the fanned
+      // stream. Parity: all-integer gap/duration arithmetic in epoch
+      // micros; (us, event_id) total order under both windows so tie
+      // placement can't drift; one double division per reported mean.
+      val base = ev(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"us", $"event_id")
+      val gaps = base.withColumn("prev_us", lag($"us", 1).over(byUser))
+      val fan = gaps.crossJoin(broadcast(SessionGapsMin.toDF("gap_min")))
+      val byCfgUser = Window.partitionBy($"gap_min", $"user_id")
+        .orderBy($"us", $"event_id")
+      val sess = fan.withColumn("new_s",
+          when($"prev_us".isNull ||
+            $"us" - $"prev_us" >= $"gap_min" * lit(60000000L), 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(byCfgUser))
+      val per = sess.groupBy($"gap_min", $"user_id", $"sid")
+        .agg(count(lit(1)).as("n_ev"),
+          (max($"us") - min($"us")).as("dur_us"))
+      per.groupBy($"gap_min")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n_ev").as("n_events"), sum($"dur_us").as("sum_dur"))
+        .select($"gap_min", $"n_sessions",
+          round($"n_events" / $"n_sessions".cast("double"), 6)
+            .as("events_per_session"),
+          round($"sum_dur".cast("double") /
+            ($"n_sessions" * lit(1000000L)).cast("double"), 6)
+            .as("mean_duration_s"),
+          ($"gap_min" === 30).as("shipped"))
+        .orderBy($"gap_min")
     },
 
     "e03_user_sessions" -> { (s, dir) =>
@@ -1323,6 +1374,45 @@ object Events {
         |           ORDER BY round(sum(value), 2) DESC, user_id) AS rnk
         |  FROM events GROUP BY event_type, user_id) x
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "e32_session_gap_curve" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |g AS (
+         |  SELECT user_id, us, event_id,
+         |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS prev_us
+         |  FROM e),
+         |cfg AS (SELECT unnest([${SessionGapsMin.mkString(", ")}])
+         |          AS gap_min),
+         |f AS (
+         |  SELECT cfg.gap_min, g.user_id, g.us, g.event_id,
+         |    CASE WHEN g.prev_us IS NULL OR g.us - g.prev_us >=
+         |        gap_min * CAST(60000000 AS BIGINT)
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM g CROSS JOIN cfg),
+         |si AS (
+         |  SELECT gap_min, user_id, us,
+         |    sum(new_s) OVER (PARTITION BY gap_min, user_id
+         |      ORDER BY us, event_id) AS sid
+         |  FROM f),
+         |per AS (
+         |  SELECT gap_min, user_id, sid, count(*) AS n_ev,
+         |    max(us) - min(us) AS dur_us
+         |  FROM si GROUP BY 1, 2, 3),
+         |a AS (
+         |  SELECT gap_min, count(*) AS n_sessions,
+         |    CAST(sum(n_ev) AS BIGINT) AS n_events,
+         |    CAST(sum(dur_us) AS BIGINT) AS sum_dur
+         |  FROM per GROUP BY 1)
+         |SELECT gap_min, n_sessions,
+         |  round(n_events / CAST(n_sessions AS DOUBLE), 6)
+         |    AS events_per_session,
+         |  round(CAST(sum_dur AS DOUBLE)
+         |    / CAST(n_sessions * 1000000 AS DOUBLE), 6)
+         |    AS mean_duration_s,
+         |  gap_min = 30 AS shipped
+         |FROM a ORDER BY gap_min""".stripMargin,
 
     "e08_asof_attribution" ->
       """WITH clicks AS (

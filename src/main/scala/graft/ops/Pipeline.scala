@@ -741,10 +741,10 @@ object Pipeline {
       // denominator sum (order-insensitive); the capped flag compares
       // INTEGER token counts (alloc > 4·tok_s), never the rounded
       // epochs float, so flag and shortfall can't disagree.
-      val d = docs(s, dir).select($"source",
+      val d = docs(s, dir).select($"lang",
         when($"text".isNull, lit(0L))
           .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
-      val per = d.groupBy($"source").agg(sum($"n_toks").as("tok_s"))
+      val per = d.groupBy($"lang").agg(sum($"n_toks").as("tok_s"))
         .withColumn("sq",
           round(sqrt($"tok_s".cast("double")), 6).cast("decimal(28,6)"))
       val tot = per.agg(sum($"sq").as("denom"), sum($"tok_s").as("t_total"))
@@ -758,12 +758,12 @@ object Pipeline {
           $"alloc_tokens" > $"tok_s" * lit(MaxSourceEpochs))
         .withColumn("achieved_tokens",
           least($"alloc_tokens", $"tok_s" * lit(MaxSourceEpochs)))
-        .select($"source", $"tok_s".as("total_tokens"), $"w_share",
+        .select($"lang", $"tok_s".as("total_tokens"), $"w_share",
           $"alloc_tokens",
           round($"alloc_tokens" / $"tok_s".cast("double"), 4).as("epochs"),
           $"capped", $"achieved_tokens",
           ($"alloc_tokens" - $"achieved_tokens").as("shortfall_tokens"))
-        .orderBy($"source")
+        .orderBy($"lang")
     },
 
     "p14_epoch_shuffle" -> { (s, dir) =>
@@ -851,9 +851,12 @@ object Pipeline {
 
   /** p18's budget multiple: total training-token budget as a multiple
     * of the corpus (the over-training / data-constrained regime where
-    * planning epochs matters at all).
+    * planning epochs matters at all). At 4x, the sqrt temperature
+    * pushes the skew-disadvantaged languages past the repeat ceiling
+    * while the dominant language stays under it — the cap is LIVE at
+    * every gated SF (the t24 degeneracy lesson applied forward).
     */
-  private val EpochBudgetX = 3L
+  private val EpochBudgetX = 4L
 
   /** p18's per-source repeat ceiling. Public data-constrained-scaling
     * results put the value of repeated data near fresh-data parity up
@@ -1225,37 +1228,37 @@ object Pipeline {
 
     "p18_token_budget_epochs" ->
       s"""WITH d AS (
-        |  SELECT source,
+        |  SELECT lang,
         |    CAST(CASE WHEN text IS NULL THEN 0
         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
         |  FROM documents),
         |per AS (
-        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS tok_s,
+        |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS tok_s,
         |    CAST(round(sqrt(CAST(sum(n_toks) AS DOUBLE)), 6)
         |      AS DECIMAL(28,6)) AS sq
-        |  FROM d GROUP BY source),
+        |  FROM d GROUP BY lang),
         |tot AS (
         |  SELECT sum(sq) AS denom, CAST(sum(tok_s) AS BIGINT) AS t_total
         |  FROM per),
         |w AS (
-        |  SELECT source, tok_s,
+        |  SELECT lang, tok_s,
         |    round(CAST(sq AS DOUBLE) / CAST(denom AS DOUBLE), 6)
         |      AS w_share,
         |    t_total
         |  FROM per CROSS JOIN tot),
         |a AS (
-        |  SELECT source, tok_s, w_share,
+        |  SELECT lang, tok_s, w_share,
         |    CAST(floor(w_share *
         |      CAST(t_total * $EpochBudgetX AS DOUBLE)) AS BIGINT) AS alloc
         |  FROM w)
-        |SELECT source, tok_s AS total_tokens, w_share,
+        |SELECT lang, tok_s AS total_tokens, w_share,
         |  alloc AS alloc_tokens,
         |  round(alloc / CAST(tok_s AS DOUBLE), 4) AS epochs,
         |  alloc > tok_s * $MaxSourceEpochs AS capped,
         |  least(alloc, tok_s * $MaxSourceEpochs) AS achieved_tokens,
         |  alloc - least(alloc, tok_s * $MaxSourceEpochs)
         |    AS shortfall_tokens
-        |FROM a ORDER BY source""".stripMargin,
+        |FROM a ORDER BY lang""".stripMargin,
 
     "p16_curriculum_mixture" ->
       s"""WITH d AS (

@@ -409,6 +409,64 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    "t26_vocab_growth" -> { (s, dir) =>
+      import s.implicits._
+      // VOCABULARY GROWTH (Heaps' law) over the 3-GRAM space — the
+      // curve an n-gram-LM / tokenizer planner reads before
+      // extrapolating table sizes from a sample to 100 TB: distinct
+      // 3-gram count V as a function of scanned 3-gram count N over
+      // ten nested corpus prefixes, with the local Heaps exponent
+      // β = Δln V / Δln N between consecutive prefixes. The UNIGRAM
+      // form is degenerate on this fixture (the synthetic generator
+      // draws from a ~31-word vocabulary, so V is constant and β ≡ 0
+      // from the first decile — measured, and the reason this op
+      // indexes the 3-gram space, which grows 17k → 27k across the
+      // deciles at sf0.1 and visibly SATURATES toward the 31³ bound;
+      // on natural text β sits near 0.5 and a β drifting UP flags
+      // vocabulary explosion: OCR noise, boilerplate IDs). Prefixes
+      // grow by the p07/p08 md5 coin (content-blind, deterministic,
+      // partition-independent), so "the first k/10ths of the corpus"
+      // is the same documents on every engine and every rerun. Scale
+      // shapes: ONE positional 3-gram explode feeds both sides;
+      // per-bucket occurrence counts are a 10-row agg; the
+      // distinct-vocab prefix needs NO per-prefix distinct — each
+      // gram contributes to its FIRST bucket only (min(b) per gram,
+      // one |vocab|-keyed agg with map-side partials), and cumulative
+      // sums run as triangular joins on 10-row frames, never a
+      // partition-less window. Parity: integer counts everywhere; β
+      // is two ln calls on double ratios (the p09 PSI precedent)
+      // rounded at 6 dp; NULL for the first prefix on both engines.
+      val d = docs(s, dir).select(
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), " +
+            "16, 10) as bigint) % 10 + 1").as("b"),
+          split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 3)
+      val grams = d.select($"b", explode(transform(
+          sequence(lit(0), size($"toks") - 3),
+          i => concat_ws(" ", element_at($"toks", i + 1),
+            element_at($"toks", i + 2), element_at($"toks", i + 3))))
+          .as("gram"))
+      val perB = grams.groupBy($"b").agg(count(lit(1)).as("nt"))
+      val firstB = grams.groupBy($"gram").agg(min($"b").as("fb"))
+        .groupBy($"fb").agg(count(lit(1)).as("nv"))
+      val deciles = (1 to 10).toDF("decile")
+      val cumT = deciles.join(broadcast(perB), $"b" <= $"decile")
+        .groupBy($"decile").agg(sum($"nt").as("n_grams"))
+      val cumV = deciles.join(broadcast(firstB), $"fb" <= $"decile")
+        .groupBy($"decile").agg(sum($"nv").as("n_distinct"))
+      val cur = cumT.join(cumV, "decile")
+      val prev = cur.select($"decile".as("pd"), $"n_grams".as("pt"),
+        $"n_distinct".as("pv"))
+      cur.join(prev, $"pd" === $"decile" - 1, "left")
+        .select($"decile", $"n_grams", $"n_distinct",
+          round($"n_distinct" / $"n_grams".cast("double"), 6)
+            .as("distinct_frac"),
+          round(log($"n_distinct".cast("double") / $"pv".cast("double")) /
+            log($"n_grams".cast("double") / $"pt".cast("double")), 6)
+            .as("beta_local"))
+        .orderBy($"decile")
+    },
+
     "t02_top_terms" -> { (s, dir) =>
       import s.implicits._
       // Global term frequencies: explode → hash agg (map-side partial
@@ -1063,6 +1121,43 @@ object TextAnalysis {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t26_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 10 + 1 AS b, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT b, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |    AS gram
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |perb AS (SELECT b, count(*) AS nt FROM g GROUP BY b),
+        |firstb AS (
+        |  SELECT fb, count(*) AS nv FROM (
+        |    SELECT gram, min(b) AS fb FROM g GROUP BY gram)
+        |  GROUP BY fb),
+        |dec AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+        |          AS decile),
+        |cumt AS (
+        |  SELECT decile, CAST(sum(nt) AS BIGINT) AS n_grams
+        |  FROM dec JOIN perb ON perb.b <= dec.decile GROUP BY decile),
+        |cumv AS (
+        |  SELECT decile, CAST(sum(nv) AS BIGINT) AS n_distinct
+        |  FROM dec JOIN firstb ON firstb.fb <= dec.decile
+        |  GROUP BY decile),
+        |cur AS (SELECT t.decile, n_grams, n_distinct
+        |        FROM cumt t JOIN cumv v ON v.decile = t.decile)
+        |SELECT c.decile, c.n_grams, c.n_distinct,
+        |  round(c.n_distinct / CAST(c.n_grams AS DOUBLE), 6)
+        |    AS distinct_frac,
+        |  round(ln(CAST(c.n_distinct AS DOUBLE)
+        |           / CAST(p.n_distinct AS DOUBLE))
+        |    / ln(CAST(c.n_grams AS DOUBLE)
+        |         / CAST(p.n_grams AS DOUBLE)), 6) AS beta_local
+        |FROM cur c LEFT JOIN cur p ON p.decile = c.decile - 1
+        |ORDER BY c.decile""".stripMargin,
 
     "t03_tfidf_top_terms" ->
       """WITH tf AS (

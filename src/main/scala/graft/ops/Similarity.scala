@@ -650,7 +650,7 @@ object Similarity {
   /** s09/s10's keyword query. Terms chosen to have distinct document
     * frequencies in the fixture vocabulary; the scoring is term-agnostic.
     */
-  private val BmTerms = Seq("spark", "window", "query")
+  private[graft] val BmTerms = Seq("spark", "window", "query")
   private val RrfK = 60
   private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
   // s05's per-label member cap: cohesion is computed over the first
@@ -695,7 +695,7 @@ object Similarity {
     * cast DECIMAL(12,6) so the cross-term sum is exact and
     * order-insensitive.
     */
-  private val bm25ScoreSql =
+  private[graft] val bm25ScoreSql =
     """cast(round(
       |  ln((cast(n_corpus as double) - df + 0.5)
       |     / (cast(df as double) + 0.5) + 1.0) *

@@ -467,6 +467,68 @@ object TextAnalysis {
         .orderBy($"decile")
     },
 
+    "t27_lm_quality_buckets" -> { (s, dir) =>
+      import s.implicits._
+      // CCNet-STYLE LM QUALITY BUCKETS — the classic web-corpus
+      // curation signal the ratio heuristics (t05/t25) approximate: a
+      // bigram language model trained on the corpus scores every
+      // document's per-token negative log-likelihood, and documents
+      // split per language into head/middle/tail perplexity TERCILES
+      // (CCNet keeps head+middle for LM pretraining; "tail" is the
+      // gibberish/boilerplate band). Model: add-½ smoothed bigram
+      // probabilities p(w2|w1) = (c(w1w2) + ½) / (c(w1·) + ½V) — the
+      // ½ and the context count derived FROM the bigram table keep
+      // every input integer-or-binary-exact, so ln() sees
+      // bit-identical doubles on both engines (the bm25/t26 ln
+      // precedent), and per-doc sums run in rounded DECIMAL (exact,
+      // order-insensitive — the board's cross-term discipline).
+      //
+      // Scale shapes: ONE positional bigram explode collapses to
+      // per-(doc, bigram) counts before anything joins (the shuffle is
+      // |distinct per-doc bigrams|, not |token instances|); the model
+      // tables derive from that same frame (c2 one agg, c1 an agg OF
+      // c2, both map-side partial); scoring is an equi-join on the
+      // bigram key — linear, never quadratic; V is a 1-row broadcast.
+      // The tercile is a per-LANGUAGE window (bounded partitions, the
+      // board's partitioned-window rule); at 100 TB the cutoffs would
+      // come from a bounded md5-rank sample per language (the kmTrain
+      // TrainN discipline) and buckets assign by broadcast comparison
+      // — same semantics, no corpus-wide sort; documented trade.
+      val dd = docs(s, dir)
+        .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 2)
+      val inst = dd.select($"doc_id", $"lang", explode(transform(
+          sequence(lit(0), size($"toks") - 2),
+          i => struct(element_at($"toks", i + 1).as("w1"),
+            element_at($"toks", i + 2).as("w2")))).as("bg"))
+        .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+        .groupBy($"doc_id", $"lang", $"w1", $"w2")
+        .agg(count(lit(1)).as("n_inst"))
+      val c2 = inst.groupBy($"w1", $"w2").agg(sum($"n_inst").as("c2"))
+      val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+      val vocab = docs(s, dir)
+        .select(explode(split($"text", " ")).as("w"))
+        .agg(countDistinct($"w").as("v"))
+      val scored = inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", expr(
+          """cast(round(ln((cast(c2 as double) + 0.5)
+            |  / (cast(c1 as double) + 0.5 * cast(v as double))), 6)
+            |as decimal(12,6))""".stripMargin) * $"n_inst")
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"lp").as("nll_sum"), sum($"n_inst").as("n_bigrams"))
+        .withColumn("avg_nll",
+          round((-$"nll_sum").cast("double") /
+            $"n_bigrams".cast("double"), 6))
+      val w = Window.partitionBy($"lang").orderBy($"avg_nll", $"doc_id")
+      scored
+        .withColumn("ntl", ntile(3).over(w))
+        .withColumn("bucket", when($"ntl" === 1, "head")
+          .when($"ntl" === 2, "middle").otherwise("tail"))
+        .select($"doc_id", $"lang", $"n_bigrams", $"avg_nll", $"bucket")
+        .orderBy($"doc_id")
+    },
+
     "t02_top_terms" -> { (s, dir) =>
       import s.implicits._
       // Global term frequencies: explode → hash agg (map-side partial
@@ -1116,6 +1178,42 @@ object TextAnalysis {
         |round((length(text) - len(string_split(text, ' ')) + 1)
         |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t27_lm_quality_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |inst AS (
+        |  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2,
+        |    count(*) AS n_inst
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+        |  GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT w1, w2, CAST(sum(n_inst) AS BIGINT) AS c2
+        |       FROM inst GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |sc AS (
+        |  SELECT doc_id, lang, n_inst,
+        |    CAST(round(ln((CAST(c2 AS DOUBLE) + 0.5)
+        |      / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 6)
+        |    AS DECIMAL(12,6)) * n_inst AS lp
+        |  FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(n_inst) AS BIGINT) AS n_bigrams,
+        |    round(CAST(-sum(lp) AS DOUBLE)
+        |      / CAST(sum(n_inst) AS DOUBLE), 6) AS avg_nll
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_bigrams, avg_nll,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "t02_top_terms" ->
       """SELECT term, count(*) AS n

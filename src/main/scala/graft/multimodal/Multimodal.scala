@@ -156,6 +156,47 @@ object Multimodal {
         .orderBy($"format", $"shard")
     },
 
+    "m09_frame_sample_plan" -> { (s, dir) =>
+      import s.implicits._
+      // VIDEO FRAME-SAMPLING MANIFEST — the plan a multimodal training
+      // loader executes against raw video: for every mp4 blob, the
+      // deterministic 1 Hz sample of frame indices (one frame per fps
+      // frames), each with its timestamp, a keyframe flag on the 10 s
+      // GOP grid (sampling keyframes is the cheap-decode path — a
+      // seek + single-frame decode instead of decoding the GOP), and
+      // the byte window a loader PREFETCHES for the seek (position-
+      // proportional estimate — real containers would read the moov
+      // index; the estimate is what you prefetch before you have it).
+      // fps and duration derive deterministically from the fixture
+      // metadata (24/30 by id parity; 40 ms of video per content
+      // byte) — a real catalog carries both in the metadata struct and
+      // only this derivation changes. Scale shapes: a pure per-row
+      // explode (sequence with step fps) — content bytes never leave
+      // their partition, nothing shuffles before the presentation
+      // sort, and every output column is integer arithmetic (engine-
+      // exact by construction).
+      mediaTable(s, dir)
+        .filter($"format" === "mp4")
+        .withColumn("blen", octet_length($"content").cast("long"))
+        .filter($"blen" > 0)
+        .withColumn("fps", ($"media_id" % 2 * 6 + 24).cast("long"))
+        .withColumn("n_frames", expr("(blen * 40 * fps) div 1000"))
+        .filter($"n_frames" >= 1)
+        .withColumn("frame_idx", explode(expr(
+          "sequence(cast(0 as bigint), n_frames - 1, fps)")))
+        .select($"media_id",
+          expr("frame_idx div fps").as("sample_ord"),
+          $"frame_idx",
+          expr("(frame_idx * 1000) div fps").as("ts_ms"),
+          ($"frame_idx" % ($"fps" * 10) === 0).as("keyframe"),
+          expr("(frame_idx * blen) div n_frames").as("prefetch_off"),
+          least(lit(256L),
+            $"blen" - expr("(frame_idx * blen) div n_frames"))
+            .as("prefetch_len"),
+          $"n_frames")
+        .orderBy($"media_id", $"frame_idx")
+    },
+
     "m01_media_catalog" -> { (s, dir) =>
       import s.implicits._
       // Catalog stats per format: byte sizes + dimension aggregates over
@@ -368,6 +409,29 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "m09_frame_sample_plan" ->
+      s"""WITH $mediaSql,
+         |v AS (
+         |  SELECT media_id, CAST(strlen(content) AS BIGINT) AS blen,
+         |    CAST(media_id % 2 * 6 + 24 AS BIGINT) AS fps
+         |  FROM media WHERE format = 'mp4' AND strlen(content) > 0),
+         |f AS (SELECT *, (blen * 40 * fps) // 1000 AS n_frames FROM v),
+         |s AS (
+         |  SELECT media_id, blen, fps, n_frames,
+         |    CAST(i AS BIGINT) AS frame_idx
+         |  FROM f, unnest(range(0, n_frames, fps)) AS t(i)
+         |  WHERE n_frames >= 1)
+         |SELECT media_id,
+         |  frame_idx // fps AS sample_ord,
+         |  frame_idx,
+         |  (frame_idx * 1000) // fps AS ts_ms,
+         |  frame_idx % (fps * 10) = 0 AS keyframe,
+         |  (frame_idx * blen) // n_frames AS prefetch_off,
+         |  least(256, blen - (frame_idx * blen) // n_frames)
+         |    AS prefetch_len,
+         |  n_frames
+         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
     "m06_chunk_plan" ->
       s"""WITH $mediaSql,
          |chunks AS (

@@ -1196,6 +1196,75 @@ object Dedup {
         .orderBy($"n_bands".desc)
     },
 
+    "d28_simhash_radius_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The OPERATING CURVE for d07's OTHER knob: the measured-knob
+      // discipline (d23 LSH banding, s25 NProbe, p17 quality cuts)
+      // applied to the SimHash verification radius. One query scores
+      // every radius 0..6 on d21's deterministic 30% audit sample:
+      // pair volume at hamming <= r (the cost axis) and
+      // recall/precision against the exact shingle-Jaccard truth (the
+      // quality axis) — the table an operator reads before moving
+      // d07's `dist <= 3` cut on a 100 TB corpus. The honesty column
+      // is `guaranteed_complete`: the shipped 4-chunk pigeonhole
+      // generator only guarantees COMPLETE candidates for r <= 3, so
+      // the r >= 4 rows measure the generator's recall ceiling, not
+      // just the verifier's — widening the radius past the chunk
+      // guarantee buys counted-but-uncertain extra pairs (visible as
+      // recall flattening while the flag flips false). Scale shape:
+      // ONE chunk equi-join produces candidates once with their exact
+      // hamming distance (never all-pairs, never re-joined per
+      // radius); the 7-radius fan-out is a broadcast theta-join
+      // against a 7-row frame; truth is d23's sample-bounded exact
+      // join, computed once.
+      val sampleIds = docs(s, dir).filter($"doc_id" % 10 < 3)
+        .select($"doc_id")
+      val sim = simhashCore(s, dir).join(sampleIds, "doc_id")
+        .localCheckpoint(eager = false)
+      val chunkArr = array((0 until NChunks).map { c =>
+        lit(c.toLong * 65536L) +
+          shiftright($"simhash", c * ChunkBits).bitwiseAND(65535L)
+      }: _*)
+      val chunks = sim.select($"doc_id", $"simhash",
+        explode(chunkArr).as("chunk"))
+      val a = chunks.toDF("a_id", "sim_a", "chunk")
+      val b = chunks.toDF("b_id", "sim_b", "chunk_b")
+      val cand = a.join(b, $"chunk" === $"chunk_b" && $"a_id" < $"b_id")
+        .withColumn("dist", graft.functions.Hamming64($"sim_a", $"sim_b"))
+        .filter($"dist" <= 6)
+        .select($"a_id", $"b_id", $"dist").distinct()
+      val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
+        .localCheckpoint(eager = false)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val ta = sh.select($"doc_id".as("a_id"), $"sh")
+      val tb = sh.select($"doc_id".as("b_id"), $"sh")
+      val truth = ta.join(tb, Seq("sh")).filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_inter"))
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .filter(round($"n_inter" /
+          ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
+        .select($"a_id", $"b_id")
+        .localCheckpoint(eager = false) // reused: tag join + count
+      val nTruth = truth.agg(count(lit(1)).as("n_true"))
+      val tagged = cand.join(truth.withColumn("t", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      val radii = (0L to 6L).toDF("radius")
+      radii.join(tagged, $"dist" <= $"radius", "left")
+        .groupBy($"radius")
+        .agg(count($"dist").as("n_pairs"),
+          count(when($"t" === 1, 1)).as("n_hit"))
+        .crossJoin(broadcast(nTruth))
+        .select($"radius", $"n_pairs", $"n_hit", $"n_true",
+          when($"n_true" > 0,
+            round($"n_hit" / $"n_true".cast("double"), 6)).as("recall"),
+          when($"n_pairs" > 0,
+            round($"n_hit" / $"n_pairs".cast("double"), 6))
+            .as("precision"),
+          ($"radius" <= 3).as("guaranteed_complete"))
+        .orderBy($"radius")
+    },
+
     "d24_cross_source_dup_matrix" -> { (s, dir) =>
       import s.implicits._
       // WHERE the duplication lives: d03's verified near-dup pairs
@@ -1532,6 +1601,65 @@ object Dedup {
            |    CAST(NULLIF(CAST(sum(v) AS BIGINT), 0) AS DOUBLE),
            |    6) AS precision
            |FROM j GROUP BY cfg ORDER BY n_bands DESC""".stripMargin
+      },
+
+      "d28_simhash_radius_curve" -> {
+        val chunkSelects = (0 until NChunks).map { c =>
+          s"SELECT doc_id, simhash, " +
+            s"'$c:' || ((simhash >> ${c * ChunkBits}) & 65535) " +
+            "AS chunk FROM sim"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleHashSql,
+           |sample AS (
+           |  SELECT doc_id FROM documents WHERE doc_id % 10 < 3),
+           |bits AS (SELECT doc_id, $bitSumCols FROM hashed GROUP BY doc_id),
+           |sim AS (
+           |  SELECT b.doc_id, $simhashExpr AS simhash
+           |  FROM bits b JOIN sample USING (doc_id)),
+           |chunks AS ($chunkSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    bit_count(xor(a.simhash, b.simhash)) AS dist
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |ssh AS (
+           |  SELECT s.doc_id, s.sh FROM sh s
+           |  JOIN sample p ON p.doc_id = s.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh
+           |          GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    count(*) AS n_inter
+           |  FROM ssh a JOIN ssh b
+           |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT a_id, b_id FROM inter
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(n_inter /
+           |    CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5),
+           |ct AS (
+           |  SELECT c.dist,
+           |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t
+           |  FROM cand c LEFT JOIN truth t
+           |    ON t.a_id = c.a_id AND t.b_id = c.b_id),
+           |radii AS (
+           |  SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT)
+           |    AS radius)
+           |SELECT radius,
+           |  count(dist) AS n_pairs,
+           |  count(CASE WHEN t = 1 THEN 1 END) AS n_hit,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  round(count(CASE WHEN t = 1 THEN 1 END) /
+           |    CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE),
+           |    6) AS recall,
+           |  round(count(CASE WHEN t = 1 THEN 1 END) /
+           |    CAST(NULLIF(count(dist), 0) AS DOUBLE), 6) AS precision,
+           |  radius <= 3 AS guaranteed_complete
+           |FROM radii LEFT JOIN ct ON ct.dist <= radii.radius
+           |GROUP BY radius ORDER BY radius""".stripMargin
       },
 
       "d18_dup_cascade" ->

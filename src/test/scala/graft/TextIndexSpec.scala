@@ -168,6 +168,51 @@ class TextIndexSpec extends SparkTestBase {
       "the simulation must actually have produced a duplicate stats row")
   }
 
+  test("streaming ingest: a document stream appends via foreachBatch; " +
+      "at-least-once redelivery is absorbed; the final search equals " +
+      "the one-shot full build") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tmpDir("text-index-stream")
+    val idx = base + "/idx"
+    val full = base + "/full"
+    val d = docs()
+    TextIndex.build(spark, d, full)
+    TextIndex.build(spark, d.filter($"doc_id" % 5 =!= 0), idx)
+
+    val batchRows = d.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ckpt-text-stream").toString
+    def run(): Unit = {
+      val q = src.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextIndex.append(spark, idx,
+            b.select($"doc_id", $"text").localCheckpoint())
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination(30000)
+    }
+    src.addData(batchRows.take(40): _*)
+    run()
+    // redelivery of the SAME rows (at-least-once worst case) plus the
+    // remainder: replays anti-join away, new rows index normally
+    src.addData(batchRows.take(40): _*)
+    src.addData(batchRows.drop(40): _*)
+    run()
+    assert(rows(TextIndex.search(spark, idx, Similarity.BmTerms, 10))
+        .sameElements(
+          rows(TextIndex.search(spark, full, Similarity.BmTerms, 10))),
+      "the streamed index must score bit-identically to the one-shot " +
+        "full build after redelivery")
+  }
+
   test("delete corrects df and avgdl exactly (== fresh build on the " +
       "reduced corpus); compact preserves the result and clears " +
       "tombstones") {

@@ -783,24 +783,45 @@ object Pipeline {
       // (source, shard), then a sequence explode), so the manifest is
       // a pure function of the corpus, spec-pinned deterministic under
       // repartitioning (PipelineSpec).
-      val chunks = docs(s, dir)
-        .select($"source", expr(s"doc_id div $ShardDocs").as("shard"),
-          when($"text".isNull, lit(0L))
-            .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
-        .groupBy($"source", $"shard")
-        .agg(expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen")
-          .as("n_chunks"))
-        .filter($"n_chunks" > 0)
-        .select($"source", $"shard",
-          explode(expr("sequence(cast(0 as bigint), n_chunks - 1)"))
-            .as("chunk"))
-      chunks
-        .select($"source", $"shard", $"chunk",
-          explode(array(lit(0), lit(1))).as("epoch"))
-        .withColumn("skey", md5(concat_ws(":",
-          $"epoch", $"source", $"shard", $"chunk")))
-        .select($"epoch", $"skey", $"source", $"shard", $"chunk")
-        .orderBy($"epoch", $"skey")
+      epochShuffleStream(s, dir).orderBy($"epoch", $"skey")
+    },
+
+    "p19_resume_plan" -> { (s, dir) =>
+      import s.implicits._
+      // TRAINING-RUN RESUME PLAN — the crash-recovery arithmetic p14's
+      // shuffle contract enables: a synchronous data-parallel run with
+      // ResumeWorkers loaders crashed after ResumeSteps completed
+      // steps; each worker owns a deterministic HASH SLICE of the
+      // chunk stream (md5-coin of the chunk's identity — not its
+      // position, so a chunk keeps its worker across epochs and
+      // corpus appends don't reshuffle old slices) and consumes its
+      // slice in p14's (epoch, skey) order, one chunk per step. The
+      // resume point per worker is therefore the (steps+1)-th smallest
+      // (epoch, skey) in its slice — an ORDER STATISTIC, computed with
+      // the board's bounded-heap TopKPerKey (heap of steps+1 rows per
+      // worker, no global rank, no per-worker sort of the whole
+      // stream) and finished by one max(struct) argmax. Exhausted
+      // workers (slice shorter than steps+1 — end of the data) emit no
+      // row, identically in both engines. This is the piece that makes
+      // the p14 discipline operational: reproducible order AND
+      // O(W · steps) recovery, no loader-state archaeology.
+      val stream = epochShuffleStream(s, dir)
+        .withColumn("worker", expr(
+          "cast(conv(substr(md5(concat_ws(':', 'w', source, shard, " +
+            s"chunk)), 1, 8), 16, 10) as bigint) % $ResumeWorkers"))
+      val firstN = graft.plans.TopKPerKey(stream, Seq("worker"),
+        struct($"epoch", $"skey"), ResumeSteps + 1)
+      firstN.groupBy($"worker")
+        .agg(count(lit(1)).as("n_avail"),
+          max(struct($"epoch", $"skey", $"source", $"shard", $"chunk"))
+            .as("r"))
+        .filter($"n_avail" === ResumeSteps + 1)
+        .select($"worker",
+          $"r.epoch".as("resume_epoch"), $"r.skey".as("resume_skey"),
+          $"r.source".as("resume_source"), $"r.shard".as("resume_shard"),
+          $"r.chunk".as("resume_chunk"),
+          lit(ResumeSteps.toLong).as("steps_done"))
+        .orderBy($"worker")
     },
 
     "p03_corpus_profile" -> { (s, dir) =>
@@ -890,6 +911,41 @@ object Pipeline {
     * multi-shard path dead code until the ungated bench scale.
     */
   private val ShardDocs = 200L
+
+  /** p19's data-parallel world size and completed-steps-at-crash. 4
+    * workers and 10 steps are fixture-scaled; the recovery cost is
+    * O(workers × steps) by construction, independent of corpus size.
+    */
+  private val ResumeWorkers = 4
+  private val ResumeSteps = 10
+
+  /** p14's shuffled chunk stream, UNSORTED — (epoch, skey, source,
+    * shard, chunk), one row per (chunk identity, epoch) with the
+    * epoch-keyed shuffle key. p14 presents it in consumption order;
+    * p19 computes resume order statistics over worker slices of it.
+    * Chunk identities derive from p06's packing arithmetic (one agg
+    * per (source, shard), then a sequence explode), so the stream is a
+    * pure function of the corpus.
+    */
+  private def epochShuffleStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", expr(s"doc_id div $ShardDocs").as("shard"),
+        when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
+      .groupBy($"source", $"shard")
+      .agg(expr(s"(sum(n_toks) + $PackLen - 1) div $PackLen")
+        .as("n_chunks"))
+      .filter($"n_chunks" > 0)
+      .select($"source", $"shard",
+        explode(expr("sequence(cast(0 as bigint), n_chunks - 1)"))
+          .as("chunk"))
+      .select($"source", $"shard", $"chunk",
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("skey", md5(concat_ws(":",
+        $"epoch", $"source", $"shard", $"chunk")))
+      .select($"epoch", $"skey", $"source", $"shard", $"chunk")
+  }
 
   /** p01's curation plan with ZERO-EXTRA-PASS audit instrumentation:
     * Spark's CollectMetrics (`observe`) attaches named aggregates to
@@ -1166,6 +1222,43 @@ object Pipeline {
          |  md5(array_to_string(list_slice(string_split(text, ' '),
          |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
          |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin,
+
+    "p19_resume_plan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |shd AS (
+         |  SELECT source, shard,
+         |    CAST((sum(n_toks) + $PackLen - 1) // $PackLen AS BIGINT)
+         |      AS n_chunks
+         |  FROM d GROUP BY 1, 2),
+         |ch AS (
+         |  SELECT source, shard,
+         |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1))
+         |      AS chunk
+         |  FROM shd WHERE n_chunks > 0),
+         |ep AS (
+         |  SELECT ch.source, ch.shard, ch.chunk, e.epoch
+         |  FROM ch CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+         |st AS (
+         |  SELECT epoch,
+         |    md5(epoch || ':' || source || ':' || shard || ':' || chunk)
+         |      AS skey,
+         |    source, shard, chunk,
+         |    ('0x' || substr(md5('w:' || source || ':' || shard || ':'
+         |      || chunk), 1, 8))::BIGINT % $ResumeWorkers AS worker
+         |  FROM ep),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY worker ORDER BY epoch, skey) AS rn
+         |  FROM st)
+         |SELECT worker, epoch AS resume_epoch, skey AS resume_skey,
+         |  source AS resume_source, shard AS resume_shard,
+         |  chunk AS resume_chunk,
+         |  CAST($ResumeSteps AS BIGINT) AS steps_done
+         |FROM r WHERE rn = ${ResumeSteps + 1} ORDER BY worker""".stripMargin,
 
     "p14_epoch_shuffle" ->
       s"""WITH d AS (

@@ -287,9 +287,22 @@ object AnnIndex {
     * ties to the lowest id). `queries` is (q_id, qv) — the caller's
     * frame; nothing here touches the corpus. Returns
     * (q_id, n_id, adc DECIMAL, rnk).
+    *
+    * `allow` is the FILTERED-search leg (s08's argument carried to the
+    * serving tier): an optional (vec_id) allowlist — a metadata
+    * predicate's id set, a tenant scope, a freshness cut — applied to
+    * the candidate stream BEFORE any ADC work or the top-k cut.
+    * Post-filtering a top-k result silently under-returns when the
+    * filter is selective (the k survivors of an unfiltered cut may
+    * all be disallowed); pre-filtering ranks the full probed candidate
+    * set that satisfies the filter, so the result is exactly the
+    * filtered ranking at every selectivity. One semi-join on the
+    * narrow id column; the allowlist may be corpus-sized (AQE picks
+    * the join side), and the spec pins the filtered result equal to
+    * the unfiltered ranking with the disallowed ids excised.
     */
   def search(s: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, allow: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     // read paths heal torn swaps too (see upsert)
     ArtifactSwap.recover(s, indexDir,
@@ -321,7 +334,7 @@ object AnnIndex {
     // candidates KEEP their cell: a residual code only has meaning
     // against the cell it was encoded in, so the ADC join is keyed by
     // it (for a raw index the key degenerates to (q_id, sub, code))
-    val cand = inv.filter($"cell".isin(cellLits: _*))
+    val cand0 = inv.filter($"cell".isin(cellLits: _*))
       .withColumn("cell", $"cell".cast("long"))
       .join(broadcast(probes.select($"q_id", $"cell")), "cell")
       .filter($"q_id" =!= $"vec_id")
@@ -330,6 +343,12 @@ object AnnIndex {
       .join(broadcast(tombstones(s, indexDir)
         .withColumnRenamed("vec_id", "del_id")),
         $"vec_id" === $"del_id", "left_anti")
+    // the filter leg: BEFORE the ADC join — disallowed candidates must
+    // never consume code lookups or heap slots (see the method doc)
+    val candAllowed = allow
+      .map(a => cand0.join(a.select($"vec_id"), Seq("vec_id"), "left_semi"))
+      .getOrElse(cand0)
+    val cand = candAllowed
       .select($"q_id", $"vec_id".as("n_id"), $"cell")
     // the per-query ADC table: subvector distances to every codeword.
     // Raw index: the query's own subvectors — per-(query) table, keyed

@@ -466,4 +466,41 @@ class AnnIndexSpec extends SparkTestBase {
     assert(res.contains(205L + Shift),
       s"streamed twin must be searchable: ${res.toSeq.sorted.take(10)}")
   }
+
+  test("filtered search: an allowlist excises ids from the ranking " +
+      "BEFORE the top-k cut (never post-filter under-return)") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-filtered") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir)
+    val qv = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0)
+    val q = Seq((0L, qv)).toDF("q_id", "qv")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"n_id", $"adc".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // unfiltered top-6; disallow exactly its rank-1 id: the filtered
+    // top-5 must be ranks 2..6 re-ranked 1..5 with identical distances
+    // — the candidate set shrank by the excised id and nothing else,
+    // which is precisely what a post-filter-after-top-k gets wrong
+    // when the cut already discarded the would-be replacements.
+    val unfiltered = AnnIndex.search(spark, indexDir, q, 6)
+      .orderBy($"rnk")
+    val top1 = unfiltered.head().getLong(1)
+    val allow = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id").filter($"vec_id" =!= top1)
+    val filtered = AnnIndex.search(spark, indexDir, q, 5, Some(allow))
+      .orderBy($"rnk")
+    val got = rows(filtered)
+    val want = rows(unfiltered).filter(_._1 != top1)
+    assert(got.nonEmpty && got.sameElements(want),
+      s"filtered ranking must be the unfiltered one with the " +
+        s"disallowed id excised: got ${got.mkString(",")} vs " +
+        s"${want.mkString(",")}")
+    assert(filtered.select("rnk").as[Int].collect().toSeq == (1 to 5),
+      "ranks must be reassigned within the filtered result")
+  }
 }

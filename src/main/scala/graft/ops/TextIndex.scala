@@ -239,9 +239,66 @@ object TextIndex {
     * expression, same exact-DECIMAL cross-term sum, ties to the lowest
     * doc_id) for `terms`, global top-`k`, computed from the artifacts
     * alone. Returns (doc_id, n_terms, bm25d DECIMAL) ordered by rank.
+    *
+    * `allow` is the filtered-search leg (the AnnIndex.search contract,
+    * Lucene's filter semantics): the allowlist restricts which docs
+    * may SURFACE, but df/n_corpus/avgdl stay corpus-global — a filter
+    * scopes the candidate set, it does not retrain the scoring model,
+    * so an allowed doc's score is IDENTICAL with or without the
+    * filter (the spec pins exactly that). Applied before the per-doc
+    * aggregation and the top-k cut — post-filtering under-returns at
+    * selective filters, the s08 argument.
     */
   def search(s: SparkSession, indexDir: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, allow: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    scoredPostings(s, indexDir, terms, allow)
+      .groupBy($"doc_id")
+      .agg(sum($"sc").as("bm25d"), count(lit(1)).as("n_terms"))
+      .orderBy($"bm25d".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"n_terms", $"bm25d")
+  }
+
+  /** Batch-query search — the request-batch form every serving tier
+    * actually runs (and [[AnnIndex.search]]'s shape): `queries` is
+    * (q_id, terms ARRAY<STRING>), output is each query's top-`k` as
+    * (q_id, doc_id, n_terms, bm25d, rnk). The scoring core is shared
+    * with the single-query form verbatim, computed ONCE over the
+    * UNION of the batch's terms (the pruned postings scan amortizes
+    * across queries hitting the same buckets); the per-query cut is
+    * the bounded-heap TopKPerKey (k rows per query, no per-query
+    * sort), ranked by one window partitioned on the real q_id key.
+    * The batch's term list resolves driver-side — a request batch is
+    * tiny by definition (the AnnIndex probed-cells discipline).
+    */
+  def searchMany(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, allow: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val qt = queries
+      .select($"q_id", explode($"terms").as("term")).distinct()
+      .localCheckpoint() // consumed twice: term-list resolve + the join
+    val termList = qt.select($"term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val perQueryDoc = qt
+      .join(scoredPostings(s, indexDir, termList, allow), "term")
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"sc").as("bm25d"), count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey(perQueryDoc, Seq("q_id"),
+      struct((-$"bm25d").as("nb"), $"doc_id"), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"bm25d".desc, $"doc_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"doc_id", $"n_terms", $"bm25d", $"rnk")
+  }
+
+  /** The shared scoring core: per-(doc, term) BM25 contributions for
+    * `terms`, from the artifacts alone — pruned postings scan,
+    * tombstone anti-join, torn-duplicate collapse, exact df,
+    * stat-partial summation with exact tombstone correction, one
+    * codegen'd score expression. Both search forms aggregate this.
+    */
+  private def scoredPostings(s: SparkSession, indexDir: String,
+      terms: Seq[String], allow: Option[DataFrame]): DataFrame = {
     import s.implicits._
     ArtifactSwap.recover(s, indexDir,
       s"$indexDir/postings", s"$indexDir/docs")
@@ -295,12 +352,14 @@ object TextIndex {
       .select(($"n_raw" - $"n_del").as("n_corpus"),
         (($"len_raw" - $"len_del").cast("double") /
           ($"n_raw" - $"n_del").cast("double")).as("avgdl"))
-    tf.join(broadcast(df), "term")
+    // the filter leg: AFTER df (the scoring model stays corpus-global
+    // — see search's doc), BEFORE scoring aggregation and the cut
+    val tfAllowed = allow
+      .map(a => tf.join(a.select($"doc_id"), Seq("doc_id"), "left_semi"))
+      .getOrElse(tf)
+    tfAllowed.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("sc", expr(Similarity.bm25ScoreSql))
-      .groupBy($"doc_id")
-      .agg(sum($"sc").as("bm25d"), count(lit(1)).as("n_terms"))
-      .orderBy($"bm25d".desc, $"doc_id").limit(k)
-      .select($"doc_id", $"n_terms", $"bm25d")
+      .select($"doc_id", $"term", $"sc")
   }
 }

@@ -168,6 +168,47 @@ class TextIndexSpec extends SparkTestBase {
       "the simulation must actually have produced a duplicate stats row")
   }
 
+  test("batch-query search matches the single-query form per query; " +
+      "an allowlist excises docs WITHOUT changing surviving scores " +
+      "(corpus-global stats)") {
+    import spark.implicits._
+    val indexDir = tmpDir("text-index-many") + "/idx"
+    TextIndex.build(spark, docs(), indexDir)
+
+    // ---- searchMany == search, per query -----------------------------
+    val batch = Seq((1L, Similarity.BmTerms),
+      (2L, Similarity.BmTerms.take(1))).toDF("q_id", "terms")
+    val many = TextIndex.searchMany(spark, indexDir, batch, 10)
+      .select($"q_id", $"doc_id", $"n_terms",
+        $"bm25d".cast("decimal(22,6)").cast("string"), $"rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4)))
+      .sortBy(t => (t._1, t._5))
+    def single(terms: Seq[String], qid: Long) =
+      rows(TextIndex.search(spark, indexDir, terms, 10))
+        .zipWithIndex
+        .map { case ((d, n, s), i) => (qid, d, n, s, i + 1) }
+    val want = (single(Similarity.BmTerms, 1L) ++
+      single(Similarity.BmTerms.take(1), 2L)).sortBy(t => (t._1, t._5))
+    assert(many.nonEmpty && many.sameElements(want),
+      s"batch search must equal per-query singles; got " +
+        s"${many.take(3).mkString(",")} vs ${want.take(3).mkString(",")}")
+
+    // ---- filter semantics: excision, not re-scoring -------------------
+    val unfiltered = rows(TextIndex.search(spark, indexDir,
+      Similarity.BmTerms, 6))
+    val top1 = unfiltered.head._1
+    val allow = docs().select($"doc_id").filter($"doc_id" =!= top1)
+    val filtered = rows(TextIndex.search(spark, indexDir,
+      Similarity.BmTerms, 5, Some(allow)))
+    assert(filtered.sameElements(unfiltered.filter(_._1 != top1)),
+      "the filtered ranking must be the unfiltered one with the " +
+        "disallowed doc excised and every surviving score IDENTICAL " +
+        "(df/avgdl stay corpus-global — a filter scopes candidates, " +
+        "it does not retrain the model)")
+  }
+
   test("streaming ingest: a document stream appends via foreachBatch; " +
       "at-least-once redelivery is absorbed; the final search equals " +
       "the one-shot full build") {

@@ -10,6 +10,31 @@ import org.apache.spark.sql.SparkSession
   * first and swamp its number.
   */
 object Bench {
+
+  /** Per-query line keys are 2 chars: family letter + the numeric code
+    * in base-62 ("d01_exact_dedup" → "d1", "d10…" → "da", "q42…" →
+    * "qG"; digit alphabet 0-9 a-z A-Z). The 3-char code prefix cost
+    * 164 extra chars at the round-9 board — with the detector fields
+    * the line was 1.75 KB of the driver's 2 KB tail window.
+    * CORRECTNESS_r{N}.json keeps the full names; the join rule back
+    * is: take the name's code prefix ("d01"), key = first char +
+    * base62(numeric part). The sidecar keeps FULL names, so no
+    * archaeology is ever required. Object-level (not nested in main)
+    * so BenchLineSpec can pin collision-freedom across the whole
+    * registered board — a collision silently falls back to full codes
+    * and re-risks the tail-window overflow.
+    */
+  private val B62 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private[graft] def shortKey(name: String): String = {
+    val code = name.takeWhile(_ != '_')
+    val digits = code.drop(1)
+    if (code.nonEmpty && digits.nonEmpty && digits.forall(_.isDigit) &&
+        digits.toInt < B62.length)
+      s"${code.head}${B62(digits.toInt)}"
+    else code
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,26 +165,7 @@ object Bench {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    // Per-query keys are 2 chars: family letter + the numeric code in
-    // base-62 ("d01_exact_dedup" → "d1", "d10…" → "da", "q42…" → "qG";
-    // digit alphabet 0-9 a-z A-Z). The 3-char code prefix cost 164
-    // extra chars at the round-9 board — with the detector fields the
-    // line was 1.75 KB of the driver's 2 KB tail window, ~10 queries
-    // from silent truncation. CORRECTNESS_r{N}.json keeps the full
-    // names; the join rule back is: take the name's code prefix
-    // ("d01"), key = first char + base62(numeric part). The sidecar
-    // keeps FULL names, so no archaeology is ever required.
-    val B62 =
-      "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    def shortKey(name: String): String = {
-      val code = name.takeWhile(_ != '_')
-      val digits = code.drop(1)
-      if (code.nonEmpty && digits.nonEmpty && digits.forall(_.isDigit) &&
-          digits.toInt < B62.length)
-        s"${code.head}${B62(digits.toInt)}"
-      else code
-    }
-    val short = results.map { case (k, v) => shortKey(k) -> v }
+    val short = results.map { case (k, v) => Bench.shortKey(k) -> v }
     val keys =
       if (short.map(_._1).distinct.size == short.size) short
       else {
@@ -170,8 +176,6 @@ object Bench {
           "tail")
         results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
       }
-    val qs = keys.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -229,7 +233,40 @@ object Bench {
     // run's ",\"wx\":0,\"rep\":0" is 16 dead chars of tail window)
     val contExtra = (if (preExcess > 0) s""","wx":${f(preExcess)}""" else "") +
       (if (repaired > 0) s""","rep":$repaired""" else "")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","cont":$preContended$contExtra,"queries":$qs,"sf":$sf}""")
+    // OVERFLOW GUARD for the tail window: the board grows every round
+    // (185 queries → 1725 chars; the worst case — every value ≥ 10 s —
+    // crosses 2000 at this size). If the assembled line would exceed
+    // LineBudget, drop the CHEAPEST per-query entries (the least
+    // informative — sub-second rows indistinguishable from noise)
+    // until it fits, and self-declare with "qdrop":N. The sidecar
+    // always keeps every query at full precision and full name, so
+    // nothing is lost — only the line's redundancy is shed. Dropping
+    // deterministically (value asc, key asc) keeps identical runs
+    // emitting identical lines.
+    def lineOf(entries: Seq[(String, Double)], dropped: Int): String = {
+      val qs = entries.map { case (kk, v) => "\"" + kk + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val dropExtra = if (dropped > 0) s""","qdrop":$dropped""" else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","cont":$preContended$contExtra$dropExtra,"queries":$qs,"sf":$sf}"""
+    }
+    // leave slack under the driver's 2000-char tail; env-overridable
+    // so the drop path is exercisable without a 200-query board
+    val LineBudget = sys.env.get("SPARK_GRAFT_LINE_BUDGET")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1900)
+    var kept = keys
+    var line = lineOf(kept, 0)
+    while (line.length > LineBudget && kept.nonEmpty) {
+      val victim = kept.minBy { case (kk, v) =>
+        (if (v < 0) Double.MaxValue else v, kk) // never drop a failure
+      }
+      kept = kept.filterNot(_ == victim)
+      line = lineOf(kept, keys.size - kept.size)
+    }
+    if (kept.size < keys.size)
+      System.err.println(s"[bench] line over $LineBudget chars - " +
+        s"dropped ${keys.size - kept.size} cheapest entries (sidecar " +
+        "keeps all)")
+    println(line)
     System.out.flush()
     // shutdown warnings printing AFTER the JSON line would evict it from
     // the driver's 2000-char tail window

@@ -786,6 +786,49 @@ object Pipeline {
       epochShuffleStream(s, dir).orderBy($"epoch", $"skey")
     },
 
+    "p20_length_bucket_curve" -> { (s, dir) =>
+      import s.implicits._
+      // SEQUENCE-LENGTH BUCKETING CURVE — the measured-knob table for
+      // the batching trick every trainer uses: group documents into
+      // length buckets before batching, because a batch pads every
+      // sequence to its longest member and mixed-length batches burn
+      // compute on pad tokens. The padding cost of a bucketing is
+      // BOUNDED ANALYTICALLY — within a bucket, any batch pads to at
+      // most the bucket's max length, so padded <= n_docs·max_len per
+      // bucket regardless of which docs land in which batch — and that
+      // bound is exactly what this query measures per bucket width
+      // (none / 64-token / 16-token): real tokens, worst-case padded
+      // tokens, waste fraction, plus bucket/batch counts for the
+      // scheduler. Deliberately NO batch assignment and NO rank: the
+      // bound needs only per-bucket (count, max, sum) — three
+      // map-side-partial aggregates on a narrow length frame fanned
+      // out over a 3-row broadcast config table; the no-bucketing row
+      // degenerates to the corpus-wide 1 − mean/max, the number that
+      // justifies bucketing at all. The tail-batch inflation real
+      // loaders see on top of this bound is batch-size policy, not
+      // bucketing, and stays out of the measurement on purpose.
+      val lens = docs(s, dir).filter($"text".isNotNull)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("len"))
+      val cfgs = Seq(("none", 1073741824L), ("w64", 64L), ("w16", 16L))
+        .toDF("config", "bucket_width")
+      lens.crossJoin(broadcast(cfgs))
+        .withColumn("bucket", expr("len div bucket_width"))
+        .groupBy($"config", $"bucket_width", $"bucket")
+        .agg(count(lit(1)).as("n"), max($"len").as("mx"),
+          sum($"len").as("rl"))
+        .groupBy($"config", $"bucket_width")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum($"n").as("n_docs"),
+          sum(expr(s"(n + $BucketBatchDocs - 1) div $BucketBatchDocs"))
+            .as("n_batches"),
+          sum($"rl").as("real_tokens"),
+          sum($"n" * $"mx").as("padded_tokens"))
+        .withColumn("waste_frac", round(lit(1.0) -
+          $"real_tokens" / $"padded_tokens".cast("double"), 6))
+        .orderBy($"config")
+    },
+
     "p19_resume_plan" -> { (s, dir) =>
       import s.implicits._
       // TRAINING-RUN RESUME PLAN — the crash-recovery arithmetic p14's
@@ -918,6 +961,11 @@ object Pipeline {
     */
   private val ResumeWorkers = 4
   private val ResumeSteps = 10
+
+  /** p20's batch size in documents (batch-count context only; the
+    * waste bound itself is batch-size-free — see the query doc).
+    */
+  private val BucketBatchDocs = 32L
 
   /** p14's shuffled chunk stream, UNSORTED — (epoch, skey, source,
     * shard, chunk), one row per (chunk identity, epoch) with the
@@ -1222,6 +1270,31 @@ object Pipeline {
          |  md5(array_to_string(list_slice(string_split(text, ' '),
          |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
          |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin,
+
+    "p20_length_bucket_curve" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |cfgs(config, bucket_width) AS (VALUES
+         |  ('none', CAST(1073741824 AS BIGINT)),
+         |  ('w64', CAST(64 AS BIGINT)), ('w16', CAST(16 AS BIGINT))),
+         |perb AS (
+         |  SELECT config, bucket_width, len // bucket_width AS bucket,
+         |    count(*) AS n, max(len) AS mx,
+         |    CAST(sum(len) AS BIGINT) AS rl
+         |  FROM lens CROSS JOIN cfgs
+         |  GROUP BY 1, 2, 3)
+         |SELECT config, bucket_width,
+         |  count(*) AS n_buckets,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum((n + $BucketBatchDocs - 1) // $BucketBatchDocs)
+         |    AS BIGINT) AS n_batches,
+         |  CAST(sum(rl) AS BIGINT) AS real_tokens,
+         |  CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+         |  round(1.0 - CAST(sum(rl) AS DOUBLE)
+         |    / CAST(sum(n * mx) AS DOUBLE), 6) AS waste_frac
+         |FROM perb GROUP BY 1, 2 ORDER BY config""".stripMargin,
 
     "p19_resume_plan" ->
       s"""WITH d AS (

@@ -197,6 +197,55 @@ object Multimodal {
         .orderBy($"media_id", $"frame_idx")
     },
 
+    "m10_context_budget" -> { (s, dir) =>
+      import s.implicits._
+      // MULTIMODAL CONTEXT-BUDGET CARD — the table a mixed-modality
+      // batch planner reads before p18-style budgeting, because media
+      // tokens DOMINATE interleaved samples and each modality has its
+      // own token model: images cost a ViT patch grid
+      // (ceil(w/16)·ceil(h/16)), audio costs codec frames
+      // (duration / 80 ms), video costs its 1 Hz sampled frames (m09's
+      // schedule) times the patch grid, and the paired text costs its
+      // whitespace tokens. Per format: item counts, text vs media
+      // token totals, the media share, and the 2048-token context
+      // windows the combined samples fill — at the fixture dims the
+      // card reads ~99% media share for images and video, the
+      // vision-dominance fact that makes text-only token budgeting
+      // wrong for multimodal mixes. All integer arithmetic on the
+      // deterministic metadata (m09's duration proxy), one narrow id
+      // join for the text side, one per-format agg; engine-exact by
+      // construction.
+      val text = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id".as("media_id"),
+          when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long"))
+            .as("text_toks"))
+      mediaTable(s, dir)
+        .withColumn("blen", octet_length($"content").cast("long"))
+        .withColumn("fps", ($"media_id" % 2 * 6 + 24).cast("long"))
+        .withColumn("media_toks",
+          when($"format".isin("png", "jpeg"),
+            expr("((width + 15) div 16) * ((height + 15) div 16)")
+              .cast("long"))
+          .when($"format" === "wav", expr("(blen * 40) div 80"))
+          .otherwise( // mp4: m09's 1 Hz samples x the patch grid
+            when(expr("(blen * 40 * fps) div 1000") >= 1,
+              (expr("(((blen * 40 * fps) div 1000) - 1) div fps") + 1) *
+                expr("((width + 15) div 16) * ((height + 15) div 16)"))
+            .otherwise(lit(0L))))
+        .join(text, "media_id")
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"text_toks").as("text_tokens"),
+          sum($"media_toks").as("media_tokens"),
+          round(sum($"media_toks").cast("double") /
+            (sum($"media_toks") + sum($"text_toks")).cast("double"), 6)
+            .as("media_share"),
+          sum(expr("(text_toks + media_toks + 2047) div 2048"))
+            .as("ctx_windows"))
+        .orderBy($"format")
+    },
+
     "m01_media_catalog" -> { (s, dir) =>
       import s.implicits._
       // Catalog stats per format: byte sizes + dimension aggregates over
@@ -409,6 +458,45 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "m10_context_budget" ->
+      s"""WITH $mediaSql,
+         |t AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |      ELSE len(string_split(text, ' ')) END AS BIGINT)
+         |      AS text_toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT media_id, format,
+         |    CAST(strlen(content) AS BIGINT) AS blen,
+         |    CAST(media_id % 2 * 6 + 24 AS BIGINT) AS fps,
+         |    width, height
+         |  FROM media),
+         |tok AS (
+         |  SELECT media_id, format,
+         |    CASE
+         |      WHEN format IN ('png', 'jpeg') THEN
+         |        CAST(((width + 15) // 16) * ((height + 15) // 16)
+         |          AS BIGINT)
+         |      WHEN format = 'wav' THEN (blen * 40) // 80
+         |      WHEN (blen * 40 * fps) // 1000 >= 1 THEN
+         |        ((((blen * 40 * fps) // 1000) - 1) // fps + 1) *
+         |          CAST(((width + 15) // 16) * ((height + 15) // 16)
+         |            AS BIGINT)
+         |      ELSE 0
+         |    END AS media_toks
+         |  FROM m)
+         |SELECT format, count(*) AS n_items,
+         |  CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+         |  CAST(sum(media_toks) AS BIGINT) AS media_tokens,
+         |  round(CAST(sum(media_toks) AS DOUBLE)
+         |    / CAST(sum(media_toks) + sum(text_toks) AS DOUBLE), 6)
+         |    AS media_share,
+         |  CAST(sum((text_toks + media_toks + 2047) // 2048) AS BIGINT)
+         |    AS ctx_windows
+         |FROM tok JOIN t USING (media_id)
+         |GROUP BY format ORDER BY format""".stripMargin,
+
     "m09_frame_sample_plan" ->
       s"""WITH $mediaSql,
          |v AS (

@@ -36,18 +36,28 @@ object HybridIndex {
     * shape the board bans, for a value the row order already carries.
     */
   def search(s: SparkSession, textDir: String, annDir: String,
-      terms: Seq[String], qv: Seq[Double], n: Int, k: Int): DataFrame = {
+      terms: Seq[String], qv: Seq[Double], n: Int, k: Int,
+      allow: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
+    // one allowlist scopes BOTH sides (the fixture id space is shared;
+    // a deployment passes the same entity-id set) — pushed into each
+    // index's own pre-top-k filter leg, never post-filtered here:
+    // post-filtering the fused list under-returns exactly like
+    // post-filtering either side (the s08 argument, squared)
+    val allowText = allow.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val allowAnn = allow.map(a =>
+      a.select(col(a.columns.head).as("vec_id")))
     // both sides normalized to (side, doc_id, sortv) with ASC-better
     // sort values, so one side-partitioned window ranks both: the
     // lexical side negates its DESC-better score; the vector side's
     // ADC distance is ASC-better already (and re-ranking it here by
     // (adc, id) reproduces AnnIndex's own rnk definition exactly).
-    val bmSide = TextIndex.search(s, textDir, terms, n)
+    val bmSide = TextIndex.search(s, textDir, terms, n, allowText)
       .select(lit("bm").as("side"), $"doc_id",
         (-$"bm25d".cast("double")).as("sortv"))
     val annSide = AnnIndex.search(s, annDir,
-        Seq((-1L, qv)).toDF("q_id", "qv"), n)
+        Seq((-1L, qv)).toDF("q_id", "qv"), n, allowAnn)
       .select(lit("ann").as("side"), $"n_id".as("doc_id"),
         $"adc".cast("double").as("sortv"))
     val w = Window.partitionBy($"side").orderBy($"sortv", $"doc_id")

@@ -62,9 +62,10 @@ object AnnIndex {
     * one corpus encode with flat ADC, s17).
     */
   def build(s: SparkSession, dir: String, indexDir: String,
-      byResidual: Boolean = false): Unit =
+      byResidual: Boolean = false,
+      storeVectors: Boolean = false): Unit =
     buildFrom(s, Similarity.emb(s, dir).select(col("vec_id"), col("v")),
-      indexDir, byResidual)
+      indexDir, byResidual, storeVectors)
 
   /** [[build]] for ANY vector frame: `vectors` is (vec_id LONG,
     * v ARRAY<DOUBLE>) with Similarity.Dim components — embeddings,
@@ -86,10 +87,18 @@ object AnnIndex {
     * `ArtifactSwap.buildSwap`.
     */
   def buildFrom(s: SparkSession, vectors: DataFrame, indexDir: String,
-      byResidual: Boolean): Unit = {
+      byResidual: Boolean, storeVectors: Boolean = false): Unit = {
     import s.implicits._
     ArtifactSwap.buildSwap(s, indexDir, "vec_id", tmp => {
       val e = vectors.select($"vec_id", $"v")
+      // the optional refine artifact (FAISS IndexRefineFlat's raw
+      // store): full-precision vectors, vec_id-range-sorted so the
+      // refine stage's bounded candidate IN-filter prunes to
+      // min/max-tight row groups instead of scanning the corpus copy
+      if (storeVectors)
+        e.repartitionByRange(4, $"vec_id")
+          .sortWithinPartitions($"vec_id")
+          .write.mode("overwrite").parquet(s"$tmp/vectors")
       s.createDataset(Seq(byResidual)).toDF("by_residual")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       val (_, cents) = Similarity.kmTrain(s, e)
@@ -197,8 +206,20 @@ object AnnIndex {
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
       .write.mode("overwrite").parquet(codeTmp.toString)
+    // the optional refine store compacts through the same protocol
+    val vecDst = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val vecTmp = new org.apache.hadoop.fs.Path(s"$indexDir/vectors.tmp")
+    ArtifactSwap.recoverSwap(fs, vecDst, vecTmp)
+    if (fs.exists(vecDst)) {
+      s.read.parquet(vecDst.toString)
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .repartitionByRange(4, $"vec_id")
+        .sortWithinPartitions($"vec_id")
+        .write.mode("overwrite").parquet(vecTmp.toString)
+    }
     ArtifactSwap.swapDirs(fs, invTmp, invDst)
     ArtifactSwap.swapDirs(fs, codeTmp, codeDst)
+    if (fs.exists(vecTmp)) ArtifactSwap.swapDirs(fs, vecTmp, vecDst)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
   }
 
@@ -276,6 +297,20 @@ object AnnIndex {
       .repartitionByRange(4, $"vec_id")
       .sortWithinPartitions($"vec_id", $"sub")
       .write.mode("append").parquet(s"$indexDir/codes")
+    // refine store, when this index carries one: appended BEFORE the
+    // lists for the same reason codes are (a list row is a promise the
+    // refine stage can fetch the raw vector — a vector-less candidate
+    // would silently vanish from every REFINED ranking), with its own
+    // membership anti-join (the torn-append healing discipline)
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val vfs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (vfs.exists(vecPath)) {
+      val inVecs = s.read.parquet(vecPath.toString).select($"vec_id")
+      fresh.join(inVecs, Seq("vec_id"), "left_anti")
+        .repartitionByRange(4, $"vec_id")
+        .sortWithinPartitions($"vec_id")
+        .write.mode("append").parquet(vecPath.toString)
+    }
     afd.join(inInv, Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/invlists")
@@ -391,5 +426,57 @@ object AnnIndex {
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
     top.withColumn("rnk", row_number().over(w))
       .select($"q_id", $"n_id", $"adc", $"rnk")
+  }
+
+  /** REFINED search — the FAISS IndexRefineFlat stage, and the fix for
+    * the ADC caveat AdmissionStackSpec pins: ADC distance conflates
+    * true distance with codebook distortion, so for an
+    * out-of-distribution vector the distortion alone can exceed any
+    * threshold calibrated on in-distribution data. The cure is exact
+    * re-scoring of a bounded candidate set: take ADC's top-`depth` per
+    * query, fetch those candidates' FULL-PRECISION vectors from the
+    * `vectors/` refine artifact (written by `build(storeVectors =
+    * true)`), and re-rank by exact squared L2 — an exact copy then
+    * scores 0.0 no matter how badly its codes quantize. Returns
+    * (q_id, n_id, d2 DECIMAL, rnk), top-`k` by exact distance.
+    *
+    * Scale shape: the candidate set is bounded (|queries| × depth), so
+    * its ids resolve driver-side into an IN-literal the vec_id-sorted
+    * refine store prunes with row-group min/max stats — the refine
+    * read is proportional to the candidate set, never the corpus; the
+    * query side broadcasts; rerank-depth is the measured s28 knob.
+    */
+  def searchRefined(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, depth: Int, allow: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val vfs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ArtifactSwap.recoverSwap(vfs, vecPath,
+      new org.apache.hadoop.fs.Path(s"$indexDir/vectors.tmp"))
+    require(vfs.exists(vecPath),
+      s"refined search needs the vectors/ refine artifact — build the " +
+        s"index with storeVectors = true: $indexDir")
+    val cand = search(s, indexDir, queries, depth, allow)
+      .select($"q_id", $"n_id")
+      // bounded by construction; one evaluation feeds both the
+      // IN-literal resolve and the rerank join
+      .localCheckpoint()
+    val candIds = cand.select($"n_id").distinct()
+      .collect().map(_.getLong(0))
+    val vecs = s.read.parquet(vecPath.toString)
+      .filter(if (candIds.isEmpty) lit(false)
+        else $"vec_id".isin(candIds: _*))
+    val qv = broadcast(queries.select($"q_id", $"qv"))
+    val rescored = cand
+      .join(qv, "q_id")
+      .join(vecs, cand("n_id") === vecs("vec_id"))
+      .withColumn("d2", Similarity.kmDist2($"qv", $"v")
+        .cast("decimal(14,6)"))
+      .select($"q_id", $"n_id", $"d2")
+    val top = graft.plans.TopKPerKey(rescored, Seq("q_id"),
+      struct($"d2", $"n_id"), k)
+    val w = Window.partitionBy($"q_id").orderBy($"d2", $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"d2", $"rnk")
   }
 }

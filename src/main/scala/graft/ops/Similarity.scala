@@ -100,7 +100,7 @@ object Similarity {
     * both engines, on bit-identical inputs (parquet vectors; centroids
     * are 6 dp-rounded means).
     */
-  private[ops] def kmDist2(v: Column, cv: Column): Column =
+  private[graft] def kmDist2(v: Column, cv: Column): Column =
     round(dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv), 6)
 
   /** Nearest-cell assignment via s13's shuffle-free argmax: the n·k

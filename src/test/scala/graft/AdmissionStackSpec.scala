@@ -39,7 +39,7 @@ class AdmissionStackSpec extends SparkTestBase {
     DedupIndex.build(spark, corpus, dedupDir)
     AnnIndex.buildFrom(spark,
       emb.join(corpus.select($"doc_id".as("vec_id")), "vec_id"),
-      annDir, byResidual = false)
+      annDir, byResidual = false, storeVectors = true)
 
     // plants: X anchors the exact+near legs, Z the semantic leg
     val xText = corpus.filter($"text".isNotNull).orderBy($"doc_id")
@@ -116,5 +116,17 @@ class AdmissionStackSpec extends SparkTestBase {
       s"the re-ingested vector must find its indexed copy, strictly " +
         s"closer than its pre-admission nearest: ${reNn.getLong(0)} " +
         s"at ${reNn.getDouble(1)} vs pre-admission $freshAdc")
+    // ... and the REFINE stage (AnnIndex.searchRefined — exact
+    // re-scoring of the ADC candidates from the vectors artifact) is
+    // the cure: the exact copy scores 0.0 no matter how badly its
+    // codes quantize, so the semantic leg run at refine level catches
+    // the out-of-distribution copy the raw-ADC leg just missed.
+    val reRef = AnnIndex.searchRefined(spark, annDir,
+        Seq((900006L, farVec)).toDF("q_id", "qv"), 1, 20)
+      .select($"n_id", $"d2".cast("double")).head()
+    assert(reRef.getLong(0) == 900004L && reRef.getDouble(1) == 0.0 &&
+      reRef.getDouble(1) <= thr,
+      s"the refined semantic leg must catch the copy at exact 0.0, " +
+        s"under any calibrated threshold: $reRef")
   }
 }

@@ -467,6 +467,85 @@ class AnnIndexSpec extends SparkTestBase {
       s"streamed twin must be searchable: ${res.toSeq.sorted.take(10)}")
   }
 
+  test("refined search: exact re-scoring of ADC's top-depth from the " +
+      "vectors artifact — an exact copy scores 0.0 regardless of its " +
+      "quantization; the refine read prunes to the candidate ids") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-refined") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = false,
+      storeVectors = true)
+    val qRows = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = qRows.toSeq.toDF("q_id", "qv")
+
+    // expected: re-score ADC's top-depth against the corpus embeddings
+    // directly (the spec-side oracle), same distance definition
+    val depth = 20
+    val cand = AnnIndex.search(spark, indexDir, queries, depth)
+      .select($"q_id", $"n_id")
+    val emb = Tables.load(spark, sfVerify, "embeddings")
+      .select($"vec_id".as("n_id"),
+        $"embedding".cast("array<double>").as("v"))
+    val want = cand.join(queries.toDF("q_id", "qv"), "q_id")
+      .join(emb, "n_id")
+      .withColumn("d2", graft.ops.Similarity
+        .kmDist2($"qv", $"v").cast("decimal(14,6)"))
+      .select($"q_id", $"n_id", $"d2".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (BigDecimal(t._3), t._2)).take(5)
+          .zipWithIndex.map { case ((q, n, d), i) => (q, n, d, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    val got = AnnIndex.searchRefined(spark, indexDir, queries, 5, depth)
+      .select($"q_id", $"n_id", $"d2".cast("string"), $"rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"refined ranking must equal exact re-scoring of the ADC " +
+        s"candidates; got ${got.take(3).mkString(",")} vs " +
+        s"${want.take(3).mkString(",")}")
+
+    // the headline property: an exact copy of an indexed vector
+    // refines to distance 0.0 at rank 1, however its codes quantize —
+    // the cure for the raw-ADC distortion caveat AdmissionStackSpec
+    // pins on out-of-distribution vectors
+    val twinQ = Seq((-5L, qRows.find(_._1 == 7L).get._2))
+      .toDF("q_id", "qv")
+    val twinTop = AnnIndex.searchRefined(spark, indexDir, twinQ, 1, depth)
+      .select($"n_id", $"d2".cast("double")).head()
+    assert(twinTop.getLong(0) == 7L && twinTop.getDouble(1) == 0.0,
+      s"an exact copy must refine to its twin at 0.0: $twinTop")
+
+    // plan: the refine read must prune by the candidate IN-filter and
+    // never scan the embeddings corpus
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val refined = AnnIndex.searchRefined(spark, indexDir, queries, 5, depth)
+    refined.collect()
+    val ss = scans(refined.queryExecution.executedPlan)
+    assert(!ss.exists(_.relation.location.rootPaths.mkString
+        .contains("embeddings")),
+      "the refined search must never scan the vector corpus")
+    val vecScan = ss.find(_.relation.location.rootPaths.mkString
+      .contains("vectors"))
+    assert(vecScan.isDefined &&
+      vecScan.get.dataFilters.mkString.contains("vec_id"),
+      s"the refine read must carry the candidate id filter into the " +
+        s"scan: ${vecScan.map(_.dataFilters)}")
+  }
+
   test("filtered search: an allowlist excises ids from the ranking " +
       "BEFORE the top-k cut (never post-filter under-return)") {
     import spark.implicits._

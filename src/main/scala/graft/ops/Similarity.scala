@@ -42,6 +42,9 @@ object Similarity {
     * from below, the d23/s25/p17 bracketing discipline. */
   private val RerankDepths = Seq(5, 10, 25, 50)
 
+  /** s29/s30's refine depth — s28's shipped rerank-depth point. */
+  private val RefineDepth = 50
+
   private[ops] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -354,7 +357,8 @@ object Similarity {
     * the cross-subspace sum is exact and order-insensitive in both
     * engines — the ranking hash-gates.
     */
-  private def ivfpqTopKCore(s: SparkSession, dir: String): DataFrame = {
+  private def ivfpqTopKCore(s: SparkSession, dir: String,
+      topK: Int = K): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     // coarse half: trained cells + full-corpus inverted lists (s14)
@@ -389,10 +393,40 @@ object Similarity {
       .groupBy($"q_id", $"n_id")
       .agg(sum($"qd2").as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
-      struct($"adc", $"n_id"), K)
+      struct($"adc", $"n_id"), topK)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
     top.withColumn("rnk", row_number().over(w))
       .select($"q_id", $"n_id", $"adc", $"rnk")
+  }
+
+  /** IVF-PQ + EXACT-RERANK core (s29/s30) — the full FAISS serving
+    * chain (IndexIVFPQ + RefineFlat): the composed index proposes its
+    * ADC top-RefineDepth per query, full-precision vectors re-score
+    * exactly those candidates by exact cosine, and the final top-K is
+    * ranked on the EXACT metric. This is the stage that repairs both
+    * ADC losses at once — quantization error AND the L2-vs-cosine
+    * metric gap — for the price of RefineDepth vector fetches per
+    * query (the s28-measured knob; 50 is its shipped point). Scale
+    * shape: the candidate set is bounded (NQueries x RefineDepth), the
+    * query side broadcasts, the corpus contributes one narrow
+    * id-equi-join for the candidate vectors (the standard rescore
+    * shape), and the final cut is the bounded-heap TopKPerKey.
+    */
+  private def ivfpqRefinedCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = ivfpqTopKCore(s, dir, RefineDepth).select($"q_id", $"n_id")
+    val e = emb(s, dir)
+    val qv = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val rescored = cand.join(broadcast(qv), "q_id")
+      .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+      .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+      .select($"q_id", $"n_id", $"cos")
+    val top = graft.plans.TopKPerKey(rescored, Seq("q_id"),
+      struct($"cos" * -1, $"n_id"), K)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    top.withColumn("rnk", row_number().over(w))
+      .select($"q_id", $"n_id", $"cos", $"rnk")
   }
 
   /** DuckDB twin of [[pqTrain]] + full-corpus encode: CTE chain ending
@@ -1247,6 +1281,36 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s29_ivfpq_refined_topk" -> { (s, dir) =>
+      import s.implicits._
+      // The composed index WITH its refine stage (see
+      // ivfpqRefinedCore) — the chain a deployment actually serves:
+      // ADC proposes, exact vectors dispose. Beside s19 (ADC-final),
+      // the pair shows what RefineDepth vector fetches per query buy;
+      // s30 puts the number on it.
+      ivfpqRefinedCore(s, dir)
+        .select($"q_id", $"n_id", $"cos", $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s30_ivfpq_refined_recall" -> { (s, dir) =>
+      import s.implicits._
+      // Recall@K of the refined chain vs the exact baseline — the
+      // sixth row of the index-audit family (s06 LSH, s15 IVF, s18
+      // flat PQ, s20 IVF-PQ, s24 residual, s30 refined IVF-PQ). s30
+      // vs s20 isolates what the refine stage buys at the same probe
+      // settings: every exact top-K neighbor that survives in ADC's
+      // top-RefineDepth is recovered, so the only remaining loss is
+      // candidates the coarse+code stages never proposed.
+      val approx = ivfpqRefinedCore(s, dir).select($"q_id", $"n_id")
+      exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+        .withColumn("recall", round($"n_hits" / lit(K.toDouble), 4))
+        .orderBy($"q_id")
+    },
+
     "s23_ivfpq_residual_topk" -> { (s, dir) =>
       import s.implicits._
       // Residual-encoded IVF-PQ — FAISS's by_residual=true DEFAULT
@@ -1765,6 +1829,129 @@ object Similarity {
          |    SELECT q_id, n_id, row_number() OVER (
          |      PARTITION BY q_id ORDER BY adc, n_id) AS rnk
          |    FROM adc) WHERE rnk <= $K),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT xq.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+         |      AS cos
+         |  FROM xq JOIN en ON xq.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K)
+         |SELECT x.q_id,
+         |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) / $K.0, 4) AS recall
+         |FROM xtop x LEFT JOIN atop a
+         |  ON a.q_id = x.q_id AND a.n_id = x.n_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    "s29_ivfpq_refined_topk" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id,
+         |    round(list_dot_product(q.qv, e2.v)
+         |      / (sqrt(list_dot_product(q.qv, q.qv))
+         |         * sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |rtop AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM re)
+         |SELECT q_id, n_id, cos, rnk FROM rtop
+         |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    "s30_ivfpq_refined_recall" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id,
+         |    round(list_dot_product(q.qv, e2.v)
+         |      / (sqrt(list_dot_product(q.qv, q.qv))
+         |         * sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |rtop AS (
+         |  SELECT q_id, n_id, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM re),
+         |atop AS (SELECT q_id, n_id FROM rtop WHERE rnk <= $K),
          |en AS (
          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en

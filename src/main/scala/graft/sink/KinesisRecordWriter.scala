@@ -90,7 +90,9 @@ final class KinesisRecordWriter(
     stream: String,
     config: KinesisWriterConfig = KinesisWriterConfig(),
     listener: KinesisEventListener = KinesisEventListener.noop,
-    sleep: Long => Unit = Thread.sleep) extends Serializable {
+    sleep: Long => Unit = Thread.sleep,
+    deadLetter: (KinesisRecord, String) => Unit =
+      KinesisRecordWriter.noDeadLetter) extends Serializable {
   import KinesisRecordWriter.Attempt
 
   /** Write everything in `records`; returns the stats. Throws after
@@ -133,6 +135,8 @@ final class KinesisRecordWriter(
           dropped.foreach { case (a, r) =>
             listener.onError(s"dropping record after ${a.attempts} attempts: " +
               s"${r.errorCode.getOrElse("")} ${r.errorMessage.getOrElse("")}")
+            deadLetter(a.record, s"max_attempts:${a.attempts}:" +
+              s"${r.errorCode.getOrElse("")}")
           }
           stats = stats.copy(recordsDropped = stats.recordsDropped + dropped.size)
           pending = retry.map(_._1)
@@ -150,6 +154,8 @@ final class KinesisRecordWriter(
                 listener.onError(
                   s"dropping batch of ${attempt.size} after $consecutiveErrors " +
                     "consecutive request errors")
+                attempt.foreach(a => deadLetter(a.record,
+                  s"load_shed:$consecutiveErrors"))
                 stats = stats.copy(
                   recordsDropped = stats.recordsDropped + attempt.size)
                 pending = Seq.empty
@@ -170,4 +176,12 @@ final class KinesisRecordWriter(
 
 private object KinesisRecordWriter {
   private final case class Attempt(record: KinesisRecord, attempts: Int)
+
+  /** Default dead-letter sink: none. Both drop sites (the per-record
+    * attempt cap and the load-shed batch drop) route through the
+    * callback, so a configured DLQ sees EVERY record the at-least-once
+    * contract gives up on, with the reason it was given up.
+    */
+  private[sink] val noDeadLetter: (KinesisRecord, String) => Unit =
+    (_, _) => ()
 }

@@ -77,42 +77,80 @@ object KinesisSink extends Logging {
       col("data").cast(BinaryType))
   }
 
+  /** One row of the dead-letter quarantine: the record delivery gave
+    * up on (attempt-capped or load-shed), its routing, and the reason.
+    */
+  final case class DeadLetterRow(stream: String, partitionKey: String,
+      data: Array[Byte], reason: String)
+
+  /** Per-partition delivery core; returns the dead-lettered records
+    * (strictly — delivery completes before the iterator is handed
+    * back; the buffer holds only DROPPED records, bounded by the
+    * admission-bounded batch). Shared by both [[writeBatch]] actions.
+    */
+  private def deliverPartition(rows: Iterator[Row], o: KinesisSinkOptions,
+      m: Metrics): Iterator[DeadLetterRow] = {
+    val client = KinesisSinkOptions.resolveClient(o)
+    val listener: KinesisEventListener = new KinesisEventListener {
+      override def onError(msg: String): Unit = logWarning(s"kinesis-sink: $msg")
+    }
+    val dropped = mutable.ArrayBuffer.empty[DeadLetterRow]
+    val writers = mutable.Map.empty[String, KinesisRecordWriter]
+    val buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[KinesisRecord]]
+    def flush(stream: String): Unit = {
+      val buf = buffers(stream)
+      if (buf.nonEmpty) {
+        val w = writers.getOrElseUpdate(stream,
+          new KinesisRecordWriter(client, stream, o.writer, listener,
+            deadLetter = (r, why) =>
+              dropped += DeadLetterRow(stream, r.partitionKey, r.data, why)))
+        val stats = w.write(buf.iterator)
+        m.recordsSent.add(stats.recordsSent)
+        m.recordsDropped.add(stats.recordsDropped)
+        m.kinesisErrors.add(stats.kinesisErrors)
+        m.putRequests.add(stats.putRequests)
+        buf.clear()
+      }
+    }
+    rows.foreach { r =>
+      val stream = r.getString(0)
+      val buf = buffers.getOrElseUpdate(stream,
+        new mutable.ArrayBuffer[KinesisRecord](o.writer.batchSize))
+      buf += KinesisRecord(r.getString(1), r.getAs[Array[Byte]](2))
+      if (buf.size >= o.writer.batchSize) flush(stream)
+    }
+    buffers.keys.foreach(flush)
+    dropped.iterator
+  }
+
   /** Write one (micro-)batch. Runs one [[KinesisRecordWriter]] flush per
     * stream per partition; per-stream buffers hold at most `batchSize`
     * rows, so task memory is O(streams · batchSize) regardless of
     * partition size.
+    *
+    * With `dead_letter_path` configured, the SAME delivery pass runs as
+    * a `mapPartitions` whose action is a parquet append of the
+    * quarantined records — the DLQ files land through Spark's
+    * committer (no torn files; a failed job's attempts are discarded),
+    * and delivery keeps its at-least-once contract: a replayed epoch
+    * re-sends and may re-quarantine (dedup on read by partitionKey if
+    * needed). The reference can only COUNT its drops (StatsBatch); the
+    * quarantine keeps the records themselves for replay/forensics.
+    * Micro-batches append small files — `Layout.compact` is the
+    * maintenance op.
     */
-  def writeBatch(wire: DataFrame, o: KinesisSinkOptions, m: Metrics): Unit = {
-    wire.foreachPartition { rows: Iterator[Row] =>
-      val client = KinesisSinkOptions.resolveClient(o)
-      val listener: KinesisEventListener = new KinesisEventListener {
-        override def onError(msg: String): Unit = logWarning(s"kinesis-sink: $msg")
-      }
-      val writers = mutable.Map.empty[String, KinesisRecordWriter]
-      val buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[KinesisRecord]]
-      def flush(stream: String): Unit = {
-        val buf = buffers(stream)
-        if (buf.nonEmpty) {
-          val w = writers.getOrElseUpdate(stream,
-            new KinesisRecordWriter(client, stream, o.writer, listener))
-          val stats = w.write(buf.iterator)
-          m.recordsSent.add(stats.recordsSent)
-          m.recordsDropped.add(stats.recordsDropped)
-          m.kinesisErrors.add(stats.kinesisErrors)
-          m.putRequests.add(stats.putRequests)
-          buf.clear()
+  def writeBatch(wire: DataFrame, o: KinesisSinkOptions, m: Metrics): Unit =
+    o.deadLetterPath match {
+      case None =>
+        wire.foreachPartition { rows: Iterator[Row] =>
+          deliverPartition(rows, o, m).foreach(_ => ()) // drops counted only
         }
-      }
-      rows.foreach { r =>
-        val stream = r.getString(0)
-        val buf = buffers.getOrElseUpdate(stream,
-          new mutable.ArrayBuffer[KinesisRecord](o.writer.batchSize))
-        buf += KinesisRecord(r.getString(1), r.getAs[Array[Byte]](2))
-        if (buf.size >= o.writer.batchSize) flush(stream)
-      }
-      buffers.keys.foreach(flush)
+      case Some(path) =>
+        import org.apache.spark.sql.Encoders
+        wire.mapPartitions(rows => deliverPartition(rows, o, m))(
+            Encoders.product[DeadLetterRow])
+          .write.mode("append").parquet(path)
     }
-  }
 
   /** Batch-mode write (the library surface for non-streaming callers). */
   def write(df: DataFrame, options: Map[String, String]): Metrics = {

@@ -27,7 +27,8 @@ final case class KinesisSinkOptions(
     stream: Option[String],
     client: String,
     flushTimeoutMs: Long,
-    writer: KinesisWriterConfig)
+    writer: KinesisWriterConfig,
+    deadLetterPath: Option[String] = None)
 
 object KinesisSinkOptions {
   val DefaultFlushTimeoutMs: Long = 30000L // sink.go:19
@@ -46,6 +47,12 @@ object KinesisSinkOptions {
       client = opts.getOrElse("client", "sdk"),
       flushTimeoutMs = opts.get("kinesis_flush_timeout_ms").map(_.toLong)
         .getOrElse(DefaultFlushTimeoutMs),
+      // `dead_letter_path`: quarantine for records delivery gives up on
+      // (attempt-capped per-record drops; load-shed batch drops under
+      // on_persistent_error=drop). The reference can only COUNT drops
+      // (StatsBatch); a production sink needs the records themselves
+      // for replay/forensics. Beyond-parity, like the source.
+      deadLetterPath = opts.get("dead_letter_path"),
       writer = KinesisWriterConfig(
         // BatchSize fixed to the Kinesis cap by the reference (sink.go:51).
         batchSize = opts.get("batch_size").map(_.toInt).getOrElse(500),

@@ -155,6 +155,60 @@ class KinesisSinkSpec extends SparkTestBase {
       spark.conf.get("spark.sql.streaming.stopTimeout") != "20000")
   }
 
+  test("dead-letter quarantine: attempt-capped drops land in the DLQ " +
+      "parquet with routing + reason; delivered records are unaffected") {
+    import spark.implicits._
+    val fake = FakeKinesis.named("dlq1")
+    fake.clear()
+    val dlq = Files.createTempDirectory("graft-dlq").toString + "/q"
+    // the magic 'fail' partition key poisons one record (FakeKinesis
+    // parity with the reference's mock); two healthy records around it
+    val df = Seq(("ok1", "a"), ("fail", "poison"), ("ok2", "b"))
+      .toDF("partitionKey", "s")
+      .select($"partitionKey", $"s".cast("binary").as("data"))
+    val m = KinesisSink.write(df, Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "topic-d",
+      "client" -> "fake:dlq1", "max_attempts_per_record" -> "2",
+      "base_backoff_ms" -> "1", "dead_letter_path" -> dlq))
+    assert(m.recordsSent.value == 2 && m.recordsDropped.value == 1)
+    assert(fake.storedPayloads("topic-d").sorted == Seq("a", "b"))
+    val q = spark.read.parquet(dlq)
+      .select($"stream", $"partitionKey",
+        $"data".cast("string").as("payload"), $"reason")
+      .collect()
+    assert(q.length == 1, s"exactly the poison record quarantines: " +
+      s"${q.mkString(",")}")
+    val r = q.head
+    assert(r.getString(0) == "topic-d" && r.getString(1) == "fail" &&
+      r.getString(2) == "poison" &&
+      r.getString(3).startsWith("max_attempts:2"),
+      s"DLQ row must carry routing + payload + reason: $r")
+  }
+
+  test("dead-letter quarantine: a load-shed batch (persistent request " +
+      "errors under on_persistent_error=drop) quarantines whole") {
+    import spark.implicits._
+    val fake = FakeKinesis.named("dlq2")
+    fake.clear()
+    fake.failNextRequests.set(1000) // every request fails
+    val dlq = Files.createTempDirectory("graft-dlq2").toString + "/q"
+    val df = Seq("x1", "x2", "x3").toDF("s")
+      .select($"s".cast("binary").as("data"))
+      .coalesce(1)
+    val m = KinesisSink.write(df, Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "topic-e",
+      "client" -> "fake:dlq2", "on_persistent_error" -> "drop",
+      "base_backoff_ms" -> "1", "dead_letter_path" -> dlq))
+    fake.failNextRequests.set(0)
+    assert(m.recordsDropped.value == 3 && m.recordsSent.value == 0)
+    val q = spark.read.parquet(dlq)
+      .select($"data".cast("string").as("p"), $"reason").collect()
+    assert(q.map(_.getString(0)).sorted.toSeq == Seq("x1", "x2", "x3"),
+      s"the whole shed batch must quarantine: ${q.mkString(",")}")
+    assert(q.forall(_.getString(1).startsWith("load_shed:")),
+      "load-shed rows must carry the load_shed reason")
+  }
+
   test("sink option validation fails fast (batchproducer.go:143-153)") {
     intercept[IllegalArgumentException] {
       KinesisSinkOptions.fromMap(Map("stream" -> "s")) // region missing

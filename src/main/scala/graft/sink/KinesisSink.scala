@@ -160,6 +160,41 @@ object KinesisSink extends Logging {
     m
   }
 
+  /** Replay the dead-letter quarantine — the closed loop the DLQ
+    * exists for: after the fault is fixed (throttle lifted, stream
+    * recreated, payload bug patched), re-send everything quarantined
+    * so far and REMOVE what this replay consumed. The consumed set is
+    * snapshotted FIRST (file listing), so records quarantined by a
+    * concurrent writer — or re-quarantined by this very replay, if the
+    * fault persists — land in NEW files and survive untouched; the
+    * snapshot files are deleted only after the replay's delivery job
+    * (including its own DLQ append) completes. A crash between
+    * delivery and deletion re-replays on the next run — at-least-once,
+    * the sink's own contract, and the reason replay targets should
+    * tolerate duplicates (the partitionKey travels with the record for
+    * exactly that dedup). Returns the delivery metrics; rows whose
+    * delivery fails again are re-quarantined with fresh reasons.
+    */
+  def replayDeadLetters(spark: SparkSession,
+      options: Map[String, String]): Metrics = {
+    val o = KinesisSinkOptions.fromMap(options)
+    val path = o.deadLetterPath.getOrElse(throw new IllegalArgumentException(
+      "replayDeadLetters needs dead_letter_path"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Metrics.register(spark)
+    val consumed = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet"))
+    if (consumed.isEmpty) return Metrics.register(spark)
+    val m = Metrics.register(spark)
+    val quarantined = spark.read
+      .parquet(consumed.map(_.toString): _*)
+      .select(col("stream"), col("partitionKey"), col("data"))
+    writeBatch(quarantined, o, m)
+    consumed.foreach(f => fs.delete(f, false))
+    m
+  }
+
   /** `Close()` parity (S6, sink.go:111-126): drain-then-stop, bounding
     * the drain by the configured flush timeout
     * (`kinesis_flush_timeout_ms`, default 30 s like the reference's

@@ -209,6 +209,34 @@ class KinesisSinkSpec extends SparkTestBase {
       "load-shed rows must carry the load_shed reason")
   }
 
+  test("dead-letter replay: after the fault clears, replay re-sends " +
+      "the quarantine and removes exactly what it consumed") {
+    import spark.implicits._
+    val fake = FakeKinesis.named("dlq3")
+    fake.clear()
+    fake.failNextRequests.set(1000)
+    val dlq = Files.createTempDirectory("graft-dlq3").toString + "/q"
+    val opts = Map(
+      "aws_region_name" -> "us-east-1", "stream" -> "topic-f",
+      "client" -> "fake:dlq3", "on_persistent_error" -> "drop",
+      "base_backoff_ms" -> "1", "dead_letter_path" -> dlq)
+    val df = Seq("y1", "y2").toDF("s")
+      .select($"s".cast("binary").as("data")).coalesce(1)
+    KinesisSink.write(df, opts)
+    assert(fake.storedPayloads("topic-f").isEmpty &&
+      spark.read.parquet(dlq).count() == 2, "precondition: all shed")
+
+    fake.failNextRequests.set(0) // the fault clears
+    val m = KinesisSink.replayDeadLetters(spark, opts)
+    assert(m.recordsSent.value == 2 && m.recordsDropped.value == 0)
+    assert(fake.storedPayloads("topic-f").sorted == Seq("y1", "y2"),
+      "replay must deliver the quarantined records")
+    assert(spark.read.parquet(dlq).count() == 0,
+      "replay must remove exactly what it consumed")
+    // idempotent on an empty quarantine
+    assert(KinesisSink.replayDeadLetters(spark, opts).recordsSent.value == 0)
+  }
+
   test("sink option validation fails fast (batchproducer.go:143-153)") {
     intercept[IllegalArgumentException] {
       KinesisSinkOptions.fromMap(Map("stream" -> "s")) // region missing

@@ -70,16 +70,22 @@ object TextIndex {
       when(col("text").isNull, lit(0L))
         .otherwise(size(split(col("text"), " ")).cast("long")))
 
-  /** (doc_id, term, tf, len) — the postings rows of a (doc_id, text)
-    * frame. explode(split(null)) drops null-text docs, which is right:
-    * they have no postings, and the `docs` register still records them
-    * (their len-0 rows shape avgdl exactly as bm25Core's corpus count
-    * does).
+  /** (doc_id, term, tf, len, pos) — the POSITIONAL postings rows of a
+    * (doc_id, text) frame: `pos` is the sorted 0-based token positions
+    * of the term in its document, the column phrase search verifies
+    * adjacency against. explode(split(null)) drops null-text docs,
+    * which is right: they have no postings, and the `docs` register
+    * still records them (their len-0 rows shape avgdl exactly as
+    * bm25Core's corpus count does). BM25 scoring never reads `pos` —
+    * parquet column pruning keeps the score path's bytes unchanged.
     */
   private def postingsOf(d: DataFrame): DataFrame = {
     val lens = withLen(d)
-    lens.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    lens.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p").cast("long"))).as("pos"))
       .join(lens.select(col("doc_id"), col("len")), "doc_id")
   }
 
@@ -289,6 +295,60 @@ object TextIndex {
       .partitionBy($"q_id").orderBy($"bm25d".desc, $"doc_id")
     top.withColumn("rnk", row_number().over(w))
       .select($"q_id", $"doc_id", $"n_terms", $"bm25d", $"rnk")
+  }
+
+  /** PHRASE search over the positional postings: top-`k` documents
+    * containing the exact consecutive token sequence `phrase`, ranked
+    * by occurrence count (overlapping starts count; ties to the lowest
+    * doc_id). Output (doc_id, phrase_tf) in rank order. The classic
+    * positional-index query BM25's bag-of-words scoring cannot
+    * express: "spark window" as a phrase is NOT `spark AND window`.
+    *
+    * Scale shape: the postings scan prunes to the phrase terms'
+    * buckets exactly like [[search]]; each phrase slot contributes one
+    * per-doc positions row, the |phrase|-way join is keyed on doc_id
+    * and only docs containing ALL terms survive it (the inner join IS
+    * the conjunctive filter), and adjacency verification is per-row
+    * array arithmetic — `array_contains(pos_i, start + i)` — never an
+    * explode of more than the first slot's occurrences. Nothing
+    * touches corpus text.
+    */
+  def searchPhrase(s: SparkSession, indexDir: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    ArtifactSwap.recover(s, indexDir,
+      s"$indexDir/postings", s"$indexDir/docs")
+    val postTbl = s.read.parquet(s"$indexDir/postings")
+    val tbs = phrase.distinct.toDF("term").select(termBucket($"term"))
+      .distinct().collect().map(_.getLong(0))
+    val tbLits: Seq[Any] =
+      if (postTbl.schema("tb").dataType ==
+          org.apache.spark.sql.types.IntegerType) tbs.toSeq.map(_.toInt)
+      else tbs.toSeq
+    val tomb = broadcast(tombstones(s, indexDir)
+      .withColumnRenamed("doc_id", "del_id"))
+    // torn-dup collapse: duplicate rows carry identical position
+    // arrays, so max() restores the single-write value (the search
+    // discipline); lazily checkpointed — every phrase slot forks here
+    val pruned = postTbl
+      .filter(if (tbLits.isEmpty) lit(false) else $"tb".isin(tbLits: _*))
+      .filter($"term".isin(phrase.distinct: _*))
+      .join(tomb, $"doc_id" === $"del_id", "left_anti")
+      .groupBy($"doc_id", $"term").agg(max($"pos").as("pos"))
+      .localCheckpoint(eager = false)
+    val joined = phrase.zipWithIndex.map { case (t, i) =>
+      pruned.filter($"term" === t).select($"doc_id", $"pos".as(s"pos_$i"))
+    }.reduce((a, b) => a.join(b, "doc_id"))
+    val adjacent = (1 until phrase.size)
+      .map(i => array_contains(col(s"pos_$i"), $"st" + i))
+      .foldLeft(lit(true))(_ && _)
+    joined
+      .withColumn("st", explode($"pos_0"))
+      .filter(adjacent)
+      .groupBy($"doc_id").agg(count(lit(1)).as("phrase_tf"))
+      .orderBy($"phrase_tf".desc, $"doc_id").limit(k)
+      .select($"doc_id", $"phrase_tf")
   }
 
   /** The shared scoring core: per-(doc, term) BM25 contributions for

@@ -209,6 +209,39 @@ class TextIndexSpec extends SparkTestBase {
         "it does not retrain the model)")
   }
 
+  test("phrase search: positional adjacency over the pruned postings " +
+      "equals a brute-force sliding-window count; conjunctive filter " +
+      "by construction") {
+    import spark.implicits._
+    val indexDir = tmpDir("text-index-phrase") + "/idx"
+    TextIndex.build(spark, docs(), indexDir)
+    val toks = docs().filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    // phrases drawn from REAL text, so presence is guaranteed: the
+    // lowest doc's first bigram and first trigram
+    val first = toks.minBy(_._1)._2
+    for (m <- Seq(2, 3)) {
+      val phrase = first.take(m)
+      val want = toks
+        .map { case (id, ts) =>
+          (id, ts.sliding(m).count(_ == phrase).toLong)
+        }
+        .filter(_._2 > 0)
+        .sortBy { case (id, n) => (-n, id) }.take(10)
+      val got = TextIndex.searchPhrase(spark, indexDir, phrase, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.nonEmpty && got.sameElements(want),
+        s"phrase '$phrase' ranking must equal the sliding-window " +
+          s"truth; got ${got.take(5).mkString(",")} vs " +
+          s"${want.take(5).mkString(",")}")
+    }
+    // a phrase whose terms co-occur nowhere adjacently returns empty
+    // (the conjunctive join + adjacency filter, not an error)
+    val bogus = Seq(first.head, "zzz-not-a-token")
+    assert(TextIndex.searchPhrase(spark, indexDir, bogus, 10).isEmpty)
+  }
+
   test("streaming ingest: a document stream appends via foreachBatch; " +
       "at-least-once redelivery is absorbed; the final search equals " +
       "the one-shot full build") {

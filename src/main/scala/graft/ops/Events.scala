@@ -385,6 +385,36 @@ object Events {
         .orderBy($"hour_start", $"event_type")
     },
 
+    "e33_trending_types" -> { (s, dir) =>
+      import s.implicits._
+      // TRENDING per window — the dashboard analytic e01's counts feed:
+      // each hour's top-3 event types by volume, with the RANK
+      // MOVEMENT against the previous hour (prev_rnk null = a new
+      // entrant; positive delta = climbing). Scale shapes: the heavy
+      // lifting is e01's hourly agg (map-side partials to a
+      // |hours|×|types| frame); the rank window partitions on the
+      // real hour key with |types|-bounded partitions; the
+      // previous-hour comparison is an equi-join on (hour+1h, type) —
+      // a shifted self-join of the tiny ranked frame, never a lag
+      // window over the event stream.
+      val hourly = ev(s, dir)
+        .groupBy(window($"ts", "1 hour").getField("start")
+          .as("hour_start"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"hour_start")
+        .orderBy($"n".desc, $"event_type")
+      val ranked = hourly.withColumn("rnk", row_number().over(w))
+        .localCheckpoint(eager = false) // tiny; consumed twice (top + prev)
+      val prev = ranked.select(
+        ($"hour_start" + expr("INTERVAL 1 HOUR")).as("hour_start"),
+        $"event_type", $"rnk".as("prev_rnk"))
+      ranked.filter($"rnk" <= 3)
+        .join(prev, Seq("hour_start", "event_type"), "left")
+        .select($"hour_start", $"event_type", $"n", $"rnk",
+          $"prev_rnk", ($"prev_rnk" - $"rnk").as("rank_delta"))
+        .orderBy($"hour_start", $"rnk")
+    },
+
     "e02_json_stats" -> { (s, dir) =>
       import s.implicits._
       // JSON extraction from the props payload (schema-on-read).
@@ -1299,6 +1329,25 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e33_trending_types" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY hour_start ORDER BY n DESC, event_type) AS rnk
+        |  FROM hourly),
+        |prev AS (
+        |  SELECT hour_start + INTERVAL 1 HOUR AS hour_start,
+        |    event_type, rnk AS prev_rnk
+        |  FROM ranked)
+        |SELECT r.hour_start, r.event_type, r.n, r.rnk, p.prev_rnk,
+        |  p.prev_rnk - r.rnk AS rank_delta
+        |FROM ranked r LEFT JOIN prev p
+        |  ON p.hour_start = r.hour_start AND p.event_type = r.event_type
+        |WHERE r.rnk <= 3 ORDER BY r.hour_start, r.rnk""".stripMargin,
 
     "e02_json_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -1265,6 +1265,43 @@ object Dedup {
         .orderBy($"radius")
     },
 
+    "d29_cluster_size_histogram" -> { (s, dir) =>
+      import s.implicits._
+      // DUPLICATE-CLUSTER MASS DISTRIBUTION — the "how bad is it"
+      // summary an operator reads before picking dedup aggressiveness:
+      // for every cluster size (1 = unclustered, completing the
+      // histogram), how many clusters, how many documents they hold,
+      // the EXCESS copies dedup would remove ((size-1)·clusters), and
+      // that excess as a corpus share. A corpus whose excess
+      // concentrates in a few giant clusters needs the boilerplate
+      // treatment (d20/d26); one whose excess spreads across many
+      // pairs needs the pairwise pipeline — this table is how you
+      // tell, and summed excess_share is the exact dedup savings
+      // d11's survivor corpus realizes. Scale shapes: components over
+      // the band-bounded verified pairs (d08's machinery, tiny
+      // relative to the corpus), two label-keyed aggs, a 1-row corpus
+      // total broadcast; the histogram is |distinct sizes| rows.
+      val comp = components(s,
+        verifiedPairs(s, dir).select($"a_id", $"b_id"))
+      val sizes = comp.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+      val hist = sizes.groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+      val total = docs(s, dir).agg(count(lit(1)).as("n_corpus"))
+      val clustered = sizes
+        .agg(coalesce(sum($"cluster_size"), lit(0L)).as("n_clustered"))
+      val single = total.crossJoin(clustered)
+        .select(lit(1L).as("cluster_size"),
+          ($"n_corpus" - $"n_clustered").as("n_clusters"))
+      hist.select($"cluster_size", $"n_clusters").union(single)
+        .crossJoin(broadcast(total))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"),
+          (($"cluster_size" - 1) * $"n_clusters").as("n_excess"),
+          round((($"cluster_size" - 1) * $"n_clusters") /
+            $"n_corpus".cast("double"), 6).as("excess_share"))
+        .orderBy($"cluster_size")
+    },
+
     "d24_cross_source_dup_matrix" -> { (s, dir) =>
       import s.implicits._
       // WHERE the duplication lives: d03's verified near-dup pairs
@@ -1873,6 +1910,48 @@ object Dedup {
            |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
            |SELECT a AS doc_id, min(b) AS canonical_id
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+      "d29_cluster_size_histogram" ->
+        s"""WITH RECURSIVE $shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sigs sa ON sa.doc_id = a_id
+           |  JOIN sigs sb ON sb.doc_id = b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |und AS (SELECT a_id AS a, b_id AS b FROM pairs
+           |        UNION SELECT b_id, a_id FROM pairs),
+           |nodes AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+           |reach(a, b) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |comp AS (SELECT a AS doc_id, min(b) AS lbl
+           |         FROM reach GROUP BY a),
+           |sizes AS (SELECT lbl, count(*) AS cluster_size
+           |          FROM comp GROUP BY lbl),
+           |hist AS (SELECT cluster_size, count(*) AS n_clusters
+           |         FROM sizes GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_corpus FROM documents),
+           |clus AS (SELECT COALESCE(CAST(sum(cluster_size) AS BIGINT), 0)
+           |           AS n_clustered FROM sizes),
+           |fl AS (
+           |  SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           |    CAST(n_clusters AS BIGINT) AS n_clusters FROM hist
+           |  UNION ALL
+           |  SELECT CAST(1 AS BIGINT), n_corpus - n_clustered
+           |  FROM tot CROSS JOIN clus)
+           |SELECT cluster_size, n_clusters,
+           |  cluster_size * n_clusters AS n_docs,
+           |  (cluster_size - 1) * n_clusters AS n_excess,
+           |  round((cluster_size - 1) * n_clusters
+           |    / CAST(n_corpus AS DOUBLE), 6) AS excess_share
+           |FROM fl CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
 
       "d09_salted_components" ->
         s"""WITH RECURSIVE $shingleHashSql,

@@ -514,6 +514,72 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    "q43_revenue_concentration" -> { (s, dir) =>
+      import s.implicits._
+      // REVENUE CONCENTRATION — the Lorenz/Gini table a business reads
+      // off its customer base: per revenue DECILE (1 = highest
+      // spenders; zero-order customers count — concentration is over
+      // the whole base), customer count, revenue, share, cumulative
+      // share, and the exact Gini coefficient. The scale story is the
+      // new [[graft.plans.GlobalRank]] primitive: the global rank this
+      // needs is NOT a partition-less row_number window (the
+      // one-task-sorts-everything shape the board bans) but a
+      // range-partitioned distributed sort with per-partition index
+      // offsets. Everything after the rank is integer/DECIMAL-exact:
+      // decile by rank arithmetic against a broadcast 1-row total,
+      // per-decile DECIMAL sums, cumulative share as a triangular
+      // join on the 10-row frame (the t26 pattern), and Gini from the
+      // exact Σ(rank·revenue) form — decimal-by-long products, summed
+      // exactly, with one shared-order double expression at the end.
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_custkey")
+        // exact DECIMAL products/sums (the board's revenue discipline):
+        // a double sum's order-dependent last cent would flip decile
+        // totals between engines at sf0.1 — measured, then fixed here
+        .agg(round(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            $"l_discount".cast("decimal(18,2)"))), 2).as("r"))
+      val cust = t(s, dir, "customer").select($"c_custkey")
+        .join(rev, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey",
+          coalesce($"r", lit(0.0)).cast("decimal(18,2)").as("revenue"))
+        // ranked twice below (deciles + Gini) and zipWithIndex's count
+        // pass would re-run the join lineage — materialize once
+        .localCheckpoint()
+      val ranked = graft.plans.GlobalRank(cust,
+        Seq($"revenue".desc, $"c_custkey".asc), "rnk")
+        .localCheckpoint(eager = false)
+      val tot = broadcast(cust.agg(count(lit(1)).as("n"),
+        sum($"revenue").as("total_rev")))
+      val dec = ranked.crossJoin(tot)
+        .withColumn("decile", expr("((rnk - 1) * 10) div n + 1"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"revenue").as("drev"))
+      val d2 = dec.select($"decile".as("dd"), $"drev".as("r2"))
+      val gini = ranked.crossJoin(tot)
+        .agg(sum(($"n" - $"rnk" + 1) * $"revenue").as("srv"),
+          max($"n").as("n"), max($"total_rev").as("total_rev"))
+        .select(expr(
+          """round(2.0 * cast(srv as double)
+            |  / (cast(n as double) * cast(total_rev as double))
+            |  - cast(n + 1 as double) / cast(n as double), 6)"""
+            .stripMargin).as("gini"))
+      dec.join(d2, $"dd" <= $"decile")
+        .groupBy($"decile", $"n_customers", $"drev")
+        .agg(sum($"r2").as("crev"))
+        .crossJoin(tot)
+        .crossJoin(broadcast(gini))
+        .select($"decile", $"n_customers",
+          round($"drev".cast("double"), 2).as("revenue"),
+          round($"drev".cast("double") / $"total_rev".cast("double"), 6)
+            .as("share"),
+          round($"crev".cast("double") / $"total_rev".cast("double"), 6)
+            .as("cum_share"),
+          $"gini")
+        .orderBy($"decile")
+    },
+
     "q40_returned_items" -> { (s, dir) =>
       import s.implicits._
       // TPC-H Q10 shape — RETURNED ITEM REPORTING: top customers by
@@ -1232,6 +1298,48 @@ object Relational {
         |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
         |  AND l_quantity < avg_qty * 0.5
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q43_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS r
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_custkey),
+        |cust AS (
+        |  SELECT c_custkey,
+        |    CAST(COALESCE(r, 0.0) AS DECIMAL(18,2)) AS revenue
+        |  FROM customer LEFT JOIN rev ON c_custkey = o_custkey),
+        |ranked AS (
+        |  SELECT c_custkey, revenue, row_number() OVER (
+        |    ORDER BY revenue DESC, c_custkey) AS rnk
+        |  FROM cust),
+        |tot AS (SELECT count(*) AS n, sum(revenue) AS total_rev
+        |        FROM cust),
+        |dec AS (
+        |  SELECT ((rnk - 1) * 10) // n + 1 AS decile,
+        |    count(*) AS n_customers, sum(revenue) AS drev
+        |  FROM ranked CROSS JOIN tot GROUP BY 1),
+        |cum AS (
+        |  SELECT d.decile, d.n_customers, d.drev, sum(d2.drev) AS crev
+        |  FROM dec d JOIN dec d2 ON d2.decile <= d.decile
+        |  GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT round(2.0 * cast(srv as double)
+        |      / (cast(n as double) * cast(total_rev as double))
+        |    - cast(n + 1 as double) / cast(n as double), 6) AS gini
+        |  FROM (SELECT sum((n - rnk + 1) * revenue) AS srv,
+        |          max(n) AS n, max(total_rev) AS total_rev
+        |        FROM ranked CROSS JOIN tot))
+        |SELECT decile, n_customers,
+        |  round(CAST(drev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(drev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+        |    AS share,
+        |  round(CAST(crev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+        |    AS cum_share,
+        |  gini
+        |FROM cum CROSS JOIN tot CROSS JOIN g
+        |ORDER BY decile""".stripMargin,
 
     "q40_returned_items" ->
       """WITH rev AS (

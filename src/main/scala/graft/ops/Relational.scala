@@ -565,7 +565,7 @@ object Relational {
             |  / (cast(n as double) * cast(total_rev as double))
             |  - cast(n + 1 as double) / cast(n as double), 6)"""
             .stripMargin).as("gini"))
-      dec.join(d2, $"dd" <= $"decile")
+      dec.join(broadcast(d2), $"dd" <= $"decile")
         .groupBy($"decile", $"n_customers", $"drev")
         .agg(sum($"r2").as("crev"))
         .crossJoin(tot)

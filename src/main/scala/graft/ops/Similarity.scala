@@ -1281,6 +1281,48 @@ object Similarity {
         .orderBy($"q_id")
     },
 
+    "s31_refine_depth_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The refine knob's OWN operating curve — closing the measured-
+      // knob gap s29 shipped with: RefineDepth = 50 was justified by
+      // s28's curve, but s28 measures the int8 two-stage retriever;
+      // this measures the IVF-PQ + exact-rerank chain itself at every
+      // depth 5/10/25/50 in ONE query (candidate volume = cost axis,
+      // recall@K vs the exact baseline = quality axis). Scale shapes:
+      // the ADC candidate stream computes ONCE at the deepest depth
+      // (each row carries its ADC rank, so "in at depth d" is a
+      // per-row predicate); exact cosine computes once per candidate
+      // and is reused by every depth; the 4-depth axis is a broadcast
+      // fan-out; per-(query, depth) ranking is a partitioned window.
+      val cand = ivfpqTopKCore(s, dir, RefineDepth)
+        .select($"q_id", $"n_id", $"rnk".as("arnk"))
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val scored = cand.join(broadcast(qv), "q_id")
+        .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"n_id", $"arnk", $"cos")
+        .localCheckpoint(eager = false) // one rerank feeds all depths
+      val depths = RerankDepths.toDF("depth")
+      val perDepth = scored.join(broadcast(depths), $"arnk" <= $"depth")
+      val w = Window.partitionBy($"q_id", $"depth")
+        .orderBy($"cos".desc, $"n_id")
+      val top = perDepth.withColumn("rr", row_number().over(w))
+        .filter($"rr" <= K).select($"depth", $"q_id", $"n_id")
+      val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
+      val hits = top
+        .join(exact.withColumn("h", lit(1)), Seq("q_id", "n_id"), "left")
+        .groupBy($"depth")
+        .agg(sum(coalesce($"h", lit(0))).as("n_hits"))
+      val vol = perDepth.groupBy($"depth")
+        .agg(count(lit(1)).as("n_candidates"))
+      hits.join(vol, "depth")
+        .select($"depth", $"n_candidates", $"n_hits",
+          round($"n_hits" / lit(K.toDouble * NQueries), 4).as("recall"))
+        .orderBy($"depth")
+    },
+
     "s29_ivfpq_refined_topk" -> { (s, dir) =>
       import s.implicits._
       // The composed index WITH its refine stage (see
@@ -1851,6 +1893,86 @@ object Similarity {
          |FROM xtop x LEFT JOIN atop a
          |  ON a.q_id = x.q_id AND a.n_id = x.n_id
          |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    "s31_refine_depth_curve" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id, arnk FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id, d.arnk,
+         |    round(list_dot_product(q.qv, e2.v)
+         |      / (sqrt(list_dot_product(q.qv, q.qv))
+         |         * sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |depths AS (SELECT CAST(unnest([5, 10, 25, 50]) AS INT)
+         |             AS depth),
+         |pd AS (SELECT depth, q_id, n_id, cos FROM re
+         |       CROSS JOIN depths WHERE arnk <= depth),
+         |rt AS (
+         |  SELECT depth, q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id, depth ORDER BY cos DESC, n_id) AS rr
+         |  FROM pd),
+         |rtop AS (SELECT depth, q_id, n_id FROM rt WHERE rr <= $K),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $NQueries),
+         |xscored AS (
+         |  SELECT xq.q_id, en.vec_id AS n_id,
+         |    round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+         |      AS cos
+         |  FROM xq JOIN en ON xq.q_id <> en.vec_id),
+         |xtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM xscored) WHERE rnk <= $K),
+         |vol AS (SELECT depth, count(*) AS n_candidates FROM pd
+         |        GROUP BY 1),
+         |h AS (
+         |  SELECT t.depth,
+         |    CAST(sum(CASE WHEN x.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM rtop t LEFT JOIN xtop x
+         |    ON x.q_id = t.q_id AND x.n_id = t.n_id
+         |  GROUP BY 1)
+         |SELECT depth, n_candidates, n_hits,
+         |  round(n_hits / ($K.0 * $NQueries), 4) AS recall
+         |FROM h JOIN vol USING (depth) ORDER BY depth""".stripMargin,
 
     "s29_ivfpq_refined_topk" ->
       s"""WITH $kmSqlCtes,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1094,43 +1094,111 @@ object TextAnalysis {
     "t10_levenshtein_pairs" -> { (s, dir) =>
       import s.implicits._
       // Edit-distance near-match: part names within the same brand with
-      // Levenshtein ≤ 2 — blocked self-join (brand) so the quadratic
-      // stays within blocks; Spark and DuckDB implement the identical
-      // classic DP distance.
-      // Two necessary-condition prefilters run before any DP (both are
-      // lower bounds on edit distance, so the result set is unchanged
-      // and the oracle stays the plain levenshtein <= 2 form):
-      //  - length band: |len(a)-len(b)| <= 2;
-      //  - bag distance: each edit changes at most 2 letter counts, so
-      //    lev >= sum(|count_a(c)-count_b(c)|)/2 — a pair survives only
-      //    if the fused abs_diff_sum of the per-name letter histograms
-      //    is <= 4 (measured at sf0.1: 6.9M banded pairs -> 346k DP
-      //    evals, keeping all 220k true pairs).
-      // The DP itself is the threshold form: banded O(len·k) with early
-      // exit; -1 above the bound, so values 0..2 are identical to the
-      // unbounded distance.
-      val p = Tables.load(s, dir, "part")
-        .select($"p_partkey", $"p_brand", $"p_name",
-          expr(letterHistExpr).as("hist"))
-      val a = p.toDF("a_id", "brand", "a_name", "hist_a")
-      val b = p.toDF("b_id", "brand_b", "b_name", "hist_b")
-      // The ENTIRE pair predicate lives in the join condition, ordered
-      // cheap → expensive: a separate .filter(dist >= 0) would be
-      // pushed into the join residual PREPENDED to these conjuncts, so
-      // the DP would run on every brand-pair before the guards (seen in
-      // the plan: 16M DP evals, 2× slower than no prefilter at all).
-      // And-chains short-circuit left-to-right, so as written the DP
-      // touches only the ~5% of pairs that survive both bounds; the
-      // surviving rows recompute the banded DP once more in the
-      // projection (220k evals — noise).
-      a.join(b, $"brand" === $"brand_b" && $"a_id" < $"b_id" &&
-          abs(length($"a_name") - length($"b_name")) <= 2 &&
-          graft.functions.AbsDiffSum($"hist_a", $"hist_b") <= 4 &&
-          levenshtein($"a_name", $"b_name", 2) >= 0)
-        .withColumn("dist", levenshtein($"a_name", $"b_name", 2))
+      // Levenshtein ≤ 2; Spark and DuckDB implement the identical
+      // classic DP distance, so the oracle stays the plain
+      // `levenshtein <= 2` triangle.
+      //
+      // The plan is the scale-correct two-level shape, replacing the
+      // within-brand triangle this query shipped with for 9 rounds
+      // (brand cardinality is FIXED (~25), so per-block size grows
+      // linearly with the corpus and a triangle enumerates Σ(block²)
+      // pairs — 6.9M banded visits at sf0.1, ~69G at 100×):
+      //
+      //  1. COLLAPSE TO THE VOCABULARY. Pair distance depends only on
+      //     the name STRINGS, so the corpus contributes exactly one
+      //     wordcount-shaped groupBy — per-(brand, name) multiplicities
+      //     — and every pairwise computation runs on DISTINCT names
+      //     (the t26-measured Heaps vocabulary, sublinear in corpus
+      //     size; 64 at sf0.1 vs 20k part rows). Pair counts come back
+      //     by WEIGHT: a (u,v) name pair at distance d contributes
+      //     c_u·c_v part pairs (u≠v), and each name with c ≥ 2 copies
+      //     contributes C(c,2) distance-0 pairs.
+      //  2. Candidate enumeration over the vocabulary is an EQUI-JOIN
+      //     on PassJoin segment signatures (Li/Deng/Feng; the d05/d15
+      //     blocking discipline), never a triangle: each name splits
+      //     into k+1 = 3 contiguous segments; ≤ k edits leave ≥ 1
+      //     segment untouched, shifted by at most the net indels (≤ k),
+      //     so any pair at lev ≤ 2 meets on key (partner_len, slot,
+      //     segment) with the probe side emitting its ±2-position
+      //     substrings for each partner length in the ±2 band. The
+      //     tiny-name regime the segment lemma can't cover (min-len
+      //     ≤ 2 ⇒ partner ≤ 4, zero such names on any realistic
+      //     corpus) goes through a degenerate broadcast cross of the
+      //     ≤2-char vocab against the ≤4-char vocab.
+      //  3. The two DP lower bounds run before any DP, unchanged
+      //     (length band ≤ 2; bag distance: abs_diff_sum of letter
+      //     histograms ≤ 4 — each edit changes ≤ 2 letter counts).
+      //
+      // Measured at sf0.1: 1,293 segment-join hits → 514 distinct
+      // name-pair candidates on the 64-name vocabulary (was 6.9M
+      // banded triangle visits — ~13,000× down), 24 true name pairs,
+      // same 25-brand result. At 100× the corpus pays one more
+      // groupBy pass; the pairwise stage grows only with vocabulary.
+      val grp = Tables.load(s, dir, "part")
+        .groupBy($"p_brand".as("brand"), $"p_name".as("nm"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // same-name leg + both cross sides
+      val vocab = grp.select($"nm").distinct()
+        .withColumn("ln", length($"nm"))
+        .localCheckpoint(eager = false) // seg side + probe side + tiny
+      // index side: the 3 segments of each name (slot i gets length
+      // ln div 3 + 1 for the first ln%3 slots; starts are cumulative)
+      val segs = vocab.filter($"ln" >= 3)
+        .withColumn("i", explode(expr("sequence(0, 2)")))
+        .select($"nm".as("idx_nm"), $"ln".as("pl"), $"i",
+          expr("substring(nm, 1 + i * (ln div 3) + least(i, ln % 3), " +
+            "(ln div 3) + if(i < ln % 3, 1, 0))").as("sg"))
+      // probe side: for each partner length in the ±2 band and slot,
+      // the substrings of this name within ±2 of the slot's start
+      val probes = vocab
+        .withColumn("pl", explode(expr("sequence(greatest(ln - 2, 3), ln + 2)")))
+        .withColumn("i", explode(expr("sequence(0, 2)")))
+        .withColumn("sl", expr("(pl div 3) + if(i < pl % 3, 1, 0)"))
+        .withColumn("st", expr("1 + i * (pl div 3) + least(i, pl % 3)"))
+        .withColumn("p", explode(expr(
+          "if(least(st + 2, ln - sl + 1) >= greatest(st - 2, 1), " +
+            "sequence(greatest(st - 2, 1), least(st + 2, ln - sl + 1)), " +
+            "array())")))
+        .select($"nm".as("probe_nm"), $"pl", $"i",
+          expr("substring(nm, p, sl)").as("sg"))
+        .distinct()
+      val segCand = segs.join(probes, Seq("pl", "i", "sg"))
+        .filter($"idx_nm" =!= $"probe_nm")
+        .select(least($"idx_nm", $"probe_nm").as("u"),
+          greatest($"idx_nm", $"probe_nm").as("v"))
+      val tiny = vocab.filter($"ln" <= 2).select($"nm".as("idx_nm"))
+        .crossJoin(broadcast(
+          vocab.filter($"ln" <= 4).select($"nm".as("probe_nm"))))
+        .filter($"idx_nm" =!= $"probe_nm")
+        .select(least($"idx_nm", $"probe_nm").as("u"),
+          greatest($"idx_nm", $"probe_nm").as("v"))
+      // verify: ONE conjunct chain ordered cheap → expensive (the
+      // predicate-order regression pin) — pushed as a unit, it
+      // short-circuits left-to-right so the DP touches only pairs
+      // surviving both bounds. The DP is the threshold form: banded
+      // O(len·k) with early exit; -1 above the bound, so values 0..2
+      // are identical to the unbounded distance.
+      val uh = expr(letterHistExpr.replace("p_name", "u")).as("hist_u")
+      val vh = expr(letterHistExpr.replace("p_name", "v")).as("hist_v")
+      val nearNames = segCand.union(tiny).distinct()
+        .select($"u", $"v", uh, vh)
+        .filter(abs(length($"u") - length($"v")) <= 2 &&
+          graft.functions.AbsDiffSum($"hist_u", $"hist_v") <= 4 &&
+          levenshtein($"u", $"v", 2) >= 0)
+        .select($"u", $"v", levenshtein($"u", $"v", 2).as("dist"))
+      // weight back to part pairs: cross leg c_u·c_v per brand holding
+      // both names; same-name leg C(c,2) at distance 0
+      val gu = grp.toDF("brand", "u", "cu")
+      val gv = grp.toDF("brand", "v", "cv")
+      val cross = nearNames.join(gu, "u").join(gv, Seq("brand", "v"))
+        .select($"brand", $"dist", ($"cu" * $"cv").as("npairs"))
+      val same = grp.filter($"c" >= 2)
+        .select($"brand", lit(0).as("dist"),
+          ($"c" * ($"c" - 1) / 2).cast("long").as("npairs"))
+      cross.union(same)
         .groupBy($"brand")
-        .agg(count(lit(1)).as("n_near_pairs"),
-          sum(when($"dist" === 0, 1).otherwise(0)).as("n_exact"),
+        .agg(sum($"npairs").as("n_near_pairs"),
+          sum(when($"dist" === 0, $"npairs").otherwise(0L)).as("n_exact"),
           min($"dist").as("min_dist"))
         .orderBy($"brand")
     },

@@ -90,17 +90,31 @@ class PlanShapeSpec extends SparkTestBase {
       s"label filter must reach PushedFilters:\n${p.take(1500)}")
   }
 
-  test("t10: join residual runs the cheap bounds before the DP " +
-      "(predicate-order regression)") {
-    // A pushed .filter once PREPENDED the levenshtein to the join's own
-    // conjuncts, running the DP on every brand-pair before the guards.
+  test("t10: cheap bounds precede the DP, and pair enumeration is " +
+      "segment-keyed — never a brand-triangle (predicate-order + " +
+      "Σ(block²) regressions)") {
+    // Two past regressions guarded at once: (1) a pushed .filter once
+    // PREPENDED the levenshtein to the conjunct chain, running the DP
+    // before the guards; (2) for 9 rounds enumeration was the
+    // within-brand triangle (Σ(block²) at fixed brand cardinality).
+    // Now: vocab-collapse + PassJoin segment equi-join.
     val p = plan("t10_levenshtein_pairs")
-    val join = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
-      fail("no hash join in t10 plan"))
-    val bag = join.indexOf("abs_diff_sum")
-    val dp = join.indexOf("levenshtein")
+    val cond = p.linesIterator.find(l =>
+      l.contains("abs_diff_sum") && l.contains("levenshtein")).getOrElse(
+      fail("no conjunct chain with both bounds and the DP in t10 plan"))
+    val bag = cond.indexOf("abs_diff_sum")
+    val dp = cond.indexOf("levenshtein")
     assert(bag >= 0 && dp >= 0 && bag < dp,
-      s"bag filter must precede the DP in the residual: $join")
+      s"bag filter must precede the DP: $cond")
+    // the candidate join keys on the segment signature (pl, i, sg) —
+    // a join keyed only on brand would be the triangle come back
+    val segJoin = p.linesIterator.filter(_.contains("HashJoin"))
+      .exists(l => l.contains("sg"))
+    assert(segJoin, s"candidate join must key on the segment " +
+      s"signature:\n${p.take(3000)}")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("HashJoin [brand") && l.contains("[brand_b")),
+      "brand-only pair join must not return")
   }
 
   test("p01: pipeline stages fuse — pruned scan, partial aggregation, " +

@@ -562,10 +562,18 @@ object Dedup {
       // of the training corpus stays shuffle-free up to the per-doc
       // count aggregation. Top 20 by ratio, deterministic tiebreaks.
       val d = docs(s, dir).select($"doc_id", $"source")
-      // three consumers fork from the shingle stream (eval set, sizes,
-      // probe side) — materialized once, the verifiedPairs rationale
+      // Three consumers fork from the shingle stream (eval set, sizes,
+      // probe side). NOT materialized: the frame is CORPUS-SIZED, and
+      // the round-10 board measured the block-pressure failure mode of
+      // checkpointing it — standalone the checkpointed form reads
+      // 0.8-0.9 s, but under the full board's block-manager pressure
+      // its blocks evict and rebuild, and the same code read 3.4-4.3 s
+      // in both driver passes. Re-deriving the shingles is a narrow
+      // map off the (column-pruned) scan — cheap, constant under
+      // pressure, and the tiny-frames-only checkpoint rule the s-family
+      // already follows (re-measured r11: 0.9 s checkpointed vs 1.5 s
+      // re-derived standalone; the re-derived form cannot regress 4x).
       val sh = shingleHashes(s, dir).join(d, "doc_id")
-        .localCheckpoint(eager = false)
       val evalSet = sh.filter($"source" === "src0")
         .select($"sh").distinct()
       val train = sh.filter($"source" =!= "src0")

@@ -337,7 +337,8 @@ object AnnIndex {
     * the unfiltered ranking with the disallowed ids excised.
     */
   def search(s: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int, allow: Option[DataFrame] = None): DataFrame = {
+      k: Int, allow: Option[DataFrame] = None,
+      nprobe: Int = Similarity.NProbe): DataFrame = {
     import s.implicits._
     // read paths heal torn swaps too (see upsert)
     ArtifactSwap.recover(s, indexDir,
@@ -349,7 +350,7 @@ object AnnIndex {
     val probes = queries.join(broadcast(cents), lit(true))
       .withColumn("d2", Similarity.kmDist2($"qv", $"cv"))
       .withColumn("p_rnk", row_number().over(wProbe))
-      .filter($"p_rnk" <= Similarity.NProbe)
+      .filter($"p_rnk" <= nprobe)
       .select($"q_id", $"qv", $"cell")
     // the probed cells, resolved driver-side (NProbe×|queries| tiny
     // rows) into an IN-filter the partitioned invlist scan can PRUNE
@@ -444,10 +445,19 @@ object AnnIndex {
     * its ids resolve driver-side into an IN-literal the vec_id-sorted
     * refine store prunes with row-group min/max stats — the refine
     * read is proportional to the candidate set, never the corpus; the
-    * query side broadcasts; rerank-depth is the measured s28 knob.
+    * query side broadcasts.
+    *
+    * Defaults are the MEASURED elbow of the joint (nprobe × depth)
+    * grid (`Similarity.RefineNProbe`/`RefineDepth`, the table in their
+    * doc: refined recall@5 0.70 at sf0.1 vs 0.38 at the r10 defaults):
+    * depth dominates because ADC ordering is weak, but saturates at
+    * each probe level, so the refined chain probes DEEPER than the
+    * ADC-final searches (5 cells vs 2) and reranks 200 ≈ 40·K.
     */
   def searchRefined(s: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int, depth: Int, allow: Option[DataFrame] = None): DataFrame = {
+      k: Int, depth: Int = Similarity.RefineDepth,
+      allow: Option[DataFrame] = None,
+      nprobe: Int = Similarity.RefineNProbe): DataFrame = {
     import s.implicits._
     val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val vfs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -456,7 +466,7 @@ object AnnIndex {
     require(vfs.exists(vecPath),
       s"refined search needs the vectors/ refine artifact — build the " +
         s"index with storeVectors = true: $indexDir")
-    val cand = search(s, indexDir, queries, depth, allow)
+    val cand = search(s, indexDir, queries, depth, allow, nprobe)
       .select($"q_id", $"n_id")
       // bounded by construction; one evaluation feeds both the
       // IN-literal resolve and the rerank join

@@ -42,8 +42,37 @@ object Similarity {
     * from below, the d23/s25/p17 bracketing discipline. */
   private val RerankDepths = Seq(5, 10, 25, 50)
 
-  /** s29/s30's refine depth — s28's shipped rerank-depth point. */
-  private val RefineDepth = 50
+  /** The refined chain's OWN coarse probe depth and rerank depth
+    * (s29/s30/s31; `AnnIndex.searchRefined` ships the same defaults).
+    * Round 11 moved them from (NProbe=2, depth=50) — refined recall@5
+    * 0.38 at sf0.1, with s30 pinning the loss to candidates the
+    * coarse cut never proposes — to the measured elbow of the JOINT
+    * (nprobe × depth) grid:
+    *
+    *   depth:     25    50    100   200
+    *   np=2      0.28  0.38  0.46  0.52
+    *   np=3      0.26  0.42  0.56  0.62
+    *   np=5      0.24  0.36  0.58  0.70
+    *   np=6      0.28  0.38  0.60  0.74
+    *   np=8      0.28  0.38  0.56  0.78
+    *
+    * Depth dominates (the fixture's near-random vectors give ADC a
+    * weak ordering, so true neighbors sit deep in the candidate list),
+    * but depth saturates per probe level — np=2 caps at 0.54 (s25's
+    * ceiling) no matter the depth. (5, 200) is the elbow: recall 0.70
+    * at HALF the probed-list bytes of the degenerate all-cells np=8
+    * (which pays 60% more ADC work for +0.08), and 200 ≈ 40·K refine
+    * fetches per query — inside FAISS's published k_factor rerank
+    * range. The non-refined searches keep NProbe=2: their gates
+    * (s04/s19/s23) measure the PROBE trade itself, and s25 documents
+    * that curve.
+    */
+  private[graft] val RefineNProbe = 5
+  private[graft] val RefineDepth = 200
+
+  /** s31's depth axis: brackets the shipped RefineDepth (= max) from
+    * below, the d23/s25/p17 bracketing discipline. */
+  private val RefineDepths = Seq(25, 50, 100, 200)
 
   private[ops] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -357,8 +386,8 @@ object Similarity {
     * the cross-subspace sum is exact and order-insensitive in both
     * engines — the ranking hash-gates.
     */
-  private def ivfpqTopKCore(s: SparkSession, dir: String,
-      topK: Int = K): DataFrame = {
+  private[ops] def ivfpqTopKCore(s: SparkSession, dir: String,
+      topK: Int = K, nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     // coarse half: trained cells + full-corpus inverted lists (s14)
@@ -376,7 +405,7 @@ object Similarity {
     val probes = q.join(broadcast(cents), lit(true))
       .withColumn("d2", kmDist2($"qv", $"cv"))
       .withColumn("p_rnk", row_number().over(wProbe))
-      .filter($"p_rnk" <= NProbe)
+      .filter($"p_rnk" <= nprobe)
       .select($"q_id", $"cell")
     // candidates: the probed cells' inverted lists
     val cand = af.join(broadcast(probes), "cell")
@@ -414,7 +443,8 @@ object Similarity {
     */
   private def ivfpqRefinedCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = ivfpqTopKCore(s, dir, RefineDepth).select($"q_id", $"n_id")
+    val cand = ivfpqTopKCore(s, dir, RefineDepth, RefineNProbe)
+      .select($"q_id", $"n_id")
     val e = emb(s, dir)
     val qv = e.filter($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -628,7 +658,7 @@ object Similarity {
     * orderBy here would plan a useless range exchange in every consumer
     * — the round-2 lesson on composing registered queries).
     */
-  private def exactTopKCore(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def exactTopKCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     val q = e.filter($"vec_id" < NQueries)
@@ -1284,17 +1314,19 @@ object Similarity {
     "s31_refine_depth_curve" -> { (s, dir) =>
       import s.implicits._
       // The refine knob's OWN operating curve — closing the measured-
-      // knob gap s29 shipped with: RefineDepth = 50 was justified by
-      // s28's curve, but s28 measures the int8 two-stage retriever;
-      // this measures the IVF-PQ + exact-rerank chain itself at every
-      // depth 5/10/25/50 in ONE query (candidate volume = cost axis,
-      // recall@K vs the exact baseline = quality axis). Scale shapes:
+      // knob gap s29 shipped with: this measures the IVF-PQ +
+      // exact-rerank chain itself at every depth in RefineDepths
+      // (25/50/100/200, bracketing the shipped 200 from below) at the
+      // chain's shipped probe depth, in ONE query (candidate volume =
+      // cost axis, recall@K vs the exact baseline = quality axis);
+      // the RefineNProbe doc carries the full (nprobe × depth) grid
+      // this axis is one row of. Scale shapes:
       // the ADC candidate stream computes ONCE at the deepest depth
       // (each row carries its ADC rank, so "in at depth d" is a
       // per-row predicate); exact cosine computes once per candidate
       // and is reused by every depth; the 4-depth axis is a broadcast
       // fan-out; per-(query, depth) ranking is a partitioned window.
-      val cand = ivfpqTopKCore(s, dir, RefineDepth)
+      val cand = ivfpqTopKCore(s, dir, RefineDepth, RefineNProbe)
         .select($"q_id", $"n_id", $"rnk".as("arnk"))
       val e = emb(s, dir)
       val qv = e.filter($"vec_id" < NQueries)
@@ -1304,7 +1336,7 @@ object Similarity {
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .select($"q_id", $"n_id", $"arnk", $"cos")
         .localCheckpoint(eager = false) // one rerank feeds all depths
-      val depths = RerankDepths.toDF("depth")
+      val depths = RefineDepths.toDF("depth")
       val perDepth = scored.join(broadcast(depths), $"arnk" <= $"depth")
       val w = Window.partitionBy($"q_id", $"depth")
         .orderBy($"cos".desc, $"n_id")
@@ -1906,7 +1938,7 @@ object Similarity {
          |        round(list_dot_product(q.qv, q.qv)
          |          - 2 * list_dot_product(q.qv, c.cv)
          |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
-         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
          |cand AS (
          |  SELECT p.q_id, af.vec_id AS n_id
          |  FROM af JOIN probes p ON af.cell = p.cell
@@ -1938,7 +1970,7 @@ object Similarity {
          |         * sqrt(list_dot_product(e2.v, e2.v))), 4) AS cos
          |  FROM deep d JOIN q ON q.q_id = d.q_id
          |  JOIN e e2 ON e2.vec_id = d.n_id),
-         |depths AS (SELECT CAST(unnest([5, 10, 25, 50]) AS INT)
+         |depths AS (SELECT CAST(unnest([${RefineDepths.mkString(", ")}]) AS INT)
          |             AS depth),
          |pd AS (SELECT depth, q_id, n_id, cos FROM re
          |       CROSS JOIN depths WHERE arnk <= depth),
@@ -1986,7 +2018,7 @@ object Similarity {
          |        round(list_dot_product(q.qv, q.qv)
          |          - 2 * list_dot_product(q.qv, c.cv)
          |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
-         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
          |cand AS (
          |  SELECT p.q_id, af.vec_id AS n_id
          |  FROM af JOIN probes p ON af.cell = p.cell
@@ -2037,7 +2069,7 @@ object Similarity {
          |        round(list_dot_product(q.qv, q.qv)
          |          - 2 * list_dot_product(q.qv, c.cv)
          |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
-         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
          |cand AS (
          |  SELECT p.q_id, af.vec_id AS n_id
          |  FROM af JOIN probes p ON af.cell = p.cell

@@ -484,7 +484,10 @@ class AnnIndexSpec extends SparkTestBase {
     // expected: re-score ADC's top-depth against the corpus embeddings
     // directly (the spec-side oracle), same distance definition
     val depth = 20
-    val cand = AnnIndex.search(spark, indexDir, queries, depth)
+    // same probe depth as the refined chain's default — the spec-side
+    // oracle must re-score exactly the candidate set searchRefined sees
+    val cand = AnnIndex.search(spark, indexDir, queries, depth, None,
+        graft.ops.Similarity.RefineNProbe)
       .select($"q_id", $"n_id")
     val emb = Tables.load(spark, sfVerify, "embeddings")
       .select($"vec_id".as("n_id"),

@@ -561,29 +561,34 @@ object Dedup {
       // 100 TB the benchmark side is tiny and broadcasts, so the scan
       // of the training corpus stays shuffle-free up to the per-doc
       // count aggregation. Top 20 by ratio, deterministic tiebreaks.
-      val d = docs(s, dir).select($"doc_id", $"source")
-      // Three consumers fork from the shingle stream (eval set, sizes,
-      // probe side). NOT materialized: the frame is CORPUS-SIZED, and
-      // the round-10 board measured the block-pressure failure mode of
-      // checkpointing it — standalone the checkpointed form reads
-      // 0.8-0.9 s, but under the full board's block-manager pressure
-      // its blocks evict and rebuild, and the same code read 3.4-4.3 s
-      // in both driver passes. Re-deriving the shingles is a narrow
-      // map off the (column-pruned) scan — cheap, constant under
-      // pressure, and the tiny-frames-only checkpoint rule the s-family
-      // already follows (re-measured r11: 0.9 s checkpointed vs 1.5 s
-      // re-derived standalone; the re-derived form cannot regress 4x).
-      val sh = shingleHashes(s, dir).join(d, "doc_id")
-      val evalSet = sh.filter($"source" === "src0")
+      // Round-11 restructure after the block-pressure lesson: the
+      // corpus-sized shingle stream is NEITHER materialized (its
+      // checkpoint blocks evicted and rebuilt under full-board
+      // pressure — the measured 0.8→3.4 s r10 regression) NOR derived
+      // three times (the naive un-checkpointed form re-scanned the
+      // corpus 6×, which the scan-multiplicity guard rightly bans at
+      // 100 TB). Instead: TWO pruned scans total. The eval leg pushes
+      // source = 'src0' into the parquet scan (the benchmark side is
+      // tiny at any corpus scale — row groups skip); the train leg is
+      // scanned ONCE because sizes and shared-counts merge into one
+      // aggregation — a broadcast LEFT join against the eval set marks
+      // hits, and a single per-doc groupBy counts (total, hits,
+      // source) together. No md5 either: d12 joins on the raw shingle
+      // string, so the hash column the generic helper derives would be
+      // dead weight.
+      def shingled(src: DataFrame): DataFrame = src
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", $"source",
+          explode(graft.functions.Shingle3($"toks")).as("sh"))
+      val evalSet = shingled(docs(s, dir).filter($"source" === "src0"))
         .select($"sh").distinct()
-      val train = sh.filter($"source" =!= "src0")
-      val sizes = train.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_sh"), min($"source").as("source"))
-      val shared = train
-        .join(broadcast(evalSet), "sh")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-      sizes.join(shared, Seq("doc_id"), "left")
-        .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      shingled(docs(s, dir).filter($"source" =!= "src0"))
+        .join(broadcast(evalSet.withColumn("hit", lit(1L))),
+          Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce($"hit", lit(0L))).as("n_shared"),
+          min($"source").as("source"))
         .withColumn("ratio",
           round($"n_shared" / $"n_sh".cast("double"), 6))
         .select($"doc_id", $"source", $"n_sh", $"n_shared", $"ratio")
@@ -826,6 +831,53 @@ object Dedup {
           sum(when($"rej_corpus".isNull && $"rej_batch".isNull, 1L)
             .otherwise(0L)).as("n_admitted"))
         .orderBy($"source")
+    },
+
+    "d30_dedup_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The SERVING-TIER admission path, driver-gated: the incoming
+      // batch (doc_id % 5 = 4, d13/d17's split) probes the WRITTEN
+      // DedupIndex — built once per (JVM, fixture) over the corpus
+      // split by ServingIndexes, the e14 seeding discipline — and ONE
+      // probe's verdict columns aggregate into BOTH rule families'
+      // funnels: d13's exact-fingerprint funnel and d17's MinHash/LSH
+      // near funnel, discriminated by a rule column and hash-matched
+      // to the twins' own oracle SQL verbatim. DedupIndexSpec proves
+      // the probe reads no corpus text and prunes both artifacts to
+      // the batch's collision buckets; this row puts that production
+      // path under the driver's gate. Scale: the probe costs the
+      // batch's buckets, never the corpus; the funnel is a batch-side
+      // groupBy.
+      val idx = ServingIndexes.dedup(s, dir)
+      val batch = docs(s, dir).select($"doc_id", $"text")
+        .filter($"doc_id" % 5 === 4)
+      // tiny (batch-sized, 5 narrow columns) and consumed by two
+      // funnels with divergent column pruning — the localCheckpoint
+      // exception case
+      val decisions = DedupIndex.probe(s, idx, batch)
+        .localCheckpoint(eager = false)
+      val withSource = decisions
+        .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+      val exact = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" === 1, 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"fp_in_corpus", 1L).otherwise(0L)).as("n_rej_corpus"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" > 1, 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("exact").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      val near = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"near_rej_corpus" && !$"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"near_rej_corpus", 1L).otherwise(0L))
+            .as("n_rej_corpus"),
+          sum(when(!$"near_rej_corpus" && $"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("near").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      exact.union(near).orderBy($"rule", $"source")
     },
 
     "d25_admission_attribution" -> { (s, dir) =>
@@ -1481,6 +1533,62 @@ object Dedup {
       s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
 
+    // shared by the in-plan rows (d13/d17) and the artifact-serving
+    // row (d30): the serving tier must hash-match the SAME funnels
+    val d13Sql =
+      """WITH base AS (
+        |  SELECT doc_id, source, md5(lower(text)) AS fp FROM documents),
+        |incoming AS (SELECT * FROM base WHERE doc_id % 5 = 4),
+        |corpus AS (
+        |  SELECT DISTINCT fp, 1 AS in_corpus FROM base
+        |  WHERE doc_id % 5 <> 4),
+        |marked AS (
+        |  SELECT i.source, c.in_corpus,
+        |    row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+        |  FROM incoming i LEFT JOIN corpus c ON c.fp = i.fp)
+        |SELECT source, count(*) AS n_incoming,
+        |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn = 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN in_corpus IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_corpus,
+        |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn > 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+        |FROM marked GROUP BY source ORDER BY source""".stripMargin
+    val d17Sql =
+      s"""WITH $shingleHashSql,
+         |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |binc AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+         |bcorp AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+         |rejc AS (
+         |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+         |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
+         |    FROM binc i JOIN bcorp c ON i.band = c.band) cand
+         |  JOIN sigs sa ON sa.doc_id = cand.a_id
+         |  JOIN sigs sb ON sb.doc_id = cand.b_id
+         |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+         |rejb AS (
+         |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+         |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |    FROM binc a JOIN binc b
+         |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
+         |  JOIN sigs sa ON sa.doc_id = cand.a_id
+         |  JOIN sigs sb ON sb.doc_id = cand.b_id
+         |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+         |inc AS (SELECT doc_id FROM sigs WHERE doc_id % 5 = 4)
+         |SELECT d.source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN rc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_rej_corpus,
+         |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch,
+         |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+         |FROM inc
+         |JOIN documents d ON d.doc_id = inc.doc_id
+         |LEFT JOIN rejc rc ON rc.doc_id = inc.doc_id
+         |LEFT JOIN rejb rb ON rb.doc_id = inc.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+
     Map(
       "d01_exact_dedup" ->
         """SELECT doc_id, fp, n_copies FROM (
@@ -1861,40 +1969,7 @@ object Dedup {
            |JOIN spl b ON b.doc_id = b_id
            |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
 
-      "d17_incremental_near_dedup" ->
-        s"""WITH $shingleHashSql,
-           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
-           |bands AS ($bandSelects),
-           |binc AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
-           |bcorp AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
-           |rejc AS (
-           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
-           |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
-           |    FROM binc i JOIN bcorp c ON i.band = c.band) cand
-           |  JOIN sigs sa ON sa.doc_id = cand.a_id
-           |  JOIN sigs sb ON sb.doc_id = cand.b_id
-           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
-           |rejb AS (
-           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
-           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |    FROM binc a JOIN binc b
-           |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
-           |  JOIN sigs sa ON sa.doc_id = cand.a_id
-           |  JOIN sigs sb ON sb.doc_id = cand.b_id
-           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
-           |inc AS (SELECT doc_id FROM sigs WHERE doc_id % 5 = 4)
-           |SELECT d.source, count(*) AS n_incoming,
-           |  CAST(sum(CASE WHEN rc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-           |       AS BIGINT) AS n_rej_corpus,
-           |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NOT NULL
-           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch,
-           |  CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NULL
-           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
-           |FROM inc
-           |JOIN documents d ON d.doc_id = inc.doc_id
-           |LEFT JOIN rejc rc ON rc.doc_id = inc.doc_id
-           |LEFT JOIN rejb rb ON rb.doc_id = inc.doc_id
-           |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      "d17_incremental_near_dedup" -> d17Sql,
 
       "d08_dedup_components" ->
         s"""WITH RECURSIVE $shingleHashSql,
@@ -2191,25 +2266,20 @@ object Dedup {
           |  md5(text) AS content_md5
           |FROM merged WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-      "d13_incremental_dedup" ->
-        """WITH base AS (
-          |  SELECT doc_id, source, md5(lower(text)) AS fp FROM documents),
-          |incoming AS (SELECT * FROM base WHERE doc_id % 5 = 4),
-          |corpus AS (
-          |  SELECT DISTINCT fp, 1 AS in_corpus FROM base
-          |  WHERE doc_id % 5 <> 4),
-          |marked AS (
-          |  SELECT i.source, c.in_corpus,
-          |    row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
-          |  FROM incoming i LEFT JOIN corpus c ON c.fp = i.fp)
-          |SELECT source, count(*) AS n_incoming,
-          |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn = 1
-          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
-          |  CAST(sum(CASE WHEN in_corpus IS NOT NULL
-          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_corpus,
-          |  CAST(sum(CASE WHEN in_corpus IS NULL AND rn > 1
-          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
-          |FROM marked GROUP BY source ORDER BY source""".stripMargin,
+      "d13_incremental_dedup" -> d13Sql,
+
+      // d30 serves d13's exact funnel AND d17's near funnel from the
+      // written DedupIndex in one probe — the oracles are the twins'
+      // own SQL verbatim, discriminated by a rule column
+      "d30_dedup_index_serving" ->
+        s"""SELECT 'exact' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch
+           |FROM ($d13Sql)
+           |UNION ALL
+           |SELECT 'near' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch
+           |FROM ($d17Sql)
+           |ORDER BY rule, source""".stripMargin,
 
       "d06_embedding_near_dups" ->
         """WITH e AS (

@@ -284,6 +284,64 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e34_dlq_replay_agg" -> { (s, dir) =>
+      import s.implicits._
+      // The dead-letter loop CLOSED, driver-gated (e14's discipline
+      // extended with the drop-repair leg): a persistent request
+      // fault sheds one split of the events table into the parquet
+      // quarantine (on_persistent_error=drop + dead_letter_path —
+      // the reference can only COUNT its drops, batchproducer.go
+      // StatsBatch); the healthy split delivers directly; the fault
+      // clears and replayDeadLetters re-sends the quarantine and
+      // removes exactly what it consumed. The aggregate over what the
+      // SOURCE then reads back must hash-match DuckDB on the raw
+      // parquet — i.e. at-least-once delivery WITH the repair leg
+      // loses nothing and (fault cleared, so no re-quarantine)
+      // duplicates nothing. Deterministic like e14: multiset delivery
+      // + order-insensitive DECIMAL aggregation; seeding is
+      // per-(JVM, sfDir), idempotent and guarded.
+      val fakeName = "e34-dlq"
+      val stream = s"events-dlq-${Integer.toHexString(dir.hashCode)}"
+      e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
+        val fake = graft.sink.FakeKinesis.named(fakeName)
+        fake.numShards.set(4)
+        val dlq = java.nio.file.Files
+          .createTempDirectory("graft-e34-dlq").toString + "/q"
+        val opts = Map(
+          "aws_region_name" -> "us-east-1", "stream" -> stream,
+          "client" -> s"fake:$fakeName", "on_persistent_error" -> "drop",
+          "max_attempts_per_record" -> "2", "base_backoff_ms" -> "1",
+          "dead_letter_path" -> dlq)
+        def wire(f: org.apache.spark.sql.Column) = ev(s, dir).filter(f)
+          .select($"event_id".cast("string").as("partitionKey"),
+            to_json(struct($"event_type", $"value")).cast("binary")
+              .as("data"))
+        // leg 1: the fault window — every request the unlucky split's
+        // delivery makes throws, so the whole split load-sheds into
+        // the quarantine (attempt-capped, tiny backoff)
+        fake.failNextRequests.set(Int.MaxValue)
+        graft.sink.KinesisSink.write(wire($"event_id" % 7 === 0), opts)
+        fake.failNextRequests.set(0) // the fault clears
+        // leg 2: the healthy split delivers directly
+        graft.sink.KinesisSink.write(wire($"event_id" % 7 =!= 0), opts)
+        // leg 3: replay drains the quarantine — the loop closes
+        graft.sink.KinesisSink.replayDeadLetters(s, opts)
+        java.lang.Boolean.TRUE
+      })
+      s.read.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", stream)
+        .option("client", s"fake:$fakeName")
+        .load()
+        .select(from_json($"data".cast("string"),
+          lit("struct<event_type:string,value:double>")).as("e"))
+        .groupBy($"e.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum($"e.value".cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy($"event_type")
+    },
+
     "e15_sketch_merge" -> { (s, dir) =>
       import s.implicits._
       // Sketch MERGEABILITY is the 100 TB property: per-partition (here
@@ -1069,6 +1127,14 @@ object Events {
         |        CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS conversion""".stripMargin,
 
     "e14_kinesis_roundtrip_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e34 must converge to the SAME truth as e14: the quarantine +
+    // replay legs are delivery plumbing, invisible to the aggregate
+    // when the loop closes correctly
+    "e34_dlq_replay_agg" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

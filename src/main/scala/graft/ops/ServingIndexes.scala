@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Once-per-(JVM, fixture) builds of the three serving indexes, so the
+  * BOARD can gate the artifact-serving tier — the e14 seeding
+  * discipline applied to the index lifecycle: a board row's builder
+  * call returns a plan that reads WRITTEN artifacts; the expensive
+  * build side effect runs exactly once per (process, sfDir), guarded,
+  * and nothing ever clears a built index underneath a previously
+  * returned DataFrame.
+  *
+  * This is the split a deployment actually runs: build amortizes over
+  * every query that follows (at 100 TB the build is a scheduled batch
+  * job; searches are the recurring cost). The driver's oracle hash
+  * gate on the rows that call through here (s32/s33/s34/d30) therefore
+  * covers the PRODUCTION path — previously only spec-gated — against
+  * the same DuckDB SQL as the in-plan twins (s09/s29-family/s10/
+  * d13+d17), which replays the identical count-bounded training.
+  *
+  * Indexes land under java.io.tmpdir (one temp dir per kind per JVM);
+  * they are read-only after the build, so concurrent readers need no
+  * further coordination beyond computeIfAbsent's once-only guarantee.
+  */
+object ServingIndexes {
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  private def freshDir(kind: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$kind-")
+      .toString + "/idx"
+
+  /** IVF-PQ index over the embeddings corpus, raw codes + the stored
+    * full-precision refine artifact — what `AnnIndex.searchRefined`
+    * (the FAISS IndexRefineFlat chain, s29's production form) serves
+    * from. Raw (not residual) encoding so the s19/s29 oracle CTEs
+    * describe the artifact contents exactly (AnnIndexSpec pins
+    * artifact search == the one-plan s19 ranking bit-for-bit).
+    */
+  def ann(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"ann|$dir", _ => {
+      val idx = freshDir("ann-serving")
+      AnnIndex.build(s, dir, idx, byResidual = false, storeVectors = true)
+      idx
+    })
+
+  /** BM25 postings index over the documents corpus — what
+    * `TextIndex.search` (s09's production form) serves from.
+    */
+  def text(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"text|$dir", _ => {
+      val idx = freshDir("text-serving")
+      TextIndex.build(s,
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        idx)
+      idx
+    })
+
+  /** Fingerprint + LSH-band admission index over the CORPUS split of
+    * the d13/d17 incremental-ingest scenario (doc_id % 5 != 4 is the
+    * existing corpus; % 5 == 4 plays the incoming batch) — what
+    * `DedupIndex.probe` serves from.
+    */
+  def dedup(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"dedup|$dir", _ => {
+      val idx = freshDir("dedup-serving")
+      DedupIndex.build(s,
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id"), col("text")),
+        idx)
+      idx
+    })
+}

@@ -717,6 +717,7 @@ object Similarity {
   private[graft] val BmTerms = Seq("spark", "window", "query")
   private val RrfK = 60
   private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
+  private val HybN = 50   // per-side bound for the ARTIFACT fusion (s34)
   // s05's per-label member cap: cohesion is computed over the first
   // CohesionCap members per label (lowest vec_id — deterministic, and
   // mirrored in the oracle), so a flooded label costs O(cap²) pairs,
@@ -1570,6 +1571,66 @@ object Similarity {
         .orderBy($"depth")
     },
 
+    "s32_bm25_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The SERVING-TIER form of s09, driver-gated: the same BM25
+      // ranking answered from the WRITTEN postings index — built once
+      // per (JVM, fixture) by ServingIndexes, the e14 seeding
+      // discipline — instead of re-deriving tf/df/stats from corpus
+      // text in-plan. TextIndexSpec proves artifact search == the
+      // one-plan s09 bit-for-bit and that the plan scans zero corpus
+      // bytes with the terms' buckets partition-pruned; this row puts
+      // the path a production retrieval service actually runs under
+      // the driver's DuckDB hash gate (same oracle SQL as s09).
+      // Scale: the recurring cost is |terms| postings buckets, never
+      // the corpus; the build amortizes like any index build.
+      TextIndex.search(s, ServingIndexes.text(s, dir), BmTerms, 10)
+        .select($"doc_id", $"n_terms", $"bm25d".cast("double").as("bm25"))
+    },
+
+    "s33_ann_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The SERVING-TIER refined ANN chain, driver-gated: IVF-PQ
+      // coarse probe + ADC + exact rerank answered ENTIRELY from the
+      // written AnnIndex artifacts (centroids/codebooks/invlists/
+      // codes + the stored-vectors refine store) at the shipped
+      // (RefineNProbe, RefineDepth) elbow. The query frame
+      // materializes to literals (NQueries bounded rows — the
+      // AnnIndexSpec discipline), so every byte the gated plan reads
+      // comes from index artifacts, both of them pruned (invlists by
+      // probed cell, the refine store by the candidate IN-literal).
+      // The oracle replays the identical count-bounded training (the
+      // s19/s29 CTEs describe the artifact contents exactly) and
+      // reranks by exact squared L2 — searchRefined's metric (FAISS
+      // IndexRefineFlat), under which an exact copy scores 0.0
+      // regardless of its quantization.
+      val qRows = emb(s, dir).filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      AnnIndex.searchRefined(s, ServingIndexes.ann(s, dir), queries, K)
+        .select($"q_id", $"n_id", $"d2".cast("double").as("d2"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s34_hybrid_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The SERVING-TIER hybrid stack, driver-gated: RRF fusion of
+      // the postings-index lexical ranking and the IVF-PQ ADC vector
+      // ranking, BOTH answered from written artifacts (HybridIndex —
+      // the production form of s10, whose two retrievers re-derive
+      // their models from the corpus every run). One query: BmTerms
+      // on the lexical side, vec 0's embedding (a bounded literal) on
+      // the vector side, top-HybN retrieved per side, RRF top-10.
+      // Ranks are integers so the fusion is engine-exact; the oracle
+      // replays the BM25 CTEs, the trained-index CTEs, and the same
+      // (rank-side, id) tiebreaks.
+      val qv = emb(s, dir).filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0).toSeq
+      HybridIndex.search(s, ServingIndexes.text(s, dir),
+        ServingIndexes.ann(s, dir), BmTerms, qv, HybN, 10)
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -2005,6 +2066,130 @@ object Similarity {
          |SELECT depth, n_candidates, n_hits,
          |  round(n_hits / ($K.0 * $NQueries), 4) AS recall
          |FROM h JOIN vol USING (depth) ORDER BY depth""".stripMargin,
+
+    // s32 serves s09's ranking from the written postings index —
+    // identical semantics, identical oracle (the serving tier must
+    // hash-match the same SQL the in-plan form does)
+    "s32_bm25_index_serving" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
+         |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s33 = the s29 chain's ARTIFACT form: same trained model (the
+    // CTEs replay the identical count-bounded training the index
+    // build runs), same (RefineNProbe, RefineDepth) candidate set,
+    // but reranked by exact squared L2 — AnnIndex.searchRefined's
+    // metric (FAISS IndexRefineFlat; an exact copy scores 0.0)
+    "s33_ann_index_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id,
+         |    CAST(round(list_dot_product(q.qv, q.qv)
+         |      - 2 * list_dot_product(q.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v), 6) AS DECIMAL(14,6)) AS d2
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |rtop AS (
+         |  SELECT q_id, n_id, d2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY d2, n_id) AS rnk
+         |  FROM re)
+         |SELECT q_id, n_id, CAST(d2 AS DOUBLE) AS d2, rnk FROM rtop
+         |WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    // s34 = the artifact hybrid: BM25 CTEs for the lexical side (the
+    // postings index's exact contents), trained-index CTEs for the
+    // ADC side (the IVF-PQ index's exact contents), HybN per side,
+    // one-query probe at the index's default NProbe, RRF on integer
+    // ranks with (score, doc_id) tiebreaks mirroring
+    // HybridIndex.search verbatim. No self-exclusion on the vector
+    // side: the serving query id (-1) is outside the corpus id space.
+    "s34_hybrid_index_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |$bm25SqlCtes,
+         |bmtop AS (
+         |  SELECT doc_id, CAST(bm25d AS DOUBLE) AS dscore FROM bm
+         |  ORDER BY bm25d DESC, doc_id LIMIT $HybN),
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY dscore DESC, doc_id) AS rnk_side
+         |  FROM bmtop),
+         |hq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |hprobes AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM hq q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |hcand AS (
+         |  SELECT af.vec_id AS n_id FROM af
+         |  JOIN hprobes p ON af.cell = p.cell),
+         |hqs AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = 0),
+         |hqtab AS (
+         |  SELECT c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM hqs q JOIN cfp c USING (sub)),
+         |hadc AS (
+         |  SELECT cd.n_id, sum(t.qd2) AS adc
+         |  FROM hcand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN hqtab t ON t.sub = enc.sub AND t.cell = enc.cell
+         |  GROUP BY cd.n_id),
+         |anntop AS (
+         |  SELECT n_id AS doc_id, CAST(adc AS DOUBLE) AS dscore FROM (
+         |    SELECT n_id, adc, row_number() OVER (
+         |      ORDER BY adc, n_id) AS rnk
+         |    FROM hadc) WHERE rnk <= $HybN),
+         |annr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY dscore, doc_id) AS rnk_side
+         |  FROM anntop),
+         |sides AS (
+         |  SELECT doc_id, rnk_side FROM bmr
+         |  UNION ALL
+         |  SELECT doc_id, rnk_side FROM annr)
+         |SELECT doc_id, count(*) AS n_sides,
+         |  round(sum(CAST(1 AS DOUBLE) / ($RrfK + rnk_side)), 6) AS rrf
+         |FROM sides GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "s29_ivfpq_refined_topk" ->
       s"""WITH $kmSqlCtes,

@@ -345,7 +345,11 @@ class PlanShapeSpec extends SparkTestBase {
       ("e13_funnel_steps", "events.parquet", 1),
       ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
       ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
-      ("d12_decontamination", "documents.parquet", 1),
+      // d12 deliberately re-reads instead of materializing the
+      // corpus-sized shingle stream (checkpoint blocks evicted under
+      // full-board pressure — the measured r10 4x regression): one
+      // source-pruned eval leg + one train leg
+      ("d12_decontamination", "documents.parquet", 2),
       ("d15_winnowing_overlap", "documents.parquet", 1),
       ("d17_incremental_near_dedup", "documents.parquet", 1),
       ("d19_bloom_decontamination", "documents.parquet", 1),
@@ -514,5 +518,83 @@ class PlanShapeSpec extends SparkTestBase {
     // executedPlan prints top-down: the filter must sit BELOW (later
     // line than) the first aggregation exchange, i.e. on the scan side.
     assert(filterIdx > exchangeIdx, p.take(2000))
+  }
+
+  test("serving rows (s32/s33/s34/d30): the driver-gated plans answer " +
+      "from written index artifacts — zero corpus scans (d30's batch " +
+      "input legs excepted), every artifact scan pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    def run(name: String): Seq[FileSourceScanExec] = {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+    }
+    // the pure-serving rows materialize their bounded query inputs to
+    // literals, so ANY corpus byte in the gated plan would be the
+    // index's fault (the AnnIndexSpec/TextIndexSpec discipline, now
+    // asserted on the exact plans the driver hashes)
+    // s33's final plan shows only the refine read: searchRefined
+    // materializes its bounded ADC candidate set (localCheckpoint —
+    // one evaluation feeds the IN-literal resolve AND the rerank
+    // join), which severs the coarse/ADC stages from this plan. Their
+    // shape (invlists partition-pruned, zero corpus scans) is pinned
+    // by AnnIndexSpec on AnnIndex.search — the exact code path the
+    // candidate stage runs.
+    for ((name, artifacts) <- Seq(
+        "s32_bm25_index_serving" -> Seq("postings"),
+        "s33_ann_index_serving" -> Seq("vectors"),
+        "s34_hybrid_index_serving" -> Seq("postings", "invlists"))) {
+      val paths = run(name).map(_.relation.location.rootPaths.mkString)
+      assert(!paths.exists(p =>
+          p.contains("documents") || p.contains("embeddings")),
+        s"$name must scan no corpus bytes: $paths")
+      for (a <- artifacts)
+        assert(paths.exists(_.contains(a)),
+          s"$name must actually read the $a artifact: $paths")
+    }
+    // prune shapes: the refine read carries the bounded candidate
+    // IN-filter into the vectors scan; s34's invlists read (which
+    // runs AnnIndex.search un-severed) is cut at LISTING time
+    val s34 = run("s34_hybrid_index_serving")
+    val inv = s34.filter(_.relation.location.rootPaths.mkString
+      .contains("invlists"))
+    assert(inv.nonEmpty && inv.forall(_.partitionFilters.nonEmpty),
+      s"s34: probed cells must be a partition filter: $inv")
+    val vec = run("s33_ann_index_serving")
+      .find(_.relation.location.rootPaths.mkString
+      .contains("vectors"))
+    assert(vec.isDefined &&
+      vec.get.dataFilters.mkString.contains("vec_id"),
+      s"s33: refine read must carry the candidate id filter: " +
+        s"${vec.map(_.dataFilters)}")
+    // d30's board row checkpoints the bounded probe-decision frame
+    // (two funnel consumers), which severs the artifact scans from
+    // its final plan — so pin the prune shape on the probe itself,
+    // against the SAME ServingIndexes artifact the board row reads
+    // (its batch legs legitimately read documents: the batch IS the
+    // query input)
+    val probed = graft.ops.DedupIndex.probe(spark,
+      graft.ops.ServingIndexes.dedup(spark, sfSmoke),
+      Tables.load(spark, sfSmoke, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 4)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    probed.collect()
+    val d30 = scans(probed.queryExecution.executedPlan)
+    for (a <- Seq("fps", "bands")) {
+      val sc = d30.filter(_.relation.location.rootPaths.mkString
+        .contains(a))
+      assert(sc.nonEmpty && sc.forall(_.partitionFilters.nonEmpty),
+        s"d30: $a scan must carry a partition filter: $sc")
+    }
   }
 }

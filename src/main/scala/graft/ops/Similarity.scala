@@ -36,6 +36,15 @@ object Similarity {
   private[ops] val K = 5
   private[ops] val NProbe = 2
   private val NQueries = 10 // query set: vec_id < 10
+  /** s35's widened query set for the residual-vs-raw A/B: the r10
+    * verdict flagged s24-vs-s20 as noise-dominated at 10 queries ×
+    * K=5 (50 Bernoulli trials — a 0.04 recall gap is ~½σ); 100
+    * queries × 5 = 500 trials puts σ(recall) ≈ 0.022, enough to
+    * resolve a real encoding gap ≥ ~5 pp. Still fixture-bound: 256
+    * training points and near-random vectors cap what ANY sample can
+    * say about the encodings — SCALE.md records the measured outcome.
+    */
+  private val ABQueries = 100
   private val RerankC = 50 // s11: stage-1 candidates per query
 
   /** s28's candidate-depth axis: brackets the shipped RerankC (= max)
@@ -387,7 +396,8 @@ object Similarity {
     * engines — the ranking hash-gates.
     */
   private[ops] def ivfpqTopKCore(s: SparkSession, dir: String,
-      topK: Int = K, nprobe: Int = NProbe): DataFrame = {
+      topK: Int = K, nprobe: Int = NProbe,
+      nq: Int = NQueries): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     // coarse half: trained cells + full-corpus inverted lists (s14)
@@ -399,7 +409,7 @@ object Similarity {
     val enc = pqAssign(s, pqSubs(s, e.select($"vec_id", $"v")), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
     // probe: NProbe nearest trained cells per query (s15's discipline)
-    val q = e.filter($"vec_id" < NQueries)
+    val q = e.filter($"vec_id" < nq)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
     val probes = q.join(broadcast(cents), lit(true))
@@ -538,7 +548,8 @@ object Similarity {
     * BEFORE any per-code work, narrow-int code join, in-task partial
     * ADC sum, bounded-heap top-k.
     */
-  private def ivfpqResidualTopKCore(s: SparkSession, dir: String): DataFrame = {
+  private def ivfpqResidualTopKCore(s: SparkSession, dir: String,
+      nq: Int = NQueries): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     val (_, cents) = kmTrain(s, e)
@@ -552,7 +563,7 @@ object Similarity {
     val (_, cb) = pqTrain(s, er)
     val enc = pqAssign(s, pqSubs(s, er), cb)
       .select($"vec_id", $"sub", $"cell".as("code"))
-    val q = e.filter($"vec_id" < NQueries)
+    val q = e.filter($"vec_id" < nq)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
     val probes = q.join(broadcast(cents), lit(true))
@@ -658,10 +669,11 @@ object Similarity {
     * orderBy here would plan a useless range exchange in every consumer
     * — the round-2 lesson on composing registered queries).
     */
-  private[ops] def exactTopKCore(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def exactTopKCore(s: SparkSession, dir: String,
+      nq: Int = NQueries): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val q = e.filter($"vec_id" < NQueries)
+    val q = e.filter($"vec_id" < nq)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.select($"vec_id".as("n_id"), $"v")
       .join(broadcast(q), $"q_id" =!= $"n_id")
@@ -1631,6 +1643,34 @@ object Similarity {
         ServingIndexes.ann(s, dir), BmTerms, qv, HybN, 10)
     },
 
+    "s35_residual_ab_recall" -> { (s, dir) =>
+      import s.implicits._
+      // The residual-vs-raw encoding A/B at a query set WIDE enough to
+      // resolve it (ABQueries = 100 vs the audit family's 10 — see the
+      // constant's doc for the power arithmetic): BOTH encodings'
+      // overall recall@K against the exact baseline in ONE gated row,
+      // same trained coarse quantizer, same probe depth, same code
+      // budget — the controlled FAISS by_residual A/B. Scale shapes
+      // are the s19/s23 cores' own (training count-bounded, candidates
+      // cut to probed inverted lists before per-code work, bounded-heap
+      // top-k); the exact side is |queries|×corpus with the query side
+      // broadcast, computed once and reused by both arms (tiny result:
+      // nq·K id pairs).
+      val nq = ABQueries
+      val exact = exactTopKCore(s, dir, nq).select($"q_id", $"n_id")
+        .localCheckpoint(eager = false) // nq*K rows, two consumers
+      def arm(encoding: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select($"q_id", $"n_id")
+            .withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+          .select(lit(encoding).as("encoding"),
+            lit(nq).as("n_queries"), $"n_hits",
+            round($"n_hits" / lit((K * nq).toDouble), 4).as("recall"))
+      arm("raw", ivfpqTopKCore(s, dir, K, NProbe, nq))
+        .union(arm("residual", ivfpqResidualTopKCore(s, dir, nq)))
+        .orderBy($"encoding")
+    },
+
     "s07_int8_quant" -> { (s, dir) =>
       import s.implicits._
       // Int8 symmetric quantization of the embedding column — the
@@ -2066,6 +2106,124 @@ object Similarity {
          |SELECT depth, n_candidates, n_hits,
          |  round(n_hits / ($K.0 * $NQueries), 4) AS recall
          |FROM h JOIN vol USING (depth) ORDER BY depth""".stripMargin,
+
+    // s35: both encodings' aggregated recall in one row set — each arm
+    // is a complete parenthesized sub-query (own WITH: the raw and
+    // residual PQ CTE blocks share names, so they cannot share one
+    // WITH clause), exact baseline recomputed per arm
+    "s35_residual_ab_recall" -> {
+      def arm(encoding: String, ctes: String, adcJoin: String): String =
+        s"""SELECT '$encoding' AS encoding,
+           |  CAST($ABQueries AS INT) AS n_queries, n_hits,
+           |  round(CAST(n_hits AS DOUBLE)
+           |    / CAST(${K * ABQueries} AS DOUBLE), 4) AS recall
+           |FROM (
+           |  WITH $ctes,
+           |  atop AS (
+           |    SELECT q_id, n_id FROM (
+           |      SELECT q_id, n_id, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+           |      FROM ($adcJoin) adcx) WHERE rnk <= $K),
+           |  en AS (
+           |    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+           |    FROM e),
+           |  xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+           |         WHERE vec_id < $ABQueries),
+           |  xscored AS (
+           |    SELECT xq.q_id, en.vec_id AS n_id,
+           |      round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm), 4)
+           |        AS cos
+           |    FROM xq JOIN en ON xq.q_id <> en.vec_id),
+           |  xtop AS (
+           |    SELECT q_id, n_id FROM (
+           |      SELECT q_id, n_id, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           |      FROM xscored) WHERE rnk <= $K)
+           |  SELECT CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_hits
+           |  FROM xtop x LEFT JOIN atop a
+           |    ON a.q_id = x.q_id AND a.n_id = x.n_id)""".stripMargin
+      val rawCtes =
+        s"""$kmSqlCtes,
+           |${pqSqlCtes(withBase = false)},
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+           |      WHERE vec_id < $ABQueries),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell, row_number() OVER (
+           |      PARTITION BY q.q_id ORDER BY
+           |        round(list_dot_product(q.qv, q.qv)
+           |          - 2 * list_dot_product(q.qv, c.cv)
+           |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+           |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+           |cand AS (
+           |  SELECT p.q_id, af.vec_id AS n_id
+           |  FROM af JOIN probes p ON af.cell = p.cell
+           |  WHERE p.q_id <> af.vec_id),
+           |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+           |       WHERE vec_id < $ABQueries),
+           |qtab AS (
+           |  SELECT q.q_id, c.sub, c.cell,
+           |    CAST(round(list_dot_product(q.qsv, q.qsv)
+           |        - 2 * list_dot_product(q.qsv, c.cv)
+           |        + list_dot_product(c.cv, c.cv), 6)
+           |      AS DECIMAL(12,6)) AS qd2
+           |  FROM qs q JOIN cfp c USING (sub))""".stripMargin
+      val rawAdc =
+        s"""SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+           |    FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+           |    JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+           |      AND t.cell = enc.cell
+           |    GROUP BY cd.q_id, cd.n_id""".stripMargin
+      val residCtes =
+        s"""$kmSqlCtes,
+           |er AS (
+           |  SELECT e.vec_id,
+           |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS v
+           |  FROM e JOIN af ON e.vec_id = af.vec_id
+           |  JOIN cf c ON af.cell = c.cell),
+           |${pqSqlCtes(withBase = false, src = "er")},
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+           |      WHERE vec_id < $ABQueries),
+           |probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell, row_number() OVER (
+           |      PARTITION BY q.q_id ORDER BY
+           |        round(list_dot_product(q.qv, q.qv)
+           |          - 2 * list_dot_product(q.qv, c.cv)
+           |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+           |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+           |qres AS (
+           |  SELECT p.q_id, p.cell,
+           |    list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
+           |  FROM probes p JOIN q ON p.q_id = q.q_id
+           |  JOIN cf c ON p.cell = c.cell),
+           |qrs AS (
+           |  SELECT q_id, cell, CAST(r.m AS INT) AS sub,
+           |    list_slice(rv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
+           |  FROM qres CROSS JOIN range(0, $PqM) r(m)),
+           |qtab AS (
+           |  SELECT s.q_id, s.cell, c.sub, c.cell AS code,
+           |    CAST(round(list_dot_product(s.qsv, s.qsv)
+           |        - 2 * list_dot_product(s.qsv, c.cv)
+           |        + list_dot_product(c.cv, c.cv), 6)
+           |      AS DECIMAL(12,6)) AS qd2
+           |  FROM qrs s JOIN cfp c USING (sub)),
+           |cand AS (
+           |  SELECT p.q_id, af.vec_id AS n_id, af.cell
+           |  FROM af JOIN probes p ON af.cell = p.cell
+           |  WHERE p.q_id <> af.vec_id)""".stripMargin
+      val residAdc =
+        s"""SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+           |    FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+           |    JOIN qtab t ON t.q_id = cd.q_id AND t.cell = cd.cell
+           |      AND t.sub = enc.sub AND t.code = enc.cell
+           |    GROUP BY cd.q_id, cd.n_id""".stripMargin
+      s"""${arm("raw", rawCtes, rawAdc)}
+         |UNION ALL
+         |${arm("residual", residCtes, residAdc)}
+         |ORDER BY encoding""".stripMargin
+    },
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

@@ -53,7 +53,14 @@ object MemoryGate {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true")
+      "true",
+    // skip RocksDB's per-store row-count maintenance (a full state
+    // scan on load when the count is unknown; bookkeeping per commit
+    // otherwise). The count feeds only the numTotalStateRows METRIC —
+    // results are identical (the hash gate proves it per query); the
+    // documented production knob for commit-latency-sensitive jobs.
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+      "false")
 
   /** One definition of the start/process/stop/await discipline.
     *
@@ -76,6 +83,16 @@ object MemoryGate {
     val gateSession = s.newSession()
     gateSession.conf.set("spark.sql.shuffle.partitions", StatePartitions)
     StateStoreConfs.foreach { case (k, v) => gateSession.conf.set(k, v) }
+    // COMPLETE-mode gates don't need the no-data finalizing batch: it
+    // exists to advance the watermark so APPEND-mode operators can
+    // emit/evict their closed regions, but complete mode re-emits the
+    // full result table every batch and evicts nothing — the extra
+    // batch just re-commits every state store (partitions × ops) to
+    // rewrite an identical table. Append gates keep it: their final
+    // windows/joins FLUSH on exactly that batch.
+    if (mode == "complete")
+      gateSession.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val rebound = org.apache.spark.sql.graft.SessionRebind
       .rebind(df, gateSession)
     val q = rebound.writeStream.outputMode(mode)

@@ -880,6 +880,58 @@ object Dedup {
       exact.union(near).orderBy($"rule", $"source")
     },
 
+    "d31_dedup_ingest_loop" -> { (s, dir) =>
+      import s.implicits._
+      // The admission loop CLOSED over time, driver-gated: batch 1
+      // (doc_id % 10 = 4) probed the corpus index and its exact-rule
+      // admits were APPENDED (ServingIndexes.dedupLoop seeds build →
+      // probe → append once per JVM); this row probes batch 2
+      // (doc_id % 10 = 9) against the post-append snapshot and gates
+      // BOTH funnels — so a batch-2 copy of a batch-1 ADMIT must now
+      // reject as a corpus hit (exact via its appended fingerprint,
+      // near via its appended bands), and a batch-2 copy of a batch-1
+      // REJECT must still admit. That time-dependence is exactly what
+      // d30's single-probe gate cannot see, and what an ingest service
+      // lives on. The oracle recomputes batch 1's admission and the
+      // widened membership from the raw table. Scale: the probe costs
+      // batch 2's collision buckets; the append was one anti-joined
+      // delta write.
+      //
+      // Gate sensitivity (measured at sf0.1): 4 batch-2 docs
+      // near-reject ONLY against batch-1 appended bands (36 vs 32
+      // corpus-only rejections) — a silently failed append flips the
+      // hash. The exact side is fixture-degenerate (no cross-split
+      // exact dups at any SF; batch 1 admits ~everything), recorded
+      // in SCALE.md.
+      val idx = ServingIndexes.dedupLoop(s, dir)
+      val batch2 = docs(s, dir).select($"doc_id", $"text")
+        .filter($"doc_id" % 10 === 9)
+      val decisions = DedupIndex.probe(s, idx, batch2)
+        .localCheckpoint(eager = false) // tiny, two funnel consumers
+      val withSource = decisions
+        .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+      val exact = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" === 1, 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"fp_in_corpus", 1L).otherwise(0L)).as("n_rej_corpus"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" > 1, 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("exact").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      val near = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"near_rej_corpus" && !$"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"near_rej_corpus", 1L).otherwise(0L))
+            .as("n_rej_corpus"),
+          sum(when(!$"near_rej_corpus" && $"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("near").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      exact.union(near).orderBy($"rule", $"source")
+    },
+
     "d25_admission_attribution" -> { (s, dir) =>
       import s.implicits._
       // WHY was my document dropped? The ATTRIBUTION table behind the
@@ -2267,6 +2319,84 @@ object Dedup {
           |FROM merged WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "d13_incremental_dedup" -> d13Sql,
+
+      // d31: the loop oracle recomputes batch 1's exact-rule admission
+      // and widens BOTH membership sets (fingerprints and bands) with
+      // it before scoring batch 2 — the raw-table truth of what the
+      // post-append index holds
+      "d31_dedup_ingest_loop" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, md5(lower(text)) AS fp
+           |  FROM documents),
+           |corpfp AS (SELECT DISTINCT fp FROM base WHERE doc_id % 5 <> 4),
+           |b1 AS (
+           |  SELECT doc_id, fp, row_number() OVER (
+           |    PARTITION BY fp ORDER BY doc_id) AS rn
+           |  FROM base WHERE doc_id % 10 = 4),
+           |adm1 AS (
+           |  SELECT b1.doc_id, b1.fp FROM b1
+           |  LEFT JOIN corpfp c ON c.fp = b1.fp
+           |  WHERE c.fp IS NULL AND b1.rn = 1),
+           |memfp AS (SELECT fp FROM corpfp UNION SELECT fp FROM adm1),
+           |b2 AS (SELECT doc_id, source, fp FROM base
+           |       WHERE doc_id % 10 = 9),
+           |exm AS (
+           |  SELECT b2.doc_id, b2.source,
+           |    CASE WHEN m.fp IS NOT NULL THEN 1 END AS in_corpus,
+           |    row_number() OVER (PARTITION BY b2.fp ORDER BY b2.doc_id)
+           |      AS rn
+           |  FROM b2 LEFT JOIN memfp m ON m.fp = b2.fp),
+           |exfun AS (
+           |  SELECT source, count(*) AS n_incoming,
+           |    CAST(sum(CASE WHEN in_corpus IS NULL AND rn = 1
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |    CAST(sum(CASE WHEN in_corpus IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_corpus,
+           |    CAST(sum(CASE WHEN in_corpus IS NULL AND rn > 1
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+           |  FROM exm GROUP BY source),
+           |$shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |bmem AS (
+           |  SELECT b.* FROM bands b
+           |  WHERE b.doc_id % 5 <> 4
+           |     OR b.doc_id IN (SELECT doc_id FROM adm1)),
+           |binc2 AS (SELECT * FROM bands WHERE doc_id % 10 = 9),
+           |rejc2 AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
+           |    FROM binc2 i JOIN bmem c ON i.band = c.band) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |rejb2 AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM binc2 a JOIN binc2 b
+           |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |nearfun AS (
+           |  SELECT b2.source, count(*) AS n_incoming,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_rej_corpus,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NULL
+           |             AND rb.doc_id IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+           |  FROM b2
+           |  LEFT JOIN rejc2 rc ON rc.doc_id = b2.doc_id
+           |  LEFT JOIN rejb2 rb ON rb.doc_id = b2.doc_id
+           |  GROUP BY b2.source)
+           |SELECT 'exact' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch FROM exfun
+           |UNION ALL
+           |SELECT 'near' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch FROM nearfun
+           |ORDER BY rule, source""".stripMargin,
 
       // d30 serves d13's exact funnel AND d17's near funnel from the
       // written DedupIndex in one probe — the oracles are the twins'

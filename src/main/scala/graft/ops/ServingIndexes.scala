@@ -76,4 +76,30 @@ object ServingIndexes {
         idx)
       idx
     })
+
+  /** The INGEST-LOOP index for d31 — its own directory, because the
+    * loop MUTATES it (d30's index must stay pristine corpus-only for
+    * its gate): build over the corpus split, probe the first incoming
+    * batch (doc_id % 10 == 4), append the docs the exact rule admits
+    * (not in corpus, first copy in batch), and serve the post-append
+    * snapshot. d31 then probes the SECOND batch (doc_id % 10 == 9)
+    * against it — the admission loop a production ingest service runs
+    * batch after batch, with batch 1's admissions now REJECTING batch
+    * 2's copies of them.
+    */
+  def dedupLoop(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"deduploop|$dir", _ => {
+      val idx = freshDir("dedup-loop")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      DedupIndex.build(s, docs.filter(col("doc_id") % 5 =!= 4), idx)
+      val batch1 = docs.filter(col("doc_id") % 10 === 4)
+      val admitted = batch1.join(
+        DedupIndex.probe(s, idx, batch1)
+          .filter(!col("fp_in_corpus") && col("fp_batch_rn") === 1)
+          .select(col("doc_id")),
+        "doc_id")
+      DedupIndex.append(s, idx, admitted)
+      idx
+    })
 }

@@ -730,6 +730,16 @@ object Similarity {
   private val RrfK = 60
   private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
   private val HybN = 50   // per-side bound for the ARTIFACT fusion (s34)
+  /** s36's positional-index query: a bigram the fixture generator
+    * emits at every SF (35 docs at sf0.001, 312 at sf0.1). */
+  private val PhraseTerms = Seq("spark", "window")
+  /** s37's request batch: three queries with distinct term sets (all
+    * fixture vocabulary), the shape a retrieval service amortizes one
+    * pruned postings read across. */
+  private val BatchQueries = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("query", "join"),
+    2L -> Seq("data", "merge", "table"))
   // s05's per-label member cap: cohesion is computed over the first
   // CohesionCap members per label (lowest vec_id — deterministic, and
   // mirrored in the oracle), so a flooded label costs O(cap²) pairs,
@@ -821,8 +831,10 @@ object Similarity {
   /** DuckDB twin of [[bm25Core]]: CTE chain ending in
     * bm(doc_id, bm25d, n_terms).
     */
-  private val bm25SqlCtes: String = {
-    val termList = BmTerms.map(t => s"'$t'").mkString(", ")
+  private val bm25SqlCtes: String = bm25SqlCtesFor(BmTerms)
+
+  private def bm25SqlCtesFor(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""d AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN text IS NULL THEN 0
@@ -1643,6 +1655,63 @@ object Similarity {
         ServingIndexes.ann(s, dir), BmTerms, qv, HybN, 10)
     },
 
+    "s36_phrase_index_serving" -> { (s, dir) =>
+      // POSITIONAL phrase search from the written postings index,
+      // driver-gated: top-10 docs by occurrence count of the exact
+      // consecutive bigram (overlapping starts count, ties to the
+      // lowest doc_id) — the classic positional-index query BM25's
+      // bag-of-words scoring cannot express ("spark window" as a
+      // phrase is NOT spark AND window). The plan reads the phrase
+      // terms' postings buckets only (TextIndexSpec pins the pruning
+      // and the sliding-window truth); the oracle recomputes the
+      // sliding-window count from raw text. Scale: |phrase| postings
+      // buckets, a doc_id-keyed conjunctive join, per-row adjacency
+      // arithmetic — never an explode past the first slot.
+      TextIndex.searchPhrase(s, ServingIndexes.text(s, dir),
+        PhraseTerms, 10)
+    },
+
+    "s37_batch_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // BATCH-query retrieval from the written postings index,
+      // driver-gated: the request-batch form a serving tier actually
+      // runs — three queries' top-10, scored in ONE pass over the
+      // UNION of the batch's terms (the pruned postings read
+      // amortizes across queries sharing buckets), per-query cut by
+      // the bounded-heap TopKPerKey, ranked by a window partitioned
+      // on the real q_id key. The oracle scores each query's term set
+      // independently (BM25 df/avgdl are corpus-global, so the arms
+      // share nothing but the corpus stats).
+      val queries = BatchQueries.toDF("q_id", "terms")
+      TextIndex.searchMany(s, ServingIndexes.text(s, dir), queries, 10)
+        .select($"q_id", $"doc_id", $"n_terms",
+          $"bm25d".cast("double").as("bm25"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s38_filtered_index_serving" -> { (s, dir) =>
+      import s.implicits._
+      // FILTERED ANN from the written IVF-PQ index, driver-gated: the
+      // allowlist (labels 0-2, s08's metadata predicate) excises
+      // candidates BEFORE the ADC ranking and the top-k cut — the
+      // pre-filter semantics s08 pins for the exact path, now gated
+      // on the artifact path (post-filtering a top-k silently
+      // under-returns when the filter is selective). The allowlist is
+      // an INPUT (like d30's batch): one narrow id column, semi-joined
+      // against the probed candidates; the index side still reads
+      // pruned artifacts only.
+      val qRows = emb(s, dir).filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      val allow = emb(s, dir).filter($"label".isin(0, 1, 2))
+        .select($"vec_id")
+      AnnIndex.search(s, ServingIndexes.ann(s, dir), queries, K,
+          Some(allow))
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2224,6 +2293,82 @@ object Similarity {
          |${arm("residual", residCtes, residAdc)}
          |ORDER BY encoding""".stripMargin
     },
+
+    // s36: the sliding-window truth recomputed from raw text —
+    // overlapping starts count, 1-based positions, stop-exclusive
+    // range so a doc shorter than the phrase contributes nothing
+    "s36_phrase_index_serving" -> {
+      val m = PhraseTerms.length
+      val cond = PhraseTerms.zipWithIndex
+        .map { case (t, j) => s"t[i+$j] = '$t'" }.mkString(" AND ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |cnt AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    range(1, len(t) - ${m - 2}), i -> $cond)) AS BIGINT)
+         |    AS phrase_tf
+         |  FROM toks)
+         |SELECT doc_id, phrase_tf FROM cnt WHERE phrase_tf > 0
+         |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // s37: each batch query's arm is an independent s09-shaped block
+    // (own WITH — the BM25 CTE names are shared), the corpus stats
+    // identical across arms by construction
+    "s37_batch_index_serving" -> {
+      val arms = BatchQueries.map { case (qid, terms) =>
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, doc_id, n_terms,
+           |  CAST(bm25d AS DOUBLE) AS bm25, rnk FROM (
+           |  WITH ${bm25SqlCtesFor(terms)}
+           |  SELECT doc_id, n_terms, bm25d, row_number() OVER (
+           |    ORDER BY bm25d DESC, doc_id) AS rnk
+           |  FROM bm) armq WHERE rnk <= 10""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$arms\nORDER BY q_id, rnk"
+    },
+
+    // s38 = s19's oracle with the allowlist pre-cut: disallowed
+    // candidates never reach the ADC ranking (the s08 semantics on
+    // the artifact path)
+    "s38_filtered_index_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  JOIN embeddings em ON em.vec_id = af.vec_id
+         |    AND em.label IN (0, 1, 2)
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

@@ -552,7 +552,12 @@ class PlanShapeSpec extends SparkTestBase {
     for ((name, artifacts) <- Seq(
         "s32_bm25_index_serving" -> Seq("postings"),
         "s33_ann_index_serving" -> Seq("vectors"),
-        "s34_hybrid_index_serving" -> Seq("postings", "invlists"))) {
+        "s34_hybrid_index_serving" -> Seq("postings", "invlists"),
+        // s36's pruned-postings frame is checkpointed (every phrase
+        // slot forks from it), severing the postings scan like s33 —
+        // only the zero-corpus property is assertable here
+        "s36_phrase_index_serving" -> Seq.empty[String],
+        "s37_batch_index_serving" -> Seq("postings"))) {
       val paths = run(name).map(_.relation.location.rootPaths.mkString)
       assert(!paths.exists(p =>
           p.contains("documents") || p.contains("embeddings")),
@@ -576,6 +581,13 @@ class PlanShapeSpec extends SparkTestBase {
       vec.get.dataFilters.mkString.contains("vec_id"),
       s"s33: refine read must carry the candidate id filter: " +
         s"${vec.map(_.dataFilters)}")
+    // s38's allowlist leg legitimately reads embeddings (the
+    // allowlist IS an input); the index side must still prune
+    val s38 = run("s38_filtered_index_serving")
+    val inv38 = s38.filter(_.relation.location.rootPaths.mkString
+      .contains("invlists"))
+    assert(inv38.nonEmpty && inv38.forall(_.partitionFilters.nonEmpty),
+      s"s38: probed cells must be a partition filter: $inv38")
     // d30's board row checkpoints the bounded probe-decision frame
     // (two funnel consumers), which severs the artifact scans from
     // its final plan — so pin the prune shape on the probe itself,

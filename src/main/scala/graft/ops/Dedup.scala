@@ -880,6 +880,45 @@ object Dedup {
       exact.union(near).orderBy($"rule", $"source")
     },
 
+    "d32_dedup_erasure_serving" -> { (s, dir) =>
+      import s.implicits._
+      // RIGHT-TO-ERASURE on the admission index, driver-gated: build
+      // over the corpus split, delete doc_id%20==3 (tombstones),
+      // COMPACT (fold into rewritten fps/bands via the crash-safe
+      // swap), then probe the incoming batch. The oracle's membership
+      // is the REDUCED corpus — an erased doc must STOP rejecting
+      // newcomers on both rule families (its fingerprint and its
+      // bands are gone), which is the erasure contract an ingest
+      // service owes: a still-rejecting ghost flips the hash.
+      val idx = ServingIndexes.dedupErase(s, dir)
+      val batch = docs(s, dir).select($"doc_id", $"text")
+        .filter($"doc_id" % 5 === 4)
+      val decisions = DedupIndex.probe(s, idx, batch)
+        .localCheckpoint(eager = false) // tiny, two funnel consumers
+      val withSource = decisions
+        .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+      val exact = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" === 1, 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"fp_in_corpus", 1L).otherwise(0L)).as("n_rej_corpus"),
+          sum(when(!$"fp_in_corpus" && $"fp_batch_rn" > 1, 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("exact").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      val near = withSource.groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when(!$"near_rej_corpus" && !$"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_admitted"),
+          sum(when($"near_rej_corpus", 1L).otherwise(0L))
+            .as("n_rej_corpus"),
+          sum(when(!$"near_rej_corpus" && $"near_rej_batch", 1L)
+            .otherwise(0L)).as("n_rej_batch"))
+        .select(lit("near").as("rule"), $"source", $"n_incoming",
+          $"n_admitted", $"n_rej_corpus", $"n_rej_batch")
+      exact.union(near).orderBy($"rule", $"source")
+    },
+
     "d31_dedup_ingest_loop" -> { (s, dir) =>
       import s.implicits._
       // The admission loop CLOSED over time, driver-gated: batch 1
@@ -2319,6 +2358,74 @@ object Dedup {
           |FROM merged WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "d13_incremental_dedup" -> d13Sql,
+
+      // d32: the erasure oracle narrows the corpus membership on BOTH
+      // rule families before scoring the batch — a deleted doc's
+      // fingerprint and bands must stop rejecting
+      "d32_dedup_erasure_serving" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, md5(lower(text)) AS fp
+           |  FROM documents),
+           |corpfp AS (
+           |  SELECT DISTINCT fp FROM base
+           |  WHERE doc_id % 5 <> 4 AND doc_id % 20 <> 3),
+           |b AS (SELECT doc_id, source, fp FROM base WHERE doc_id % 5 = 4),
+           |exm AS (
+           |  SELECT b.doc_id, b.source,
+           |    CASE WHEN m.fp IS NOT NULL THEN 1 END AS in_corpus,
+           |    row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id)
+           |      AS rn
+           |  FROM b LEFT JOIN corpfp m ON m.fp = b.fp),
+           |exfun AS (
+           |  SELECT source, count(*) AS n_incoming,
+           |    CAST(sum(CASE WHEN in_corpus IS NULL AND rn = 1
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |    CAST(sum(CASE WHEN in_corpus IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_corpus,
+           |    CAST(sum(CASE WHEN in_corpus IS NULL AND rn > 1
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+           |  FROM exm GROUP BY source),
+           |$shingleHashSql,
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |bcorp AS (
+           |  SELECT * FROM bands
+           |  WHERE doc_id % 5 <> 4 AND doc_id % 20 <> 3),
+           |binc AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+           |rejc AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT c.doc_id AS a_id, i.doc_id AS b_id
+           |    FROM binc i JOIN bcorp c ON i.band = c.band) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |rejb AS (
+           |  SELECT DISTINCT cand.b_id AS doc_id FROM (
+           |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |    FROM binc a JOIN binc b
+           |      ON a.band = b.band AND a.doc_id < b.doc_id) cand
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id
+           |  WHERE round(($matchSum) / 6.0, 6) >= 0.5),
+           |nearfun AS (
+           |  SELECT b.source, count(*) AS n_incoming,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NULL AND rb.doc_id IS NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_rej_corpus,
+           |    CAST(sum(CASE WHEN rc.doc_id IS NULL
+           |             AND rb.doc_id IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS n_rej_batch
+           |  FROM b
+           |  LEFT JOIN rejc rc ON rc.doc_id = b.doc_id
+           |  LEFT JOIN rejb rb ON rb.doc_id = b.doc_id
+           |  GROUP BY b.source)
+           |SELECT 'exact' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch FROM exfun
+           |UNION ALL
+           |SELECT 'near' AS rule, source, n_incoming, n_admitted,
+           |  n_rej_corpus, n_rej_batch FROM nearfun
+           |ORDER BY rule, source""".stripMargin,
 
       // d31: the loop oracle recomputes batch 1's exact-rule admission
       // and widens BOTH membership sets (fingerprints and bands) with

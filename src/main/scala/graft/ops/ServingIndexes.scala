@@ -102,4 +102,81 @@ object ServingIndexes {
       DedupIndex.append(s, idx, admitted)
       idx
     })
+
+  // ---- the ERASURE snapshots (s40/s41/d32): build, delete a
+  // deterministic id rule, compact — so the right-to-erasure leg
+  // (tombstone write + fold-in) is what the driver's hash gate reads.
+  // Own directories: deletion mutates, and the pristine serving
+  // indexes above back other gates.
+
+  /** Erasure rule for the document-keyed indexes (s41/d32). */
+  val EraseDocRule: org.apache.spark.sql.Column = col("doc_id") % 20 === 3
+  /** Erasure rule for the vector index (s40). */
+  val EraseVecRule: org.apache.spark.sql.Column = col("vec_id") % 10 === 7
+
+  def textErase(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"texterase|$dir", _ => {
+      val idx = freshDir("text-erase")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      TextIndex.build(s, docs, idx)
+      TextIndex.delete(s, idx, docs.filter(EraseDocRule).select(col("doc_id")))
+      TextIndex.compact(s, idx)
+      idx
+    })
+
+  def annErase(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"annerase|$dir", _ => {
+      val idx = freshDir("ann-erase")
+      AnnIndex.build(s, dir, idx, byResidual = false)
+      AnnIndex.delete(s, idx,
+        Tables.load(s, dir, "embeddings").filter(EraseVecRule)
+          .select(col("vec_id")))
+      AnnIndex.compact(s, idx)
+      idx
+    })
+
+  def dedupErase(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"deduperase|$dir", _ => {
+      val idx = freshDir("dedup-erase")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+      DedupIndex.build(s, corpus, idx)
+      DedupIndex.delete(s, idx,
+        corpus.filter(EraseDocRule).select(col("doc_id")))
+      DedupIndex.compact(s, idx)
+      idx
+    })
+
+  /** STREAMING ingest for s39: the index starts from the doc_id%5!=0
+    * split and the remaining split arrives through a Structured
+    * Streaming file source, appended per micro-batch via foreachBatch
+    * (the production ingest loop; TextIndexSpec proves at-least-once
+    * redelivery is absorbed by the same path). The final index holds
+    * the FULL corpus, so the gate is s09's oracle verbatim — a
+    * streamed index must serve bit-identically to a batch-built one.
+    */
+  def textStream(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"textstream|$dir", _ => {
+      val idx = freshDir("text-stream")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      TextIndex.build(s, docs.filter(col("doc_id") % 5 =!= 0), idx)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-text-stream-ckpt").toString
+      val q = Tables.loadStream(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextIndex.append(s, idx, b.localCheckpoint())
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination(30000) }
+      idx
+    })
 }

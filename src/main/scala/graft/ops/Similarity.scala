@@ -833,14 +833,20 @@ object Similarity {
     */
   private val bm25SqlCtes: String = bm25SqlCtesFor(BmTerms)
 
-  private def bm25SqlCtesFor(terms: Seq[String]): String = {
+  /** `where` narrows the corpus (s41's erasure oracle: BM25 over the
+    * reduced corpus — df, n_corpus AND avgdl must all follow the
+    * erasure, which is exactly what TextIndex.delete's stat
+    * correction claims).
+    */
+  private def bm25SqlCtesFor(terms: Seq[String],
+      where: String = ""): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""d AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN text IS NULL THEN 0
        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS len,
        |    text
-       |  FROM documents),
+       |  FROM documents $where),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d)
@@ -1712,6 +1718,56 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "s39_stream_ingest_serving" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMED ingest under the driver's gate: the index starts from
+      // the doc_id%5!=0 split; the rest arrives through a Structured
+      // Streaming file source and appends per micro-batch via
+      // foreachBatch (ServingIndexes.textStream seeds the stream run
+      // once per JVM). The search must hash-match s09's oracle over
+      // the FULL corpus — i.e. an index fed by the streaming ingest
+      // loop serves bit-identically to a batch-built one (TextIndexSpec
+      // additionally proves at-least-once redelivery is absorbed by
+      // the same append path). Scale: ingest is per-batch delta
+      // appends (anti-joined membership, register-last crash safety);
+      // the recurring search still reads |terms| postings buckets.
+      TextIndex.search(s, ServingIndexes.textStream(s, dir), BmTerms, 10)
+        .select($"doc_id", $"n_terms", $"bm25d".cast("double").as("bm25"))
+    },
+
+    "s40_ann_erasure_serving" -> { (s, dir) =>
+      import s.implicits._
+      // RIGHT-TO-ERASURE on the vector index, driver-gated: build,
+      // delete vec_id%10==7 (tombstones), COMPACT (fold tombstones
+      // into rewritten invlists/codes via the crash-safe swap), then
+      // search. The oracle ranks over the surviving corpus only — an
+      // erased vector surfacing anywhere in the top-k flips the hash.
+      // The trained model (centroids/codebooks) deliberately stays:
+      // erasure removes DATA, not the quantizer it helped train — the
+      // FAISS remove_ids semantics, and why the oracle's training CTEs
+      // still read the full corpus while its candidates are filtered.
+      val qRows = emb(s, dir).filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      AnnIndex.search(s, ServingIndexes.annErase(s, dir), queries, K)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
+    "s41_text_erasure_serving" -> { (s, dir) =>
+      import s.implicits._
+      // RIGHT-TO-ERASURE on the lexical index, driver-gated: build
+      // over the full corpus, delete doc_id%20==3, compact, search.
+      // The oracle is BM25 over the REDUCED corpus — df, n_corpus and
+      // avgdl all follow the erasure (the TextIndexSpec stat-correction
+      // equivalence, now under the driver's hash gate): a deleted doc
+      // leaking into any survivor's SCORE, not just the result list,
+      // flips the hash.
+      TextIndex.search(s, ServingIndexes.textErase(s, dir), BmTerms, 10)
+        .select($"doc_id", $"n_terms", $"bm25d".cast("double").as("bm25"))
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2369,6 +2425,59 @@ object Similarity {
          |  SELECT q_id, n_id, adc, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
          |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    // s39: the streamed index must serve the FULL-corpus truth —
+    // s09's oracle verbatim
+    "s39_stream_ingest_serving" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
+         |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s40: training CTEs over the FULL corpus (the quantizer predates
+    // the erasure), candidates filtered to survivors
+    "s40_ann_erasure_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id AND af.vec_id % 10 <> 7),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $NQueries),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+
+    // s41: the whole scoring model follows the erasure — the corpus
+    // narrows BEFORE df/n_corpus/avgdl derive
+    "s41_text_erasure_serving" ->
+      s"""WITH ${bm25SqlCtesFor(BmTerms, "WHERE doc_id % 20 <> 3")}
+         |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
+         |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

@@ -57,7 +57,14 @@ object Multimodal {
         md.update(content)
         md.update(s"_$j".getBytes("UTF-8"))
         val hex = md.digest().map("%02x".format(_)).mkString.substring(0, 7)
-        (java.lang.Long.parseLong(hex, 16) % 1000) / 1000.0
+        // /1024 (dyadic), NOT /1000: k/1024 is exact in binary, so
+        // SUMS of features (k-means centroid averages in the m11
+        // index training) are order-insensitive and engine-exact —
+        // k/1000 doubles diverged between Spark and DuckDB in the
+        // last ulps of avg() and flipped the 6-dp centroid rounding
+        // (caught live by m11's ADC hash). Float32 embeddings get the
+        // same property from their 24-bit mantissas.
+        (java.lang.Long.parseLong(hex, 16) % 1000) / 1024.0
       }.toArray
   }
 
@@ -94,6 +101,29 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_media_ann_serving" -> { (s, dir) =>
+      import s.implicits._
+      // MEDIA similarity served from a written IVF-PQ index,
+      // driver-gated: the codec feature vectors (the m02 pipeline at
+      // 64 dims) index through `AnnIndex.buildFrom` — the same
+      // trained lifecycle text embeddings use, seeded once per JVM by
+      // ServingIndexes.media — and the search answers from artifacts.
+      // The oracle re-derives the ENTIRE index (features from raw
+      // bytes, count-bounded k-means, PQ codebooks, probes, ADC)
+      // in SQL via the source-agnostic CTE builder — proving the
+      // index machinery is genuinely modality-blind, not
+      // embeddings-shaped. Queries are the first NQueries media items'
+      // vectors, materialized to literals (the s33 discipline: any
+      // fixture scan in the gated plan would be the index's fault).
+      val qRows = mediaVectors(s, dir).filter($"vec_id" < 10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      graft.ops.AnnIndex.search(s,
+          graft.ops.ServingIndexes.media(s, dir), queries, 5)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "m06_chunk_plan" -> { (s, dir) =>
       import s.implicits._
       // Fixed-size chunk manifest — the blob → training-sample shaping
@@ -458,6 +488,27 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // m11: the media-vector base CTE (features from raw bytes, the
+    // m02 construction at 64 dims) feeds the source-agnostic IVF-PQ
+    // oracle builder — the identical trained-index SQL s19 gates over
+    // embeddings, re-targeted at another modality
+    "m11_media_ann_serving" -> {
+      // ::DOUBLE before the divide (a bare BIGINT / N.0 is DECIMAL
+      // division in DuckDB), and /1024 so every feature is DYADIC —
+      // training-average sums are then exact and order-insensitive in
+      // both engines (see FakeCodec.features)
+      val fList = (0 until 64).map { j =>
+        s"((('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT % 1000)" +
+          "::DOUBLE / 1024.0)"
+      }.mkString(",\n|    ")
+      val baseE =
+        s"""$mediaSql,
+           |e AS (
+           |  SELECT media_id AS vec_id, [$fList] AS v FROM media)"""
+          .stripMargin
+      graft.ops.Similarity.annTopkSqlFor(baseE, 10, 5)
+    },
+
     "m10_context_budget" ->
       s"""WITH $mediaSql,
          |t AS (
@@ -567,8 +618,8 @@ object Multimodal {
 
     "m02_feature_extract" -> {
       val fCols = (0 until FakeCodec.NFeatures).map { j =>
-        s"(('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT % 1000)" +
-          s" / 1000.0 AS f$j"
+        s"((('0x' || substr(md5(content || '_$j'), 1, 7))::BIGINT % 1000)" +
+          s"::DOUBLE / 1024.0) AS f$j"
       }.mkString(", ")
       s"""WITH $mediaSql
          |SELECT media_id, $fCols

@@ -103,6 +103,20 @@ object ServingIndexes {
       idx
     })
 
+  /** IVF-PQ index over the MULTIMODAL codec feature vectors (m11):
+    * `AnnIndex.buildFrom` is source-agnostic — media vectors go
+    * through the identical trained lifecycle as text embeddings, and
+    * the m11 oracle re-derives the same index from the raw bytes.
+    */
+  def media(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"media|$dir", _ => {
+      val idx = freshDir("media-serving")
+      AnnIndex.buildFrom(s,
+        graft.multimodal.Multimodal.mediaVectors(s, dir), idx,
+        byResidual = false)
+      idx
+    })
+
   // ---- the ERASURE snapshots (s40/s41/d32): build, delete a
   // deterministic id rule, compact — so the right-to-erasure leg
   // (tombstone write + fold-in) is what the driver's hash gate reads.

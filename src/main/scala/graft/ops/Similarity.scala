@@ -200,7 +200,13 @@ object Similarity {
     * assignment: vec_id, cell, d2). Iterations are unrolled — KmIters
     * is a compile-time constant, so the oracle is plain ANSI SQL.
     */
-  private def kmSqlCtes: String = {
+  /** The default vector source for the trained-index oracle CTEs. */
+  private val EmbBaseE =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  private def kmSqlCtes: String = kmSqlCtes(EmbBaseE)
+
+  private def kmSqlCtes(baseE: String): String = {
     def d2Sql(v: String, cv: String) =
       s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
         s" + list_dot_product($cv, $cv), 6)"
@@ -223,7 +229,7 @@ object Similarity {
          |c$it AS (SELECT cell, list(cx ORDER BY i) AS cv FROM m$it
          |         GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""$baseE,
        |samp AS (
        |  SELECT vec_id, v FROM e
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $TrainN),
@@ -234,6 +240,52 @@ object Similarity {
        |af AS (
        |  ${assignSql("e", "cf")})""".stripMargin
   }
+
+  /** The complete raw-code IVF-PQ top-k oracle over ANY vector source:
+    * `baseE` supplies the `e AS (vec_id, v DOUBLE[])` CTE (plus any
+    * CTEs it needs before it) — embeddings by default, the multimodal
+    * codec features for m11. Everything downstream (count-bounded
+    * k-means, PQ codebooks, probes, ADC, top-k) is the s19 text
+    * verbatim; this is the SQL twin of `AnnIndex.buildFrom` + `search`
+    * being source-agnostic.
+    */
+  private[graft] def annTopkSqlFor(baseE: String, nq: Int,
+      k: Int): String =
+    s"""WITH ${kmSqlCtes(baseE)},
+       |${pqSqlCtes(withBase = false)},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id < $nq),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell, row_number() OVER (
+       |      PARTITION BY q.q_id ORDER BY
+       |        round(list_dot_product(q.qv, q.qv)
+       |          - 2 * list_dot_product(q.qv, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+       |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, af.vec_id AS n_id
+       |  FROM af JOIN probes p ON af.cell = p.cell
+       |  WHERE p.q_id <> af.vec_id),
+       |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+       |       WHERE vec_id < $nq),
+       |qtab AS (
+       |  SELECT q.q_id, c.sub, c.cell,
+       |    CAST(round(list_dot_product(q.qsv, q.qsv)
+       |        - 2 * list_dot_product(q.qsv, c.cv)
+       |        + list_dot_product(c.cv, c.cv), 6)
+       |      AS DECIMAL(12,6)) AS qd2
+       |  FROM qs q JOIN cfp c USING (sub)),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+       |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+       |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+       |    AND t.cell = enc.cell
+       |  GROUP BY cd.q_id, cd.n_id)
+       |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+       |  SELECT q_id, n_id, adc, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+       |  FROM adc) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
   // ---- product quantization (s16/s17) --------------------------------
   // The FAISS-style scale representation for ANN beyond IVF: split each
@@ -2055,42 +2107,7 @@ object Similarity {
          |  ON a.q_id = x.q_id AND a.n_id = x.n_id
          |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
-    "s19_ivfpq_topk" ->
-      s"""WITH $kmSqlCtes,
-         |${pqSqlCtes(withBase = false)},
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |      WHERE vec_id < $NQueries),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.q_id, c.cell, row_number() OVER (
-         |      PARTITION BY q.q_id ORDER BY
-         |        round(list_dot_product(q.qv, q.qv)
-         |          - 2 * list_dot_product(q.qv, c.cv)
-         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
-         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
-         |cand AS (
-         |  SELECT p.q_id, af.vec_id AS n_id
-         |  FROM af JOIN probes p ON af.cell = p.cell
-         |  WHERE p.q_id <> af.vec_id),
-         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
-         |       WHERE vec_id < $NQueries),
-         |qtab AS (
-         |  SELECT q.q_id, c.sub, c.cell,
-         |    CAST(round(list_dot_product(q.qsv, q.qsv)
-         |        - 2 * list_dot_product(q.qsv, c.cv)
-         |        + list_dot_product(c.cv, c.cv), 6)
-         |      AS DECIMAL(12,6)) AS qd2
-         |  FROM qs q JOIN cfp c USING (sub)),
-         |adc AS (
-         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
-         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
-         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
-         |    AND t.cell = enc.cell
-         |  GROUP BY cd.q_id, cd.n_id)
-         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
-         |  SELECT q_id, n_id, adc, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
-         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+    "s19_ivfpq_topk" -> annTopkSqlFor(EmbBaseE, NQueries, K),
 
     "s20_ivfpq_recall" ->
       s"""WITH $kmSqlCtes,

@@ -92,9 +92,22 @@ object Multimodal {
     * output is a narrow two-column frame, so the index build never
     * re-reads media bytes.
     */
-  def mediaVectors(s: SparkSession, dir: String): DataFrame = {
+  def mediaVectors(s: SparkSession, dir: String): DataFrame =
+    mediaVectorsOf(s, {
+      import s.implicits._
+      mediaTable(s, dir).as[Media]
+    })
+
+  /** Feature extraction over a PRE-FILTERED media frame: callers that
+    * need a few rows (m11's query side) must narrow BEFORE this typed
+    * mapPartitions — Catalyst cannot push a predicate through the
+    * deserialization barrier, so filtering the result decodes the
+    * whole corpus to keep 10 rows (the m02 lesson; caught live as a
+    * 4.2 s warm pass on m11's bounded query side).
+    */
+  def mediaVectorsOf(s: SparkSession, media: Dataset[Media]): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).as[Media].mapPartitions { rows =>
+    media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5")
       rows.map(m => (m.media_id, FakeCodec.features(md, m.content, 64)))
     }.toDF("vec_id", "v")
@@ -115,7 +128,8 @@ object Multimodal {
       // embeddings-shaped. Queries are the first NQueries media items'
       // vectors, materialized to literals (the s33 discipline: any
       // fixture scan in the gated plan would be the index's fault).
-      val qRows = mediaVectors(s, dir).filter($"vec_id" < 10)
+      val qRows = mediaVectorsOf(s,
+          mediaTable(s, dir).filter($"media_id" < 10).as[Media])
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       val queries = qRows.toSeq.toDF("q_id", "qv")
       graft.ops.AnnIndex.search(s,

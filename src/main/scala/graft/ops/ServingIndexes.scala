@@ -103,6 +103,18 @@ object ServingIndexes {
       idx
     })
 
+  /** The RESIDUAL-encoded (FAISS by_residual=true default) index for
+    * s42 — the encoding a deployment should serve, now under the
+    * driver's gate; the raw index above backs s33/s34/s38 (whose
+    * oracle CTEs describe raw codes).
+    */
+  def annResidual(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"annres|$dir", _ => {
+      val idx = freshDir("ann-residual-serving")
+      AnnIndex.build(s, dir, idx, byResidual = true)
+      idx
+    })
+
   /** IVF-PQ index over the MULTIMODAL codec feature vectors (m11):
     * `AnnIndex.buildFrom` is source-agnostic — media vectors go
     * through the identical trained lifecycle as text embeddings, and

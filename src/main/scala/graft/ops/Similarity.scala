@@ -1820,6 +1820,25 @@ object Similarity {
         .select($"doc_id", $"n_terms", $"bm25d".cast("double").as("bm25"))
     },
 
+    "s42_ann_residual_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The RESIDUAL-encoded serving path (FAISS's by_residual=true
+      // default — the encoding a deployment should actually serve),
+      // driver-gated from the written artifacts: per-(query, probed
+      // cell) ADC tables against residual codes, answered entirely
+      // from the byResidual index ServingIndexes seeds once per JVM.
+      // Same oracle as s23 (AnnIndexSpec pins artifact == one-plan
+      // equality for the residual model); query side materialized to
+      // literals, the s33 discipline.
+      val qRows = emb(s, dir).filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      AnnIndex.search(s, ServingIndexes.annResidual(s, dir), queries, K)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -1867,6 +1886,58 @@ object Similarity {
           round(graft.functions.CosineSim($"v", $"dq"), 6).as("q_cos"))
         .orderBy($"vec_id")
     })
+
+  /** s23's oracle (shared verbatim by s42's artifact-serving twin):
+    * residual-encoded IVF-PQ top-k, training replayed in SQL.
+    */
+  private def residualTopkSql: String =
+    s"""WITH $kmSqlCtes,
+         |er AS (
+         |  SELECT e.vec_id,
+         |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS v
+         |  FROM e JOIN af ON e.vec_id = af.vec_id
+         |  JOIN cf c ON af.cell = c.cell),
+         |${pqSqlCtes(withBase = false, src = "er")},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |qres AS (
+         |  SELECT p.q_id, p.cell,
+         |    list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
+         |  FROM probes p JOIN q ON p.q_id = q.q_id
+         |  JOIN cf c ON p.cell = c.cell),
+         |qrs AS (
+         |  SELECT q_id, cell, CAST(r.m AS INT) AS sub,
+         |    list_slice(rv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
+         |  FROM qres CROSS JOIN range(0, $PqM) r(m)),
+         |qtab AS (
+         |  SELECT s.q_id, s.cell, c.sub, c.cell AS code,
+         |    CAST(round(list_dot_product(s.qsv, s.qsv)
+         |        - 2 * list_dot_product(s.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qrs s JOIN cfp c USING (sub)),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id, af.cell
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.cell = cd.cell
+         |    AND t.sub = enc.sub AND t.code = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "s26_source_embedding_coverage" ->
@@ -2743,54 +2814,14 @@ object Similarity {
          |  ON a.q_id = x.q_id AND a.n_id = x.n_id
          |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
-    "s23_ivfpq_residual_topk" ->
-      s"""WITH $kmSqlCtes,
-         |er AS (
-         |  SELECT e.vec_id,
-         |    list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS v
-         |  FROM e JOIN af ON e.vec_id = af.vec_id
-         |  JOIN cf c ON af.cell = c.cell),
-         |${pqSqlCtes(withBase = false, src = "er")},
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |      WHERE vec_id < $NQueries),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.q_id, c.cell, row_number() OVER (
-         |      PARTITION BY q.q_id ORDER BY
-         |        round(list_dot_product(q.qv, q.qv)
-         |          - 2 * list_dot_product(q.qv, c.cv)
-         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
-         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
-         |qres AS (
-         |  SELECT p.q_id, p.cell,
-         |    list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
-         |  FROM probes p JOIN q ON p.q_id = q.q_id
-         |  JOIN cf c ON p.cell = c.cell),
-         |qrs AS (
-         |  SELECT q_id, cell, CAST(r.m AS INT) AS sub,
-         |    list_slice(rv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
-         |  FROM qres CROSS JOIN range(0, $PqM) r(m)),
-         |qtab AS (
-         |  SELECT s.q_id, s.cell, c.sub, c.cell AS code,
-         |    CAST(round(list_dot_product(s.qsv, s.qsv)
-         |        - 2 * list_dot_product(s.qsv, c.cv)
-         |        + list_dot_product(c.cv, c.cv), 6)
-         |      AS DECIMAL(12,6)) AS qd2
-         |  FROM qrs s JOIN cfp c USING (sub)),
-         |cand AS (
-         |  SELECT p.q_id, af.vec_id AS n_id, af.cell
-         |  FROM af JOIN probes p ON af.cell = p.cell
-         |  WHERE p.q_id <> af.vec_id),
-         |adc AS (
-         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
-         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
-         |  JOIN qtab t ON t.q_id = cd.q_id AND t.cell = cd.cell
-         |    AND t.sub = enc.sub AND t.code = enc.cell
-         |  GROUP BY cd.q_id, cd.n_id)
-         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
-         |  SELECT q_id, n_id, adc, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
-         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+    "s23_ivfpq_residual_topk" -> residualTopkSql,
+
+    // s42 serves the SAME residual-encoded ranking from the written
+    // byResidual=true AnnIndex artifacts (AnnIndexSpec pins artifact
+    // == one-plan equality; this puts the FAISS-default serving path
+    // under the driver's hash gate) — s23's oracle verbatim
+    "s42_ann_residual_serving" -> residualTopkSql,
+
 
     "s25_nprobe_curve" ->
       s"""WITH $kmSqlCtes,

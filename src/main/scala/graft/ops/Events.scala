@@ -342,6 +342,38 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e36_sketch_rollup_serving" -> { (s, dir) =>
+      import s.implicits._
+      // e15's mergeability claim SERVED: the per-(day, type) HLL
+      // rollup is a WRITTEN day-partitioned artifact (ServingIndexes
+      // .sketchRollup, built once per JVM), and a 14-day range
+      // cardinality is answered by unioning the range's sketches —
+      // the date filter prunes the artifact read to the range's
+      // partitions, and the raw events contribute only the EXACT
+      // count this gate needs for its tolerance check (a production
+      // query trusts the sketch; the gate must not). Gated like e15:
+      // the estimate itself stays out of the hash (engine-specific
+      // registers); the boolean — merged-from-artifact estimate
+      // within 5 % of exact (lgK=12 RSE ~1.6 %, so ≥3σ) — is what a
+      // degraded rollup would flip.
+      val idx = ServingIndexes.sketchRollup(s, dir)
+      val lo = to_date(lit("2024-01-08"))
+      val hi = to_date(lit("2024-01-21"))
+      val merged = s.read.parquet(s"$idx/daily")
+        .filter($"day" >= lo && $"day" <= hi)
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      val exact = ev(s, dir)
+        .filter(to_date($"ts") >= lo && to_date($"ts") <= hi)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"))
+      merged.join(exact, "event_type")
+        .select($"event_type", $"n_users",
+          (abs($"est" - $"n_users") <= $"n_users" * 0.05)
+            .as("rollup_consistent"))
+        .orderBy($"event_type")
+    },
+
     "e15_sketch_merge" -> { (s, dir) =>
       import s.implicits._
       // Sketch MERGEABILITY is the 100 TB property: per-partition (here
@@ -1143,6 +1175,13 @@ object Events {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |TRUE AS merge_consistent
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e36_sketch_rollup_serving" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |TRUE AS rollup_consistent
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-21'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e11b_exact_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -175,6 +175,24 @@ object ServingIndexes {
       idx
     })
 
+  /** Per-(day, event_type) HLL sketch ROLLUP artifact for e36 — the
+    * warehouse pattern e15 proves mergeability for: daily sketches
+    * are written ONCE (day-partitioned), and any date-range distinct
+    * count is answered by unioning the range's sketches — the raw
+    * events are never re-scanned. At 100 TB this is the difference
+    * between a range-cardinality query costing |range| tiny sketches
+    * and costing a full shuffle of the range's raw user ids.
+    */
+  def sketchRollup(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"sketch|$dir", _ => {
+      val idx = freshDir("sketch-rollup")
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.partitionBy("day").parquet(s"$idx/daily")
+      idx
+    })
+
   /** STREAMING ingest for s39: the index starts from the doc_id%5!=0
     * split and the remaining split arrives through a Structured
     * Streaming file source, appended per micro-batch via foreachBatch

@@ -588,6 +588,18 @@ class PlanShapeSpec extends SparkTestBase {
       .contains("invlists"))
     assert(inv38.nonEmpty && inv38.forall(_.partitionFilters.nonEmpty),
       s"s38: probed cells must be a partition filter: $inv38")
+    // e36: the 14-day range must prune the day-partitioned sketch
+    // rollup at LISTING time (14 of 30 day partitions read); the
+    // events scan is the gate's exact-count leg, a legitimate input
+    val e36 = run("e36_sketch_rollup_serving")
+    val roll = e36.filter(_.relation.location.rootPaths.mkString
+      .contains("daily"))
+    assert(roll.nonEmpty && roll.forall(_.partitionFilters.nonEmpty),
+      s"e36: the date range must be a partition filter: $roll")
+    assert(roll.map(_.selectedPartitions.partitionCount).max <= 14,
+      s"e36: 14-day range must read at most 14 day partitions: " +
+        s"${roll.map(_.selectedPartitions.partitionCount)}")
+
     // d30's board row checkpoints the bounded probe-decision frame
     // (two funnel consumers), which severs the artifact scans from
     // its final plan — so pin the prune shape on the probe itself,

@@ -374,6 +374,80 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e37_quantile_rollup_serving" -> { (s, dir) =>
+      import s.implicits._
+      // e23's quantile-mergeability claim SERVED (e36's twin for the
+      // trilogy's quantile member): the per-(day, type) KLL rollup is
+      // a written day-partitioned artifact; a 14-day range median is
+      // a fold over the range's ≤14 tiny day states — the raw events
+      // contribute only the gate's exact leg. Hash-gated like e23:
+      // the exact interpolated median over the range plus a boolean
+      // asserting the MERGED-from-artifact sketch's median sits
+      // within ±0.05 empirical rank of 0.5 on the range's values
+      // (KLL k=200 rank error ~1.7%, so ~3x headroom); a rollup that
+      // degraded rank accuracy flips it.
+      val idx = ServingIndexes.quantileRollup(s, dir)
+      val lo = to_date(lit("2024-01-08"))
+      val hi = to_date(lit("2024-01-21"))
+      val merged = s.read.parquet(s"$idx/daily")
+        .filter($"day" >= lo && $"day" <= hi)
+        .groupBy($"event_type")
+        .agg(collect_list($"sk").as("sks"))
+        .withColumn("msk", expr(
+          "aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"))
+        .select($"event_type",
+          expr("kll_sketch_get_quantile_double(msk, 0.5d)").as("m_med"))
+      val inRange = ev(s, dir)
+        .filter(to_date($"ts") >= lo && to_date($"ts") <= hi)
+      inRange.join(merged, "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile($"value", lit(0.5)), 4).as("exact_med"),
+          (sum(when($"value" <= $"m_med", 1L).otherwise(0L)) /
+            count(lit(1)).cast("double")).as("m_rank"))
+        .select($"event_type", $"n", $"exact_med",
+          (abs($"m_rank" - 0.5) <= 0.05).as("rollup_rank_ok"))
+        .orderBy($"event_type")
+    },
+
+    "e38_topk_rollup_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The frequent-items member of the rollup-served sketch trio
+      // (e36 HLL cardinality, e37 KLL quantiles, this — t15's
+      // combine-of-states answered from a WRITTEN day-partitioned
+      // artifact): the 14-day range's top-5 users per type come from
+      // combining ≤14 tiny day states per type; raw events contribute
+      // only the gate's exact leg. t15's discipline: ranking and row
+      // selection run on EXACT counts (never sketch-internal tie
+      // handling), and the gated boolean pins estimate == exact
+      // (capacity >> distinct users, so the sketch is provably exact
+      // here; at a real vocabulary it becomes within-epsilon).
+      val idx = ServingIndexes.topkRollup(s, dir)
+      val lo = to_date(lit("2024-01-08"))
+      val hi = to_date(lit("2024-01-21"))
+      val merged = s.read.parquet(s"$idx/daily")
+        .filter($"day" >= lo && $"day" <= hi)
+        .groupBy($"event_type")
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 50)")
+          .as("e"))
+        .select($"event_type", explode($"e").as("e"))
+        .select($"event_type", $"e.item".as("user_id"),
+          $"e.count".as("est_n"))
+      val exact = ev(s, dir)
+        .filter(to_date($"ts") >= lo && to_date($"ts") <= hi)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"n".desc, $"user_id")
+      exact.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .join(merged, Seq("event_type", "user_id"), "left")
+        .select($"event_type", $"user_id", $"n", $"rnk",
+          coalesce($"est_n" === $"n", lit(false)).as("sketch_ok"))
+        .orderBy($"event_type", $"rnk")
+    },
+
     "e15_sketch_merge" -> { (s, dir) =>
       import s.implicits._
       // Sketch MERGEABILITY is the 100 TB property: per-partition (here
@@ -1182,6 +1256,24 @@ object Events {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-21'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e37_quantile_rollup_serving" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_med,
+        |  TRUE AS rollup_rank_ok
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-21'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e38_topk_rollup_serving" ->
+      """SELECT event_type, user_id, n, rnk, TRUE AS sketch_ok FROM (
+        |  SELECT event_type, user_id, count(*) AS n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY count(*) DESC, user_id)
+        |    AS rnk
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-21'
+        |  GROUP BY event_type, user_id) t
+        |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
 
     "e11b_exact_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

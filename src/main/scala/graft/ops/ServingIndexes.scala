@@ -193,6 +193,36 @@ object ServingIndexes {
       idx
     })
 
+  /** e37's quantile twin of [[sketchRollup]]: per-(day, type) KLL
+    * sketches of `value` — any date-range quantile is then a fold
+    * over the range's tiny day states, never a re-scan of raw values.
+    */
+  def quantileRollup(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"kll|$dir", _ => {
+      val idx = freshDir("quantile-rollup")
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+        .write.partitionBy("day").parquet(s"$idx/daily")
+      idx
+    })
+
+  /** e38's frequent-items member of the rollup trio: per-(day, type)
+    * approx_top_k states over user_id — any date-range heavy-hitters
+    * query combines the range's states; capacity 10000 far exceeds
+    * the fixture's distinct users, so estimates are provably exact
+    * (the t15 argument) and the gate pins estimate == exact.
+    */
+  def topkRollup(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"topk|$dir", _ => {
+      val idx = freshDir("topk-rollup")
+      Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("approx_top_k_accumulate(user_id, 10000)").as("st"))
+        .write.partitionBy("day").parquet(s"$idx/daily")
+      idx
+    })
+
   /** STREAMING ingest for s39: the index starts from the doc_id%5!=0
     * split and the remaining split arrives through a Structured
     * Streaming file source, appended per micro-batch via foreachBatch

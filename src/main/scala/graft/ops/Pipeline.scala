@@ -502,6 +502,27 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    "p21_pack_artifact_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The PHYSICAL pack under the driver's gate: Layout.packWrite
+      // materialized p13's slice manifest once per JVM
+      // (ServingIndexes.pack), and this row aggregates the WRITTEN
+      // files — per-chunk slice count, token sum, and an
+      // order-insensitive content fingerprint (md5 over the sorted
+      // per-slice digests, packReconcile's audit columns) — against
+      // the manifest arithmetic recomputed from raw documents. A
+      // dropped, duplicated or corrupted slice in the physical layout
+      // flips the hash. Scale: one aggregation over the pack files,
+      // grouped on the (source, shard, chunk) key they are sorted by.
+      s.read.parquet(ServingIndexes.pack(s, dir))
+        .groupBy($"source", $"shard", $"chunk")
+        .agg(count(lit(1)).as("n_slices"),
+          sum($"n_slice_toks").as("n_toks"),
+          md5(concat_ws(",", sort_array(collect_list(concat_ws(":",
+            $"doc_id", $"chunk_off", $"slice_md5"))))).as("chunk_fp"))
+        .orderBy($"source", $"shard", $"chunk")
+    },
+
     "p13_pack_slices" -> { (s, dir) =>
       import s.implicits._
       // The physical packing p12 describes: ONE ROW PER (document ×
@@ -1015,6 +1036,38 @@ object Pipeline {
       report: org.apache.spark.sql.Observation): DataFrame =
     curationPlan(s, dir, Some(gate), Some(report))
 
+  /** p13's oracle (shared by p21's written-pack audit). */
+  private def p13Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, doc_id // $ShardDocs AS shard, text,
+       |    CAST(CASE WHEN text IS NULL THEN 0
+       |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, shard, text, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id, source, shard, text, n_toks,
+       |    CAST(cum - n_toks AS BIGINT) AS g0,
+       |    unnest(generate_series(
+       |      CAST((cum - n_toks) // $PackLen AS BIGINT),
+       |      CAST((cum - 1) // $PackLen AS BIGINT))) AS chunk
+       |  FROM c WHERE n_toks > 0),
+       |x AS (
+       |  SELECT source, shard, chunk,
+       |    greatest(0, g0 - chunk * $PackLen) AS chunk_off, doc_id,
+       |    greatest(0, chunk * $PackLen - g0) AS lo,
+       |    least(n_toks, (chunk + 1) * $PackLen - g0) AS hi, text
+       |  FROM m)
+       |SELECT source, shard, CAST(chunk AS BIGINT) AS chunk,
+       |  CAST(chunk_off AS BIGINT) AS chunk_off, doc_id,
+       |  CAST(hi - lo AS BIGINT) AS n_slice_toks,
+       |  md5(array_to_string(list_slice(string_split(text, ' '),
+       |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
+       |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "p15_source_data_card" ->
       s"""WITH d AS (
@@ -1240,36 +1293,21 @@ object Pipeline {
          |    AS spans_boundary
          |FROM c WHERE n_toks > 0 ORDER BY doc_id""".stripMargin,
 
-    "p13_pack_slices" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard, text,
-         |    CAST(CASE WHEN text IS NULL THEN 0
-         |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_toks
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, shard, text, n_toks,
-         |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM d),
-         |m AS (
-         |  SELECT doc_id, source, shard, text, n_toks,
-         |    CAST(cum - n_toks AS BIGINT) AS g0,
-         |    unnest(generate_series(
-         |      CAST((cum - n_toks) // $PackLen AS BIGINT),
-         |      CAST((cum - 1) // $PackLen AS BIGINT))) AS chunk
-         |  FROM c WHERE n_toks > 0),
-         |x AS (
-         |  SELECT source, shard, chunk,
-         |    greatest(0, g0 - chunk * $PackLen) AS chunk_off, doc_id,
-         |    greatest(0, chunk * $PackLen - g0) AS lo,
-         |    least(n_toks, (chunk + 1) * $PackLen - g0) AS hi, text
-         |  FROM m)
-         |SELECT source, shard, CAST(chunk AS BIGINT) AS chunk,
-         |  CAST(chunk_off AS BIGINT) AS chunk_off, doc_id,
-         |  CAST(hi - lo AS BIGINT) AS n_slice_toks,
-         |  md5(array_to_string(list_slice(string_split(text, ' '),
-         |    CAST(lo + 1 AS BIGINT), CAST(hi AS BIGINT)), ' ')) AS slice_md5
-         |FROM x ORDER BY source, shard, chunk, chunk_off""".stripMargin,
+    "p13_pack_slices" -> p13Sql,
+
+    // p21: the PHYSICAL pack gated — per-chunk slice counts, token
+    // sums and an order-insensitive content fingerprint of the
+    // WRITTEN files must match the manifest arithmetic recomputed
+    // from raw documents (p13's oracle aggregated per chunk)
+    "p21_pack_artifact_serving" ->
+      s"""SELECT source, shard, chunk, count(*) AS n_slices,
+         |  CAST(sum(n_slice_toks) AS BIGINT) AS n_toks,
+         |  md5(string_agg(doc_id || ':' || chunk_off || ':' || slice_md5,
+         |    ',' ORDER BY doc_id || ':' || chunk_off || ':' || slice_md5))
+         |    AS chunk_fp
+         |FROM ($p13Sql) sl
+         |GROUP BY source, shard, chunk
+         |ORDER BY source, shard, chunk""".stripMargin,
 
     "p20_length_bucket_curve" ->
       s"""WITH lens AS (

@@ -223,6 +223,18 @@ object ServingIndexes {
       idx
     })
 
+  /** p21's written pack: `Layout.packWrite` materializes the p13
+    * slice manifest as range-partitioned, sorted parquet — the
+    * physical training-shard layout. Written once per JVM; the board
+    * row audits the FILES against the manifest arithmetic.
+    */
+  def pack(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"pack|$dir", _ => {
+      val out = freshDir("pack-artifact")
+      Layout.packWrite(s, dir, out, shards = 4)
+      out
+    })
+
   /** STREAMING ingest for s39: the index starts from the doc_id%5!=0
     * split and the remaining split arrives through a Structured
     * Streaming file source, appended per micro-batch via foreachBatch

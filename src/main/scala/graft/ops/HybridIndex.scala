@@ -39,27 +39,61 @@ object HybridIndex {
       terms: Seq[String], qv: Seq[Double], n: Int, k: Int,
       allow: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    // one allowlist scopes BOTH sides (the fixture id space is shared;
-    // a deployment passes the same entity-id set) — pushed into each
-    // index's own pre-top-k filter leg, never post-filtered here:
-    // post-filtering the fused list under-returns exactly like
-    // post-filtering either side (the s08 argument, squared)
-    val allowText = allow.map(a =>
-      a.select(col(a.columns.head).as("doc_id")))
-    val allowAnn = allow.map(a =>
-      a.select(col(a.columns.head).as("vec_id")))
-    // both sides normalized to (side, doc_id, sortv) with ASC-better
-    // sort values, so one side-partitioned window ranks both: the
-    // lexical side negates its DESC-better score; the vector side's
-    // ADC distance is ASC-better already (and re-ranking it here by
-    // (adc, id) reproduces AnnIndex's own rnk definition exactly).
-    val bmSide = TextIndex.search(s, textDir, terms, n, allowText)
-      .select(lit("bm").as("side"), $"doc_id",
-        (-$"bm25d".cast("double")).as("sortv"))
+    val (allowText, allowAnn) = splitAllow(allow)
+    // the vector side's ADC distance is ASC-better already (and
+    // re-ranking it here by (adc, id) reproduces AnnIndex's own rnk
+    // definition exactly)
     val annSide = AnnIndex.search(s, annDir,
         Seq((-1L, qv)).toDF("q_id", "qv"), n, allowAnn)
       .select(lit("ann").as("side"), $"n_id".as("doc_id"),
         $"adc".cast("double").as("sortv"))
+    fuse(s, TextIndex.search(s, textDir, terms, n, allowText),
+      annSide, k)
+  }
+
+  /** [[search]] with the REFINED vector side — the quality
+    * configuration a deployment should serve (ADC proposes, exact
+    * full-precision vectors dispose; the AnnIndex refine-stage
+    * rationale): the ann leg ranks by exact squared L2 from the
+    * stored-vectors artifact at the shipped (RefineNProbe,
+    * RefineDepth) elbow, so the fused ranking inherits the refined
+    * chain's measured recall instead of raw ADC ordering. Requires
+    * the index built with storeVectors = true.
+    */
+  def searchRefined(s: SparkSession, textDir: String, annDir: String,
+      terms: Seq[String], qv: Seq[Double], n: Int, k: Int,
+      allow: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val (allowText, allowAnn) = splitAllow(allow)
+    val annSide = AnnIndex.searchRefined(s, annDir,
+        Seq((-1L, qv)).toDF("q_id", "qv"), n, allow = allowAnn)
+      .select(lit("ann").as("side"), $"n_id".as("doc_id"),
+        $"d2".cast("double").as("sortv"))
+    fuse(s, TextIndex.search(s, textDir, terms, n, allowText),
+      annSide, k)
+  }
+
+  /** One allowlist scopes BOTH sides (the fixture id space is shared;
+    * a deployment passes the same entity-id set) — pushed into each
+    * index's own pre-top-k filter leg, never post-filtered here:
+    * post-filtering the fused list under-returns exactly like
+    * post-filtering either side (the s08 argument, squared).
+    */
+  private def splitAllow(allow: Option[DataFrame])
+      : (Option[DataFrame], Option[DataFrame]) =
+    (allow.map(a => a.select(col(a.columns.head).as("doc_id"))),
+      allow.map(a => a.select(col(a.columns.head).as("vec_id"))))
+
+  /** Both sides normalized to (side, doc_id, sortv) with ASC-better
+    * sort values, so one side-partitioned window ranks both: the
+    * lexical side negates its DESC-better score; vector sides arrive
+    * ASC-better (ADC distance or exact squared L2).
+    */
+  private def fuse(s: SparkSession, bm: DataFrame, annSide: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val bmSide = bm.select(lit("bm").as("side"), $"doc_id",
+      (-$"bm25d".cast("double")).as("sortv"))
     val w = Window.partitionBy($"side").orderBy($"sortv", $"doc_id")
     bmSide.union(annSide)
       .withColumn("rnk_side", row_number().over(w))

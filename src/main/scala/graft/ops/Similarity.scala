@@ -1839,6 +1839,23 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "s43_hybrid_refined_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The QUALITY hybrid configuration under the driver's gate:
+      // RRF of the postings-index lexical ranking and the REFINED
+      // vector ranking (IVF-PQ proposes at the shipped elbow, exact
+      // full-precision vectors from the refine artifact dispose) —
+      // s34's fusion with the ann leg upgraded from raw ADC ordering
+      // to the refined chain's measured 0.70 recall. Both sides read
+      // written artifacts only; the oracle replays training, the
+      // (RefineNProbe, RefineDepth) candidate chain, the exact-L2
+      // rerank, and the same integer-rank fusion.
+      val qv = emb(s, dir).filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0).toSeq
+      HybridIndex.searchRefined(s, ServingIndexes.text(s, dir),
+        ServingIndexes.ann(s, dir), BmTerms, qv, HybN, 10)
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2566,6 +2583,75 @@ object Similarity {
       s"""WITH ${bm25SqlCtesFor(BmTerms, "WHERE doc_id % 20 <> 3")}
          |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
          |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s43 = s34's fusion with the ann leg replaced by the refined
+    // chain: probes at RefineNProbe, ADC top-RefineDepth, exact-L2
+    // rerank to top-HybN, integer-rank RRF (no self-exclusion: the
+    // serving query id -1 is outside the corpus id space)
+    "s43_hybrid_refined_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |$bm25SqlCtes,
+         |bmtop AS (
+         |  SELECT doc_id, CAST(bm25d AS DOUBLE) AS dscore FROM bm
+         |  ORDER BY bm25d DESC, doc_id LIMIT $HybN),
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY dscore DESC, doc_id) AS rnk_side
+         |  FROM bmtop),
+         |hq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |hprobes AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM hq q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
+         |hcand AS (
+         |  SELECT af.vec_id AS n_id FROM af
+         |  JOIN hprobes p ON af.cell = p.cell),
+         |hqs AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = 0),
+         |hqtab AS (
+         |  SELECT c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM hqs q JOIN cfp c USING (sub)),
+         |hadc AS (
+         |  SELECT cd.n_id, sum(t.qd2) AS adc
+         |  FROM hcand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN hqtab t ON t.sub = enc.sub AND t.cell = enc.cell
+         |  GROUP BY cd.n_id),
+         |hdeep AS (
+         |  SELECT n_id FROM (
+         |    SELECT n_id, row_number() OVER (ORDER BY adc, n_id)
+         |      AS arnk FROM hadc) WHERE arnk <= $RefineDepth),
+         |hre AS (
+         |  SELECT d.n_id,
+         |    CAST(round(list_dot_product(q.qv, q.qv)
+         |      - 2 * list_dot_product(q.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v), 6) AS DECIMAL(14,6))
+         |      AS d2
+         |  FROM hdeep d CROSS JOIN hq q
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |anntop AS (
+         |  SELECT n_id AS doc_id, CAST(d2 AS DOUBLE) AS dscore FROM (
+         |    SELECT n_id, d2, row_number() OVER (
+         |      ORDER BY d2, n_id) AS rnk
+         |    FROM hre) WHERE rnk <= $HybN),
+         |annr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY dscore, doc_id) AS rnk_side
+         |  FROM anntop),
+         |sides AS (
+         |  SELECT doc_id, rnk_side FROM bmr
+         |  UNION ALL
+         |  SELECT doc_id, rnk_side FROM annr)
+         |SELECT doc_id, count(*) AS n_sides,
+         |  round(sum(CAST(1 AS DOUBLE) / ($RrfK + rnk_side)), 6) AS rrf
+         |FROM sides GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

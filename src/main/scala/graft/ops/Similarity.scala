@@ -36,6 +36,17 @@ object Similarity {
   private[ops] val K = 5
   private[ops] val NProbe = 2
   private val NQueries = 10 // query set: vec_id < 10
+  /** d33's semantic-admission threshold on the refined chain's top-1
+    * exact squared L2: the fixture's batch→corpus min-d2 quantiles at
+    * sf0.01 are 0.97 / 1.23 / 1.28 / 1.36 (p0/p25/p50/p90), so 1.2
+    * splits the batch non-vacuously. The VERDICT is deterministic at
+    * any threshold (both engines compare the identical 6-dp decimal);
+    * the number itself is a fixture calibration, not a claim — a
+    * deployment calibrates on its own distance distribution (the
+    * AdmissionStackSpec discipline).
+    */
+  private val SemAdmitD2 = 1.2
+
   /** s35's widened query set for the residual-vs-raw A/B: the r10
     * verdict flagged s24-vs-s20 as noise-dominated at 10 queries ×
     * K=5 (50 Bernoulli trials — a 0.04 recall gap is ~½σ); 100
@@ -1839,6 +1850,37 @@ object Similarity {
         .orderBy($"q_id", $"rnk")
     },
 
+    "d33_semantic_admission_serving" -> { (s, dir) =>
+      import s.implicits._
+      // SEMANTIC admission served from artifacts, driver-gated — the
+      // third rule family beside d30's exact and near legs, and the
+      // AdmissionStackSpec capstone's production form: every incoming
+      // vector (vec_id % 5 == 4, the d13/d17 split) retrieves its
+      // top-1 corpus neighbor through `AnnIndex.searchRefined`
+      // (allowlist = the corpus split, so batch vectors never admit
+      // against each other here) and rejects when the EXACT re-scored
+      // distance clears the threshold — the refine stage is what
+      // makes a distance threshold trustworthy at all (raw ADC
+      // conflates distance with quantization distortion, the spec's
+      // measured OOD caveat). Funnel per source; the oracle replays
+      // training, the refined chain, and the same decimal compare.
+      val annIdx = ServingIndexes.ann(s, dir)
+      val batch = emb(s, dir).filter($"vec_id" % 5 === 4)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val allow = emb(s, dir).filter($"vec_id" % 5 =!= 4)
+        .select($"vec_id")
+      AnnIndex.searchRefined(s, annIdx, batch, 1, allow = Some(allow))
+        .join(docsTbl(s, dir).select($"doc_id".as("q_id"), $"source"),
+          "q_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(when($"d2" <= SemAdmitD2, 1L).otherwise(0L))
+            .as("n_rej_semantic"),
+          sum(when($"d2" > SemAdmitD2, 1L).otherwise(0L))
+            .as("n_admitted"))
+        .orderBy($"source")
+    },
+
     "s43_hybrid_refined_serving" -> { (s, dir) =>
       import s.implicits._
       // The QUALITY hybrid configuration under the driver's gate:
@@ -2583,6 +2625,67 @@ object Similarity {
       s"""WITH ${bm25SqlCtesFor(BmTerms, "WHERE doc_id % 20 <> 3")}
          |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
          |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // d33: the refined chain replayed for the batch query set with
+    // the corpus allowlist, top-1 per query, decimal threshold
+    // compare, per-source funnel
+    "d33_semantic_admission_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % 5 = 4),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id AND af.vec_id % 5 <> 4),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id % 5 = 4),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id,
+         |    CAST(round(list_dot_product(q.qv, q.qv)
+         |      - 2 * list_dot_product(q.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v), 6) AS DECIMAL(14,6))
+         |      AS d2
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |top1 AS (
+         |  SELECT q_id, d2 FROM (
+         |    SELECT q_id, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, n_id) AS rnk
+         |    FROM re) WHERE rnk = 1)
+         |SELECT d.source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN t.d2 <= $SemAdmitD2 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_rej_semantic,
+         |  CAST(sum(CASE WHEN t.d2 > $SemAdmitD2 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_admitted
+         |FROM top1 t JOIN documents d ON d.doc_id = t.q_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // s43 = s34's fusion with the ann leg replaced by the refined
     // chain: probes at RefineNProbe, ADC top-RefineDepth, exact-L2

@@ -53,6 +53,19 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** [[searchRefined]]'s plan-switch threshold on |queries| × depth
+    * (override: conf `spark.graft.ann.refine.literalBudget`). Up to
+    * here the candidate ids resolve driver-side into an IN-literal
+    * (32k longs ≈ 256 KB — harmless, and it buys row-group min/max
+    * pruning on the sorted refine store; past ~the parquet
+    * inFilterThreshold the pushdown degrades to a min/max range
+    * anyway, so bigger literals buy planning cost, not pruning).
+    * Above it the resolve itself is the hazard — an O(batch × depth)
+    * driver array — and the plan switches to the distributed
+    * semi-join shape (see [[searchRefined]]).
+    */
+  private[graft] val RefineLiteralBudget = 32768L
+
   /** Train on the corpus at `dir` and write the index artifacts.
     * Deterministic end-to-end (the s14/s16 rounding discipline), so
     * re-building overwrites byte-identical content — resumable like
@@ -338,8 +351,20 @@ object AnnIndex {
     */
   def search(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, allow: Option[DataFrame] = None,
-      nprobe: Int = Similarity.NProbe): DataFrame = {
+      nprobe: Int = Similarity.NProbe,
+      hintQueryBroadcast: Boolean = true): DataFrame = {
     import s.implicits._
+    // the query-side frames (probes, ADC tables) are |queries|-
+    // proportional: broadcast-hinted for the bounded request batches a
+    // serving tier sends (the common case — skips a shuffle), but a
+    // corpus-fraction batch (the d33 admission shape) must NOT be
+    // forced through a broadcast: the hint is dropped and AQE picks
+    // the join strategy from the real sizes (it still broadcasts when
+    // the batch turns out small). Model-sized frames (centroids,
+    // codebooks, tombstones) stay hinted — they never scale with the
+    // batch.
+    def qb(df: DataFrame): DataFrame =
+      if (hintQueryBroadcast) broadcast(df) else df
     // read paths heal torn swaps too (see upsert)
     ArtifactSwap.recover(s, indexDir,
       s"$indexDir/invlists", s"$indexDir/codes")
@@ -372,7 +397,7 @@ object AnnIndex {
     // it (for a raw index the key degenerates to (q_id, sub, code))
     val cand0 = inv.filter($"cell".isin(cellLits: _*))
       .withColumn("cell", $"cell".cast("long"))
-      .join(broadcast(probes.select($"q_id", $"cell")), "cell")
+      .join(qb(probes.select($"q_id", $"cell")), "cell")
       .filter($"q_id" =!= $"vec_id")
       // logically deleted ids never surface (tombstones broadcast —
       // small between compactions by design; see delete/compact)
@@ -416,10 +441,10 @@ object AnnIndex {
     val joined =
       if (!residual)
         enc.join(cand.drop("cell"), enc("vec_id") === cand("n_id"))
-          .join(broadcast(qtab.drop("cell")), Seq("q_id", "sub", "code"))
+          .join(qb(qtab.drop("cell")), Seq("q_id", "sub", "code"))
       else
         enc.join(cand, enc("vec_id") === cand("n_id"))
-          .join(broadcast(qtab), Seq("q_id", "cell", "sub", "code"))
+          .join(qb(qtab), Seq("q_id", "cell", "sub", "code"))
     val adc = joined.groupBy($"q_id", $"n_id")
       .agg(sum($"qd2").as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
@@ -441,11 +466,27 @@ object AnnIndex {
     * scores 0.0 no matter how badly its codes quantize. Returns
     * (q_id, n_id, d2 DECIMAL, rnk), top-`k` by exact distance.
     *
-    * Scale shape: the candidate set is bounded (|queries| × depth), so
-    * its ids resolve driver-side into an IN-literal the vec_id-sorted
-    * refine store prunes with row-group min/max stats — the refine
-    * read is proportional to the candidate set, never the corpus; the
-    * query side broadcasts.
+    * Scale shape — TWO plans, switched on the candidate budget
+    * |queries| × depth (threshold [[RefineLiteralBudget]], conf
+    * `spark.graft.ann.refine.literalBudget`):
+    *
+    *  - BOUNDED batches (a serving tier's request batch): candidate
+    *    ids resolve driver-side into an IN-literal the vec_id-sorted
+    *    refine store prunes with row-group min/max stats — the refine
+    *    read is proportional to the candidate set, never the corpus;
+    *    the query side broadcasts.
+    *  - LARGE batches (a corpus-fraction admission split — d33's
+    *    shape): the driver-side resolve would be an O(batch × depth)
+    *    id array and the query broadcast a corpus-fraction frame — a
+    *    driver OOM at 1000-executor scale, not a slow query. Above the
+    *    threshold the IN-literal is replaced by the rerank join itself
+    *    (a shuffle join keyed on vec_id against the vec_id-range-sorted
+    *    refine store — the distributed form of the same semi-join
+    *    prune), every query-side broadcast hint is dropped (AQE still
+    *    broadcasts if the batch turns out small), and nothing
+    *    |batch|-proportional ever lands on the driver. Both plans
+    *    compute the identical ranking; AnnIndexSpec pins the switch
+    *    and the bit-equality.
     *
     * Defaults are the MEASURED elbow of the joint (nprobe × depth)
     * grid (`Similarity.RefineNProbe`/`RefineDepth`, the table in their
@@ -466,23 +507,41 @@ object AnnIndex {
     require(vfs.exists(vecPath),
       s"refined search needs the vectors/ refine artifact — build the " +
         s"index with storeVectors = true: $indexDir")
-    val cand = search(s, indexDir, queries, depth, allow, nprobe)
-      .select($"q_id", $"n_id")
-      // bounded by construction; one evaluation feeds both the
-      // IN-literal resolve and the rerank join
-      .localCheckpoint()
-    val candIds = cand.select($"n_id").distinct()
-      .collect().map(_.getLong(0))
-    val vecs = s.read.parquet(vecPath.toString)
-      .filter(if (candIds.isEmpty) lit(false)
-        else $"vec_id".isin(candIds: _*))
-    val qv = broadcast(queries.select($"q_id", $"qv"))
-    val rescored = cand
-      .join(qv, "q_id")
-      .join(vecs, cand("n_id") === vecs("vec_id"))
-      .withColumn("d2", Similarity.kmDist2($"qv", $"v")
-        .cast("decimal(14,6)"))
-      .select($"q_id", $"n_id", $"d2")
+    // the switch: one cheap scalar count of the caller's query frame
+    // (never the candidates — deciding must not cost a search)
+    val budget = s.conf.getOption("spark.graft.ann.refine.literalBudget")
+      .map(_.toLong).getOrElse(RefineLiteralBudget)
+    val bounded = queries.count() * depth <= budget
+    val rescored = if (bounded) {
+      val cand = search(s, indexDir, queries, depth, allow, nprobe)
+        .select($"q_id", $"n_id")
+        // bounded by construction; one evaluation feeds both the
+        // IN-literal resolve and the rerank join
+        .localCheckpoint()
+      val candIds = cand.select($"n_id").distinct()
+        .collect().map(_.getLong(0))
+      val vecs = s.read.parquet(vecPath.toString)
+        .filter(if (candIds.isEmpty) lit(false)
+          else $"vec_id".isin(candIds: _*))
+      cand.join(broadcast(queries.select($"q_id", $"qv")), "q_id")
+        .join(vecs, cand("n_id") === vecs("vec_id"))
+        .withColumn("d2", Similarity.kmDist2($"qv", $"v")
+          .cast("decimal(14,6)"))
+        .select($"q_id", $"n_id", $"d2")
+    } else {
+      // large-batch plan: no checkpoint (candidates consumed once),
+      // no driver-side id resolve, no forced query broadcast — the
+      // rerank join against the sorted refine store IS the prune
+      val cand = search(s, indexDir, queries, depth, allow, nprobe,
+          hintQueryBroadcast = false)
+        .select($"q_id", $"n_id")
+      val vecs = s.read.parquet(vecPath.toString)
+      cand.join(queries.select($"q_id", $"qv"), "q_id")
+        .join(vecs, cand("n_id") === vecs("vec_id"))
+        .withColumn("d2", Similarity.kmDist2($"qv", $"v")
+          .cast("decimal(14,6)"))
+        .select($"q_id", $"n_id", $"d2")
+    }
     val top = graft.plans.TopKPerKey(rescored, Seq("q_id"),
       struct($"d2", $"n_id"), k)
     val w = Window.partitionBy($"q_id").orderBy($"d2", $"n_id")

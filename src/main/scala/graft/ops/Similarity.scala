@@ -793,6 +793,19 @@ object Similarity {
   private val RrfK = 60
   private val RetrN = 100 // per-side retrieved-set bound for fusion (s10)
   private val HybN = 50   // per-side bound for the ARTIFACT fusion (s34)
+  /** s44's grid — the hybrid tier's two serving knobs, measured with
+    * the d23/s25/s28 operating-curve discipline: per-side retrieval
+    * depth brackets the shipped HybN = 50 from both sides, and the RRF
+    * constant brackets the shipped RrfK = 60 (Cormack et al.'s k,
+    * which damps the head-rank dominance: small k over-weights each
+    * side's rank 1; large k flattens toward vote counting). Both
+    * sides' ranked lists are derived ONCE at HybCurveMaxN; every
+    * config is then pure bounded arithmetic — never a re-probe.
+    */
+  private val HybCurveNs = Seq(10, 25, 50, 100)
+  private val HybCurveKs = Seq(10, 60, 120)
+  private val HybCurveMaxN = 100
+  private val HybCurveNQ = 3 // query batch: BatchQueries × vectors 0..2
   /** s36's positional-index query: a bigram the fixture generator
     * emits at every SF (35 docs at sf0.001, 312 at sf0.1). */
   private val PhraseTerms = Seq("spark", "window")
@@ -1898,6 +1911,73 @@ object Similarity {
         ServingIndexes.ann(s, dir), BmTerms, qv, HybN, 10)
     },
 
+    "s44_hybrid_operating_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The hybrid tier's OPERATING CURVE — the d23/s25/s28 measurement
+      // discipline applied to the last unmeasured serving knobs
+      // (HybridIndex's per-side depth and the RRF constant): a 3-query
+      // batch (BatchQueries' term sets paired with query vectors
+      // 0..2) retrieves each side's ranked list ONCE from the written
+      // indexes at the deepest swept depth (refined ANN top-100, BM25
+      // top-100), then EVERY (hyb_n, rrf_k) config derives its fused
+      // top-10 by bounded arithmetic over those ≤600 rows — filter to
+      // rnk_side <= hyb_n, regroup, re-cut — never a re-probe per
+      // config. Each config's quality is its overlap with the two
+      // exact references: the exact-cosine top-10 (the s06/s30 audit
+      // family's truth — what a perfect vector index would serve) and
+      // the exact BM25 top-10 (what the lexical side alone serves).
+      // The curve shows where fusion stops buying vector recall
+      // (hyb_n saturation) and how rrf_k trades head-rank dominance
+      // against vote counting, bracketing the shipped (50, 60).
+      // Scale: side lists are |batch|×maxN-bounded, the config sweep
+      // is a broadcast non-equi join over them, references are one
+      // corpus pass each (a measurement row, like s25/s28 — the
+      // served rows s34/s43 stay zero-corpus).
+      val qRows = emb(s, dir).filter($"vec_id" < HybCurveNQ)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      val annSide = AnnIndex.searchRefined(s, ServingIndexes.ann(s, dir),
+          queries, HybCurveMaxN)
+        .select($"q_id", $"n_id".as("doc_id"), $"rnk".as("rnk_side"))
+      val bmSide = TextIndex.searchMany(s, ServingIndexes.text(s, dir),
+          BatchQueries.toDF("q_id", "terms"), HybCurveMaxN)
+        .select($"q_id", $"doc_id", $"rnk".as("rnk_side"))
+        // tiny (≤300 rows), consumed twice with different cuts: the
+        // fusion input and the lexical top-10 reference
+        .localCheckpoint()
+      val sides = annSide.unionByName(bmSide)
+      val cfgs = (for (n <- HybCurveNs; k0 <- HybCurveKs) yield (n, k0))
+        .toDF("hyb_n", "rrf_k")
+      val fscore = sides.join(broadcast(cfgs), $"rnk_side" <= $"hyb_n")
+        .groupBy($"hyb_n", $"rrf_k", $"q_id", $"doc_id")
+        // ≤2 addends per (q, doc): the double sum is order-exact
+        .agg(round(sum(lit(1.0) / ($"rrf_k" + $"rnk_side")), 6).as("rrf"))
+      val fused = graft.plans.TopKPerKey(fscore,
+          Seq("hyb_n", "rrf_k", "q_id"),
+          struct((-$"rrf").as("nr"), $"doc_id"), 10)
+        .select($"hyb_n", $"rrf_k", $"q_id", $"doc_id")
+      val en = emb(s, dir).select($"vec_id".as("n_id"), $"v")
+      val xscored = en.join(broadcast(queries), $"q_id" =!= $"n_id")
+        .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
+        .select($"q_id", $"n_id", $"cos")
+      val xtop = graft.plans.TopKPerKey(xscored, Seq("q_id"),
+          struct(($"cos" * -1).as("nc"), $"n_id"), 10)
+        .select($"q_id", $"n_id".as("doc_id"))
+      val denom = lit((HybCurveNQ * 10).toDouble)
+      fused
+        .join(xtop.withColumn("hx", lit(1)), Seq("q_id", "doc_id"), "left")
+        .join(bmSide.filter($"rnk_side" <= 10).select($"q_id", $"doc_id")
+          .withColumn("hb", lit(1)), Seq("q_id", "doc_id"), "left")
+        .groupBy($"hyb_n", $"rrf_k")
+        .agg(count(lit(1)).as("n_fused"),
+          sum(coalesce($"hx", lit(0))).cast("long").as("ov_cos"),
+          sum(coalesce($"hb", lit(0))).cast("long").as("ov_bm"))
+        .withColumn("recall_cos", round($"ov_cos" / denom, 4))
+        .withColumn("recall_bm", round($"ov_bm" / denom, 4))
+        .orderBy($"hyb_n", $"rrf_k")
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2755,6 +2835,118 @@ object Similarity {
          |  round(sum(CAST(1 AS DOUBLE) / ($RrfK + rnk_side)), 6) AS rrf
          |FROM sides GROUP BY doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s44: both sides' ranked lists at the deepest swept depth (the
+    // refined chain = s33's CTEs with the 3-vector batch; each BM25
+    // arm an independent s37-style WITH block), then the whole
+    // (hyb_n, rrf_k) grid as data — fuse, cut to 10, count overlaps
+    // with the exact-cosine and BM25 top-10 references
+    "s44_hybrid_operating_curve" -> {
+      val cfgVals = (for (n <- HybCurveNs; k0 <- HybCurveKs)
+        yield s"($n, $k0)").mkString(", ")
+      val bmArms = BatchQueries.map { case (qid, terms) =>
+        s"""SELECT CAST($qid AS BIGINT) AS q_id, doc_id, rnk_side FROM (
+           |  WITH ${bm25SqlCtesFor(terms)}
+           |  SELECT doc_id, row_number() OVER (
+           |    ORDER BY bm25d DESC, doc_id) AS rnk_side
+           |  FROM bm) armq WHERE rnk_side <= $HybCurveMaxN""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id < $HybCurveNQ),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
+         |cand AS (
+         |  SELECT p.q_id, af.vec_id AS n_id
+         |  FROM af JOIN probes p ON af.cell = p.cell
+         |  WHERE p.q_id <> af.vec_id),
+         |qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+         |       WHERE vec_id < $HybCurveNQ),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc.sub
+         |    AND t.cell = enc.cell
+         |  GROUP BY cd.q_id, cd.n_id),
+         |deep AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, n_id) AS arnk
+         |    FROM adc) WHERE arnk <= $RefineDepth),
+         |re AS (
+         |  SELECT d.q_id, d.n_id,
+         |    CAST(round(list_dot_product(q.qv, q.qv)
+         |      - 2 * list_dot_product(q.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v), 6) AS DECIMAL(14,6)) AS d2
+         |  FROM deep d JOIN q ON q.q_id = d.q_id
+         |  JOIN e e2 ON e2.vec_id = d.n_id),
+         |annr AS (
+         |  SELECT q_id, n_id AS doc_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY d2, n_id) AS rnk_side
+         |  FROM re),
+         |bmr AS (
+         |$bmArms),
+         |sides AS (
+         |  SELECT q_id, doc_id, rnk_side FROM annr
+         |  WHERE rnk_side <= $HybCurveMaxN
+         |  UNION ALL
+         |  SELECT q_id, doc_id, rnk_side FROM bmr),
+         |cfg AS (SELECT * FROM (VALUES $cfgVals) AS t(hyb_n, rrf_k)),
+         |fscore AS (
+         |  SELECT g.hyb_n, g.rrf_k, s.q_id, s.doc_id,
+         |    round(sum(CAST(1 AS DOUBLE) / (g.rrf_k + s.rnk_side)), 6)
+         |      AS rrf
+         |  FROM sides s CROSS JOIN cfg g
+         |  WHERE s.rnk_side <= g.hyb_n
+         |  GROUP BY g.hyb_n, g.rrf_k, s.q_id, s.doc_id),
+         |fused AS (
+         |  SELECT hyb_n, rrf_k, q_id, doc_id FROM (
+         |    SELECT hyb_n, rrf_k, q_id, doc_id, row_number() OVER (
+         |      PARTITION BY hyb_n, rrf_k, q_id
+         |      ORDER BY rrf DESC, doc_id) AS frnk
+         |    FROM fscore) WHERE frnk <= 10),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+         |       WHERE vec_id < $HybCurveNQ),
+         |xtop AS (
+         |  SELECT q_id, n_id AS doc_id FROM (
+         |    SELECT xq.q_id, en.vec_id AS n_id, row_number() OVER (
+         |      PARTITION BY xq.q_id ORDER BY
+         |        round(list_dot_product(xq.qv, en.v) / (xq.qn * en.nrm),
+         |          4) DESC, en.vec_id) AS rnk
+         |    FROM xq JOIN en ON xq.q_id <> en.vec_id) WHERE rnk <= 10),
+         |bmtopr AS (SELECT q_id, doc_id FROM bmr WHERE rnk_side <= 10)
+         |SELECT f.hyb_n, f.rrf_k,
+         |  CAST(count(*) AS BIGINT) AS n_fused,
+         |  CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS ov_cos,
+         |  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS ov_bm,
+         |  round(CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS DOUBLE) / ${HybCurveNQ * 10}, 4) AS recall_cos,
+         |  round(CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS DOUBLE) / ${HybCurveNQ * 10}, 4) AS recall_bm
+         |FROM fused f
+         |LEFT JOIN xtop x ON x.q_id = f.q_id AND x.doc_id = f.doc_id
+         |LEFT JOIN bmtopr b ON b.q_id = f.q_id AND b.doc_id = f.doc_id
+         |GROUP BY f.hyb_n, f.rrf_k
+         |ORDER BY f.hyb_n, f.rrf_k""".stripMargin
+    },
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

@@ -549,6 +549,68 @@ class AnnIndexSpec extends SparkTestBase {
         s"scan: ${vecScan.map(_.dataFilters)}")
   }
 
+  test("refined search plan switch: above the literal budget the " +
+      "driver-side IN resolve and the forced query broadcast drop out " +
+      "— identical ranking through the distributed semi-join shape") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-refined-switch") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = false,
+      storeVectors = true)
+    val queries = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("q_id", "qv")
+    val depth = 20
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    def run(): (Seq[(Long, Long, String, Int)], Seq[FileSourceScanExec]) = {
+      val df = AnnIndex.searchRefined(spark, indexDir, queries, 5, depth)
+      val rows = df.select($"q_id", $"n_id", $"d2".cast("string"), $"rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+      (rows, scans(df.queryExecution.executedPlan))
+    }
+    def vecFilters(ss: Seq[FileSourceScanExec]): String =
+      ss.filter(_.relation.location.rootPaths.mkString.contains("vectors"))
+        .flatMap(_.dataFilters).mkString(";")
+
+    // 10 queries x depth 20 = 200 <= the default budget: bounded shape,
+    // candidate IN-literal pushed into the refine read
+    val (small, smallScans) = run()
+    assert(vecFilters(smallScans).matches("(?s).*\\b(INSET|IN)\\b.*"),
+      s"bounded batch must prune the refine read with the candidate " +
+        s"IN-literal: ${vecFilters(smallScans)}")
+
+    // force the large-batch plan: same queries, budget below 200 —
+    // the ranking must be bit-identical with NO id IN-literal anywhere
+    // on the refine read (nothing |batch x depth|-sized reaches the
+    // driver) and no forced broadcast of the query frame
+    spark.conf.set("spark.graft.ann.refine.literalBudget", "1")
+    try {
+      val (large, largeScans) = run()
+      assert(large == small,
+        s"both plans must produce the identical refined ranking: " +
+          s"${large.take(3)} vs ${small.take(3)}")
+      val vf = vecFilters(largeScans)
+      assert(largeScans.exists(_.relation.location.rootPaths.mkString
+          .contains("vectors")),
+        "large batch still reads the refine artifact")
+      assert(!vf.matches("(?s).*\\b(INSET|IN)\\b.*"),
+        s"large batch must not carry a driver-resolved id literal: $vf")
+    } finally spark.conf.unset("spark.graft.ann.refine.literalBudget")
+  }
+
   test("filtered search: an allowlist excises ids from the ranking " +
       "BEFORE the top-k cut (never post-filter under-return)") {
     import spark.implicits._

@@ -316,12 +316,29 @@ object Similarity {
   private[ops] val PqM = 8  // subspaces
   private[ops] val PqD = Dim / PqM
   private val PqK = 16 // codewords per subspace
+  /** s45's sweep: three (M, K) points at the SAME total code budget —
+    * M·log2(K) = 32 bits per vector — so the curve isolates the one
+    * real design choice (few wide subspaces with rich codebooks vs
+    * many narrow subspaces with coarse ones) from code size. Brackets
+    * the shipped 8×16; 4×256 is the FAISS-manual-favored shape
+    * (8 bits/subquantizer), 16×4 the other extreme.
+    */
+  private val PqBudgetConfigs = Seq((4, 256), (8, 16), (16, 4))
 
   /** (vec_id, sub, sv): the subvector expansion of (vec_id, v). */
-  private[ops] def pqSubs(s: SparkSession, df: DataFrame): DataFrame = {
+  private[ops] def pqSubs(s: SparkSession, df: DataFrame): DataFrame =
+    pqSubsM(s, df, PqM)
+
+  /** [[pqSubs]] at an explicit subspace count (s45's budget sweep re-
+    * trains the whole PQ half at several (M, K) points; everything
+    * else ships the PqM/PqK defaults).
+    */
+  private[ops] def pqSubsM(s: SparkSession, df: DataFrame,
+      m: Int): DataFrame = {
     import s.implicits._
-    df.select($"vec_id", explode(array((0 until PqM).map(m =>
-        struct(lit(m).as("sub"), slice($"v", m * PqD + 1, PqD).as("sv"))
+    val d = Dim / m
+    df.select($"vec_id", explode(array((0 until m).map(mm =>
+        struct(lit(mm).as("sub"), slice($"v", mm * d + 1, d).as("sv"))
       ): _*)).as("x"))
       .select($"vec_id", $"x.sub".as("sub"), $"x.sv".as("sv"))
   }
@@ -345,7 +362,15 @@ object Similarity {
   /** Train all PqM codebooks jointly (one plan, `sub` as a key) and
     * return (sample-subvector frame, final codebook (sub, cell, cv)).
     */
-  private[ops] def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+  private[ops] def pqTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) =
+    pqTrainMK(s, e, PqM, PqK)
+
+  /** [[pqTrain]] at an explicit (subspaces, codewords) point — s45
+    * sweeps the code budget; the board's other PQ rows all train at
+    * the shipped (PqM, PqK).
+    */
+  private[ops] def pqTrainMK(s: SparkSession, e: DataFrame,
+      m: Int, k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     // One shared evaluation of the TrainN-row sample (lazy checkpoint,
     // kmTrain's discipline): `seeds` and `sampSubs` prune different
@@ -353,8 +378,8 @@ object Similarity {
     // pruned copies of the (expensive when e is the residual frame)
     // upstream subtree that AQE exchange reuse cannot unify.
     val samp = trainSample(e).localCheckpoint(eager = false)
-    val sampSubs = pqSubs(s, samp).localCheckpoint(eager = false)
-    val seeds = samp.orderBy($"vec_id").limit(PqK)
+    val sampSubs = pqSubsM(s, samp, m).localCheckpoint(eager = false)
+    val seeds = samp.orderBy($"vec_id").limit(k)
       .select($"vec_id".as("seed_id"))
     val c0 = sampSubs.join(broadcast(seeds), $"vec_id" === $"seed_id")
       .select($"sub", $"vec_id".as("cell"), $"sv".as("cv"))
@@ -545,7 +570,15 @@ object Similarity {
     */
   private def pqSqlCtes: String = pqSqlCtes(withBase = true)
 
-  private def pqSqlCtes(withBase: Boolean, src: String = "e"): String = {
+  private def pqSqlCtes(withBase: Boolean, src: String = "e"): String =
+    pqSqlCtesMK(PqM, PqK, withBase, src)
+
+  /** [[pqSqlCtes]] at an explicit (subspaces, codewords) point — the
+    * DuckDB twin of [[pqTrainMK]], for s45's code-budget sweep.
+    */
+  private def pqSqlCtesMK(m: Int, k: Int, withBase: Boolean,
+      src: String = "e"): String = {
+    val subD = Dim / m
     def d2Sql(v: String, cv: String) =
       s"round(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)" +
         s" + list_dot_product($cv, $cv), 6)"
@@ -564,7 +597,7 @@ object Similarity {
          |pm$it AS (
          |  SELECT a.sub, a.cell, r.i, round(avg(s.sv[r.i]), 6) AS cx
          |  FROM pa$it a JOIN ssv s USING (vec_id, sub)
-         |  CROSS JOIN range(1, ${PqD + 1}) r(i)
+         |  CROSS JOIN range(1, ${subD + 1}) r(i)
          |  GROUP BY a.sub, a.cell, r.i),
          |pc$it AS (SELECT sub, cell, list(cx ORDER BY i) AS cv FROM pm$it
          |         GROUP BY sub, cell)""".stripMargin
@@ -577,10 +610,10 @@ object Similarity {
          |""".stripMargin
     s"""${if (withBase) base else ""}sv AS (
        |  SELECT vec_id, CAST(r.m AS INT) AS sub,
-       |    list_slice(v, r.m*$PqD+1, r.m*$PqD+$PqD) AS sv
-       |  FROM $src CROSS JOIN range(0, $PqM) r(m)),
+       |    list_slice(v, r.m*$subD+1, r.m*$subD+$subD) AS sv
+       |  FROM $src CROSS JOIN range(0, $m) r(m)),
        |ssv AS (SELECT sv.* FROM sv JOIN samp USING (vec_id)),
-       |seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT $PqK),
+       |seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT $k),
        |pc0 AS (
        |  SELECT sub, vec_id AS cell, sv AS cv
        |  FROM ssv JOIN seeds USING (vec_id)),
@@ -1978,6 +2011,65 @@ object Similarity {
         .orderBy($"hyb_n", $"rrf_k")
     },
 
+    "s45_pq_budget_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The PQ CODE-BUDGET curve — the last unmeasured index knob
+      // (d23 banding / s25 NProbe / s28-s31 depth all have curves;
+      // the shipped PqM×PqK = 8×16 was design guidance until now):
+      // three (M, K) points at the SAME 32-bit code budget, each
+      // fully re-trained (pqTrainMK) and corpus-encoded, measured on
+      // BOTH axes that matter — reconstruction distortion (the mean
+      // per-vector sum of subspace quantization errors, what the
+      // codes lose) and flat-ADC recall@K vs the exact-cosine truth
+      // (what the ranking keeps; flat ADC so no coarse-probe loss
+      // muddies the comparison — the s17/s18 isolation argument).
+      // Scale: training is TrainN-bounded per config, encode is one
+      // corpus pass per config (M narrow rows/vector), the distortion
+      // agg partial-sums in task, recall reuses the bounded exact
+      // reference; 3 configs = 3 bounded passes, a measurement row.
+      val e0 = emb(s, dir)
+      // tiny (NQueries×K rows), consumed by all three arms
+      val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
+        .localCheckpoint()
+      val arms = PqBudgetConfigs.map { case (m, k0) =>
+        val bits = m * (31 - Integer.numberOfLeadingZeros(k0))
+        val (_, cb) = pqTrainMK(s, e0, m, k0)
+        val enc = pqAssign(s, pqSubsM(s, e0.select($"vec_id", $"v"), m), cb)
+        // per-vector reconstruction error: 6dp-rounded subspace d2s
+        // sum in DECIMAL (order-exact); the corpus mean divides the
+        // exact sum once, then rounds
+        val dist = enc
+          .groupBy($"vec_id")
+          .agg(sum($"d2".cast("decimal(12,6)")).as("vd2"))
+          .agg(round(sum($"vd2").cast("double") / count(lit(1)), 6)
+            .as("distortion"))
+        val qsubs = pqSubsM(s,
+            e0.filter($"vec_id" < NQueries).select($"vec_id", $"v"), m)
+          .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
+        val qtab = qsubs.join(broadcast(cb), "sub")
+          .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
+          .select($"q_id", $"sub", $"cell", $"qd2")
+        val adc = enc.select($"vec_id", $"sub", $"cell")
+          .join(broadcast(qtab), Seq("sub", "cell"))
+          .filter($"q_id" =!= $"vec_id")
+          .groupBy($"q_id", $"vec_id")
+          .agg(sum($"qd2").as("adc"))
+          .select($"q_id", $"vec_id".as("n_id"), $"adc")
+        val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
+            struct($"adc", $"n_id"), K)
+          .select($"q_id", $"n_id")
+        val hits = exact
+          .join(top.withColumn("h", lit(1)), Seq("q_id", "n_id"), "left")
+          .agg(sum(coalesce($"h", lit(0))).cast("long").as("n_hits"))
+        dist.crossJoin(broadcast(hits))
+          .select(lit(m).as("pq_m"), lit(k0).as("pq_k"),
+            lit(bits).as("code_bits"), $"distortion", $"n_hits",
+            round($"n_hits" / lit((K * NQueries).toDouble), 4)
+              .as("recall"))
+      }
+      arms.reduce(_ unionByName _).orderBy($"pq_m")
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2946,6 +3038,69 @@ object Similarity {
          |LEFT JOIN bmtopr b ON b.q_id = f.q_id AND b.doc_id = f.doc_id
          |GROUP BY f.hyb_n, f.rrf_k
          |ORDER BY f.hyb_n, f.rrf_k""".stripMargin
+    },
+
+    // s45: each (M, K) arm is an independent s16/s17-shaped block —
+    // parameterized training CTEs (pqSqlCtesMK), corpus encode,
+    // exact-DECIMAL distortion mean, flat-ADC top-K vs the exact-
+    // cosine truth — at the shared 32-bit code budget
+    "s45_pq_budget_curve" -> {
+      val arms = PqBudgetConfigs.map { case (m, k0) =>
+        val bits = m * (31 - Integer.numberOfLeadingZeros(k0))
+        s"""SELECT CAST($m AS INT) AS pq_m, CAST($k0 AS INT) AS pq_k,
+           |  CAST($bits AS INT) AS code_bits, distortion, n_hits,
+           |  round(CAST(n_hits AS DOUBLE) / ${K * NQueries}, 4) AS recall
+           |FROM (
+           |  WITH ${pqSqlCtesMK(m, k0, withBase = true)},
+           |  vdist AS (
+           |    SELECT vec_id, sum(CAST(d2 AS DECIMAL(12,6))) AS vd2
+           |    FROM enc GROUP BY vec_id),
+           |  dist AS (
+           |    SELECT round(CAST(sum(vd2) AS DOUBLE) / count(*), 6)
+           |      AS distortion
+           |    FROM vdist),
+           |  qs AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv
+           |         WHERE vec_id < $NQueries),
+           |  qtab AS (
+           |    SELECT q.q_id, c.sub, c.cell,
+           |      CAST(round(list_dot_product(q.qsv, q.qsv)
+           |          - 2 * list_dot_product(q.qsv, c.cv)
+           |          + list_dot_product(c.cv, c.cv), 6)
+           |        AS DECIMAL(12,6)) AS qd2
+           |    FROM qs q JOIN cfp c USING (sub)),
+           |  adc AS (
+           |    SELECT t.q_id, enc.vec_id AS n_id, sum(t.qd2) AS adc
+           |    FROM enc JOIN qtab t ON t.sub = enc.sub
+           |      AND t.cell = enc.cell
+           |    WHERE t.q_id <> enc.vec_id
+           |    GROUP BY t.q_id, enc.vec_id),
+           |  atop AS (
+           |    SELECT q_id, n_id FROM (
+           |      SELECT q_id, n_id, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY adc, n_id) AS rnk FROM adc)
+           |    WHERE rnk <= $K),
+           |  en AS (
+           |    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+           |    FROM e),
+           |  xq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en
+           |         WHERE vec_id < $NQueries),
+           |  xtop AS (
+           |    SELECT q_id, n_id FROM (
+           |      SELECT xq.q_id, en.vec_id AS n_id, row_number() OVER (
+           |        PARTITION BY xq.q_id ORDER BY
+           |          round(list_dot_product(xq.qv, en.v)
+           |            / (xq.qn * en.nrm), 4) DESC, en.vec_id) AS rnk
+           |      FROM xq JOIN en ON xq.q_id <> en.vec_id)
+           |    WHERE rnk <= $K),
+           |  hits AS (
+           |    SELECT CAST(sum(CASE WHEN a.n_id IS NOT NULL
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |    FROM xtop x LEFT JOIN atop a
+           |      ON a.q_id = x.q_id AND a.n_id = x.n_id)
+           |  SELECT d.distortion, h.n_hits
+           |  FROM dist d CROSS JOIN hits h) arm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$arms\nORDER BY pq_m"
     },
 
     // s32 serves s09's ranking from the written postings index —

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
     }
+    functions.sqlTableFunctions.foreach { case (name, clazz, builder) =>
+      ext.injectTableFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
   }
 }

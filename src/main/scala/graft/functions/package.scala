@@ -61,9 +61,23 @@ package object functions {
           .BloomFilterMightContain(e(0), e(1))
       }))
 
+  /** The table-valued twins of [[sqlFunctions]] — the serving tier's
+    * SQL entry points ([[graft.ops.SqlServing]]): one shared table, so
+    * the config-installed path ([[graft.GraftExtensions]]) and
+    * [[registerAll]] register the same builders and cannot drift.
+    */
+  private[graft] val sqlTableFunctions: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_bm25", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.bm25Plan(e)),
+    ("graft_ann", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.annPlan(e)),
+    ("graft_ann_adc", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.annAdcPlan(e)))
+
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */
-  private def requireArity(name: String,
+  private[graft] def requireArity(name: String,
       e: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       n: Int, signature: String): Unit =
     if (e.length != n)
@@ -78,9 +92,15 @@ package object functions {
           "actualNum" -> e.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
-  /** Register every graft SQL function on the session. */
-  def registerAll(spark: SparkSession): Unit =
+  /** Register every graft SQL function (scalar + table-valued) on the
+    * session. */
+  def registerAll(spark: SparkSession): Unit = {
     sqlFunctions.foreach { case (name, _, _) => registerOne(spark, name) }
+    sqlTableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 
   /** Register ONE function by its table name — the per-companion
     * `register` methods delegate here, so there is exactly one

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-only entry points for the serving tier (SURVEY.md §2.4): the
+  * index searches ([[TextIndex.search]], [[AnnIndex.search]],
+  * [[AnnIndex.searchRefined]]) are table-valued functions, so a client
+  * that only speaks SQL — a Thrift/Connect session, a BI tool, a
+  * `spark.sql(...)`-only notebook — can query a written index with no
+  * Scala in sight:
+  *
+  * {{{
+  *   SELECT * FROM graft_bm25('/indexes/docs', 'spark window query', 10)
+  *   SELECT * FROM graft_ann('/indexes/vecs', '0.25,0.5,...', 5)
+  *   SELECT * FROM graft_ann_adc('/indexes/vecs', array(0.25d, ...), 5)
+  * }}}
+  *
+  * Each builder evaluates its (literal) arguments at analysis time and
+  * returns the SAME analyzed plan the Scala call produces — one code
+  * path, so the SQL surface can never drift from the Scala one
+  * (GraftExtensionsSpec pins bit-equality on a `newSession()` clone).
+  * Registration rides the same two seams as the scalar functions: the
+  * shared table in [[graft.functions.sqlTableFunctions]] feeds both
+  * `graft.GraftExtensions` (config-installed, survives `newSession()`)
+  * and `functions.registerAll` (attach to an existing session).
+  *
+  * Query vectors arrive as either an `array<double>` literal or a
+  * comma-separated string (friendlier to clients whose SQL dialect
+  * can't build typed arrays). The internal query id is -1 — outside
+  * the corpus id space, the HybridIndex discipline — so the search's
+  * self-exclusion never drops a real corpus vector, and the constant
+  * id column is dropped from the output.
+  */
+object SqlServing {
+
+  /** graft_bm25(indexDir, query, k): BM25 top-k from the written
+    * postings index; terms are the whitespace-split query words.
+    * Returns (doc_id, n_terms, bm25d).
+    */
+  def bm25Plan(args: Seq[Expression]): LogicalPlan = {
+    graft.functions.requireArity("graft_bm25", args, 3,
+      "graft_bm25(indexDir, query, k)")
+    val s = SparkSession.active
+    val terms = str(args(1), "query").trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    TextIndex.search(s, str(args(0), "indexDir"), terms,
+      int(args(2), "k")).queryExecution.analyzed
+  }
+
+  /** graft_ann(indexDir, queryVector, k): REFINED top-k (exact rerank
+    * from the stored-vectors artifact — needs an index built with
+    * storeVectors). Returns (n_id, d2, rnk).
+    */
+  def annPlan(args: Seq[Expression]): LogicalPlan = {
+    graft.functions.requireArity("graft_ann", args, 3,
+      "graft_ann(indexDir, queryVector, k)")
+    val s = SparkSession.active
+    AnnIndex.searchRefined(s, str(args(0), "indexDir"),
+        oneQuery(s, args(1)), int(args(2), "k"))
+      .select("n_id", "d2", "rnk").queryExecution.analyzed
+  }
+
+  /** graft_ann_adc(indexDir, queryVector, k): ADC-final top-k (no
+    * refine artifact needed). Returns (n_id, adc, rnk).
+    */
+  def annAdcPlan(args: Seq[Expression]): LogicalPlan = {
+    graft.functions.requireArity("graft_ann_adc", args, 3,
+      "graft_ann_adc(indexDir, queryVector, k)")
+    val s = SparkSession.active
+    AnnIndex.search(s, str(args(0), "indexDir"),
+        oneQuery(s, args(1)), int(args(2), "k"))
+      .select("n_id", "adc", "rnk").queryExecution.analyzed
+  }
+
+  private def oneQuery(s: SparkSession,
+      e: Expression): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq((-1L, doubles(e, "queryVector"))).toDF("q_id", "qv")
+  }
+
+  private def lit(e: Expression, what: String): Any = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_SQL_SYNTAX.UNSUPPORTED_SQL_STATEMENT",
+        messageParameters = Map("sqlText" ->
+          (s"graft serving functions take literal arguments; " +
+            s"$what is not a literal: ${e.sql}")))
+    e.eval()
+  }
+
+  private def str(e: Expression, what: String): String =
+    lit(e, what).asInstanceOf[UTF8String].toString
+
+  private def int(e: Expression, what: String): Int = lit(e, what) match {
+    case i: java.lang.Integer => i.intValue()
+    case l: java.lang.Long => l.intValue()
+    case s: java.lang.Short => s.intValue()
+    case b: java.lang.Byte => b.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def doubles(e: Expression, what: String): Seq[Double] =
+    lit(e, what) match {
+      case s: UTF8String =>
+        s.toString.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toDouble).toSeq
+      case a: ArrayData => a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be array<double> or a comma-separated string, " +
+          s"got: $other")
+    }
+}

@@ -69,6 +69,58 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SQL-only serving: graft_bm25 / graft_ann / graft_ann_adc on a " +
+      "fresh clone match the Scala index searches bit-for-bit") {
+    import spark.implicits._
+    // the same once-per-JVM indexes the driver-gated serving rows read
+    val textIdx = ops.ServingIndexes.text(spark, sfVerify)
+    val annIdx = ops.ServingIndexes.ann(spark, sfVerify)
+    val qv = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head()
+      .getSeq[Double](0).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // the clone carries ONLY the injected extensions — no temp
+    // functions, no Scala-side registration: the SQL-only client
+    val fresh = spark.newSession()
+
+    // s32's search as SQL (query text splits to the BmTerms)
+    val sqlBm = fresh.sql(
+      s"SELECT * FROM graft_bm25('$textIdx', 'spark window query', 10)")
+    val scalaBm = ops.TextIndex.search(spark, textIdx,
+      Seq("spark", "window", "query"), 10)
+    assert(sqlBm.columns.toSeq == scalaBm.columns.toSeq)
+    assert(rows(sqlBm).nonEmpty && rows(sqlBm) == rows(scalaBm))
+
+    // s33's refined search as SQL, query vector as a CSV string
+    val sqlAnn = fresh.sql(
+      s"SELECT * FROM graft_ann('$annIdx', '${qv.mkString(",")}', 5)")
+    val scalaAnn = ops.AnnIndex.searchRefined(spark, annIdx,
+        Seq((-1L, qv)).toDF("q_id", "qv"), 5)
+      .select($"n_id", $"d2", $"rnk")
+    assert(rows(sqlAnn).size == 5 && rows(sqlAnn) == rows(scalaAnn))
+
+    // the ADC-final form, query vector as an array<double> literal
+    val arrLit = qv.map(d => s"${d}d").mkString("array(", ", ", ")")
+    val sqlAdc = fresh.sql(
+      s"SELECT * FROM graft_ann_adc('$annIdx', $arrLit, 5)")
+    val scalaAdc = ops.AnnIndex.search(spark, annIdx,
+        Seq((-1L, qv)).toDF("q_id", "qv"), 5)
+      .select($"n_id", $"adc", $"rnk")
+    assert(rows(sqlAdc).size == 5 && rows(sqlAdc) == rows(scalaAdc))
+
+    // a non-literal argument must fail analysis with a clear message,
+    // not a ClassCastException from the builder
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql("SELECT * FROM graft_bm25(rand()::string, 'x', 1)")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"),
+      s"expected a literal-argument message: ${err.getMessage}")
+  }
+
   test("TopKPerKey plans on a fresh clone without install()") {
     val fresh = spark.newSession()
     import fresh.implicits._

@@ -129,6 +129,26 @@ object ServingIndexes {
       idx
     })
 
+  /** The MAINTENANCE-LOOP index for s46: built on the vec_id%10!=7
+    * split, then UPSERTED with the %10==7 delta against the existing
+    * trained model (no retrain — the production cadence AnnIndex.upsert
+    * documents). s46 reads the post-upsert inverted lists and emits the
+    * retrain go/no-go decision (λ + churn) an operator acts on — the
+    * lifecycle s27's imbalance number exists for. Own directory: the
+    * upsert mutates it.
+    */
+  def annMaint(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"annmaint|$dir", _ => {
+      val idx = freshDir("ann-maint")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      AnnIndex.buildFrom(s, e.filter(col("vec_id") % 10 =!= 7), idx,
+        byResidual = false)
+      AnnIndex.upsert(s, idx, e.filter(col("vec_id") % 10 === 7))
+      idx
+    })
+
   // ---- the ERASURE snapshots (s40/s41/d32): build, delete a
   // deterministic id rule, compact — so the right-to-erasure leg
   // (tombstone write + fold-in) is what the driver's hash gate reads.

@@ -325,6 +325,18 @@ object Similarity {
     */
   private val PqBudgetConfigs = Seq((4, 256), (8, 16), (16, 4))
 
+  /** s46's retrain thresholds — operational defaults, not fixture
+    * fits: λ is FAISS's imbalance factor (expected probe cost ≈ λ ×
+    * the even-list cost, so 1.5 = "probes pay 50% over a balanced
+    * index" — the point where FAISS guidance calls clustering poor),
+    * and the churn bound retrains once a fifth of the index was never
+    * seen by the quantizer's training sample. Both sides of the OR
+    * are gated columns, so the decision arithmetic is hash-checked
+    * even when one side dominates.
+    */
+  private val MaintLambdaMax = 1.5
+  private val MaintChurnMax = 0.2
+
   /** (vec_id, sub, sv): the subvector expansion of (vec_id, v). */
   private[ops] def pqSubs(s: SparkSession, df: DataFrame): DataFrame =
     pqSubsM(s, df, PqM)
@@ -2070,6 +2082,50 @@ object Similarity {
       arms.reduce(_ unionByName _).orderBy($"pq_m")
     },
 
+    "s46_maintenance_decision" -> { (s, dir) =>
+      import s.implicits._
+      // The INDEX-MAINTENANCE DECISION LOOP, driver-gated — the
+      // operational leg s27's λ exists for: ServingIndexes.annMaint
+      // built the index on the vec_id%10!=7 split and UPSERTED the
+      // %10==7 delta against the frozen quantizer (the production
+      // cadence); this row reads the post-upsert inverted lists FROM
+      // THE ARTIFACTS (zero corpus bytes — the delta membership is the
+      // id rule applied to the artifact's own column) and emits the
+      // decision table an operator acts on: per-cell occupancy and
+      // churn (delta share — rising churn in a cell means the frozen
+      // centroid is absorbing vectors it was never trained on), the
+      // global imbalance factor λ = k·Σn²/( Σn)² over the lists as
+      // they are NOW, and the retrain go/no-go (λ > MaintLambdaMax OR
+      // churn ≥ MaintChurnMax, both sides exposed). The oracle replays
+      // split-training + delta assignment and the same arithmetic.
+      // Scale: one pruned artifact scan of two narrow columns, KmK-row
+      // aggregates — the decision costs nothing next to what it saves.
+      val lists = s.read
+        .parquet(s"${ServingIndexes.annMaint(s, dir)}/invlists")
+        .select($"vec_id", $"cell".cast("long").as("cell"))
+      val per = lists.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"vec_id" % 10 === 7, 1L).otherwise(0L)).as("n_new"))
+      val tot = per.agg(count(lit(1)).as("n_cells"),
+        sum($"n_vecs").as("n_total"),
+        sum($"n_vecs" * $"n_vecs").as("ss"),
+        sum($"n_new").as("nn"))
+      val imb = ($"n_cells" * $"ss").cast("double") /
+        ($"n_total" * $"n_total").cast("double")
+      val churn = $"nn".cast("double") / $"n_total".cast("double")
+      per.crossJoin(broadcast(tot))
+        .select($"cell", $"n_vecs", $"n_new",
+          round($"n_new".cast("double") / $"n_vecs".cast("double"), 6)
+            .as("cell_churn"),
+          round(imb, 6).as("imbalance"),
+          round(churn, 6).as("churn_total"),
+          (imb > lit(MaintLambdaMax)).as("imbalance_exceeded"),
+          (churn >= lit(MaintChurnMax)).as("churn_exceeded"),
+          (imb > lit(MaintLambdaMax) || churn >= lit(MaintChurnMax))
+            .as("retrain"))
+        .orderBy($"cell")
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -3102,6 +3158,61 @@ object Similarity {
       }.mkString("\nUNION ALL\n")
       s"$arms\nORDER BY pq_m"
     },
+
+    // s46: replay the maintenance scenario — train on the %10!=7
+    // split (kmSqlCtes over the narrowed base), assign the %10==7
+    // delta to the FROZEN centroids (the upsert's no-retrain
+    // semantics), union the lists, then the same λ/churn/decision
+    // arithmetic (unrounded doubles compared, rounded doubles shown)
+    "s46_maintenance_decision" ->
+      s"""WITH ${kmSqlCtes("e AS (SELECT vec_id, " +
+            "embedding::DOUBLE[] AS v FROM embeddings " +
+            "WHERE vec_id % 10 <> 7)")},
+         |delta AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id % 10 = 7),
+         |afd AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, c.cell,
+         |        round(list_dot_product(p.v, p.v)
+         |          - 2 * list_dot_product(p.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6) AS d2
+         |      FROM delta p CROSS JOIN cf c)) WHERE rnk = 1),
+         |lists AS (
+         |  SELECT vec_id, cell FROM af
+         |  UNION ALL
+         |  SELECT vec_id, cell FROM afd),
+         |per AS (
+         |  SELECT cell, count(*) AS n_vecs,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM lists GROUP BY cell),
+         |tot AS (
+         |  SELECT count(*) AS n_cells,
+         |    CAST(sum(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(sum(n_vecs * n_vecs) AS BIGINT) AS ss,
+         |    CAST(sum(n_new) AS BIGINT) AS nn
+         |  FROM per)
+         |SELECT cell, n_vecs, n_new,
+         |  round(CAST(n_new AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+         |    AS cell_churn,
+         |  round(CAST(n_cells * ss AS DOUBLE)
+         |    / CAST(n_total * n_total AS DOUBLE), 6) AS imbalance,
+         |  round(CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |    AS churn_total,
+         |  CAST(n_cells * ss AS DOUBLE)
+         |    / CAST(n_total * n_total AS DOUBLE)
+         |    > CAST($MaintLambdaMax AS DOUBLE) AS imbalance_exceeded,
+         |  CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    >= CAST($MaintChurnMax AS DOUBLE) AS churn_exceeded,
+         |  (CAST(n_cells * ss AS DOUBLE)
+         |     / CAST(n_total * n_total AS DOUBLE)
+         |     > CAST($MaintLambdaMax AS DOUBLE)
+         |   OR CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |     >= CAST($MaintChurnMax AS DOUBLE)) AS retrain
+         |FROM per CROSS JOIN tot ORDER BY cell""".stripMargin,
 
     // s32 serves s09's ranking from the written postings index —
     // identical semantics, identical oracle (the serving tier must

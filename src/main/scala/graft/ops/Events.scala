@@ -342,6 +342,68 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e35_dlq_replay_under_fault" -> { (s, dir) =>
+      import s.implicits._
+      // e34's HARDER path, driver-gated: the replay itself hits a LIVE
+      // fault. Leg 1 quarantines one split under a persistent fault;
+      // leg 2 delivers the healthy split; leg 3 replays WHILE THE
+      // FAULT STILL HOLDS — replayDeadLetters snapshots the consumed
+      // file set FIRST, so its own re-quarantined rows land in NEW
+      // files that survive the post-replay deletion (deleting them
+      // would silently lose the whole split and flip this hash); leg 4
+      // heals the fault and replays again, closing the loop. The
+      // source read-back must aggregate to the raw-events truth:
+      // nothing lost across TWO quarantine generations, nothing
+      // duplicated (a faulted request never ingests). Deterministic
+      // like e34 — the persistent-fault legs make each record's path
+      // scheduling-independent (all of A re-quarantines in leg 3, all
+      // delivers in leg 4), so the gate proves the hard path at every
+      // run, not just when the scheduler cooperates.
+      val fakeName = "e35-dlq"
+      val stream = s"events-dlq2-${Integer.toHexString(dir.hashCode)}"
+      e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
+        val fake = graft.sink.FakeKinesis.named(fakeName)
+        fake.numShards.set(4)
+        val dlq = java.nio.file.Files
+          .createTempDirectory("graft-e35-dlq").toString + "/q"
+        val opts = Map(
+          "aws_region_name" -> "us-east-1", "stream" -> stream,
+          "client" -> s"fake:$fakeName", "on_persistent_error" -> "drop",
+          "max_attempts_per_record" -> "2", "base_backoff_ms" -> "1",
+          "dead_letter_path" -> dlq)
+        def wire(f: org.apache.spark.sql.Column) = ev(s, dir).filter(f)
+          .select($"event_id".cast("string").as("partitionKey"),
+            to_json(struct($"event_type", $"value")).cast("binary")
+              .as("data"))
+        // leg 1: persistent fault — the unlucky split quarantines
+        fake.failRequests.set(true)
+        graft.sink.KinesisSink.write(wire($"event_id" % 7 === 0), opts)
+        fake.failRequests.set(false)
+        // leg 2: the healthy split delivers directly
+        graft.sink.KinesisSink.write(wire($"event_id" % 7 =!= 0), opts)
+        // leg 3: replay under the STILL-LIVE fault — everything it
+        // consumed re-quarantines into fresh files
+        fake.failRequests.set(true)
+        graft.sink.KinesisSink.replayDeadLetters(s, opts)
+        fake.failRequests.set(false)
+        // leg 4: the healed replay drains generation 2 — loop closed
+        graft.sink.KinesisSink.replayDeadLetters(s, opts)
+        java.lang.Boolean.TRUE
+      })
+      s.read.format("kinesis-graft")
+        .option("aws_region_name", "us-east-1")
+        .option("stream", stream)
+        .option("client", s"fake:$fakeName")
+        .load()
+        .select(from_json($"data".cast("string"),
+          lit("struct<event_type:string,value:double>")).as("e"))
+        .groupBy($"e.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum($"e.value".cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy($"event_type")
+    },
+
     "e36_sketch_rollup_serving" -> { (s, dir) =>
       import s.implicits._
       // e15's mergeability claim SERVED: the per-(day, type) HLL
@@ -1241,6 +1303,13 @@ object Events {
     // replay legs are delivery plumbing, invisible to the aggregate
     // when the loop closes correctly
     "e34_dlq_replay_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e35: two quarantine GENERATIONS (the replay itself faulted) must
+    // still converge to the e14 truth — same oracle, harder path
+    "e35_dlq_replay_under_fault" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

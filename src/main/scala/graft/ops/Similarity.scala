@@ -2082,6 +2082,42 @@ object Similarity {
       arms.reduce(_ unionByName _).orderBy($"pq_m")
     },
 
+    "s47_sql_bm25_serving" -> { (s, dir) =>
+      // The SQL-ONLY client path under the driver's hash gate: this
+      // row's entire query is the text a Thrift/Connect/BI user would
+      // type — spark.sql over the graft_bm25 table-valued function
+      // against the written postings index. registerAll is the
+      // per-session attach seam (idempotent; config-installed sessions
+      // get the same shared builder table via GraftExtensions). Must
+      // hash-match s09's oracle exactly like s32, the Scala form — the
+      // TVF returns the very plan TextIndex.search builds, and now
+      // BOTH surfaces are gated, so neither can drift.
+      graft.functions.registerAll(s)
+      val idx = ServingIndexes.text(s, dir)
+      s.sql(s"SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25 " +
+        s"FROM graft_bm25('$idx', '${BmTerms.mkString(" ")}', 10)")
+    },
+
+    "s48_sql_ann_serving" -> { (s, dir) =>
+      import s.implicits._
+      // s47's vector twin: the REFINED ANN search through spark.sql —
+      // graft_ann over the written IVF-PQ + refine artifacts, query
+      // vector passed as the CSV literal a SQL-only client can type
+      // (Double.toString round-trips bit-exactly through the TVF's
+      // parse). Internal q_id is -1 (outside the corpus id space), so
+      // no self-exclusion fires and the oracle is the s43 refined
+      // chain ranked to top-K — vector 0 itself surfaces at rank 1
+      // with d2 = 0.0, the refine stage's exact-copy property showing
+      // through the SQL surface.
+      graft.functions.registerAll(s)
+      val idx = ServingIndexes.ann(s, dir)
+      val qv = emb(s, dir).filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0)
+      s.sql(s"SELECT n_id, CAST(d2 AS DOUBLE) AS d2, rnk " +
+        s"FROM graft_ann('$idx', '${qv.mkString(",")}', $K) " +
+        s"ORDER BY rnk")
+    },
+
     "s46_maintenance_decision" -> { (s, dir) =>
       import s.implicits._
       // The INDEX-MAINTENANCE DECISION LOOP, driver-gated — the
@@ -3221,6 +3257,61 @@ object Similarity {
       s"""WITH $bm25SqlCtes
          |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
          |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s47: the SQL TVF surface must serve s09's truth too — s32's
+    // oracle verbatim (one code path behind both gated surfaces)
+    "s47_sql_bm25_serving" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
+         |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s48: the refined chain for vector 0 with NO self-exclusion
+    // (graft_ann's internal query id -1 is outside the corpus id
+    // space) — s43's ann leg, ranked to top-K; the exact copy scores
+    // 0.0 at rank 1 through the SQL surface
+    "s48_sql_ann_serving" ->
+      s"""WITH $kmSqlCtes,
+         |${pqSqlCtes(withBase = false)},
+         |hq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |hprobes AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM hq q CROSS JOIN cf c) WHERE p_rnk <= $RefineNProbe),
+         |hcand AS (
+         |  SELECT af.vec_id AS n_id FROM af
+         |  JOIN hprobes p ON af.cell = p.cell),
+         |hqs AS (SELECT sub, sv AS qsv FROM sv WHERE vec_id = 0),
+         |hqtab AS (
+         |  SELECT c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM hqs q JOIN cfp c USING (sub)),
+         |hadc AS (
+         |  SELECT cd.n_id, sum(t.qd2) AS adc
+         |  FROM hcand cd JOIN enc ON enc.vec_id = cd.n_id
+         |  JOIN hqtab t ON t.sub = enc.sub AND t.cell = enc.cell
+         |  GROUP BY cd.n_id),
+         |hdeep AS (
+         |  SELECT n_id FROM (
+         |    SELECT n_id, row_number() OVER (ORDER BY adc, n_id)
+         |      AS arnk FROM hadc) WHERE arnk <= $RefineDepth),
+         |hre AS (
+         |  SELECT d.n_id,
+         |    CAST(round(list_dot_product(q.qv, q.qv)
+         |      - 2 * list_dot_product(q.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v), 6) AS DECIMAL(14,6))
+         |      AS d2
+         |  FROM hdeep d CROSS JOIN hq q
+         |  JOIN e e2 ON e2.vec_id = d.n_id)
+         |SELECT n_id, CAST(d2 AS DOUBLE) AS d2, rnk FROM (
+         |  SELECT n_id, d2, row_number() OVER (
+         |    ORDER BY d2, n_id) AS rnk FROM hre)
+         |WHERE rnk <= $K ORDER BY rnk""".stripMargin,
 
     // s33 = the s29 chain's ARTIFACT form: same trained model (the
     // CTEs replay the identical count-bounded training the index

@@ -443,6 +443,57 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    "d34_containment_pairs" -> { (s, dir) =>
+      import s.implicits._
+      // DIRECTED shingle containment — the asymmetric duplication
+      // relation Jaccard blurs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is
+      // ~1 when A is INCLUDED in a longer B (a quoted post, a page
+      // wrapping boilerplate, a chunk re-packed into a compilation)
+      // even while Jaccard stays low because B dwarfs A — the case a
+      // symmetric near-dup pass admits twice into a training set
+      // (Broder's containment, the resemblance/containment pair). One
+      // row per directed candidate pair with containment ≥ 0.5:
+      // counts, both scores, the gap, and the asym_inclusion flag
+      // (containment high AND gap > 0.05 — A is inside B, not a twin
+      // of it). The fixture's duplicate clusters are near-identical
+      // copies, so most rows flag symmetric (gap ≈ 0) and exactly the
+      // long-doc inclusions flag true at sf0.1 — recorded honestly;
+      // the operator's value is the flag's ability to SPLIT the two
+      // cases. Scale: same source-blocked shingle equi-join as d05
+      // (wordcount shape — candidates only from shared shingles,
+      // map-side partial counts; at 100 TB the candidate generator
+      // swaps to d03's LSH bands, the documented trade), directed
+      // pairs so a_id ≠ b_id instead of <.
+      val d = docs(s, dir).select($"doc_id", $"source")
+      // three consumers fork from the shingle stream (sizes + both
+      // join sides) — materialized once, the d05 rationale
+      val sh = shingleHashes(s, dir).join(d, "doc_id")
+        .localCheckpoint(eager = false)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("a_id", "sh_a", "h_a", "source")
+      val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
+      val inter = a.join(b,
+          $"source" === $"source_b" && $"sh_a" === $"sh_b" &&
+            $"a_id" =!= $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_inter"))
+      val sa = sizes.toDF("a_id", "n_a")
+      val sb = sizes.toDF("b_id", "n_b")
+      val c = $"n_inter" / $"n_a".cast("double")
+      val jac = $"n_inter" /
+        ($"n_a" + $"n_b" - $"n_inter").cast("double")
+      inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("containment", round(c, 6))
+        .withColumn("jaccard", round(jac, 6))
+        .withColumn("gap", round(c - jac, 6))
+        .filter($"containment" >= lit(0.5))
+        .withColumn("asym_inclusion",
+          $"containment" >= lit(0.5) && $"gap" > lit(0.05))
+        .select($"a_id", $"b_id", $"n_inter", $"n_a", $"n_b",
+          $"containment", $"jaccard", $"gap", $"asym_inclusion")
+        .orderBy($"a_id", $"b_id")
+    },
+
     "d04_simhash" -> { (s, dir) =>
       import s.implicits._
       // 64-bit SimHash over shingle hashes: per bit, majority vote; bits
@@ -2175,6 +2226,39 @@ object Dedup {
            |JOIN sizes sa ON sa.doc_id = a_id
            |JOIN sizes sb ON sb.doc_id = b_id
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 10""".stripMargin,
+
+      // d34: directed containment over the same shingle sets —
+      // counts are integer-exact, both scores and the gap derive from
+      // the same IEEE divisions in both engines, flags compare the
+      // 6dp-rounded values
+      "d34_containment_pairs" ->
+        s"""WITH $shingleHashSql,
+           |tagged AS (
+           |  SELECT s.doc_id, s.sh, d.source FROM sh s
+           |  JOIN documents d ON d.doc_id = s.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+           |  FROM tagged a JOIN tagged b
+           |    ON a.source = b.source AND a.sh = b.sh
+           |    AND a.doc_id <> b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |sc AS (
+           |  SELECT a_id, b_id, n_inter,
+           |    sa.n_sh AS n_a, sb.n_sh AS n_b,
+           |    n_inter / CAST(sa.n_sh AS DOUBLE) AS c,
+           |    n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+           |      AS jacr
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id)
+           |SELECT a_id, b_id, n_inter, n_a, n_b,
+           |  round(c, 6) AS containment, round(jacr, 6) AS jaccard,
+           |  round(c - jacr, 6) AS gap,
+           |  (round(c, 6) >= 0.5 AND round(c - jacr, 6) > 0.05)
+           |    AS asym_inclusion
+           |FROM sc WHERE round(c, 6) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "d07_simhash_near_dups" -> {
         val chunkSelects = (0 until NChunks).map { c =>

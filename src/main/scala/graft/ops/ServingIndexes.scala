@@ -149,6 +149,43 @@ object ServingIndexes {
       idx
     })
 
+  /** The STREAMING vector-ingest index for s49 — the ANN sibling of
+    * s39 (text) and d31 (dedup): built on the vec_id%10!=7 split, the
+    * delta then arrives through a Structured Streaming file source and
+    * upserts per micro-batch via foreachBatch — the production loop a
+    * continuously-embedding pipeline runs. Upsert encodes against the
+    * FROZEN split-trained model (AnnIndex's no-retrain contract), so
+    * the gate's oracle replays split-training + delta assignment —
+    * and a streamed ingest must serve bit-identically to the same
+    * upsert applied in batch (AnnIndexSpec proves redelivery is
+    * absorbed by the membership anti-joins).
+    */
+  def annStream(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"annstream|$dir", _ => {
+      val idx = freshDir("ann-stream")
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      AnnIndex.buildFrom(s, e.filter(col("vec_id") % 10 =!= 7), idx,
+        byResidual = false)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ann-stream-ckpt").toString
+      val q = Tables.loadStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          AnnIndex.upsert(s, idx, b.localCheckpoint())
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination(30000) }
+      idx
+    })
+
   // ---- the ERASURE snapshots (s40/s41/d32): build, delete a
   // deterministic id rule, compact — so the right-to-erasure leg
   // (tombstone write + fold-in) is what the driver's hash gate reads.

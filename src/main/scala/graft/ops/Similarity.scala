@@ -2082,6 +2082,31 @@ object Similarity {
       arms.reduce(_ unionByName _).orderBy($"pq_m")
     },
 
+    "s49_ann_stream_ingest_serving" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMED vector ingest under the driver's gate — the ANN
+      // member of the ingest-loop trio (s39 text, d31 dedup): the
+      // index starts from the vec_id%10!=7 split; the rest arrives
+      // through a Structured Streaming file source and UPSERTS per
+      // micro-batch (ServingIndexes.annStream seeds the run once per
+      // JVM). Upserts encode against the FROZEN split-trained model
+      // (no retrain — the production cadence s46's decision loop
+      // governs), so the oracle replays split-training, then assigns
+      // and PQ-encodes the delta against those frozen models, and
+      // ranks with s19's ADC discipline over the union — any
+      // dropped/duplicated/retrained-by-accident delta row flips the
+      // hash. Scale: ingest is per-batch bounded work (two broadcast
+      // argmax passes over the delta + membership anti-joins); the
+      // recurring search still reads pruned artifacts only.
+      val qRows = emb(s, dir).filter($"vec_id" < NQueries)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val queries = qRows.toSeq.toDF("q_id", "qv")
+      AnnIndex.search(s, ServingIndexes.annStream(s, dir), queries, K)
+        .select($"q_id", $"n_id", $"adc".cast("double").as("adc"), $"rnk")
+        .orderBy($"q_id", $"rnk")
+    },
+
     "s47_sql_bm25_serving" -> { (s, dir) =>
       // The SQL-ONLY client path under the driver's hash gate: this
       // row's entire query is the text a Thrift/Connect/BI user would
@@ -3257,6 +3282,81 @@ object Similarity {
       s"""WITH $bm25SqlCtes
          |SELECT doc_id, n_terms, CAST(bm25d AS DOUBLE) AS bm25
          |FROM bm ORDER BY bm25d DESC, doc_id LIMIT 10""".stripMargin,
+
+    // s49: split-trained models (kmSqlCtes/pqSqlCtes over the
+    // narrowed base), delta assigned + PQ-encoded against the FROZEN
+    // cf/cfp, lists and codes unioned, s19's ADC ranking over the
+    // whole — the streamed upsert loop's exact truth. Query side
+    // derives from the FULL corpus (query 7 is itself a delta member)
+    "s49_ann_stream_ingest_serving" ->
+      s"""WITH ${kmSqlCtes("e AS (SELECT vec_id, " +
+            "embedding::DOUBLE[] AS v FROM embeddings " +
+            "WHERE vec_id % 10 <> 7)")},
+         |${pqSqlCtes(withBase = false)},
+         |delta AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id % 10 = 7),
+         |afd AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, c.cell,
+         |        round(list_dot_product(p.v, p.v)
+         |          - 2 * list_dot_product(p.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6) AS d2
+         |      FROM delta p CROSS JOIN cf c)) WHERE rnk = 1),
+         |svd AS (
+         |  SELECT vec_id, CAST(r.m AS INT) AS sub,
+         |    list_slice(v, r.m*$PqD+1, r.m*$PqD+$PqD) AS sv
+         |  FROM delta CROSS JOIN range(0, $PqM) r(m)),
+         |encd AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT vec_id, sub, cell, row_number() OVER (
+         |        PARTITION BY vec_id, sub ORDER BY d2, cell) AS rnk
+         |    FROM (SELECT p.vec_id, p.sub, c.cell,
+         |        round(list_dot_product(p.sv, p.sv)
+         |          - 2 * list_dot_product(p.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6) AS d2
+         |      FROM svd p JOIN cfp c USING (sub))) WHERE rnk = 1),
+         |afall AS (SELECT vec_id, cell FROM af
+         |  UNION ALL SELECT vec_id, cell FROM afd),
+         |encall AS (SELECT vec_id, sub, cell FROM enc
+         |  UNION ALL SELECT vec_id, sub, cell FROM encd),
+         |qe AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < $NQueries),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6), c.cell) AS p_rnk
+         |    FROM qe q CROSS JOIN cf c) WHERE p_rnk <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id AS n_id
+         |  FROM afall a JOIN probes p ON a.cell = p.cell
+         |  WHERE p.q_id <> a.vec_id),
+         |qs AS (
+         |  SELECT q_id, CAST(r.m AS INT) AS sub,
+         |    list_slice(qv, r.m*$PqD+1, r.m*$PqD+$PqD) AS qsv
+         |  FROM qe CROSS JOIN range(0, $PqM) r(m)),
+         |qtab AS (
+         |  SELECT q.q_id, c.sub, c.cell,
+         |    CAST(round(list_dot_product(q.qsv, q.qsv)
+         |        - 2 * list_dot_product(q.qsv, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6)
+         |      AS DECIMAL(12,6)) AS qd2
+         |  FROM qs q JOIN cfp c USING (sub)),
+         |adc AS (
+         |  SELECT cd.q_id, cd.n_id, sum(t.qd2) AS adc
+         |  FROM cand cd JOIN encall enc2 ON enc2.vec_id = cd.n_id
+         |  JOIN qtab t ON t.q_id = cd.q_id AND t.sub = enc2.sub
+         |    AND t.cell = enc2.cell
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, CAST(adc AS DOUBLE) AS adc, rnk FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     // s47: the SQL TVF surface must serve s09's truth too — s32's
     // oracle verbatim (one code path behind both gated surfaces)

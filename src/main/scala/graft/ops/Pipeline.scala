@@ -523,6 +523,40 @@ object Pipeline {
         .orderBy($"source", $"shard", $"chunk")
     },
 
+    "p22_pack_balance_audit" -> { (s, dir) =>
+      import s.implicits._
+      // p21's OPERATIONAL sibling: the shard-balance audit a training
+      // job reads before launching — per physical (source, shard)
+      // group of the WRITTEN pack: chunk/slice/token totals and token
+      // share, plus the global STRAGGLER RATIO (max shard tokens over
+      // the mean) and its go/no-go flag. Data-parallel training steps
+      // at the pace of the slowest shard, so the ratio IS the step-
+      // time overhead a skewed pack costs (1.5 = "the slowest worker
+      // runs 50% over the mean" — past that, repack). Balance here is
+      // decided by packWrite's range partitioning on (source, shard,
+      // chunk, chunk_off); a regression there (one range swallowing
+      // two shards, a dropped group) moves counts, shares AND the
+      // ratio — all hashed. Scale: one aggregation over the pack
+      // files on their own sort key, a 1-row global, a broadcast.
+      val per = s.read.parquet(ServingIndexes.pack(s, dir))
+        .groupBy($"source", $"shard")
+        .agg(countDistinct($"chunk").as("n_chunks"),
+          count(lit(1)).as("n_slices"),
+          sum($"n_slice_toks").as("n_toks"))
+      val tot = per.agg(sum($"n_toks").as("tot_toks"),
+        count(lit(1)).as("n_groups"),
+        max($"n_toks").as("max_toks"))
+      val ratio = $"max_toks".cast("double") /
+        ($"tot_toks".cast("double") / $"n_groups".cast("double"))
+      per.crossJoin(broadcast(tot))
+        .select($"source", $"shard", $"n_chunks", $"n_slices", $"n_toks",
+          round($"n_toks".cast("double") / $"tot_toks".cast("double"), 6)
+            .as("tok_share"),
+          round(ratio, 6).as("straggler_ratio"),
+          (ratio <= lit(1.5)).as("balanced"))
+        .orderBy($"source", $"shard")
+    },
+
     "p13_pack_slices" -> { (s, dir) =>
       import s.implicits._
       // The physical packing p12 describes: ONE ROW PER (document ×
@@ -1308,6 +1342,31 @@ object Pipeline {
          |FROM ($p13Sql) sl
          |GROUP BY source, shard, chunk
          |ORDER BY source, shard, chunk""".stripMargin,
+
+    // p22: per-(source, shard) balance over the same manifest
+    // arithmetic; straggler ratio composed from exact-integer totals
+    // through identical IEEE divisions in both engines
+    "p22_pack_balance_audit" ->
+      s"""WITH per AS (
+         |  SELECT source, shard, count(DISTINCT chunk) AS n_chunks,
+         |    count(*) AS n_slices,
+         |    CAST(sum(n_slice_toks) AS BIGINT) AS n_toks
+         |  FROM ($p13Sql) sl GROUP BY source, shard),
+         |tot AS (
+         |  SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+         |    count(*) AS n_groups, max(n_toks) AS max_toks
+         |  FROM per)
+         |SELECT source, shard, n_chunks, n_slices, n_toks,
+         |  round(CAST(n_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6)
+         |    AS tok_share,
+         |  round(CAST(max_toks AS DOUBLE)
+         |    / (CAST(tot_toks AS DOUBLE) / CAST(n_groups AS DOUBLE)), 6)
+         |    AS straggler_ratio,
+         |  (CAST(max_toks AS DOUBLE)
+         |    / (CAST(tot_toks AS DOUBLE) / CAST(n_groups AS DOUBLE))
+         |    <= CAST(1.5 AS DOUBLE)) AS balanced
+         |FROM per CROSS JOIN tot
+         |ORDER BY source, shard""".stripMargin,
 
     "p20_length_bucket_curve" ->
       s"""WITH lens AS (

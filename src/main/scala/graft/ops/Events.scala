@@ -404,6 +404,28 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e39_stream_asof_attribution" -> { (s, dir) =>
+      import s.implicits._
+      // STREAMING as-of — e08's attribution computed through
+      // Structured Streaming with the custom stateful operator
+      // (AsofEnricher: flatMapGroupsWithState keyed by user; see its
+      // doc for the watermark-finality discipline that makes "latest
+      // prior click, however old" correct under out-of-order arrival
+      // — no built-in streaming operator expresses it, the interval
+      // join bounds both sides). Gated against e08's ASOF JOIN oracle
+      // verbatim: the streamed enrichment must converge to the batch
+      // truth on the bounded fixture (0-second delay, so the final
+      // no-data batch's watermark passes every event).
+      val src = Tables.loadStream(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withWatermark("ts", "0 seconds")
+      graft.streaming.MemoryGate.append(s,
+        graft.streaming.AsofEnricher.enrich(s, src),
+        "e39_out_" + Integer.toHexString(dir.hashCode))
+        .orderBy($"purchase_id")
+    },
+
     "e36_sketch_rollup_serving" -> { (s, dir) =>
       import s.implicits._
       // e15's mergeability claim SERVED: the per-(day, type) HLL
@@ -1730,6 +1752,20 @@ object Events {
          |FROM a ORDER BY gap_min""".stripMargin,
 
     "e08_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    // e39: the streamed as-of must converge to e08's batch truth —
+    // identical oracle
+    "e39_stream_asof_attribution" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |purchases AS (

@@ -19,6 +19,7 @@ trait SparkTestBase extends AnyFunSuite {
     "e34_dlq_replay_agg", // seeds sink writes + DLQ replay eagerly, like e14
     "e35_dlq_replay_under_fault", // seeds the two-generation DLQ loop
     "s49_ann_stream_ingest_serving", // seeds the streamed vector ingest
+    "e39_stream_asof_attribution",
     "e16_stream_sessions", "e18_stream_static_join",
     "e19_stream_interval_join", "e21_stream_outer_join",
     "e24_stream_dedup_watermark", "e26_stream_full_outer_join",

@@ -73,7 +73,9 @@ package object functions {
     ("graft_ann", "graft.ops.SqlServing",
       e => graft.ops.SqlServing.annPlan(e)),
     ("graft_ann_adc", "graft.ops.SqlServing",
-      e => graft.ops.SqlServing.annAdcPlan(e)))
+      e => graft.ops.SqlServing.annAdcPlan(e)),
+    ("graft_hybrid", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.hybridPlan(e)))
 
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */

@@ -2143,6 +2143,23 @@ object Similarity {
         s"ORDER BY rnk")
     },
 
+    "s50_sql_hybrid_serving" -> { (s, dir) =>
+      import s.implicits._
+      // The SQL surface's hybrid member — graft_hybrid through
+      // spark.sql, fusing the postings and refined-vector rankings
+      // from the written indexes with the serving knobs (per-side
+      // depth, k) explicit in the query text. Oracle = s43's verbatim
+      // (the Scala twin's), completing the gated SQL trio
+      // (s47 lexical, s48 vector, s50 hybrid).
+      graft.functions.registerAll(s)
+      val textIdx = ServingIndexes.text(s, dir)
+      val annIdx = ServingIndexes.ann(s, dir)
+      val qv = emb(s, dir).filter($"vec_id" === 0)
+        .select($"v").head().getSeq[Double](0)
+      s.sql(s"SELECT * FROM graft_hybrid('$textIdx', '$annIdx', " +
+        s"'${BmTerms.mkString(" ")}', '${qv.mkString(",")}', $HybN, 10)")
+    },
+
     "s46_maintenance_decision" -> { (s, dir) =>
       import s.implicits._
       // The INDEX-MAINTENANCE DECISION LOOP, driver-gated — the
@@ -2980,7 +2997,14 @@ object Similarity {
     // chain: probes at RefineNProbe, ADC top-RefineDepth, exact-L2
     // rerank to top-HybN, integer-rank RRF (no self-exclusion: the
     // serving query id -1 is outside the corpus id space)
-    "s43_hybrid_refined_serving" ->
+    "s43_hybrid_refined_serving" -> hybridRefinedSql,
+
+    // s50: the graft_hybrid SQL TVF must serve the same fused truth
+    // as the Scala twin — s43's oracle verbatim
+    "s50_sql_hybrid_serving" -> hybridRefinedSql) ++ oracleSqlRest
+
+  /** s43/s50's shared oracle: the refined hybrid chain. */
+  private lazy val hybridRefinedSql: String =
       s"""WITH $kmSqlCtes,
          |${pqSqlCtes(withBase = false)},
          |$bm25SqlCtes,
@@ -3043,8 +3067,12 @@ object Similarity {
          |SELECT doc_id, count(*) AS n_sides,
          |  round(sum(CAST(1 AS DOUBLE) / ($RrfK + rnk_side)), 6) AS rrf
          |FROM sides GROUP BY doc_id
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Continuation of the oracle map (split so [[hybridRefinedSql]] can
+    * be shared by its two entries without duplicating 60 lines).
+    */
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     // s44: both sides' ranked lists at the deepest swept depth (the
     // refined chain = s33's CTEs with the 3-vector batch; each BM25
     // arm an independent s37-style WITH block), then the whole

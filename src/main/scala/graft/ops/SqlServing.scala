@@ -76,6 +76,26 @@ object SqlServing {
       .select("n_id", "adc", "rnk").queryExecution.analyzed
   }
 
+  /** graft_hybrid(textIndexDir, annIndexDir, query, queryVector, n, k):
+    * RRF fusion of the BM25 and REFINED vector rankings, both from
+    * written artifacts ([[HybridIndex.searchRefined]] — the quality
+    * configuration s43 gates), top-`n` retrieved per side, fused
+    * top-`k`. Returns (doc_id, n_sides, rrf). The serving knobs are
+    * explicit arguments, so a SQL client reads them in the query text.
+    */
+  def hybridPlan(args: Seq[Expression]): LogicalPlan = {
+    graft.functions.requireArity("graft_hybrid", args, 6,
+      "graft_hybrid(textIndexDir, annIndexDir, query, queryVector, n, k)")
+    val s = SparkSession.active
+    val terms = str(args(2), "query").trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    HybridIndex.searchRefined(s, str(args(0), "textIndexDir"),
+        str(args(1), "annIndexDir"), terms,
+        doubles(args(3), "queryVector"), int(args(4), "n"),
+        int(args(5), "k"))
+      .queryExecution.analyzed
+  }
+
   private def oneQuery(s: SparkSession,
       e: Expression): org.apache.spark.sql.DataFrame = {
     import s.implicits._

@@ -111,6 +111,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       .select($"n_id", $"adc", $"rnk")
     assert(rows(sqlAdc).size == 5 && rows(sqlAdc) == rows(scalaAdc))
 
+    // the hybrid TVF fuses both indexes — knobs explicit in the text
+    val sqlHyb = fresh.sql(
+      s"SELECT * FROM graft_hybrid('$textIdx', '$annIdx', " +
+        s"'spark window query', '${qv.mkString(",")}', 50, 10)")
+    val scalaHyb = ops.HybridIndex.searchRefined(spark, textIdx, annIdx,
+      Seq("spark", "window", "query"), qv, 50, 10)
+    assert(rows(sqlHyb).size == 10 && rows(sqlHyb) == rows(scalaHyb))
+
     // a non-literal argument must fail analysis with a clear message,
     // not a ClassCastException from the builder
     val err = intercept[org.apache.spark.sql.AnalysisException] {

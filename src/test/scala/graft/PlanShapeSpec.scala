@@ -600,6 +600,35 @@ class PlanShapeSpec extends SparkTestBase {
       s"e36: 14-day range must read at most 14 day partitions: " +
         s"${roll.map(_.selectedPartitions.partitionCount)}")
 
+    // round-12 serving rows: s46 reads ONLY the maintenance index's
+    // inverted lists (the delta membership is the id rule applied to
+    // the artifact's own column — zero corpus bytes by construction);
+    // s49 answers from the streamed-ingest index's pruned artifacts;
+    // p22 audits the written pack files; s47/s48 are the SQL-TVF
+    // twins whose analyzed plans must read exactly what the Scala
+    // forms read
+    for ((name, artifacts) <- Seq(
+        "s46_maintenance_decision" -> Seq("invlists"),
+        "s49_ann_stream_ingest_serving" -> Seq("invlists", "codes"),
+        "s47_sql_bm25_serving" -> Seq("postings"),
+        "s48_sql_ann_serving" -> Seq("vectors"),
+        "p22_pack_balance_audit" -> Seq("pack-artifact"))) {
+      val paths = run(name).map(_.relation.location.rootPaths.mkString)
+      assert(!paths.exists(p =>
+          p.contains("documents") || p.contains("embeddings")),
+        s"$name must scan no corpus bytes: $paths")
+      for (a <- artifacts)
+        assert(paths.exists(_.contains(a)),
+          s"$name must actually read the $a artifact: $paths")
+    }
+    // s49's probe must prune the streamed-ingest index's cell
+    // partitions at listing time, like s34/s38
+    val s49 = run("s49_ann_stream_ingest_serving")
+    val inv49 = s49.filter(_.relation.location.rootPaths.mkString
+      .contains("invlists"))
+    assert(inv49.nonEmpty && inv49.forall(_.partitionFilters.nonEmpty),
+      s"s49: probed cells must be a partition filter: $inv49")
+
     // d30's board row checkpoints the bounded probe-decision frame
     // (two funnel consumers), which severs the artifact scans from
     // its final plan — so pin the prune shape on the probe itself,

@@ -80,6 +80,11 @@ object TextAnalysis {
   // (40 bounded replace scans per doc) fused into the document scan —
   // no shuffle anywhere before the per-source rollup.
 
+  /** t28's sweep of the kept-merge count: 0 (the whitespace baseline),
+    * brackets below the shipped 20-merge table, and the table itself.
+    */
+  private val BpeCurveKs = Seq(0, 5, 10, 20)
+
   /** The doubled, rank-ordered merge list as a 1-row array frame. */
   private def bpeMergeList(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -705,6 +710,44 @@ object TextAnalysis {
             nullif(sum($"n_ws"), lit(0)).cast("double"), 4)
             .as("merge_rate"))
         .orderBy($"source")
+    },
+
+    "t28_bpe_merge_curve" -> { (s, dir) =>
+      import s.implicits._
+      // The TOKENIZER-SIZE operating curve — the measured-knob
+      // discipline (d23/s25/s28/s44/s45) applied to the one BPE knob
+      // the family trains but never swept: HOW MANY merges to keep.
+      // For k ∈ {0, 5, 10, 20}, apply the top-k PREFIX of t13's
+      // ranked merge table (computed once; each config is an array
+      // slice, never a re-train) and measure the corpus totals — the
+      // diminishing-returns table that sizes a vocabulary against a
+      // token budget (every kept merge buys tokens at a falling
+      // marginal rate, the Zipf tail of pair frequencies; p18's
+      // token-budget arithmetic consumes exactly these totals).
+      // Scale: the merge table is a 1-row broadcast, each config a
+      // bounded per-row fold fused into ONE document scan (4 configs
+      // = 4 folds per row, no shuffle before the k-keyed rollup).
+      val ks = BpeCurveKs.toDF("k_merges")
+      docs(s, dir).crossJoin(broadcast(bpeMergeList(s, dir)))
+        .crossJoin(broadcast(ks))
+        .withColumn("msk", expr("slice(ms, 1, 2 * k_merges)"))
+        .withColumn("n_ws", when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long")))
+        .withColumn("n_bpe", when($"text".isNull, lit(0L))
+          .otherwise(size(split(trim(expr(
+            """aggregate(msk, concat(' ', text, ' '),
+              |  (acc, m) -> replace(acc, concat(' ', m, ' '),
+              |    concat(' ', replace(m, ' ', chr(31)), ' ')))"""
+              .stripMargin)), " ")).cast("long")))
+        .groupBy($"k_merges")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_ws").as("ws_tokens"),
+          sum($"n_bpe").as("bpe_tokens"),
+          sum($"n_ws" - $"n_bpe").as("n_merged"),
+          round(sum($"n_ws" - $"n_bpe").cast("double") /
+            nullif(sum($"n_ws"), lit(0)).cast("double"), 4)
+            .as("merge_rate"))
+        .orderBy($"k_merges")
     },
 
     "t24_shingle_novelty" -> { (s, dir) =>
@@ -1422,6 +1465,36 @@ object TextAnalysis {
          |  round(CAST(sum(n_ws - n_bpe) AS DOUBLE) /
          |        CAST(NULLIF(sum(n_ws), 0) AS DOUBLE), 4) AS merge_rate
          |FROM bpec GROUP BY source ORDER BY source""".stripMargin,
+
+    // t28: the same double-pass replace fold per (doc, k) over the
+    // top-k slice of the shared ranked merge list
+    "t28_bpe_merge_curve" -> {
+      val cfg = BpeCurveKs.map(k => s"($k)").mkString(", ")
+      s"""WITH $bpeCountsSqlCtes,
+         |cfg(k_merges) AS (VALUES $cfg),
+         |sliced AS (
+         |  SELECT k_merges, list_slice(ms, 1, 2 * k_merges) AS msk
+         |  FROM bml CROSS JOIN cfg),
+         |curve AS (
+         |  SELECT k_merges, doc_id,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT)
+         |      AS n_ws,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(trim(list_reduce(
+         |           list_prepend(' ' || text || ' ', msk),
+         |           (acc, m) -> replace(acc, ' ' || m || ' ',
+         |             ' ' || replace(m, ' ', chr(31)) || ' '))), ' '))
+         |    END AS BIGINT) AS n_bpe
+         |  FROM documents CROSS JOIN sliced)
+         |SELECT k_merges, count(*) AS n_docs,
+         |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(n_ws - n_bpe) AS BIGINT) AS n_merged,
+         |  round(CAST(sum(n_ws - n_bpe) AS DOUBLE) /
+         |        CAST(NULLIF(sum(n_ws), 0) AS DOUBLE), 4) AS merge_rate
+         |FROM curve GROUP BY k_merges ORDER BY k_merges""".stripMargin
+    },
 
     "t24_shingle_novelty" ->
       s"""WITH toksed AS (

@@ -507,11 +507,20 @@ object AnnIndex {
     require(vfs.exists(vecPath),
       s"refined search needs the vectors/ refine artifact — build the " +
         s"index with storeVectors = true: $indexDir")
-    // the switch: one cheap scalar count of the caller's query frame
-    // (never the candidates — deciding must not cost a search)
+    // the switch: size the caller's query frame (never the candidates
+    // — deciding must not cost a search). Literal frames — the serving
+    // rows' shape — are sized from the plan for free; only unknown
+    // shapes pay a count() job, which re-prices the frame's lineage
+    // once (a caller passing an expensive derived frame should
+    // checkpoint it first, as it is evaluated again by the search).
     val budget = s.conf.getOption("spark.graft.ann.refine.literalBudget")
       .map(_.toLong).getOrElse(RefineLiteralBudget)
-    val bounded = queries.count() * depth <= budget
+    val nq = queries.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size.toLong
+      case _ => queries.count()
+    }
+    val bounded = nq * depth <= budget
     val rescored = if (bounded) {
       val cand = search(s, indexDir, queries, depth, allow, nprobe)
         .select($"q_id", $"n_id")

@@ -472,11 +472,19 @@ object Dedup {
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("a_id", "sh_a", "h_a", "source")
       val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
-      val inter = a.join(b,
+      // the intersection is symmetric, so the heavy stage (shingle
+      // equi-join + count) runs on UNORDERED pairs (a < b, half the
+      // rows) and the directed view is a cheap row-level mirror
+      val und = a.join(b,
           $"source" === $"source_b" && $"sh_a" === $"sh_b" &&
-            $"a_id" =!= $"b_id")
+            $"a_id" < $"b_id")
         .groupBy($"a_id", $"b_id")
         .agg(count(lit(1)).as("n_inter"))
+        // tiny (near-dup pairs only) with two consumers (both mirror
+        // directions) — materialized so the heavy join runs once
+        .localCheckpoint(eager = false)
+      val inter = und.unionByName(
+        und.select($"b_id".as("a_id"), $"a_id".as("b_id"), $"n_inter"))
       val sa = sizes.toDF("a_id", "n_a")
       val sb = sizes.toDF("b_id", "n_b")
       val c = $"n_inter" / $"n_a".cast("double")
@@ -487,8 +495,7 @@ object Dedup {
         .withColumn("jaccard", round(jac, 6))
         .withColumn("gap", round(c - jac, 6))
         .filter($"containment" >= lit(0.5))
-        .withColumn("asym_inclusion",
-          $"containment" >= lit(0.5) && $"gap" > lit(0.05))
+        .withColumn("asym_inclusion", $"gap" > lit(0.05))
         .select($"a_id", $"b_id", $"n_inter", $"n_a", $"n_b",
           $"containment", $"jaccard", $"gap", $"asym_inclusion")
         .orderBy($"a_id", $"b_id")
@@ -2255,8 +2262,7 @@ object Dedup {
            |SELECT a_id, b_id, n_inter, n_a, n_b,
            |  round(c, 6) AS containment, round(jacr, 6) AS jaccard,
            |  round(c - jacr, 6) AS gap,
-           |  (round(c, 6) >= 0.5 AND round(c - jacr, 6) > 0.05)
-           |    AS asym_inclusion
+           |  round(c - jacr, 6) > 0.05 AS asym_inclusion
            |FROM sc WHERE round(c, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
 

@@ -2046,6 +2046,11 @@ object Similarity {
       val arms = PqBudgetConfigs.map { case (m, k0) =>
         val bits = m * (31 - Integer.numberOfLeadingZeros(k0))
         val (_, cb) = pqTrainMK(s, e0, m, k0)
+        // the corpus encode feeds TWO consumers (distortion + ADC) and
+        // stays UN-materialized on purpose: the argmax groupBy's
+        // exchange is schema-identical under both, so AQE stage reuse
+        // unifies them — a localCheckpoint here measured 2→4.6 s at
+        // sf0.1 (the round-10 composed-ANN lesson, re-confirmed live)
         val enc = pqAssign(s, pqSubsM(s, e0.select($"vec_id", $"v"), m), cb)
         // per-vector reconstruction error: 6dp-rounded subspace d2s
         // sum in DECIMAL (order-exact); the corpus mean divides the

@@ -23,6 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * returns the SAME analyzed plan the Scala call produces — one code
   * path, so the SQL surface can never drift from the Scala one
   * (GraftExtensionsSpec pins bit-equality on a `newSession()` clone).
+  * Two consequences of that design, deliberate and worth knowing:
+  * the ann builders run the search's bounded index probes AT ANALYSIS
+  * time (the IN-literal candidate resolve is part of building the
+  * plan), so even an EXPLAIN pays them — acceptable for a serving
+  * call, wrong for a repeatedly re-analyzed view; and an analyzed
+  * plan held across an index upsert serves the snapshot it was built
+  * against — re-issue the query text for fresh results (the same
+  * contract as holding any DataFrame across an external write).
   * Registration rides the same two seams as the scalar functions: the
   * shared table in [[graft.functions.sqlTableFunctions]] feeds both
   * `graft.GraftExtensions` (config-installed, survives `newSession()`)
@@ -102,36 +110,51 @@ object SqlServing {
     Seq((-1L, doubles(e, "queryVector"))).toDF("q_id", "qv")
   }
 
+  /** Every argument defect — non-literal, wrong type, out-of-range —
+    * must surface as an AnalysisException naming the argument (the
+    * requireArity principle): a SQL client's typo may not leak a
+    * ClassCastException or silently truncate.
+    */
+  private def bad(what: String, msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_SQL_SYNTAX.UNSUPPORTED_SQL_STATEMENT",
+      messageParameters = Map("sqlText" ->
+        s"graft serving functions: $what $msg"))
+
   private def lit(e: Expression, what: String): Any = {
     if (!e.foldable)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "INVALID_SQL_SYNTAX.UNSUPPORTED_SQL_STATEMENT",
-        messageParameters = Map("sqlText" ->
-          (s"graft serving functions take literal arguments; " +
-            s"$what is not a literal: ${e.sql}")))
+      bad(what, s"must be a literal argument, got: ${e.sql}")
     e.eval()
   }
 
   private def str(e: Expression, what: String): String =
-    lit(e, what).asInstanceOf[UTF8String].toString
+    lit(e, what) match {
+      case s: UTF8String => s.toString
+      case other => bad(what, s"must be a string literal, got: $other")
+    }
 
-  private def int(e: Expression, what: String): Int = lit(e, what) match {
-    case i: java.lang.Integer => i.intValue()
-    case l: java.lang.Long => l.intValue()
-    case s: java.lang.Short => s.intValue()
-    case b: java.lang.Byte => b.intValue()
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got: $other")
+  private def int(e: Expression, what: String): Int = {
+    val l: Long = lit(e, what) match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => bad(what, s"must be an integer literal, got: $other")
+    }
+    if (l < Int.MinValue || l > Int.MaxValue)
+      bad(what, s"is out of Int range: $l")
+    l.toInt
   }
 
   private def doubles(e: Expression, what: String): Seq[Double] =
     lit(e, what) match {
       case s: UTF8String =>
-        s.toString.split(",").map(_.trim).filter(_.nonEmpty)
+        try s.toString.split(",").map(_.trim).filter(_.nonEmpty)
           .map(_.toDouble).toSeq
+        catch { case _: NumberFormatException =>
+          bad(what, s"has a non-numeric component: $s") }
       case a: ArrayData => a.toDoubleArray().toSeq
-      case other => throw new IllegalArgumentException(
-        s"$what must be array<double> or a comma-separated string, " +
-          s"got: $other")
+      case other => bad(what,
+        s"must be array<double> or a comma-separated string, got: $other")
     }
 }

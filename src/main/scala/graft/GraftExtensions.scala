@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
     }
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => plans.ServingScanStrategy)
   }
 }

@@ -15,7 +15,7 @@ object Verify {
     // passes exactly two args and gets the full board)
     val prefixes = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,7 +23,13 @@ object Verify {
       // this flag (Tables.load converts the resulting long to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // builder-side plan-switch re-gating (e.g. forcing d34's band
+    // candidate generator or search()'s join path against the full
+    // oracle): SPARK_GRAFT_CONFS="k=v,k=v". The driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONFS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2)).foreach(kv => builder.config(kv(0), kv(1)))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Fixture-drift canary (round-6 postmortem): if a regeneration ships

@@ -66,6 +66,42 @@ object AnnIndex {
     */
   private[graft] val RefineLiteralBudget = 32768L
 
+  /** [[search]]'s plan-switch threshold on |queries| × nprobe — the
+    * same discipline as [[RefineLiteralBudget]], applied to the probe
+    * stage (override: conf `spark.graft.ann.probe.literalBudget`). Up
+    * to here the probed cells resolve driver-side into a `cell IN`
+    * partition filter that prunes the invlist listing itself. Above it
+    * the literal stops paying: at real index sizes (KmK 10⁵-10⁶) a
+    * corpus-fraction batch probes most cells, so the literal prunes
+    * nothing while PLANNING still pays |cells| (and the driver pays
+    * the distinct-collect); the plan switches to joining the invlists
+    * to the probe frame on the raw partition column — AQE/DPP prune
+    * what is prunable, nothing |cells|-sized lands on the driver.
+    */
+  private[graft] val ProbeLiteralBudget = 8192L
+
+  /** Row count of a caller's query frame for plan switching, costed
+    * zero jobs when the plan already knows (literal frames, frames
+    * with CBO row counts); otherwise the frame is eagerly
+    * localCheckpointed FIRST and the count reads the materialized
+    * partitions — so sizing never evaluates the caller's lineage a
+    * second time behind the search, and a nondeterministic frame
+    * cannot size against a different evaluation than the one searched.
+    * Returns the (possibly checkpointed) frame to search plus its
+    * count.
+    */
+  private def sizedQueries(queries: DataFrame): (DataFrame, Long) =
+    queries.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        (queries, l.data.size.toLong)
+      case p => p.stats.rowCount match {
+        case Some(rc) => (queries, rc.toLong)
+        case None =>
+          val q = queries.localCheckpoint()
+          (q, q.count())
+      }
+    }
+
   /** Train on the corpus at `dir` and write the index artifacts.
     * Deterministic end-to-end (the s14/s16 rounding discipline), so
     * re-building overwrites byte-identical content — resumable like
@@ -121,7 +157,7 @@ object AnnIndex {
       // lists + the residual frame) — one assignment pass over the
       // corpus, not two (af is the narrow (vec_id, cell) pair)
       val af = Similarity.kmAssign(s, e, cents).select($"vec_id", $"cell")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       // the frame the PQ half trains on and encodes: raw vectors, or
       // the per-vector residual against its coarse centroid (one IEEE
       // subtraction per component on bit-identical inputs — the s23
@@ -348,12 +384,26 @@ object AnnIndex {
     * narrow id column; the allowlist may be corpus-sized (AQE picks
     * the join side), and the spec pins the filtered result equal to
     * the unfiltered ranking with the disallowed ids excised.
+    *
+    * The probe stage is PLAN-SWITCHED on |queries| × nprobe vs
+    * [[ProbeLiteralBudget]] (the searchRefined discipline): bounded
+    * batches resolve the probed cells driver-side into a `cell IN`
+    * partition filter (listing-time pruning); corpus-fraction batches
+    * join the invlists to the probe frame on the raw partition column
+    * instead — nothing |cells|-sized on the driver, no literal the
+    * planner has to chew. Both plans rank identically (spec-pinned).
     */
-  def search(s: SparkSession, indexDir: String, queries: DataFrame,
+  def search(s: SparkSession, indexDir: String, queries0: DataFrame,
       k: Int, allow: Option[DataFrame] = None,
       nprobe: Int = Similarity.NProbe,
-      hintQueryBroadcast: Boolean = true): DataFrame = {
+      hintQueryBroadcast: Boolean = true,
+      knownQueryCount: Option[Long] = None): DataFrame = {
     import s.implicits._
+    // the probe-stage plan switch sizes the query frame exactly once
+    // (callers that already sized — searchRefined — pass the count
+    // down so the frame is never sized twice)
+    val (queries, nq) = knownQueryCount.map((queries0, _))
+      .getOrElse(sizedQueries(queries0))
     // the query-side frames (probes, ADC tables) are |queries|-
     // proportional: broadcast-hinted for the bounded request batches a
     // serving tier sends (the common case — skips a shuffle), but a
@@ -377,27 +427,48 @@ object AnnIndex {
       .withColumn("p_rnk", row_number().over(wProbe))
       .filter($"p_rnk" <= nprobe)
       .select($"q_id", $"qv", $"cell")
-    // the probed cells, resolved driver-side (NProbe×|queries| tiny
-    // rows) into an IN-filter the partitioned invlist scan can PRUNE
-    // on — this is the read-path payoff of the cell=<c>/ layout
-    val probedCells = probes.select($"cell").distinct()
-      .collect().map(_.getLong(0))
-    // The IN-filter must hit the RAW partition column (inference may
-    // read cell=<c> as int; a cast on the column side would demote the
-    // partition filter to a post-scan filter and kill pruning) — so
-    // match the literal type to the scan's, THEN normalize for joins.
     val inv = s.read.parquet(s"$indexDir/invlists")
-    val cellLits: Seq[Any] =
-      if (inv.schema("cell").dataType ==
-          org.apache.spark.sql.types.IntegerType)
-        probedCells.toSeq.map(_.toInt)
-      else probedCells.toSeq
+    val cellType = inv.schema("cell").dataType
     // candidates KEEP their cell: a residual code only has meaning
     // against the cell it was encoded in, so the ADC join is keyed by
-    // it (for a raw index the key degenerates to (q_id, sub, code))
-    val cand0 = inv.filter($"cell".isin(cellLits: _*))
-      .withColumn("cell", $"cell".cast("long"))
-      .join(qb(probes.select($"q_id", $"cell")), "cell")
+    // it (for a raw index the key degenerates to (q_id, sub, code)).
+    // TWO probe plans, switched on |queries| × nprobe (the bound on
+    // distinct probed cells) vs [[ProbeLiteralBudget]]:
+    val probeBudget = s.conf
+      .getOption("spark.graft.ann.probe.literalBudget")
+      .map(_.toLong).getOrElse(ProbeLiteralBudget)
+    val candJoined = if (nq * nprobe <= probeBudget) {
+      // BOUNDED batches: the probed cells resolve driver-side
+      // (NProbe×|queries| tiny rows) into an IN-filter the partitioned
+      // invlist scan PRUNES on at listing time — the read-path payoff
+      // of the cell=<c>/ layout. The IN-filter must hit the RAW
+      // partition column (inference may read cell=<c> as int; a cast
+      // on the column side would demote the partition filter to a
+      // post-scan filter and kill pruning) — so match the literal type
+      // to the scan's, THEN normalize for joins.
+      val probedCells = probes.select($"cell").distinct()
+        .collect().map(_.getLong(0))
+      val cellLits: Seq[Any] =
+        if (cellType == org.apache.spark.sql.types.IntegerType)
+          probedCells.toSeq.map(_.toInt)
+        else probedCells.toSeq
+      inv.filter($"cell".isin(cellLits: _*))
+        .withColumn("cell", $"cell".cast("long"))
+        .join(qb(probes.select($"q_id", $"cell")), "cell")
+    } else {
+      // LARGE batches (the d33 admission shape): at real index sizes
+      // (KmK 10⁵-10⁶) a corpus-fraction batch probes most cells — the
+      // literal would prune nothing while planning pays |cells| and
+      // the driver pays the distinct-collect. Join the invlists to the
+      // probe frame on the RAW partition column instead (AQE/DPP prune
+      // what is prunable); no broadcast hint — the probe frame is
+      // |queries|×nprobe-sized here, AQE picks the strategy.
+      val probeCells = probes
+        .select($"q_id", $"cell".cast(cellType).as("cell"))
+      inv.join(probeCells, "cell")
+        .withColumn("cell", $"cell".cast("long"))
+    }
+    val cand0 = candJoined
       .filter($"q_id" =!= $"vec_id")
       // logically deleted ids never surface (tombstones broadcast —
       // small between compactions by design; see delete/compact)
@@ -509,20 +580,17 @@ object AnnIndex {
         s"index with storeVectors = true: $indexDir")
     // the switch: size the caller's query frame (never the candidates
     // — deciding must not cost a search). Literal frames — the serving
-    // rows' shape — are sized from the plan for free; only unknown
-    // shapes pay a count() job, which re-prices the frame's lineage
-    // once (a caller passing an expensive derived frame should
-    // checkpoint it first, as it is evaluated again by the search).
+    // rows' shape — and frames with CBO row counts are sized from the
+    // plan for free; only unknown shapes pay a count(), and those are
+    // eagerly checkpointed FIRST so the caller's lineage is evaluated
+    // exactly once (see [[sizedQueries]]).
     val budget = s.conf.getOption("spark.graft.ann.refine.literalBudget")
       .map(_.toLong).getOrElse(RefineLiteralBudget)
-    val nq = queries.queryExecution.optimizedPlan match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.size.toLong
-      case _ => queries.count()
-    }
+    val (q, nq) = sizedQueries(queries)
     val bounded = nq * depth <= budget
     val rescored = if (bounded) {
-      val cand = search(s, indexDir, queries, depth, allow, nprobe)
+      val cand = search(s, indexDir, q, depth, allow, nprobe,
+          knownQueryCount = Some(nq))
         .select($"q_id", $"n_id")
         // bounded by construction; one evaluation feeds both the
         // IN-literal resolve and the rerank join
@@ -532,7 +600,7 @@ object AnnIndex {
       val vecs = s.read.parquet(vecPath.toString)
         .filter(if (candIds.isEmpty) lit(false)
           else $"vec_id".isin(candIds: _*))
-      cand.join(broadcast(queries.select($"q_id", $"qv")), "q_id")
+      cand.join(broadcast(q.select($"q_id", $"qv")), "q_id")
         .join(vecs, cand("n_id") === vecs("vec_id"))
         .withColumn("d2", Similarity.kmDist2($"qv", $"v")
           .cast("decimal(14,6)"))
@@ -541,11 +609,11 @@ object AnnIndex {
       // large-batch plan: no checkpoint (candidates consumed once),
       // no driver-side id resolve, no forced query broadcast — the
       // rerank join against the sorted refine store IS the prune
-      val cand = search(s, indexDir, queries, depth, allow, nprobe,
-          hintQueryBroadcast = false)
+      val cand = search(s, indexDir, q, depth, allow, nprobe,
+          hintQueryBroadcast = false, knownQueryCount = Some(nq))
         .select($"q_id", $"n_id")
       val vecs = s.read.parquet(vecPath.toString)
-      cand.join(queries.select($"q_id", $"qv"), "q_id")
+      cand.join(q.select($"q_id", $"qv"), "q_id")
         .join(vecs, cand("n_id") === vecs("vec_id"))
         .withColumn("d2", Similarity.kmDist2($"qv", $"v")
           .cast("decimal(14,6)"))

@@ -47,6 +47,19 @@ object Dedup {
     * inside int64 for both engines.
     */
   private val P = 1000000007L
+
+  // d35 (DedupIndex compact go/no-go): pending-tombstone fraction
+  // above which the per-probe anti-join + dead fingerprint/signature
+  // rows (derived personal data when the document is — erasure wants
+  // them physically gone) are worth the compaction rewrite; and the
+  // band-bucket imbalance λ = V·Σn²/(Σn)² (s46's formula over band
+  // values) above which a flooded band value makes probe candidate
+  // cost quadratic-in-the-bucket. Fractions/ratios, never absolute
+  // counts (the t24 scale-invariance lesson); fixture λ measures
+  // ~1.05-1.06 at every SF (healthy), so the go/no-go fires on the
+  // tombstone leg — both legs exposed like s46.
+  private[ops] val DedupTombMax = 0.05
+  private[ops] val DedupBandLambdaMax = 1.5
   private val As = Seq(968665049L, 725377913L, 858980533L,
     531441019L, 741103597L, 433024253L)
   private val Bs = Seq(372700613L, 154365481L, 811961371L,
@@ -138,7 +151,7 @@ object Dedup {
     // d18 trade made explicit: |docs| × 7 longs (tiny vs the corpus
     // text it derives from) buys back four shingle+md5+minhash passes;
     // an ingest service keeps exactly this index materialized anyway.
-    val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
+    val sigs = minhashCore(s, dir).localCheckpoint()
     val bands = bandsOf(s, sigs)
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
@@ -371,6 +384,114 @@ object Dedup {
       .distinct()
   }
 
+  /** d34's core, with a PLAN-SWITCHED candidate generator (the
+    * searchRefined discipline — two physical plans, one contract):
+    *
+    *  - `shingle` (small corpora): the exact source-blocked shingle
+    *    equi-join — candidate pairs are every same-source pair sharing
+    *    ≥1 shingle, so no containment pair can be missed. Cost is the
+    *    wordcount shape (map-side partial counts on shared shingles),
+    *    fine up to the point where hot shingles across a whole source
+    *    make the pair stream quadratic.
+    *  - `bands` (100 TB path): candidates from d03's LSH bands (3
+    *    bands × 2 MinHash slots, same-source, equi-join per band —
+    *    never all-pairs), then the exact intersection is computed ONLY
+    *    for candidate pairs by joining candidates to the shingle
+    *    stream on (b_id, sh): cost is Σ_pairs |sh(A)| — linear in the
+    *    candidate count, immune to hot-shingle blowup. HONESTY NOTE:
+    *    band agreement probability per band is ≈ Jaccard², so a
+    *    deeply-contained A inside a much larger B (high containment,
+    *    LOW Jaccard — exactly the asym_inclusion case) can be missed
+    *    by bands in the general corpus; on this fixture the band set
+    *    recalls every containment≥0.5 pair including the asym ones
+    *    (measured in DuckDB at sf0.01/sf0.1: 0 missed of 2/14), and
+    *    ContainmentSwitchSpec pins both paths row-identical. A
+    *    recall-preserving exact generator at scale would be prefix
+    *    filtering (AllPairs/PPJoin: any B with C(A→B) ≥ t shares one
+    *    of A's first ⌊(1−t)·|sh(A)|⌋+1 rarest shingles) — documented
+    *    as the upgrade if band recall on real data measures short.
+    *
+    * Switch: conf `spark.graft.dedup.containment.candGen` ∈
+    * {auto, shingle, bands}; `auto` (default) swaps to bands when the
+    * documents scan's optimizer size estimate exceeds
+    * `spark.graft.dedup.containment.bandBudgetBytes` (default 1 GiB) —
+    * sizing reads plan statistics, zero Spark jobs.
+    */
+  /** The candidate-generator switch decision, separated so the spec
+    * can pin it without plan forensics (the eager checkpoint inside
+    * [[containmentPairs]] severs the generator from the final plan).
+    * Sizing reads the optimizer's scan size estimate — zero jobs.
+    */
+  private[graft] def containmentUseBands(s: SparkSession, dir: String): Boolean =
+    s.conf.get("spark.graft.dedup.containment.candGen", "auto") match {
+      case "bands"   => true
+      case "shingle" => false
+      case _ =>
+        val budget = s.conf
+          .get("spark.graft.dedup.containment.bandBudgetBytes",
+            (1L << 30).toString).toLong
+        docs(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(budget)
+    }
+
+  private[graft] def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"source")
+    // consumers fork from the shingle stream (sizes + join sides) —
+    // materialized once, the d05 rationale; EAGER (pending lazy
+    // checkpoints race AQE sub-jobs on the RDDCheckpointData lock)
+    val sh = shingleHashes(s, dir).join(d, "doc_id")
+      .localCheckpoint()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val useBands = containmentUseBands(s, dir)
+    // the intersection is symmetric, so the heavy stage runs on
+    // UNORDERED pairs (a < b, half the rows) and the directed view is
+    // a cheap row-level mirror
+    val und = (if (useBands) {
+      // LSH-band candidates (same-source, a < b), then exact
+      // intersection counts ONLY for candidates: cand ⋈ sh(A) on a_id
+      // fans each pair out to A's shingles, and the (b_id, sh)
+      // equi-join keeps exactly the shared ones — never |A|×|B|.
+      val bnd = bandsOf(s, minhashCore(s, dir)).join(d, "doc_id")
+      val cand = bnd.toDF("a_id", "band", "source")
+        .join(bnd.toDF("b_id", "band_b", "source_b"),
+          $"band" === $"band_b" && $"source" === $"source_b" &&
+            $"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      cand.join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_inter"))
+    } else {
+      val a = sh.toDF("a_id", "sh_a", "h_a", "source")
+      val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
+      a.join(b,
+          $"source" === $"source_b" && $"sh_a" === $"sh_b" &&
+            $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_inter"))
+    })
+      // tiny (near-dup pairs only) with two consumers (both mirror
+      // directions) — materialized so the heavy join runs once
+      .localCheckpoint()
+    val inter = und.unionByName(
+      und.select($"b_id".as("a_id"), $"a_id".as("b_id"), $"n_inter"))
+    val sa = sizes.toDF("a_id", "n_a")
+    val sb = sizes.toDF("b_id", "n_b")
+    val c = $"n_inter" / $"n_a".cast("double")
+    val jac = $"n_inter" /
+      ($"n_a" + $"n_b" - $"n_inter").cast("double")
+    inter.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("containment", round(c, 6))
+      .withColumn("jaccard", round(jac, 6))
+      .withColumn("gap", round(c - jac, 6))
+      .filter($"containment" >= lit(0.5))
+      .withColumn("asym_inclusion", $"gap" > lit(0.05))
+      .select($"a_id", $"b_id", $"n_inter", $"n_a", $"n_b",
+        $"containment", $"jaccard", $"gap", $"asym_inclusion")
+      .orderBy($"a_id", $"b_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> { (s, dir) =>
       import s.implicits._
@@ -444,7 +565,6 @@ object Dedup {
     },
 
     "d34_containment_pairs" -> { (s, dir) =>
-      import s.implicits._
       // DIRECTED shingle containment — the asymmetric duplication
       // relation Jaccard blurs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is
       // ~1 when A is INCLUDED in a longer B (a quoted post, a page
@@ -459,46 +579,55 @@ object Dedup {
       // copies, so most rows flag symmetric (gap ≈ 0) and exactly the
       // long-doc inclusions flag true at sf0.1 — recorded honestly;
       // the operator's value is the flag's ability to SPLIT the two
-      // cases. Scale: same source-blocked shingle equi-join as d05
-      // (wordcount shape — candidates only from shared shingles,
-      // map-side partial counts; at 100 TB the candidate generator
-      // swaps to d03's LSH bands, the documented trade), directed
-      // pairs so a_id ≠ b_id instead of <.
-      val d = docs(s, dir).select($"doc_id", $"source")
-      // three consumers fork from the shingle stream (sizes + both
-      // join sides) — materialized once, the d05 rationale
-      val sh = shingleHashes(s, dir).join(d, "doc_id")
-        .localCheckpoint(eager = false)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.toDF("a_id", "sh_a", "h_a", "source")
-      val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
-      // the intersection is symmetric, so the heavy stage (shingle
-      // equi-join + count) runs on UNORDERED pairs (a < b, half the
-      // rows) and the directed view is a cheap row-level mirror
-      val und = a.join(b,
-          $"source" === $"source_b" && $"sh_a" === $"sh_b" &&
-            $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("n_inter"))
-        // tiny (near-dup pairs only) with two consumers (both mirror
-        // directions) — materialized so the heavy join runs once
-        .localCheckpoint(eager = false)
-      val inter = und.unionByName(
-        und.select($"b_id".as("a_id"), $"a_id".as("b_id"), $"n_inter"))
-      val sa = sizes.toDF("a_id", "n_a")
-      val sb = sizes.toDF("b_id", "n_b")
-      val c = $"n_inter" / $"n_a".cast("double")
-      val jac = $"n_inter" /
-        ($"n_a" + $"n_b" - $"n_inter").cast("double")
-      inter.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("containment", round(c, 6))
-        .withColumn("jaccard", round(jac, 6))
-        .withColumn("gap", round(c - jac, 6))
-        .filter($"containment" >= lit(0.5))
-        .withColumn("asym_inclusion", $"gap" > lit(0.05))
-        .select($"a_id", $"b_id", $"n_inter", $"n_a", $"n_b",
-          $"containment", $"jaccard", $"gap", $"asym_inclusion")
-        .orderBy($"a_id", $"b_id")
+      // cases. The candidate generator is PLAN-SWITCHED (the
+      // searchRefined discipline) — see [[containmentPairs]].
+      containmentPairs(s, dir)
+    },
+
+    "d35_dedup_maintenance_decision" -> { (s, dir) =>
+      import s.implicits._
+      // s46's ADMISSION-INDEX sibling (round-13 verdict item): the
+      // DedupIndex compact go/no-go, read from the artifacts of the
+      // mid-lifecycle snapshot ServingIndexes.dedupMaint built (corpus
+      // split + erasure tombstones, NOT compacted). One decision row:
+      //  - pending-tombstone cost: every probe pays the anti-join,
+      //    and a tombstoned doc's md5 fingerprint + MinHash signature
+      //    are DERIVED PERSONAL DATA — erasure wants them physically
+      //    rewritten out, which is exactly what compact does;
+      //  - band-bucket health: λ over the LIVE band-value buckets
+      //    (the probe's candidate generator — a flooded band value
+      //    makes per-probe candidate cost quadratic in the bucket);
+      //  - the go/no-go: tomb_frac >= DedupTombMax OR λ >
+      //    DedupBandLambdaMax, both legs exposed (the s46 contract).
+      // Zero corpus bytes (PlanShapeSpec pins it); the oracle replays
+      // split membership + the erasure rule + the signature/band
+      // pipeline from the documents table.
+      val idx = ServingIndexes.dedupMaint(s, dir)
+      val tomb = s.read.parquet(s"$idx/tombstones")
+        .select($"doc_id".as("t_id"))
+      val nd = s.read.parquet(s"$idx/fps")
+        .agg(count(lit(1)).as("n_docs"))
+      val nt = tomb.agg(count(lit(1)).as("n_tomb"))
+      val per = s.read.parquet(s"$idx/bands")
+        .select($"doc_id", $"band")
+        .join(broadcast(tomb), $"doc_id" === $"t_id", "left_anti")
+        .groupBy($"band").agg(count(lit(1)).as("n"))
+      val bm = per.agg(count(lit(1)).as("n_band_values"),
+        sum($"n").as("n_band_rows_live"),
+        max($"n").as("max_bucket"),
+        sum($"n" * $"n").as("ss"))
+      val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
+      val lam = ($"n_band_values" * $"ss").cast("double") /
+        ($"n_band_rows_live" * $"n_band_rows_live").cast("double")
+      nd.crossJoin(broadcast(nt)).crossJoin(broadcast(bm))
+        .select($"n_docs", $"n_tomb",
+          round(tombFrac, 6).as("tomb_frac"),
+          $"n_band_values", $"n_band_rows_live", $"max_bucket",
+          round(lam, 6).as("band_imbalance"),
+          (tombFrac >= lit(DedupTombMax)).as("tomb_exceeded"),
+          (lam > lit(DedupBandLambdaMax)).as("band_exceeded"),
+          (tombFrac >= lit(DedupTombMax) ||
+            lam > lit(DedupBandLambdaMax)).as("compact"))
     },
 
     "d04_simhash" -> { (s, dir) =>
@@ -523,7 +652,7 @@ object Dedup {
       // both join sides) — materialized once, the verifiedPairs
       // rationale
       val sh = shingleHashes(s, dir).join(d, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("a_id", "sh_a", "h_a", "source")
       val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
@@ -758,7 +887,7 @@ object Dedup {
         // join sides, sizes) — materialized once, the verifiedPairs
         // rationale; |docs|·|fps per doc| rows, far below the
         // exploded shingle stream it derives from
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val sizes = f0.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
       val pairs = winnowCandidates(s, f0, DfCap)
         .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_shared"))
@@ -851,7 +980,7 @@ object Dedup {
       // ids — never all-pairs.
       // materialized once (the verifiedPairs rationale): six narrow
       // consumers fork from sigs below
-      val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
+      val sigs = minhashCore(s, dir).localCheckpoint()
       val inc = sigs.filter($"doc_id" % 5 === 4)
       val corp = sigs.filter($"doc_id" % 5 =!= 4)
       val bInc = bandsOf(s, inc)
@@ -913,7 +1042,7 @@ object Dedup {
       // funnels with divergent column pruning — the localCheckpoint
       // exception case
       val decisions = DedupIndex.probe(s, idx, batch)
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val withSource = decisions
         .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
       val exact = withSource.groupBy($"source")
@@ -952,7 +1081,7 @@ object Dedup {
       val batch = docs(s, dir).select($"doc_id", $"text")
         .filter($"doc_id" % 5 === 4)
       val decisions = DedupIndex.probe(s, idx, batch)
-        .localCheckpoint(eager = false) // tiny, two funnel consumers
+        .localCheckpoint() // tiny, two funnel consumers
       val withSource = decisions
         .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
       val exact = withSource.groupBy($"source")
@@ -1004,7 +1133,7 @@ object Dedup {
       val batch2 = docs(s, dir).select($"doc_id", $"text")
         .filter($"doc_id" % 10 === 9)
       val decisions = DedupIndex.probe(s, idx, batch2)
-        .localCheckpoint(eager = false) // tiny, two funnel consumers
+        .localCheckpoint() // tiny, two funnel consumers
       val withSource = decisions
         .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
       val exact = withSource.groupBy($"source")
@@ -1055,7 +1184,7 @@ object Dedup {
         .withColumn("p_exact_batch",
           min($"doc_id").over(Window.partitionBy($"fp")))
       // six narrow consumers fork from sigs (the d17 rationale)
-      val sigs = minhashCore(s, dir).localCheckpoint(eager = false)
+      val sigs = minhashCore(s, dir).localCheckpoint()
       val bInc = bandsOf(s, sigs.filter($"doc_id" % 5 === 4))
       val bCorp = bandsOf(s, sigs.filter($"doc_id" % 5 =!= 4))
         .toDF("c_id", "band")
@@ -1207,7 +1336,7 @@ object Dedup {
       // the verify join — materialized once, the verifiedPairs
       // rationale
       val sh = shingleHashes(s, dir).join(d, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val evalSet = sh.filter($"source" === "src0").select($"sh").distinct()
       val train = sh.filter($"source" =!= "src0")
       val bloom = evalSet
@@ -1294,7 +1423,7 @@ object Dedup {
       // three consumers below — the audit's truth side is the one
       // place the raw shingle stream is legitimately needed thrice
       val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.select($"doc_id".as("a_id"), $"sh")
       val b = sh.select($"doc_id".as("b_id"), $"sh")
@@ -1349,7 +1478,7 @@ object Dedup {
       val sampleIds = docs(s, dir).filter($"doc_id" % 10 < 3)
         .select($"doc_id")
       val sigs = minhashCore(s, dir).join(sampleIds, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val cfgs = Seq((6, 1), (3, 2), (2, 3), (1, 6))
       val bandArr = array(cfgs.flatMap { case (nb, r) =>
         (0 until nb).map { bi =>
@@ -1373,7 +1502,7 @@ object Dedup {
           (round(matches / lit(6.0), 6) >= 0.5).cast("long"))
         .select($"cfg", $"a_id", $"b_id", $"v")
       val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val ta = sh.select($"doc_id".as("a_id"), $"sh")
       val tb = sh.select($"doc_id".as("b_id"), $"sh")
@@ -1384,7 +1513,7 @@ object Dedup {
         .filter(round($"n_inter" /
           ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
         .select($"a_id", $"b_id")
-        .localCheckpoint(eager = false) // reused: per-cfg join + count
+        .localCheckpoint() // reused: per-cfg join + count
       val nTruth = truth.agg(count(lit(1)).as("n_true"))
       scored.join(truth.withColumn("t", lit(1)),
           Seq("a_id", "b_id"), "left")
@@ -1429,7 +1558,7 @@ object Dedup {
       val sampleIds = docs(s, dir).filter($"doc_id" % 10 < 3)
         .select($"doc_id")
       val sim = simhashCore(s, dir).join(sampleIds, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val chunkArr = array((0 until NChunks).map { c =>
         lit(c.toLong * 65536L) +
           shiftright($"simhash", c * ChunkBits).bitwiseAND(65535L)
@@ -1443,7 +1572,7 @@ object Dedup {
         .filter($"dist" <= 6)
         .select($"a_id", $"b_id", $"dist").distinct()
       val sh = shingleHashes(s, dir).join(sampleIds, "doc_id")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val ta = sh.select($"doc_id".as("a_id"), $"sh")
       val tb = sh.select($"doc_id".as("b_id"), $"sh")
@@ -1454,7 +1583,7 @@ object Dedup {
         .filter(round($"n_inter" /
           ($"na" + $"nb" - $"n_inter").cast("double"), 6) >= 0.5)
         .select($"a_id", $"b_id")
-        .localCheckpoint(eager = false) // reused: tag join + count
+        .localCheckpoint() // reused: tag join + count
       val nTruth = truth.agg(count(lit(1)).as("n_true"))
       val tagged = cand.join(truth.withColumn("t", lit(1)),
         Seq("a_id", "b_id"), "left")
@@ -1572,7 +1701,7 @@ object Dedup {
       // leaving no catalog entry behind for the session's lifetime.
       val view = s"d18_pairs_${Integer.toHexString(dir.hashCode)}"
       verifiedPairs(s, dir)
-        .select("a_id", "b_id").localCheckpoint(eager = false)
+        .select("a_id", "b_id").localCheckpoint()
         .createOrReplaceTempView(view)
       val out = s.sql(
         s"""WITH RECURSIVE edges AS (
@@ -2265,6 +2394,51 @@ object Dedup {
            |  round(c - jacr, 6) > 0.05 AS asym_inclusion
            |FROM sc WHERE round(c, 6) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // d35: the oracle replays the dedupMaint lifecycle — corpus
+      // split membership, the erasure rule as tombstones, the same
+      // fused signature/band pipeline (sh → md5-28bit → MinHash → 3×2
+      // bands) — and the same decision arithmetic (unrounded
+      // divisions in the booleans, like the Spark side).
+      "d35_dedup_maintenance_decision" ->
+        s"""WITH m AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest($shingleSql) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |          FROM m))),
+           |hashed AS (
+           |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+           |  FROM sh),
+           |sigs AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+           |bands AS ($bandSelects),
+           |live AS (SELECT * FROM bands WHERE doc_id % 20 <> 3),
+           |per AS (SELECT band, count(*) AS n FROM live GROUP BY band),
+           |nd AS (SELECT count(*) AS n_docs FROM m),
+           |nt AS (SELECT count(*) AS n_tomb FROM m WHERE doc_id % 20 = 3),
+           |bm AS (SELECT count(*) AS n_band_values,
+           |    CAST(sum(n) AS BIGINT) AS n_band_rows_live,
+           |    max(n) AS max_bucket,
+           |    CAST(sum(n * n) AS BIGINT) AS ss FROM per)
+           |SELECT n_docs, n_tomb,
+           |  round(CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           |    AS tomb_frac,
+           |  n_band_values, n_band_rows_live, max_bucket,
+           |  round(CAST(n_band_values * ss AS DOUBLE)
+           |    / CAST(n_band_rows_live * n_band_rows_live AS DOUBLE), 6)
+           |    AS band_imbalance,
+           |  CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           |    >= CAST($DedupTombMax AS DOUBLE) AS tomb_exceeded,
+           |  CAST(n_band_values * ss AS DOUBLE)
+           |    / CAST(n_band_rows_live * n_band_rows_live AS DOUBLE)
+           |    > CAST($DedupBandLambdaMax AS DOUBLE) AS band_exceeded,
+           |  (CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           |     >= CAST($DedupTombMax AS DOUBLE)
+           |   OR CAST(n_band_values * ss AS DOUBLE)
+           |     / CAST(n_band_rows_live * n_band_rows_live AS DOUBLE)
+           |     > CAST($DedupBandLambdaMax AS DOUBLE)) AS compact
+           |FROM nd CROSS JOIN nt CROSS JOIN bm""".stripMargin,
 
       "d07_simhash_near_dups" -> {
         val chunkSelects = (0 until NChunks).map { c =>

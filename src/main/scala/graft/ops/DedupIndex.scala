@@ -167,7 +167,7 @@ object DedupIndex {
     // crashed operation (a compact, a rebuild) being the one retried
     ArtifactSwap.recover(s, indexDir, s"$indexDir/fps", s"$indexDir/bands")
     // ---- exact half -------------------------------------------------
-    val bFp = fpOf(batch).localCheckpoint(eager = false)
+    val bFp = fpOf(batch).localCheckpoint()
     val rawNibbles = bFp
       .select(substring($"fp", 1, 1)).distinct().collect().map(_.getString(0))
     val fpsTbl = s.read.parquet(s"$indexDir/fps")
@@ -203,7 +203,7 @@ object DedupIndex {
     // batch band rows, materialized once: the corpus probe, the
     // batch-batch self-join and the partition-key resolution all fork
     // from here (six-consumer rationale, d17)
-    val bBands = bandRows(s, batch).localCheckpoint(eager = false)
+    val bBands = bandRows(s, batch).localCheckpoint()
     val pbs = bBands.select(pmod(xxhash64($"band"), lit(NPb)))
       .distinct().collect().map(_.getLong(0))
     val idx = s.read.parquet(s"$indexDir/bands")

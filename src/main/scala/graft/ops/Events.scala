@@ -652,7 +652,7 @@ object Events {
       val w = Window.partitionBy($"hour_start")
         .orderBy($"n".desc, $"event_type")
       val ranked = hourly.withColumn("rnk", row_number().over(w))
-        .localCheckpoint(eager = false) // tiny; consumed twice (top + prev)
+        .localCheckpoint() // tiny; consumed twice (top + prev)
       val prev = ranked.select(
         ($"hour_start" + expr("INTERVAL 1 HOUR")).as("hour_start"),
         $"event_type", $"rnk".as("prev_rnk"))

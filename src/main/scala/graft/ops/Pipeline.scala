@@ -280,7 +280,7 @@ object Pipeline {
       val d = docs(s, dir).select($"doc_id", $"source",
         when($"text".isNull, lit(0L))
           .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val per = d.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tok_s"))
       val tot = per.agg(sum($"tok_s").as("t_total"),
@@ -675,7 +675,7 @@ object Pipeline {
       val d = docs(s, dir).select($"doc_id", $"source",
         when($"text".isNull, lit(0L))
           .otherwise(size(split($"text", " ")).cast("long")).as("n_toks"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val toks = d.groupBy($"source").agg(sum($"n_toks").as("n_tokens"))
       // the per-epoch budget is CORPUS-RELATIVE (half the corpus
       // tokens), not an absolute count: an absolute budget saturates

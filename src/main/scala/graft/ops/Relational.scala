@@ -549,7 +549,7 @@ object Relational {
         .localCheckpoint()
       val ranked = graft.plans.GlobalRank(cust,
         Seq($"revenue".desc, $"c_custkey".asc), "rnk")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val tot = broadcast(cust.agg(count(lit(1)).as("n"),
         sum($"revenue").as("total_rev")))
       val dec = ranked.crossJoin(tot)

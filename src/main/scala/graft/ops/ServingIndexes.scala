@@ -149,6 +149,43 @@ object ServingIndexes {
       idx
     })
 
+  /** The TEXT maintenance snapshot for s51 — s46's postings sibling:
+    * built on the doc_id%5!=4 corpus split, APPENDED with the %10==4
+    * ingest batch (all fresh by arithmetic — %10==4 ⇒ %5==4, excluded
+    * from the split), then the erasure rule DELETED with NO compact,
+    * so the decision row reads the realistic mid-lifecycle state: two
+    * stats batches (fragmentation) + pending tombstones (anti-join
+    * cost + dead bytes). Own directory: the lifecycle mutates it.
+    */
+  def textMaint(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"textmaint|$dir", _ => {
+      val idx = freshDir("text-maint")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      TextIndex.build(s, docs.filter(col("doc_id") % 5 =!= 4), idx)
+      TextIndex.append(s, idx, docs.filter(col("doc_id") % 10 === 4))
+      TextIndex.delete(s, idx,
+        docs.filter(EraseDocRule).select(col("doc_id")))
+      idx
+    })
+
+  /** The DEDUP maintenance snapshot for d35 — the admission index
+    * mid-lifecycle: corpus-split build, erasure rule deleted, NOT
+    * compacted. d35 reads the fingerprint/band artifacts + pending
+    * tombstones and emits the compact go/no-go. Own directory: the
+    * pristine d30 index must stay corpus-only.
+    */
+  def dedupMaint(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"dedupmaint|$dir", _ => {
+      val idx = freshDir("dedup-maint")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      DedupIndex.build(s, docs.filter(col("doc_id") % 5 =!= 4), idx)
+      DedupIndex.delete(s, idx,
+        docs.filter(EraseDocRule).select(col("doc_id")))
+      idx
+    })
+
   /** The STREAMING vector-ingest index for s49 — the ANN sibling of
     * s39 (text) and d31 (dedup): built on the vec_id%10!=7 split, the
     * delta then arrives through a Structured Streaming file source and

@@ -191,7 +191,7 @@ object Similarity {
   private[ops] def kmTrain(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val samp = trainSample(e)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val init = samp.orderBy($"vec_id").limit(KmK)
       .select($"vec_id".as("cell"), $"v".as("cv"))
     val fin = (1 to KmIters).foldLeft(init) { (cents, _) =>
@@ -336,6 +336,14 @@ object Similarity {
     */
   private val MaintLambdaMax = 1.5
   private val MaintChurnMax = 0.2
+  // s51 (TextIndex compact go/no-go): pending-tombstone fraction
+  // above which the per-search anti-join + dead postings bytes are
+  // worth a compaction rewrite, and the stats-batch count above which
+  // append fragmentation (one stats row + one postings file set per
+  // ingest batch) is. Fractions, not absolute counts — the t24
+  // scale-invariance lesson.
+  private[ops] val TextTombMax = 0.05
+  private[ops] val TextFragMax = 4L
 
   /** (vec_id, sub, sv): the subvector expansion of (vec_id, v). */
   private[ops] def pqSubs(s: SparkSession, df: DataFrame): DataFrame =
@@ -384,13 +392,18 @@ object Similarity {
   private[ops] def pqTrainMK(s: SparkSession, e: DataFrame,
       m: Int, k: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    // One shared evaluation of the TrainN-row sample (lazy checkpoint,
+    // One shared evaluation of the TrainN-row sample (eager checkpoint,
     // kmTrain's discipline): `seeds` and `sampSubs` prune different
     // columns, so left un-materialized they'd build two differently-
     // pruned copies of the (expensive when e is the residual frame)
-    // upstream subtree that AQE exchange reuse cannot unify.
-    val samp = trainSample(e).localCheckpoint(eager = false)
-    val sampSubs = pqSubsM(s, samp, m).localCheckpoint(eager = false)
+    // upstream subtree that AQE exchange reuse cannot unify. EAGER on
+    // purpose: a checkpoint left pending (eager=false) races AQE's
+    // broadcast-exchange sub-jobs on RDDCheckpointData's companion
+    // lock vs the RDD monitor (ABBA deadlock, observed hanging a full
+    // test run); materializing on the calling thread closes the
+    // pending window before the frame can appear under any sub-job.
+    val samp = trainSample(e).localCheckpoint()
+    val sampSubs = pqSubsM(s, samp, m).localCheckpoint()
     val seeds = samp.orderBy($"vec_id").limit(k)
       .select($"vec_id".as("seed_id"))
     val c0 = sampSubs.join(broadcast(seeds), $"vec_id" === $"seed_id")
@@ -1487,7 +1500,7 @@ object Similarity {
         .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .select($"q_id", $"n_id", $"arnk", $"cos")
-        .localCheckpoint(eager = false) // one rerank feeds all depths
+        .localCheckpoint() // one rerank feeds all depths
       val depths = RefineDepths.toDF("depth")
       val perDepth = scored.join(broadcast(depths), $"arnk" <= $"depth")
       val w = Window.partitionBy($"q_id", $"depth")
@@ -1601,7 +1614,7 @@ object Similarity {
       val scored = cand.join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .select($"q_id", $"n_id", $"p_rnk", $"cos")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val cfgs = (1 to KmK).toDF("nprobe")
       val perCfg = scored.join(broadcast(cfgs), $"p_rnk" <= $"nprobe")
       val wR = Window.partitionBy($"q_id", $"nprobe")
@@ -1609,7 +1622,7 @@ object Similarity {
       val top = perCfg.withColumn("rnk", row_number().over(wR))
         .filter($"rnk" <= K)
       val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
-        .withColumn("t", lit(1)).localCheckpoint(eager = false)
+        .withColumn("t", lit(1)).localCheckpoint()
       val nTrue = exact.agg(count(lit(1)).as("n_true"))
       val hits = top.join(exact, Seq("q_id", "n_id"), "left")
         .groupBy($"nprobe").agg(sum(coalesce($"t", lit(0))).as("n_hits"))
@@ -1700,7 +1713,7 @@ object Similarity {
         .join(e.select($"vec_id".as("n_id"), $"v"), "n_id")
         .withColumn("cos", round(graft.functions.CosineSim($"qv", $"v"), 4))
         .select($"q_id", $"n_id", $"r1", $"cos")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val cfgs = RerankDepths.toDF("depth")
       val perCfg = rer.join(broadcast(cfgs), $"r1" <= $"depth")
       val wR = Window.partitionBy($"q_id", $"depth")
@@ -1708,7 +1721,7 @@ object Similarity {
       val top = perCfg.withColumn("rnk", row_number().over(wR))
         .filter($"rnk" <= K)
       val exact = exactTopKCore(s, dir).select($"q_id", $"n_id")
-        .withColumn("t", lit(1)).localCheckpoint(eager = false)
+        .withColumn("t", lit(1)).localCheckpoint()
       val nTrue = exact.agg(count(lit(1)).as("n_true"))
       val hits = top.join(exact, Seq("q_id", "n_id"), "left")
         .groupBy($"depth").agg(sum(coalesce($"t", lit(0))).as("n_hits"))
@@ -2209,6 +2222,56 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    "s51_text_maintenance_decision" -> { (s, dir) =>
+      import s.implicits._
+      // s46's POSTINGS sibling (round-13 verdict item): the TextIndex
+      // compact go/no-go, read from the artifacts of the
+      // mid-lifecycle snapshot ServingIndexes.textMaint built (corpus
+      // split + appended ingest batch + erasure tombstones, NOT
+      // compacted). One decision row an operator acts on:
+      //  - fragmentation: n_batches (one stats row + postings file
+      //    set per append — compaction folds them);
+      //  - pending-tombstone cost: tomb_frac (every search pays the
+      //    anti-join; the dead postings bytes are still scanned);
+      //  - avgdl staleness: what compaction's stats rewrite would
+      //    change — searches already correct stats via tombstones, so
+      //    this quantifies the correction, not an error;
+      //  - the go/no-go: tomb_frac >= TextTombMax OR n_batches >=
+      //    TextFragMax, both legs exposed (the s46 contract).
+      // Zero corpus bytes (PlanShapeSpec pins it); the oracle replays
+      // split-membership + append admission + the erasure rule from
+      // the documents table. Torn-append duplicate stats rows are
+      // absorbed by the same per-batch_id collapse search uses.
+      val idx = ServingIndexes.textMaint(s, dir)
+      val st = s.read.parquet(s"$idx/stats")
+        .groupBy($"batch_id")
+        .agg(max($"n_docs").as("n_docs"), max($"sum_len").as("sum_len"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"n_docs").as("n_docs"), sum($"sum_len").as("sum_len"))
+      val tombs = s.read.parquet(s"$idx/tombstones")
+        .select($"doc_id".as("t_id"))
+      val tl = s.read.parquet(s"$idx/docs")
+        .join(broadcast(tombs), $"doc_id" === $"t_id", "left_semi")
+        .agg(count(lit(1)).as("n_tomb"),
+          coalesce(sum($"len"), lit(0L)).as("tomb_len"))
+      val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
+      st.crossJoin(broadcast(tl))
+        .withColumn("avgdl_indexed",
+          round($"sum_len".cast("double") / $"n_docs".cast("double"), 6))
+        .withColumn("avgdl_live",
+          round(($"sum_len" - $"tomb_len").cast("double") /
+            ($"n_docs" - $"n_tomb").cast("double"), 6))
+        .select($"n_batches", $"n_docs", $"n_tomb",
+          round(tombFrac, 6).as("tomb_frac"),
+          $"avgdl_indexed", $"avgdl_live",
+          round(abs($"avgdl_live" / $"avgdl_indexed" - 1.0d), 6)
+            .as("avgdl_drift"),
+          (tombFrac >= lit(TextTombMax)).as("tomb_exceeded"),
+          ($"n_batches" >= lit(TextFragMax)).as("frag_exceeded"),
+          (tombFrac >= lit(TextTombMax) ||
+            $"n_batches" >= lit(TextFragMax)).as("compact"))
+    },
+
     "s35_residual_ab_recall" -> { (s, dir) =>
       import s.implicits._
       // The residual-vs-raw encoding A/B at a query set WIDE enough to
@@ -2224,7 +2287,7 @@ object Similarity {
       // nq·K id pairs).
       val nq = ABQueries
       val exact = exactTopKCore(s, dir, nq).select($"q_id", $"n_id")
-        .localCheckpoint(eager = false) // nq*K rows, two consumers
+        .localCheckpoint() // nq*K rows, two consumers
       def arm(encoding: String, approx: DataFrame): DataFrame =
         exact.join(approx.select($"q_id", $"n_id")
             .withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
@@ -3258,6 +3321,50 @@ object Similarity {
     // delta to the FROZEN centroids (the upsert's no-retrain
     // semantics), union the lists, then the same λ/churn/decision
     // arithmetic (unrounded doubles compared, rounded doubles shown)
+    // s51: the oracle replays the textMaint lifecycle from the
+    // documents table — membership = corpus split ∪ appended batch
+    // (all fresh by arithmetic), stats batches = build + the
+    // non-empty append, tombstones = the erasure rule filtered to the
+    // register — and the same decision arithmetic (unrounded
+    // divisions in the booleans, exactly like the Spark side).
+    "s51_text_maintenance_decision" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN text IS NULL THEN 0
+         |         ELSE len(string_split(text, ' ')) END AS BIGINT)
+         |      AS len
+         |  FROM documents WHERE doc_id % 5 <> 4 OR doc_id % 10 = 4),
+         |st AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS sum_len FROM m),
+         |nb AS (
+         |  SELECT CAST(1 + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_batches
+         |  FROM documents WHERE doc_id % 10 = 4),
+         |tb AS (
+         |  SELECT count(*) AS n_tomb,
+         |    CAST(coalesce(sum(len), 0) AS BIGINT) AS tomb_len
+         |  FROM m WHERE doc_id % 20 = 3)
+         |SELECT n_batches, n_docs, n_tomb,
+         |  round(CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS tomb_frac,
+         |  round(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS avgdl_indexed,
+         |  round(CAST(sum_len - tomb_len AS DOUBLE)
+         |    / CAST(n_docs - n_tomb AS DOUBLE), 6) AS avgdl_live,
+         |  round(abs(
+         |    round(CAST(sum_len - tomb_len AS DOUBLE)
+         |      / CAST(n_docs - n_tomb AS DOUBLE), 6)
+         |    / round(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    - 1.0), 6) AS avgdl_drift,
+         |  CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    >= CAST($TextTombMax AS DOUBLE) AS tomb_exceeded,
+         |  n_batches >= $TextFragMax AS frag_exceeded,
+         |  (CAST(n_tomb AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |     >= CAST($TextTombMax AS DOUBLE)
+         |   OR n_batches >= $TextFragMax) AS compact
+         |FROM st CROSS JOIN tb CROSS JOIN nb""".stripMargin,
+
     "s46_maintenance_decision" ->
       s"""WITH ${kmSqlCtes("e AS (SELECT vec_id, " +
             "embedding::DOUBLE[] AS v FROM embeddings " +

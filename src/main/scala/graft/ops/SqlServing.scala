@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.ServingScan
 
 /** SQL-only entry points for the serving tier (SURVEY.md §2.4): the
   * index searches ([[TextIndex.search]], [[AnnIndex.search]],
@@ -19,22 +22,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_ann_adc('/indexes/vecs', array(0.25d, ...), 5)
   * }}}
   *
-  * Each builder evaluates its (literal) arguments at analysis time and
-  * returns the SAME analyzed plan the Scala call produces — one code
-  * path, so the SQL surface can never drift from the Scala one
-  * (GraftExtensionsSpec pins bit-equality on a `newSession()` clone).
-  * Two consequences of that design, deliberate and worth knowing:
-  * the ann builders run the search's bounded index probes AT ANALYSIS
-  * time (the IN-literal candidate resolve is part of building the
-  * plan), so even an EXPLAIN pays them — acceptable for a serving
-  * call, wrong for a repeatedly re-analyzed view; and an analyzed
-  * plan held across an index upsert serves the snapshot it was built
-  * against — re-issue the query text for fresh results (the same
-  * contract as holding any DataFrame across an external write).
+  * Each builder validates its (literal) arguments at analysis time and
+  * returns a [[graft.plans.ServingScan]] leaf that DEFERS building the
+  * search plan to execution. Deferral is load-bearing (the round-12
+  * advisory): the searches run bounded driver-side resolves while
+  * constructing their plans, so analysis-time construction made even
+  * an `EXPLAIN` (or a BI tool's schema probe, or each re-analysis of a
+  * view over the TVF) pay full search cost, and an analyzed plan
+  * pinned a pre-upsert index snapshot. Now analysis runs ZERO Spark
+  * jobs (spec-pinned), and each EXECUTION reads the index artifacts as
+  * of that run. At execution the deferred build calls the exact Scala
+  * entry point, so the SQL surface still cannot drift from the Scala
+  * one (GraftExtensionsSpec pins bit-equality on a `newSession()`
+  * clone); the declared output schemas below are spec-pinned against
+  * the Scala twins' and re-checked at every execution.
+  *
+  * Argument defects raise `INVALID_PARAMETER_VALUE` (SQLSTATE 22023)
+  * naming the function and the argument — a parameter-oriented error
+  * class, so SQL tooling that dispatches on class/SQLSTATE classifies
+  * a bad TVF argument as what it is (not as an unsupported statement).
+  *
   * Registration rides the same two seams as the scalar functions: the
   * shared table in [[graft.functions.sqlTableFunctions]] feeds both
   * `graft.GraftExtensions` (config-installed, survives `newSession()`)
-  * and `functions.registerAll` (attach to an existing session).
+  * and `functions.registerAll` (attach to an existing session); the
+  * planner strategy for the deferred leaf installs through
+  * `GraftExtensions.injectPlannerStrategy` and self-installs here for
+  * the attach path (the TopKPerKey pattern).
   *
   * Query vectors arrive as either an `array<double>` literal or a
   * comma-separated string (friendlier to clients whose SQL dialect
@@ -45,18 +59,42 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SqlServing {
 
+  // Declared TVF output schemas — the deferral trade (see class doc):
+  // analysis can no longer read the schema off the built plan, so it
+  // is declared here, pinned by spec against the Scala twins, and
+  // re-checked by ServingScanExec at every execution.
+  private[graft] val bm25Schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_terms", LongType),
+    // sum over the exact DECIMAL(12,6) per-term scores
+    StructField("bm25d", DecimalType(22, 6))))
+  private[graft] val annSchema = StructType(Seq(
+    StructField("n_id", LongType),
+    StructField("d2", DecimalType(14, 6)),
+    StructField("rnk", IntegerType)))
+  private[graft] val annAdcSchema = StructType(Seq(
+    StructField("n_id", LongType),
+    StructField("adc", DecimalType(22, 6)),
+    StructField("rnk", IntegerType)))
+  private[graft] val hybridSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_sides", LongType),
+    StructField("rrf", DoubleType)))
+
   /** graft_bm25(indexDir, query, k): BM25 top-k from the written
     * postings index; terms are the whitespace-split query words.
     * Returns (doc_id, n_terms, bm25d).
     */
   def bm25Plan(args: Seq[Expression]): LogicalPlan = {
-    graft.functions.requireArity("graft_bm25", args, 3,
+    val fn = "graft_bm25"
+    graft.functions.requireArity(fn, args, 3,
       "graft_bm25(indexDir, query, k)")
-    val s = SparkSession.active
-    val terms = str(args(1), "query").trim.split("\\s+").toSeq
+    val dir = str(fn, args(0), "indexDir")
+    val terms = str(fn, args(1), "query").trim.split("\\s+").toSeq
       .filter(_.nonEmpty)
-    TextIndex.search(s, str(args(0), "indexDir"), terms,
-      int(args(2), "k")).queryExecution.analyzed
+    val k = int(fn, args(2), "k")
+    deferred(fn, s"$dir, ${terms.mkString(" ")}, $k", bm25Schema,
+      s => TextIndex.search(s, dir, terms, k))
   }
 
   /** graft_ann(indexDir, queryVector, k): REFINED top-k (exact rerank
@@ -64,24 +102,30 @@ object SqlServing {
     * storeVectors). Returns (n_id, d2, rnk).
     */
   def annPlan(args: Seq[Expression]): LogicalPlan = {
-    graft.functions.requireArity("graft_ann", args, 3,
+    val fn = "graft_ann"
+    graft.functions.requireArity(fn, args, 3,
       "graft_ann(indexDir, queryVector, k)")
-    val s = SparkSession.active
-    AnnIndex.searchRefined(s, str(args(0), "indexDir"),
-        oneQuery(s, args(1)), int(args(2), "k"))
-      .select("n_id", "d2", "rnk").queryExecution.analyzed
+    val dir = str(fn, args(0), "indexDir")
+    val qv = doubles(fn, args(1), "queryVector")
+    val k = int(fn, args(2), "k")
+    deferred(fn, s"$dir, <${qv.length}-dim>, $k", annSchema,
+      s => AnnIndex.searchRefined(s, dir, oneQuery(s, qv), k)
+        .select("n_id", "d2", "rnk"))
   }
 
   /** graft_ann_adc(indexDir, queryVector, k): ADC-final top-k (no
     * refine artifact needed). Returns (n_id, adc, rnk).
     */
   def annAdcPlan(args: Seq[Expression]): LogicalPlan = {
-    graft.functions.requireArity("graft_ann_adc", args, 3,
+    val fn = "graft_ann_adc"
+    graft.functions.requireArity(fn, args, 3,
       "graft_ann_adc(indexDir, queryVector, k)")
-    val s = SparkSession.active
-    AnnIndex.search(s, str(args(0), "indexDir"),
-        oneQuery(s, args(1)), int(args(2), "k"))
-      .select("n_id", "adc", "rnk").queryExecution.analyzed
+    val dir = str(fn, args(0), "indexDir")
+    val qv = doubles(fn, args(1), "queryVector")
+    val k = int(fn, args(2), "k")
+    deferred(fn, s"$dir, <${qv.length}-dim>, $k", annAdcSchema,
+      s => AnnIndex.search(s, dir, oneQuery(s, qv), k)
+        .select("n_id", "adc", "rnk"))
   }
 
   /** graft_hybrid(textIndexDir, annIndexDir, query, queryVector, n, k):
@@ -92,69 +136,87 @@ object SqlServing {
     * explicit arguments, so a SQL client reads them in the query text.
     */
   def hybridPlan(args: Seq[Expression]): LogicalPlan = {
-    graft.functions.requireArity("graft_hybrid", args, 6,
+    val fn = "graft_hybrid"
+    graft.functions.requireArity(fn, args, 6,
       "graft_hybrid(textIndexDir, annIndexDir, query, queryVector, n, k)")
-    val s = SparkSession.active
-    val terms = str(args(2), "query").trim.split("\\s+").toSeq
+    val tDir = str(fn, args(0), "textIndexDir")
+    val aDir = str(fn, args(1), "annIndexDir")
+    val terms = str(fn, args(2), "query").trim.split("\\s+").toSeq
       .filter(_.nonEmpty)
-    HybridIndex.searchRefined(s, str(args(0), "textIndexDir"),
-        str(args(1), "annIndexDir"), terms,
-        doubles(args(3), "queryVector"), int(args(4), "n"),
-        int(args(5), "k"))
-      .queryExecution.analyzed
+    val qv = doubles(fn, args(3), "queryVector")
+    val n = int(fn, args(4), "n")
+    val k = int(fn, args(5), "k")
+    deferred(fn,
+      s"$tDir, $aDir, ${terms.mkString(" ")}, <${qv.length}-dim>, $n, $k",
+      hybridSchema,
+      s => HybridIndex.searchRefined(s, tDir, aDir, terms, qv, n, k))
+  }
+
+  private def deferred(fn: String, argsDesc: String, schema: StructType,
+      build: SparkSession => org.apache.spark.sql.DataFrame): LogicalPlan = {
+    // self-install the planner strategy for the attach path (a
+    // builder can only run on a session the TVF is registered on, so
+    // physical planning always finds the strategy installed)
+    ServingScan.install(SparkSession.active)
+    ServingScan(fn, argsDesc, schema, build)
   }
 
   private def oneQuery(s: SparkSession,
-      e: Expression): org.apache.spark.sql.DataFrame = {
+      qv: Seq[Double]): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Seq((-1L, doubles(e, "queryVector"))).toDF("q_id", "qv")
+    Seq((-1L, qv)).toDF("q_id", "qv")
   }
 
   /** Every argument defect — non-literal, wrong type, out-of-range —
-    * must surface as an AnalysisException naming the argument (the
-    * requireArity principle): a SQL client's typo may not leak a
-    * ClassCastException or silently truncate.
+    * must surface as an AnalysisException naming the function and the
+    * argument (the requireArity principle): a SQL client's typo may
+    * not leak a ClassCastException or silently truncate. The error
+    * class is the parameter-oriented INVALID_PARAMETER_VALUE (SQLSTATE
+    * 22023), so class/SQLSTATE-dispatching tooling classifies it
+    * correctly.
     */
-  private def bad(what: String, msg: String): Nothing =
+  private def bad(fn: String, what: String, msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "INVALID_SQL_SYNTAX.UNSUPPORTED_SQL_STATEMENT",
-      messageParameters = Map("sqlText" ->
-        s"graft serving functions: $what $msg"))
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+      messageParameters = Map(
+        "parameter" -> s"`$what`",
+        "functionName" -> s"`$fn`",
+        "value" -> msg))
 
-  private def lit(e: Expression, what: String): Any = {
+  private def lit(fn: String, e: Expression, what: String): Any = {
     if (!e.foldable)
-      bad(what, s"must be a literal argument, got: ${e.sql}")
+      bad(fn, what, s"must be a literal argument, got: ${e.sql}")
     e.eval()
   }
 
-  private def str(e: Expression, what: String): String =
-    lit(e, what) match {
+  private def str(fn: String, e: Expression, what: String): String =
+    lit(fn, e, what) match {
       case s: UTF8String => s.toString
-      case other => bad(what, s"must be a string literal, got: $other")
+      case other => bad(fn, what, s"must be a string literal, got: $other")
     }
 
-  private def int(e: Expression, what: String): Int = {
-    val l: Long = lit(e, what) match {
+  private def int(fn: String, e: Expression, what: String): Int = {
+    val l: Long = lit(fn, e, what) match {
       case i: java.lang.Integer => i.longValue()
       case l: java.lang.Long => l.longValue()
       case s: java.lang.Short => s.longValue()
       case b: java.lang.Byte => b.longValue()
-      case other => bad(what, s"must be an integer literal, got: $other")
+      case other => bad(fn, what, s"must be an integer literal, got: $other")
     }
     if (l < Int.MinValue || l > Int.MaxValue)
-      bad(what, s"is out of Int range: $l")
+      bad(fn, what, s"is out of Int range: $l")
     l.toInt
   }
 
-  private def doubles(e: Expression, what: String): Seq[Double] =
-    lit(e, what) match {
+  private def doubles(fn: String, e: Expression, what: String): Seq[Double] =
+    lit(fn, e, what) match {
       case s: UTF8String =>
         try s.toString.split(",").map(_.trim).filter(_.nonEmpty)
           .map(_.toDouble).toSeq
         catch { case _: NumberFormatException =>
-          bad(what, s"has a non-numeric component: $s") }
+          bad(fn, what, s"has a non-numeric component: $s") }
       case a: ArrayData => a.toDoubleArray().toSeq
-      case other => bad(what,
+      case other => bad(fn, what,
         s"must be array<double> or a comma-separated string, got: $other")
     }
 }

@@ -1180,10 +1180,10 @@ object TextAnalysis {
       val grp = Tables.load(s, dir, "part")
         .groupBy($"p_brand".as("brand"), $"p_name".as("nm"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false) // same-name leg + both cross sides
+        .localCheckpoint() // same-name leg + both cross sides
       val vocab = grp.select($"nm").distinct()
         .withColumn("ln", length($"nm"))
-        .localCheckpoint(eager = false) // seg side + probe side + tiny
+        .localCheckpoint() // seg side + probe side + tiny
       // index side: the 3 segments of each name (slot i gets length
       // ln div 3 + 1 for the first ln%3 slots; starts are cumulative)
       val segs = vocab.filter($"ln" >= 3)

@@ -330,13 +330,14 @@ object TextIndex {
       .withColumnRenamed("doc_id", "del_id"))
     // torn-dup collapse: duplicate rows carry identical position
     // arrays, so max() restores the single-write value (the search
-    // discipline); lazily checkpointed — every phrase slot forks here
+    // discipline); eagerly checkpointed (every phrase slot forks here;
+    // eager closes the pending-checkpoint window AQE sub-jobs race on)
     val pruned = postTbl
       .filter(if (tbLits.isEmpty) lit(false) else $"tb".isin(tbLits: _*))
       .filter($"term".isin(phrase.distinct: _*))
       .join(tomb, $"doc_id" === $"del_id", "left_anti")
       .groupBy($"doc_id", $"term").agg(max($"pos").as("pos"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val joined = phrase.zipWithIndex.map { case (t, i) =>
       pruned.filter($"term" === t).select($"doc_id", $"pos".as(s"pos_$i"))
     }.reduce((a, b) => a.join(b, "doc_id"))

@@ -79,6 +79,21 @@ object AsofEnricher {
     val all = prev.buf ++
       rows.map(r => AsofEvt(r._2, r._3, r._4)).toSeq
     val wmMs = st.getCurrentWatermarkMs()
+    // FINALITY BOUNDARY, explicit (round-12 advisory): an event is
+    // final when its MILLISECOND (Spark floors event times to ms for
+    // all watermark math) is <= the watermark. Spark's late-row filter
+    // drops rows strictly BELOW the watermark, so a same-millisecond,
+    // earlier-MICROSECOND out-of-order click can still be admitted in
+    // a later batch after purchases in that millisecond were emitted
+    // as final — at the 1 ms boundary the streamed attribution can
+    // diverge from the batch oracle by design. The alternative
+    // (finalize strictly below, `< wmMs`) closes that window but
+    // strands every max-timestamp event until some later input pushes
+    // the watermark past it — correct under a production delay +
+    // unbounded stream, non-convergent for a bounded replay (this
+    // gate's shape, and any backfill). `<=` is the deliberate choice:
+    // sub-millisecond attribution order inside the watermark
+    // millisecond is the documented precision limit of the operator.
     val (ready, pending) = all.partition(_.tsUs / 1000L <= wmMs)
     var ck: Option[(Long, Long)] =
       if (prev.hasClick) Some((prev.clickTs, prev.clickId)) else None

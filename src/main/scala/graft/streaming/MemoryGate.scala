@@ -76,6 +76,19 @@ object MemoryGate {
     * directories and its own uniquely-named memory sink table (the
     * per-gate namespace — returned frames stay valid across gates),
     * so no closed-region property weakens; the hash gates prove it.
+    *
+    * Why (applicationId, mode) IS the full cache key: `newSession()`
+    * builds the clone's SessionState from the shared SparkContext's
+    * SparkConf — it never inherits a caller session's RUNTIME conf
+    * overrides (that is `newSession`'s documented isolation, distinct
+    * from `cloneSession`). So two callers on one context receive
+    * identical clones no matter what their own sessions carry, and
+    * the key's two components are exactly the clone's determinants.
+    * One sharing consequence to know: the memory sink registers per
+    * QUERY NAME in the clone's shared temp catalog, so re-running a
+    * gate under an already-used name REPLACES the table that a
+    * previously returned frame reads — board sweeps use unique names;
+    * a caller re-gating a name should collect the old frame first.
     */
   private val gateSessions =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()

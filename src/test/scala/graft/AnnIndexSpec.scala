@@ -549,6 +549,61 @@ class AnnIndexSpec extends SparkTestBase {
         s"scan: ${vecScan.map(_.dataFilters)}")
   }
 
+  test("probe plan switch: above the probe literal budget the " +
+      "driver-side cell resolve drops out — identical ranking through " +
+      "the raw-partition-column join") {
+    import spark.implicits._
+    val indexDir = tmpDir("ann-probe-switch") + "/idx"
+    AnnIndex.build(spark, sfVerify, indexDir, byResidual = false)
+    val queries = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("q_id", "qv")
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    def run(): (Seq[(Long, Long, String, Int)], String) = {
+      val df = AnnIndex.search(spark, indexDir, queries, 5)
+      val rows = df.select($"q_id", $"n_id", $"adc".cast("string"), $"rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+      val invFilters = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString.contains("invlists"))
+        .flatMap(f => f.partitionFilters ++ f.dataFilters).mkString(";")
+      (rows, invFilters)
+    }
+
+    // 10 queries × default nprobe ≤ the default budget: bounded shape,
+    // probed cells resolved into a partition IN-literal on the scan
+    val (small, smallF) = run()
+    assert(smallF.matches("(?s).*\\b(INSET|IN)\\b.*cell.*") ||
+        smallF.matches("(?s).*cell.*\\b(INSET|IN)\\b.*"),
+      s"bounded batch must prune the invlist listing with the probed-" +
+        s"cell literal: $smallF")
+
+    // force the large-batch plan: budget below 10 × nprobe — identical
+    // ranking with NO driver-resolved cell literal on the scan
+    withConfs("spark.graft.ann.probe.literalBudget" -> "1") {
+      val (large, largeF) = run()
+      assert(large == small,
+        s"both probe plans must produce the identical ranking: " +
+          s"${large.take(3)} vs ${small.take(3)}")
+      assert(!largeF.matches("(?s).*\\b(INSET|IN)\\b.*"),
+        s"large batch must not carry a driver-resolved cell literal: " +
+          s"$largeF")
+    }
+  }
+
   test("refined search plan switch: above the literal budget the " +
       "driver-side IN resolve and the forced query broadcast drop out " +
       "— identical ranking through the distributed semi-join shape") {

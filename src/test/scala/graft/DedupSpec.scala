@@ -284,4 +284,53 @@ class DedupSpec extends SparkTestBase {
     // surviving (df ≤ cap) fingerprints
     assert(n <= 8 * 4 * cap, s"pair count $n exceeds the df·cap bound")
   }
+
+  test("d34 containment: the plan-switched candidate generators " +
+      "(exact shingle join vs LSH-band candidates) are row-identical, " +
+      "and the auto switch flips on the size budget") {
+    // the switch decision itself (the eager checkpoint inside
+    // containmentPairs severs the generator from the final plan, so
+    // the spec pins the decision function, not plan shape)
+    assert(!ops.Dedup.containmentUseBands(spark, sfVerify),
+      "fixture-sized corpus under the default 1 GiB budget must take " +
+        "the exact shingle path")
+    withConfs("spark.graft.dedup.containment.bandBudgetBytes" -> "1") {
+      assert(ops.Dedup.containmentUseBands(spark, sfVerify),
+        "a corpus above the byte budget must swap to band candidates")
+    }
+    withConfs("spark.graft.dedup.containment.candGen" -> "bands") {
+      assert(ops.Dedup.containmentUseBands(spark, sfVerify))
+    }
+    withConfs("spark.graft.dedup.containment.candGen" -> "shingle",
+        "spark.graft.dedup.containment.bandBudgetBytes" -> "1") {
+      assert(!ops.Dedup.containmentUseBands(spark, sfVerify),
+        "explicit candGen overrides the byte budget")
+    }
+
+    // both physical paths, one contract: row-identical output on the
+    // fixture (band recall of every containment≥0.5 pair, incl. the
+    // asym_inclusion ones, was also measured externally in DuckDB)
+    def rows(gen: String): Seq[String] =
+      withConfsValue("spark.graft.dedup.containment.candGen" -> gen) {
+        ops.Dedup.containmentPairs(spark, sfVerify)
+          .collect().map(_.toString).toSeq
+      }
+    val exact = rows("shingle")
+    val banded = rows("bands")
+    assert(exact.nonEmpty, "fixture must produce containment pairs")
+    assert(banded == exact,
+      s"band-candidate path must reproduce the exact path: " +
+        s"${banded.take(2)} vs ${exact.take(2)}")
+  }
+
+  /** [[withConfs]] that returns the body's value. */
+  private def withConfsValue[T](kv: (String, String)*)(body: => T): T = {
+    val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

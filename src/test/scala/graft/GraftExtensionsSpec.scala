@@ -129,6 +129,95 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"expected a literal-argument message: ${err.getMessage}")
   }
 
+  test("deferred serving TVFs: EXPLAIN and schema probes run ZERO " +
+      "Spark jobs; the declared schemas match the Scala twins'; " +
+      "execution reads the index as of run time (no pinned snapshot)") {
+    import spark.implicits._
+    val textIdx = ops.ServingIndexes.text(spark, sfVerify)
+    val annIdx = ops.ServingIndexes.ann(spark, sfVerify)
+    val qv = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head()
+      .getSeq[Double](0).toSeq
+    val csv = qv.mkString(",")
+    val fresh = spark.newSession()
+
+    // declared-schema pin: deferral means analysis can't read the
+    // schema off the real plan, so the declared one must track the
+    // Scala twins' exactly (names + types; the runtime re-check in
+    // ServingScanExec guards production drift)
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType)).toSeq
+    assert(st(ops.TextIndex.search(spark, textIdx, Seq("spark"), 1)) ==
+      ops.SqlServing.bm25Schema.map(f => (f.name, f.dataType)).toSeq)
+    assert(st(ops.AnnIndex.searchRefined(spark, annIdx,
+        Seq((-1L, qv)).toDF("q_id", "qv"), 1)
+        .select("n_id", "d2", "rnk")) ==
+      ops.SqlServing.annSchema.map(f => (f.name, f.dataType)).toSeq)
+    assert(st(ops.AnnIndex.search(spark, annIdx,
+        Seq((-1L, qv)).toDF("q_id", "qv"), 1)
+        .select("n_id", "adc", "rnk")) ==
+      ops.SqlServing.annAdcSchema.map(f => (f.name, f.dataType)).toSeq)
+    assert(st(ops.HybridIndex.searchRefined(spark, textIdx, annIdx,
+        Seq("spark"), qv, 5, 5)) ==
+      ops.SqlServing.hybridSchema.map(f => (f.name, f.dataType)).toSeq)
+
+    // drain in-flight listener events from the index builds above,
+    // then count every job started while analyzing/EXPLAINing
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+      ()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    drain()
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // EXPLAIN all four TVFs + a repeated re-analysis (the view
+      // shape) + a schema probe (the BI-tool shape)
+      fresh.sql(s"EXPLAIN EXTENDED SELECT * FROM " +
+        s"graft_bm25('$textIdx', 'spark window query', 10)").collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
+        .collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM " +
+        s"graft_ann_adc('$annIdx', '$csv', 5)").collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM graft_hybrid('$textIdx', " +
+        s"'$annIdx', 'spark window query', '$csv', 50, 10)").collect()
+      fresh.sql(s"CREATE OR REPLACE TEMPORARY VIEW tvf_v AS " +
+        s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
+      (1 to 3).foreach(_ => fresh.sql("EXPLAIN SELECT * FROM tvf_v")
+        .collect())
+      val probed = fresh.sql(
+        s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)").schema
+      assert(probed.map(f => (f.name, f.dataType)) ==
+        ops.SqlServing.annSchema.map(f => (f.name, f.dataType)))
+      drain()
+      assert(jobs.get == 0,
+        s"EXPLAIN/analysis of the serving TVFs must run zero Spark " +
+          s"jobs, ran ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(l)
+
+    // execution still produces the Scala twin's rows (the deferred
+    // build calls the same entry point at run time)
+    val sqlAnn = fresh.sql(
+      s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
+      .collect().map(_.toString).sorted.toSeq
+    val scalaAnn = ops.AnnIndex.searchRefined(spark, annIdx,
+        Seq((-1L, qv)).toDF("q_id", "qv"), 5)
+      .select($"n_id", $"d2", $"rnk")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sqlAnn.size == 5 && sqlAnn == scalaAnn)
+  }
+
   test("TopKPerKey plans on a fresh clone without install()") {
     val fresh = spark.newSession()
     import fresh.implicits._

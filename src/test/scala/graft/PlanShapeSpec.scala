@@ -604,14 +604,18 @@ class PlanShapeSpec extends SparkTestBase {
     // inverted lists (the delta membership is the id rule applied to
     // the artifact's own column — zero corpus bytes by construction);
     // s49 answers from the streamed-ingest index's pruned artifacts;
-    // p22 audits the written pack files; s47/s48 are the SQL-TVF
-    // twins whose analyzed plans must read exactly what the Scala
-    // forms read
+    // p22 audits the written pack files
     for ((name, artifacts) <- Seq(
         "s46_maintenance_decision" -> Seq("invlists"),
         "s49_ann_stream_ingest_serving" -> Seq("invlists", "codes"),
-        "s47_sql_bm25_serving" -> Seq("postings"),
-        "s48_sql_ann_serving" -> Seq("vectors"),
+        // round-13 maintenance trio completion: the text/dedup compact
+        // go/no-go rows read ONLY their index artifacts (the "docs"
+        // artifact path is text-maint/idx/docs — distinct from the
+        // "documents" corpus substring the no-corpus assertion bans)
+        "s51_text_maintenance_decision" ->
+          Seq("stats", "tombstones", "docs"),
+        "d35_dedup_maintenance_decision" ->
+          Seq("fps", "bands", "tombstones"),
         "p22_pack_balance_audit" -> Seq("pack-artifact"))) {
       val paths = run(name).map(_.relation.location.rootPaths.mkString)
       assert(!paths.exists(p =>
@@ -620,6 +624,28 @@ class PlanShapeSpec extends SparkTestBase {
       for (a <- artifacts)
         assert(paths.exists(_.contains(a)),
           s"$name must actually read the $a artifact: $paths")
+    }
+    // s47/s48 (the SQL-TVF twins) now plan as a DEFERRED ServingScan
+    // leaf (round 13: EXPLAIN must run zero jobs, so the search plan
+    // is built at execution — the d30 severed-plan precedent): their
+    // outer plans contain the leaf and NO scans at all; what the
+    // deferred search reads is pinned on the un-severed Scala twins
+    // (s32/s33 above) plus GraftExtensionsSpec's schema/equality pins.
+    for (name <- Seq("s47_sql_bm25_serving", "s48_sql_ann_serving")) {
+      val df = SparkEntry.queries(name)(spark, sfSmoke)
+      df.collect()
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty => Seq(l)
+        case other => other.children.flatMap(leaves)
+      }
+      val ls = leaves(df.queryExecution.executedPlan)
+      assert(ls.exists(_.isInstanceOf[graft.plans.ServingScanExec]),
+        s"$name must plan as the deferred ServingScan leaf: $ls")
+      assert(scans(df.queryExecution.executedPlan).isEmpty,
+        s"$name's outer plan must contain no eager scans " +
+          s"(deferred execution)")
     }
     // s49's probe must prune the streamed-ingest index's cell
     // partitions at listing time, like s34/s38

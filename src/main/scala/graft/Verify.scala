@@ -23,6 +23,10 @@ object Verify {
       // this flag (Tables.load converts the resulting long to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling for the concurrent streaming-gate phase (pools
+      // are created on first use; batch queries run in the default
+      // pool exactly as before — FIFO within a pool)
+      .config("spark.scheduler.mode", "FAIR")
     // builder-side plan-switch re-gating (e.g. forcing d34's band
     // candidate generator or search()'s join path against the full
     // oracle): SPARK_GRAFT_CONFS="k=v,k=v". The driver never sets it.
@@ -58,15 +62,50 @@ object Verify {
       errors("_fixture_canary") =
         Option(e.getMessage).getOrElse(e.getClass.getName)
     }
-    SparkEntry.queries.filter { case (name, _) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
       prefixes.isEmpty || prefixes.exists(name.startsWith)
-    }.foreach { case (name, fn) =>
+    }
+    def dump(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors.synchronized {
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
+    // Batch queries run serially (they saturate the cores; overlap
+    // buys nothing and muddies failures). The STREAMING-GATED queries
+    // run concurrently on FAIR scheduler pools: each gate's wall time
+    // is per-micro-batch trigger FLOOR — idle driver/trigger latency,
+    // not compute (round 12 measured the floor immovable at equal
+    // gate strength) — so independent gates overlap nearly perfectly.
+    // Correctness is untouched: per-gate checkpoints, state dirs, and
+    // uniquely named memory-sink tables; the driver's DuckDB hash
+    // gate re-proves it every round. Bench stays serial — a timing
+    // must price its query alone.
+    val (gated, batch) =
+      selected.partition { case (n, _) => SparkEntry.streamingGated(n) }
+    batch.foreach { case (name, fn) => dump(name, fn) }
+    if (gated.nonEmpty) {
+      val width = math.min(4, gated.size)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+      try {
+        val tasks = gated.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              // local properties are per-thread: each worker plans its
+              // gates in its own FAIR pool, so one gate's micro-batch
+              // jobs never starve another's behind a FIFO queue
+              spark.sparkContext
+                .setLocalProperty("spark.scheduler.pool", s"gate${i % width}")
+              dump(name, fn)
+            }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

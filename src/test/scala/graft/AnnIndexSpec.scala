@@ -592,13 +592,22 @@ class AnnIndexSpec extends SparkTestBase {
         s"cell literal: $smallF")
 
     // force the large-batch plan: budget below 10 × nprobe — identical
-    // ranking with NO driver-resolved cell literal on the scan
+    // ranking with NO driver-resolved cell literal on the scan. The
+    // join path's pruning is DYNAMIC partition pruning (a runtime
+    // subquery filter Spark plants on the partition column from the
+    // probe side of the join) — that IS the designed replacement for
+    // the literal, so the spec pins its presence and bans only
+    // STATIC (driver-resolved) IN/INSET literals.
     withConfs("spark.graft.ann.probe.literalBudget" -> "1") {
       val (large, largeF) = run()
       assert(large == small,
         s"both probe plans must produce the identical ranking: " +
           s"${large.take(3)} vs ${small.take(3)}")
-      assert(!largeF.matches("(?s).*\\b(INSET|IN)\\b.*"),
+      assert(largeF.contains("dynamicpruning"),
+        s"the join path should prune the invlist scan via DPP: $largeF")
+      val static = largeF
+        .replaceAll("dynamicpruningexpression\\([^)]*\\)", "")
+      assert(!static.matches("(?s).*\\b(INSET|IN)\\b.*"),
         s"large batch must not carry a driver-resolved cell literal: " +
           s"$largeF")
     }

@@ -14,16 +14,7 @@ trait SparkTestBase extends AnyFunSuite {
     * board-wide batch sweeps cover only queries whose construction
     * stays lazy. Shared by every sweep so a new gate is excluded once.
     */
-  protected val streamingGated: Set[String] = Set("d10_stream_dedup",
-    "e07_stream_hourly_counts", "e14_kinesis_roundtrip_agg",
-    "e34_dlq_replay_agg", // seeds sink writes + DLQ replay eagerly, like e14
-    "e35_dlq_replay_under_fault", // seeds the two-generation DLQ loop
-    "s49_ann_stream_ingest_serving", // seeds the streamed vector ingest
-    "e39_stream_asof_attribution",
-    "e16_stream_sessions", "e18_stream_static_join",
-    "e19_stream_interval_join", "e21_stream_outer_join",
-    "e24_stream_dedup_watermark", "e26_stream_full_outer_join",
-    "e27_stream_chained_agg", "e29_stream_join_rollup")
+  protected val streamingGated: Set[String] = SparkEntry.streamingGated
 
   /** Run `body` with session confs overridden, restoring (or unsetting)
     * every key afterwards — the session is shared JVM-wide across

@@ -75,7 +75,9 @@ package object functions {
     ("graft_ann_adc", "graft.ops.SqlServing",
       e => graft.ops.SqlServing.annAdcPlan(e)),
     ("graft_hybrid", "graft.ops.SqlServing",
-      e => graft.ops.SqlServing.hybridPlan(e)))
+      e => graft.ops.SqlServing.hybridPlan(e)),
+    ("graft_dedup_check", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.dedupCheckPlan(e)))
 
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */

@@ -301,6 +301,41 @@ object Dedup {
        |    ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hb
        |  FROM sh)""".stripMargin
 
+  /** d34/d36's shared oracle: directed containment over the same
+    * shingle sets — counts are integer-exact, both scores and the gap
+    * derive from the same IEEE divisions in both engines, flags
+    * compare the 6dp-rounded values. The candidate generator is NOT
+    * part of the contract (shingle/bands/prefix must all reproduce
+    * this), which is exactly why two board rows share one text.
+    */
+  private lazy val containmentOracle: String =
+    s"""WITH $shingleHashSql,
+       |tagged AS (
+       |  SELECT s.doc_id, s.sh, d.source FROM sh s
+       |  JOIN documents d ON d.doc_id = s.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM tagged a JOIN tagged b
+       |    ON a.source = b.source AND a.sh = b.sh
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sc AS (
+       |  SELECT a_id, b_id, n_inter,
+       |    sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |    n_inter / CAST(sa.n_sh AS DOUBLE) AS c,
+       |    n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+       |      AS jacr
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, n_inter, n_a, n_b,
+       |  round(c, 6) AS containment, round(jacr, 6) AS jaccard,
+       |  round(c - jacr, 6) AS gap,
+       |  round(c - jacr, 6) > 0.05 AS asym_inclusion
+       |FROM sc WHERE round(c, 6) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Distributed min-label propagation with pointer doubling: connected
     * components over an (a_id, b_id) edge set. Each iteration takes the
     * min over (own label, neighbors' labels, label-of-own-label) — the
@@ -405,17 +440,24 @@ object Dedup {
     *    by bands in the general corpus; on this fixture the band set
     *    recalls every containment≥0.5 pair including the asym ones
     *    (measured in DuckDB at sf0.01/sf0.1: 0 missed of 2/14), and
-    *    ContainmentSwitchSpec pins both paths row-identical. A
-    *    recall-preserving exact generator at scale would be prefix
-    *    filtering (AllPairs/PPJoin: any B with C(A→B) ≥ t shares one
-    *    of A's first ⌊(1−t)·|sh(A)|⌋+1 rarest shingles) — documented
-    *    as the upgrade if band recall on real data measures short.
+    *    the DedupSpec switch test pins the paths row-identical.
+    *  - `prefix` (the recall-PRESERVING scale path, gated as its own
+    *    board row d36): AllPairs/PPJoin prefix filtering — any B with
+    *    C(A→B) ≥ t shares one of A's ⌊(1−t)·|sh(A)|⌋+1 rarest
+    *    shingles (df-ascending order), so candidates come from the
+    *    A-prefix ⋈ B-full equi-join and the output is EXACTLY the
+    *    shingle path's at any corpus, including the low-Jaccard
+    *    asym_inclusion pairs bands can lose. The choice at 100 TB is
+    *    bands (cheapest, recall trade) vs prefix (exact, rarity-
+    *    ordered join): run prefix when the asymmetric-inclusion scan
+    *    is the POINT of the job.
     *
     * Switch: conf `spark.graft.dedup.containment.candGen` ∈
     * {auto, shingle, bands}; `auto` (default) swaps to bands when the
     * documents scan's optimizer size estimate exceeds
     * `spark.graft.dedup.containment.bandBudgetBytes` (default 1 GiB) —
-    * sizing reads plan statistics, zero Spark jobs.
+    * sizing reads plan statistics, zero Spark jobs. `forceGen`
+    * overrides the conf entirely (the d36 row forces `prefix`).
     */
   /** The candidate-generator switch decision, separated so the spec
     * can pin it without plan forensics (the eager checkpoint inside
@@ -434,7 +476,8 @@ object Dedup {
           BigInt(budget)
     }
 
-  private[graft] def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentPairs(s: SparkSession, dir: String,
+      forceGen: Option[String] = None): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select($"doc_id", $"source")
     // consumers fork from the shingle stream (sizes + join sides) —
@@ -443,25 +486,68 @@ object Dedup {
     val sh = shingleHashes(s, dir).join(d, "doc_id")
       .localCheckpoint()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val useBands = containmentUseBands(s, dir)
+    val gen = forceGen.getOrElse(
+      if (containmentUseBands(s, dir)) "bands" else "shingle")
+    // shared by the bands/prefix generators: exact intersection
+    // counts computed ONLY for candidate pairs — cand ⋈ sh(A) on a_id
+    // fans each pair out to A's shingles, and the (b_id, sh)
+    // equi-join keeps exactly the shared ones; cost Σ_pairs |sh(A)|,
+    // never |A|×|B| and never the unrestricted shingle blowup
+    def exactCounts(cand: DataFrame): DataFrame =
+      cand.join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_inter"))
     // the intersection is symmetric, so the heavy stage runs on
     // UNORDERED pairs (a < b, half the rows) and the directed view is
     // a cheap row-level mirror
-    val und = (if (useBands) {
+    val und = (if (gen == "prefix") {
+      // PREFIX FILTERING (AllPairs/PPJoin adapted to containment) —
+      // the RECALL-PRESERVING scale generator: for C(A→B) ≥ t, A and
+      // B must share ≥ ⌈t·|A|⌉ shingles, so by pigeonhole they share
+      // at least one of A's first ⌊(1−t)·|A|⌋+1 shingles under ANY
+      // fixed global order. Order by GLOBAL RARITY (document
+      // frequency asc, shingle tiebreak): the prefix then holds A's
+      // rarest shingles, and the candidate join (A-prefix ⋈ B-full,
+      // same-source) collides almost only on genuinely shared rare
+      // content — the df-ordering is what kills the hot-shingle
+      // blowup, the ⌊(1−t)|A|⌋+1 cut is what keeps it EXACT (unlike
+      // bands, which at low Jaccard lose exactly the asym_inclusion
+      // pairs this operator exists for). At t=0.5 the prefix is
+      // ~half of A, so the structural win is the rarity ordering,
+      // not the cut — recorded honestly.
+      val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val wP = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+      val pref = sh.join(dfreq, "sh")
+        .withColumn("rn", row_number().over(wP))
+        .join(sizes, "doc_id")
+        .filter($"rn" <=
+          floor($"n_sh".cast("double") / 2.0d).cast("long") + 1L)
+        .select($"doc_id".as("p_id"), $"sh", $"source")
+      val full = sh
+        .select($"doc_id".as("f_id"), $"sh".as("sh_f"),
+          $"source".as("source_f"))
+      pref.join(full,
+          $"source" === $"source_f" && $"sh" === $"sh_f" &&
+            $"p_id" =!= $"f_id")
+        // directed prefix hits cover BOTH directions; normalize to
+        // the unordered key the exact stage runs on
+        .select(least($"p_id", $"f_id").as("a_id"),
+          greatest($"p_id", $"f_id").as("b_id"))
+        .distinct()
+        .transform(exactCounts)
+    } else if (gen == "bands") {
       // LSH-band candidates (same-source, a < b), then exact
       // intersection counts ONLY for candidates: cand ⋈ sh(A) on a_id
       // fans each pair out to A's shingles, and the (b_id, sh)
       // equi-join keeps exactly the shared ones — never |A|×|B|.
       val bnd = bandsOf(s, minhashCore(s, dir)).join(d, "doc_id")
-      val cand = bnd.toDF("a_id", "band", "source")
+      bnd.toDF("a_id", "band", "source")
         .join(bnd.toDF("b_id", "band_b", "source_b"),
           $"band" === $"band_b" && $"source" === $"source_b" &&
             $"a_id" < $"b_id")
         .select($"a_id", $"b_id").distinct()
-      cand.join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
-        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
-        .groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("n_inter"))
+        .transform(exactCounts)
     } else {
       val a = sh.toDF("a_id", "sh_a", "h_a", "source")
       val b = sh.toDF("b_id", "sh_b", "h_b", "source_b")
@@ -582,6 +668,44 @@ object Dedup {
       // cases. The candidate generator is PLAN-SWITCHED (the
       // searchRefined discipline) — see [[containmentPairs]].
       containmentPairs(s, dir)
+    },
+
+    "d36_containment_prefix_filtered" -> { (s, dir) =>
+      // d34 through the PREFIX-FILTERED candidate generator
+      // (AllPairs/PPJoin adapted to containment — see
+      // [[containmentPairs]]): the recall-preserving 100 TB path,
+      // driver-gated in its own right so the exact-at-scale claim is
+      // hash-proven at every SF, not just spec-asserted. Same output
+      // contract as d34 by construction (the prefix bound is a
+      // pigeonhole theorem, not a heuristic), same oracle text.
+      containmentPairs(s, dir, forceGen = Some("prefix"))
+    },
+
+    "d37_sql_dedup_check" -> { (s, dir) =>
+      import s.implicits._
+      // The SQL surface's ADMISSION member — graft_dedup_check through
+      // spark.sql, completing the gated SQL trio of index kinds
+      // (s47 lexical, s48 vector, d37 dedup): a single document's
+      // would-it-be-admitted verdict as a one-line query, probing the
+      // same pristine corpus-split index d30 serves from. Two probes
+      // in one gated row: a verbatim corpus member (both rules must
+      // reject it) and a held-out document (whatever the rules truly
+      // say — the oracle recomputes both verdicts from the corpus
+      // tables). The probe texts are the QUERY INPUT, read from the
+      // fixture exactly like s48 reads its query vector.
+      graft.functions.registerAll(s)
+      val idx = ServingIndexes.dedup(s, dir)
+      val texts = docs(s, dir)
+        .filter($"doc_id".isin(0L, 4L))
+        .select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def esc(t: String) = t.replace("'", "''")
+      s.sql(
+        s"SELECT 'corpus_copy' AS probe, * " +
+          s"FROM graft_dedup_check('$idx', '${esc(texts(0L))}') " +
+          s"UNION ALL SELECT 'held_out' AS probe, * " +
+          s"FROM graft_dedup_check('$idx', '${esc(texts(4L))}') " +
+          "ORDER BY probe")
     },
 
     "d35_dedup_maintenance_decision" -> { (s, dir) =>
@@ -2367,33 +2491,70 @@ object Dedup {
       // counts are integer-exact, both scores and the gap derive from
       // the same IEEE divisions in both engines, flags compare the
       // 6dp-rounded values
-      "d34_containment_pairs" ->
-        s"""WITH $shingleHashSql,
-           |tagged AS (
-           |  SELECT s.doc_id, s.sh, d.source FROM sh s
-           |  JOIN documents d ON d.doc_id = s.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-           |  FROM tagged a JOIN tagged b
-           |    ON a.source = b.source AND a.sh = b.sh
-           |    AND a.doc_id <> b.doc_id
-           |  GROUP BY a.doc_id, b.doc_id),
-           |sc AS (
-           |  SELECT a_id, b_id, n_inter,
-           |    sa.n_sh AS n_a, sb.n_sh AS n_b,
-           |    n_inter / CAST(sa.n_sh AS DOUBLE) AS c,
-           |    n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
-           |      AS jacr
-           |  FROM inter
-           |  JOIN sizes sa ON sa.doc_id = a_id
-           |  JOIN sizes sb ON sb.doc_id = b_id)
-           |SELECT a_id, b_id, n_inter, n_a, n_b,
-           |  round(c, 6) AS containment, round(jacr, 6) AS jaccard,
-           |  round(c - jacr, 6) AS gap,
-           |  round(c - jacr, 6) > 0.05 AS asym_inclusion
-           |FROM sc WHERE round(c, 6) >= 0.5
-           |ORDER BY a_id, b_id""".stripMargin,
+      "d34_containment_pairs" -> containmentOracle,
+
+      // d36 runs the SAME contract through the prefix-filtered
+      // candidate generator (exact by the pigeonhole bound), so its
+      // oracle IS d34's — the shared-val pattern, never duplicated
+      // text; the gate proves the generator swap changes nothing.
+      "d36_containment_prefix_filtered" -> containmentOracle,
+
+      // d37: the oracle recomputes BOTH admission verdicts from the
+      // corpus tables — exact fingerprint membership and the verified
+      // LSH band rule (shared band AND 6-slot estimated Jaccard ≥
+      // 0.5) — for the same two probe texts the SQL row sends through
+      // graft_dedup_check (read from documents by id, so the oracle
+      // never embeds the text literal).
+      "d37_sql_dedup_check" -> {
+        val pMatch = (0 until 6).map(j =>
+          s"CASE WHEN sp.mh$j = sc.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val pBands = (0 until 3).map(b =>
+          s"SELECT probe, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} " +
+            "AS band FROM psigs").mkString(" UNION ALL ")
+        val cBands = (0 until 3).map(b =>
+          s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} " +
+            "AS band FROM csigs").mkString(" UNION ALL ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+           |csh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id, unnest($shingleSql) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |          FROM corpus))),
+           |chashed AS (
+           |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+           |  FROM csh),
+           |csigs AS (SELECT doc_id, $mhCols FROM chashed GROUP BY doc_id),
+           |cbands AS ($cBands),
+           |cfps AS (SELECT DISTINCT md5(lower(text)) AS fp FROM corpus),
+           |probes AS (
+           |  SELECT 'corpus_copy' AS probe, text FROM documents
+           |  WHERE doc_id = 0
+           |  UNION ALL
+           |  SELECT 'held_out' AS probe, text FROM documents
+           |  WHERE doc_id = 4),
+           |psh AS (
+           |  SELECT DISTINCT probe, sh FROM (
+           |    SELECT probe, unnest($shingleSql) AS sh
+           |    FROM (SELECT probe, string_split(text, ' ') AS toks
+           |          FROM probes))),
+           |phashed AS (
+           |  SELECT probe, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h
+           |  FROM psh),
+           |psigs AS (SELECT probe, $mhCols FROM phashed GROUP BY probe),
+           |pbands AS ($pBands),
+           |near AS (
+           |  SELECT DISTINCT p.probe FROM pbands p
+           |  JOIN cbands c ON p.band = c.band
+           |  JOIN psigs sp ON sp.probe = p.probe
+           |  JOIN csigs sc ON sc.doc_id = c.doc_id
+           |  WHERE round(($pMatch) / 6.0, 6) >= 0.5)
+           |SELECT probe,
+           |  md5(lower(text)) IN (SELECT fp FROM cfps) AS fp_in_corpus,
+           |  probe IN (SELECT probe FROM near) AS near_rej_corpus
+           |FROM probes ORDER BY probe""".stripMargin
+      },
 
       // d35: the oracle replays the dedupMaint lifecycle — corpus
       // split membership, the erasure rule as tombstones, the same

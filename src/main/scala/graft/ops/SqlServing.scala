@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.plans.ServingScan
@@ -80,6 +80,9 @@ object SqlServing {
     StructField("doc_id", LongType),
     StructField("n_sides", LongType),
     StructField("rrf", DoubleType)))
+  private[graft] val dedupCheckSchema = StructType(Seq(
+    StructField("fp_in_corpus", BooleanType),
+    StructField("near_rej_corpus", BooleanType)))
 
   /** graft_bm25(indexDir, query, k): BM25 top-k from the written
     * postings index; terms are the whitespace-split query words.
@@ -150,6 +153,32 @@ object SqlServing {
       s"$tDir, $aDir, ${terms.mkString(" ")}, <${qv.length}-dim>, $n, $k",
       hybridSchema,
       s => HybridIndex.searchRefined(s, tDir, aDir, terms, qv, n, k))
+  }
+
+  /** graft_dedup_check(indexDir, text): single-document admission
+    * check against the written dedup index — "would this text be
+    * admitted?" as a SQL one-liner, the question an ingest reviewer or
+    * a data-vendor acceptance pipeline asks ad hoc. Returns one row
+    * (fp_in_corpus, near_rej_corpus): the exact-fingerprint and
+    * verified-LSH rejection verdicts (d13/d17's corpus rules). The
+    * internal doc_id is -1 (outside the corpus id space, the
+    * HybridIndex discipline) and is dropped, along with the batch-rule
+    * columns a singleton batch makes vacuous (rn = 1, batch-near =
+    * false by construction).
+    */
+  def dedupCheckPlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dedup_check"
+    graft.functions.requireArity(fn, args, 2,
+      "graft_dedup_check(indexDir, text)")
+    val dir = str(fn, args(0), "indexDir")
+    val text = str(fn, args(1), "text")
+    deferred(fn, s"$dir, <${text.length}-char text>", dedupCheckSchema,
+      s => {
+        import s.implicits._
+        DedupIndex.probe(s, dir,
+            Seq((-1L, text)).toDF("doc_id", "text"))
+          .select("fp_in_corpus", "near_rej_corpus")
+      })
   }
 
   private def deferred(fn: String, argsDesc: String, schema: StructType,

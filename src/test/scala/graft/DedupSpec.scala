@@ -321,6 +321,15 @@ class DedupSpec extends SparkTestBase {
     assert(banded == exact,
       s"band-candidate path must reproduce the exact path: " +
         s"${banded.take(2)} vs ${exact.take(2)}")
+    // the third generator (d36's): prefix filtering is exact by the
+    // pigeonhole bound, so equality here is a theorem check, not a
+    // fixture coincidence
+    val prefixed = ops.Dedup
+      .containmentPairs(spark, sfVerify, forceGen = Some("prefix"))
+      .collect().map(_.toString).toSeq
+    assert(prefixed == exact,
+      s"prefix-filtered path must reproduce the exact path: " +
+        s"${prefixed.take(2)} vs ${exact.take(2)}")
   }
 
   /** [[withConfs]] that returns the body's value. */

@@ -119,6 +119,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       Seq("spark", "window", "query"), qv, 50, 10)
     assert(rows(sqlHyb).size == 10 && rows(sqlHyb) == rows(scalaHyb))
 
+    // the admission TVF: single-document dedup check against the
+    // written index — must agree with the Scala probe verbatim
+    val dedupIdx = ops.ServingIndexes.dedup(spark, sfVerify)
+    val probeText = Tables.load(spark, sfVerify, "documents")
+      .filter($"doc_id" === 0).select($"text").head().getString(0)
+    val sqlChk = fresh.sql(
+      s"SELECT * FROM graft_dedup_check('$dedupIdx', " +
+        s"'${probeText.replace("'", "''")}')")
+    val scalaChk = ops.DedupIndex.probe(spark, dedupIdx,
+        Seq((-1L, probeText)).toDF("doc_id", "text"))
+      .select($"fp_in_corpus", $"near_rej_corpus")
+    assert(sqlChk.columns.toSeq == scalaChk.columns.toSeq)
+    assert(rows(sqlChk) == rows(scalaChk) && rows(sqlChk).size == 1)
+    // doc 0 is a corpus member: both rules must reject a verbatim copy
+    assert(sqlChk.head().getBoolean(0) && sqlChk.head().getBoolean(1))
+
     // a non-literal argument must fail analysis with a clear message,
     // not a ClassCastException from the builder
     val err = intercept[org.apache.spark.sql.AnalysisException] {

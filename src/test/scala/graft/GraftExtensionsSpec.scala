@@ -234,6 +234,34 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlAnn.size == 5 && sqlAnn == scalaAnn)
   }
 
+  test("deferred serving TVFs compose: joined to a table and " +
+      "aggregated, including as the broadcast side — the nested " +
+      "execution inside doExecute survives AQE") {
+    import spark.implicits._
+    val annIdx = ops.ServingIndexes.ann(spark, sfVerify)
+    val qv = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head()
+      .getSeq[Double](0).toSeq
+    val fresh = spark.newSession()
+    Tables.load(fresh, sfVerify, "embeddings")
+      .createOrReplaceTempView("emb")
+    // the TVF result is tiny → AQE should broadcast it into the join;
+    // its doExecute (and the search's bounded driver-side resolves)
+    // then runs under whatever thread materializes that stage
+    val row = fresh.sql(
+      s"SELECT count(*) AS n, count(e.vec_id) AS matched " +
+        s"FROM graft_ann('$annIdx', '${qv.mkString(",")}', 5) a " +
+        s"JOIN emb e ON e.vec_id = a.n_id").head()
+    assert(row.getLong(0) == 5 && row.getLong(1) == 5,
+      s"every neighbor id must resolve against the corpus: $row")
+    // and in a scalar-subquery position (another execution shape)
+    val top = fresh.sql(
+      s"SELECT (SELECT min(n_id) FROM " +
+        s"graft_ann('$annIdx', '${qv.mkString(",")}', 5)) AS lo").head()
+    assert(!top.isNullAt(0))
+  }
+
   test("TopKPerKey plans on a fresh clone without install()") {
     val fresh = spark.newSession()
     import fresh.implicits._

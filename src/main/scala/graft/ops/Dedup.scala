@@ -709,49 +709,15 @@ object Dedup {
     },
 
     "d35_dedup_maintenance_decision" -> { (s, dir) =>
-      import s.implicits._
       // s46's ADMISSION-INDEX sibling (round-13 verdict item): the
-      // DedupIndex compact go/no-go, read from the artifacts of the
-      // mid-lifecycle snapshot ServingIndexes.dedupMaint built (corpus
-      // split + erasure tombstones, NOT compacted). One decision row:
-      //  - pending-tombstone cost: every probe pays the anti-join,
-      //    and a tombstoned doc's md5 fingerprint + MinHash signature
-      //    are DERIVED PERSONAL DATA — erasure wants them physically
-      //    rewritten out, which is exactly what compact does;
-      //  - band-bucket health: λ over the LIVE band-value buckets
-      //    (the probe's candidate generator — a flooded band value
-      //    makes per-probe candidate cost quadratic in the bucket);
-      //  - the go/no-go: tomb_frac >= DedupTombMax OR λ >
-      //    DedupBandLambdaMax, both legs exposed (the s46 contract).
-      // Zero corpus bytes (PlanShapeSpec pins it); the oracle replays
-      // split membership + the erasure rule + the signature/band
-      // pipeline from the documents table.
-      val idx = ServingIndexes.dedupMaint(s, dir)
-      val tomb = s.read.parquet(s"$idx/tombstones")
-        .select($"doc_id".as("t_id"))
-      val nd = s.read.parquet(s"$idx/fps")
-        .agg(count(lit(1)).as("n_docs"))
-      val nt = tomb.agg(count(lit(1)).as("n_tomb"))
-      val per = s.read.parquet(s"$idx/bands")
-        .select($"doc_id", $"band")
-        .join(broadcast(tomb), $"doc_id" === $"t_id", "left_anti")
-        .groupBy($"band").agg(count(lit(1)).as("n"))
-      val bm = per.agg(count(lit(1)).as("n_band_values"),
-        sum($"n").as("n_band_rows_live"),
-        max($"n").as("max_bucket"),
-        sum($"n" * $"n").as("ss"))
-      val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
-      val lam = ($"n_band_values" * $"ss").cast("double") /
-        ($"n_band_rows_live" * $"n_band_rows_live").cast("double")
-      nd.crossJoin(broadcast(nt)).crossJoin(broadcast(bm))
-        .select($"n_docs", $"n_tomb",
-          round(tombFrac, 6).as("tomb_frac"),
-          $"n_band_values", $"n_band_rows_live", $"max_bucket",
-          round(lam, 6).as("band_imbalance"),
-          (tombFrac >= lit(DedupTombMax)).as("tomb_exceeded"),
-          (lam > lit(DedupBandLambdaMax)).as("band_exceeded"),
-          (tombFrac >= lit(DedupTombMax) ||
-            lam > lit(DedupBandLambdaMax)).as("compact"))
+      // DedupIndex compact go/no-go over the mid-lifecycle snapshot
+      // ServingIndexes.dedupMaint built (corpus split + erasure
+      // tombstones, NOT compacted) — see
+      // [[DedupIndex.maintenanceDecision]] for the metric/decision
+      // contract. Zero corpus bytes (PlanShapeSpec pins it); the
+      // oracle replays split membership + the erasure rule + the
+      // signature/band pipeline from the documents table.
+      DedupIndex.maintenanceDecision(s, ServingIndexes.dedupMaint(s, dir))
     },
 
     "d04_simhash" -> { (s, dir) =>

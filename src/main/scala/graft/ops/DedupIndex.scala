@@ -109,6 +109,56 @@ object DedupIndex {
       s.read.parquet(s"$indexDir/bands").select($"doc_id")), ids)
   }
 
+  /** The COMPACT GO/NO-GO an operator acts on (s46's admission-index
+    * sibling, driver-gated as d35), computed from the artifacts alone
+    * — zero corpus bytes. One row:
+    *
+    *  - `n_tomb`/`tomb_frac` — pending tombstones: every probe pays
+    *    the anti-join, and a tombstoned doc's md5 fingerprint +
+    *    MinHash signature are DERIVED PERSONAL DATA when the document
+    *    is — erasure wants them physically rewritten out, which is
+    *    exactly what [[compact]] does;
+    *  - `n_band_values`/`n_band_rows_live`/`max_bucket`/
+    *    `band_imbalance` — λ = V·Σn²/(Σn)² over the LIVE band-value
+    *    buckets (the probe's candidate generator; a flooded band
+    *    value makes per-probe candidate cost quadratic in the
+    *    bucket);
+    *  - `tomb_exceeded`/`band_exceeded`/`compact` — the decision,
+    *    both legs exposed (the s46 contract).
+    *
+    * A fresh or just-compacted index reads n_tomb = 0 (the spec pins
+    * the decision flipping false across a delete → compact cycle).
+    */
+  def maintenanceDecision(s: SparkSession, indexDir: String,
+      tombMax: Double = Dedup.DedupTombMax,
+      lambdaMax: Double = Dedup.DedupBandLambdaMax): DataFrame = {
+    import s.implicits._
+    val tomb = tombstones(s, indexDir).select($"doc_id".as("t_id"))
+    val nd = s.read.parquet(s"$indexDir/fps")
+      .agg(count(lit(1)).as("n_docs"))
+    val nt = tomb.agg(count(lit(1)).as("n_tomb"))
+    val per = s.read.parquet(s"$indexDir/bands")
+      .select($"doc_id", $"band")
+      .join(broadcast(tomb), $"doc_id" === $"t_id", "left_anti")
+      .groupBy($"band").agg(count(lit(1)).as("n"))
+    val bm = per.agg(count(lit(1)).as("n_band_values"),
+      sum($"n").as("n_band_rows_live"),
+      max($"n").as("max_bucket"),
+      sum($"n" * $"n").as("ss"))
+    val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
+    val lam = ($"n_band_values" * $"ss").cast("double") /
+      ($"n_band_rows_live" * $"n_band_rows_live").cast("double")
+    nd.crossJoin(broadcast(nt)).crossJoin(broadcast(bm))
+      .select($"n_docs", $"n_tomb",
+        round(tombFrac, 6).as("tomb_frac"),
+        $"n_band_values", $"n_band_rows_live", $"max_bucket",
+        round(lam, 6).as("band_imbalance"),
+        (tombFrac >= lit(tombMax)).as("tomb_exceeded"),
+        (lam > lit(lambdaMax)).as("band_exceeded"),
+        (tombFrac >= lit(tombMax) ||
+          lam > lit(lambdaMax)).as("compact"))
+  }
+
   /** Fold accumulated tombstones into the artifacts: rewrite fps and
     * bands WITHOUT the deleted doc_ids and clear the tombstone table.
     * Each filtered copy goes to a durable temp directory and swaps in

@@ -2223,53 +2223,15 @@ object Similarity {
     },
 
     "s51_text_maintenance_decision" -> { (s, dir) =>
-      import s.implicits._
       // s46's POSTINGS sibling (round-13 verdict item): the TextIndex
-      // compact go/no-go, read from the artifacts of the
-      // mid-lifecycle snapshot ServingIndexes.textMaint built (corpus
-      // split + appended ingest batch + erasure tombstones, NOT
-      // compacted). One decision row an operator acts on:
-      //  - fragmentation: n_batches (one stats row + postings file
-      //    set per append — compaction folds them);
-      //  - pending-tombstone cost: tomb_frac (every search pays the
-      //    anti-join; the dead postings bytes are still scanned);
-      //  - avgdl staleness: what compaction's stats rewrite would
-      //    change — searches already correct stats via tombstones, so
-      //    this quantifies the correction, not an error;
-      //  - the go/no-go: tomb_frac >= TextTombMax OR n_batches >=
-      //    TextFragMax, both legs exposed (the s46 contract).
-      // Zero corpus bytes (PlanShapeSpec pins it); the oracle replays
-      // split-membership + append admission + the erasure rule from
-      // the documents table. Torn-append duplicate stats rows are
-      // absorbed by the same per-batch_id collapse search uses.
-      val idx = ServingIndexes.textMaint(s, dir)
-      val st = s.read.parquet(s"$idx/stats")
-        .groupBy($"batch_id")
-        .agg(max($"n_docs").as("n_docs"), max($"sum_len").as("sum_len"))
-        .agg(count(lit(1)).as("n_batches"),
-          sum($"n_docs").as("n_docs"), sum($"sum_len").as("sum_len"))
-      val tombs = s.read.parquet(s"$idx/tombstones")
-        .select($"doc_id".as("t_id"))
-      val tl = s.read.parquet(s"$idx/docs")
-        .join(broadcast(tombs), $"doc_id" === $"t_id", "left_semi")
-        .agg(count(lit(1)).as("n_tomb"),
-          coalesce(sum($"len"), lit(0L)).as("tomb_len"))
-      val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
-      st.crossJoin(broadcast(tl))
-        .withColumn("avgdl_indexed",
-          round($"sum_len".cast("double") / $"n_docs".cast("double"), 6))
-        .withColumn("avgdl_live",
-          round(($"sum_len" - $"tomb_len").cast("double") /
-            ($"n_docs" - $"n_tomb").cast("double"), 6))
-        .select($"n_batches", $"n_docs", $"n_tomb",
-          round(tombFrac, 6).as("tomb_frac"),
-          $"avgdl_indexed", $"avgdl_live",
-          round(abs($"avgdl_live" / $"avgdl_indexed" - 1.0d), 6)
-            .as("avgdl_drift"),
-          (tombFrac >= lit(TextTombMax)).as("tomb_exceeded"),
-          ($"n_batches" >= lit(TextFragMax)).as("frag_exceeded"),
-          (tombFrac >= lit(TextTombMax) ||
-            $"n_batches" >= lit(TextFragMax)).as("compact"))
+      // compact go/no-go over the mid-lifecycle snapshot
+      // ServingIndexes.textMaint built (corpus split + appended
+      // ingest batch + erasure tombstones, NOT compacted) — see
+      // [[TextIndex.maintenanceDecision]] for the metric/decision
+      // contract. Zero corpus bytes (PlanShapeSpec pins it); the
+      // oracle replays split-membership + append admission + the
+      // erasure rule from the documents table.
+      TextIndex.maintenanceDecision(s, ServingIndexes.textMaint(s, dir))
     },
 
     "s35_residual_ab_recall" -> { (s, dir) =>

@@ -148,6 +148,61 @@ object TextIndex {
     * finishes. Every replacement is durable-temp + swap, never
     * overwrite-in-place.
     */
+  /** The COMPACT GO/NO-GO an operator acts on (s46's postings
+    * sibling, driver-gated as s51), computed from the artifacts alone
+    * — zero corpus bytes. One row:
+    *
+    *  - `n_batches` — stats rows (one per build/append; compaction
+    *    folds them — each batch is also a postings file set, so this
+    *    is the fragmentation metric);
+    *  - `n_tomb`/`tomb_frac` — pending tombstones: every search pays
+    *    the anti-join and the dead postings bytes until a compact;
+    *  - `avgdl_indexed`/`avgdl_live`/`avgdl_drift` — what compaction's
+    *    stats rewrite would change. Searches already CORRECT stats
+    *    via tombstones, so drift quantifies the correction, not an
+    *    error;
+    *  - `tomb_exceeded`/`frag_exceeded`/`compact` — the decision,
+    *    both legs exposed (the s46 contract). Thresholds are a
+    *    fraction and a count-of-batches — scale-invariant knobs.
+    *
+    * Torn-append duplicate stats rows are absorbed by the same
+    * per-batch_id collapse [[search]] uses; an index with no
+    * tombstones (fresh, or just compacted) reads as n_tomb = 0 and
+    * decides on the fragmentation leg alone (the spec pins the flip
+    * across a delete → compact cycle).
+    */
+  def maintenanceDecision(s: SparkSession, indexDir: String,
+      tombMax: Double = Similarity.TextTombMax,
+      fragMax: Long = Similarity.TextFragMax): DataFrame = {
+    import s.implicits._
+    val st = s.read.parquet(s"$indexDir/stats")
+      .groupBy($"batch_id")
+      .agg(max($"n_docs").as("n_docs"), max($"sum_len").as("sum_len"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum($"n_docs").as("n_docs"), sum($"sum_len").as("sum_len"))
+    val tombs = tombstones(s, indexDir).select($"doc_id".as("t_id"))
+    val tl = s.read.parquet(s"$indexDir/docs")
+      .join(broadcast(tombs), $"doc_id" === $"t_id", "left_semi")
+      .agg(count(lit(1)).as("n_tomb"),
+        coalesce(sum($"len"), lit(0L)).as("tomb_len"))
+    val tombFrac = $"n_tomb".cast("double") / $"n_docs".cast("double")
+    st.crossJoin(broadcast(tl))
+      .withColumn("avgdl_indexed",
+        round($"sum_len".cast("double") / $"n_docs".cast("double"), 6))
+      .withColumn("avgdl_live",
+        round(($"sum_len" - $"tomb_len").cast("double") /
+          ($"n_docs" - $"n_tomb").cast("double"), 6))
+      .select($"n_batches", $"n_docs", $"n_tomb",
+        round(tombFrac, 6).as("tomb_frac"),
+        $"avgdl_indexed", $"avgdl_live",
+        round(abs($"avgdl_live" / $"avgdl_indexed" - 1.0d), 6)
+          .as("avgdl_drift"),
+        (tombFrac >= lit(tombMax)).as("tomb_exceeded"),
+        ($"n_batches" >= lit(fragMax)).as("frag_exceeded"),
+        (tombFrac >= lit(tombMax) ||
+          $"n_batches" >= lit(fragMax)).as("compact"))
+  }
+
   def compact(s: SparkSession, indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val postDst = new Path(s"$indexDir/postings")

@@ -481,4 +481,25 @@ class DedupIndexSpec extends SparkTestBase {
       DedupIndex.probe(spark, indexDir = dir2, batch).collect()
     }
   }
+
+  test("maintenanceDecision flips across the delete → compact cycle " +
+      "(the d35 contract is a live decision, not a snapshot)") {
+    val idx = tmpDir("dedup-maint-flip") + "/idx"
+    val docs = Tables.load(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    DedupIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    DedupIndex.delete(spark, idx,
+      docs.filter(col("doc_id") % 20 === 3).select(col("doc_id")))
+    val before = DedupIndex.maintenanceDecision(spark, idx).head()
+    assert(before.getAs[Boolean]("tomb_exceeded") &&
+      before.getAs[Boolean]("compact"),
+      s"pending tombstones above the knob must fire the go: $before")
+    assert(!before.getAs[Boolean]("band_exceeded"),
+      s"fixture band buckets are healthy (λ ≈ 1.05): $before")
+    DedupIndex.compact(spark, idx)
+    val after = DedupIndex.maintenanceDecision(spark, idx).head()
+    assert(after.getAs[Long]("n_tomb") == 0L &&
+      !after.getAs[Boolean]("compact"),
+      s"a just-compacted index must decide no-go: $after")
+  }
 }

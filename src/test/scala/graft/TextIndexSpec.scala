@@ -313,4 +313,27 @@ class TextIndexSpec extends SparkTestBase {
     assert(!new java.io.File(s"$idx/tombstones").exists(),
       "compaction must clear the tombstone table")
   }
+
+  test("maintenanceDecision flips across the delete → compact cycle " +
+      "(the s51 contract is a live decision, not a snapshot)") {
+    val idx = tmpDir("text-maint-flip") + "/idx"
+    val docs = Tables.load(spark, sfSmoke, "documents")
+      .select(col("doc_id"), col("text"))
+    TextIndex.build(spark, docs.filter(col("doc_id") % 5 =!= 4), idx)
+    TextIndex.delete(spark, idx,
+      docs.filter(col("doc_id") % 20 === 3).select(col("doc_id")))
+    val before = TextIndex.maintenanceDecision(spark, idx).head()
+    // erasure rule hits 1/16 of the split ≈ 0.0625 ≥ the 0.05 knob
+    assert(before.getAs[Boolean]("tomb_exceeded") &&
+      before.getAs[Boolean]("compact"),
+      s"pending tombstones above the knob must fire the go: $before")
+    assert(!before.getAs[Boolean]("frag_exceeded"),
+      "a single-build index is not fragmented")
+    TextIndex.compact(spark, idx)
+    val after = TextIndex.maintenanceDecision(spark, idx).head()
+    assert(after.getAs[Long]("n_tomb") == 0L &&
+      after.getAs[Long]("n_batches") == 1L &&
+      !after.getAs[Boolean]("compact"),
+      s"a just-compacted index must decide no-go: $after")
+  }
 }

@@ -77,7 +77,9 @@ package object functions {
     ("graft_hybrid", "graft.ops.SqlServing",
       e => graft.ops.SqlServing.hybridPlan(e)),
     ("graft_dedup_check", "graft.ops.SqlServing",
-      e => graft.ops.SqlServing.dedupCheckPlan(e)))
+      e => graft.ops.SqlServing.dedupCheckPlan(e)),
+    ("graft_phrase", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.phrasePlan(e)))
 
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */

@@ -867,6 +867,26 @@ object Similarity {
   /** s36's positional-index query: a bigram the fixture generator
     * emits at every SF (35 docs at sf0.001, 312 at sf0.1). */
   private val PhraseTerms = Seq("spark", "window")
+
+  /** s36/s52's shared oracle: the sliding-window phrase truth —
+    * overlapping starts count, 1-based positions, stop-exclusive
+    * range so a doc shorter than the phrase contributes nothing.
+    */
+  private lazy val phraseOracle: String = {
+    val m = PhraseTerms.length
+    val cond = PhraseTerms.zipWithIndex
+      .map { case (t, j) => s"t[i+$j] = '$t'" }.mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |cnt AS (
+       |  SELECT doc_id, CAST(len(list_filter(
+       |    range(1, len(t) - ${m - 2}), i -> $cond)) AS BIGINT)
+       |    AS phrase_tf
+       |  FROM toks)
+       |SELECT doc_id, phrase_tf FROM cnt WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+  }
   /** s37's request batch: three queries with distinct term sets (all
     * fixture vocabulary), the shape a retrieval service amortizes one
     * pruned postings read across. */
@@ -1809,6 +1829,19 @@ object Similarity {
       // arithmetic — never an explode past the first slot.
       TextIndex.searchPhrase(s, ServingIndexes.text(s, dir),
         PhraseTerms, 10)
+    },
+
+    "s52_sql_phrase_serving" -> { (s, dir) =>
+      // s36 through the SQL surface: graft_phrase over the written
+      // positional postings index — the phrase query a SQL-only
+      // client could not express before (BM25's bag-of-words TVF
+      // treats "spark window" as spark AND window). Completes the
+      // lexical side of the gated TVF set (bm25 s47, phrase s52);
+      // same deferred ServingScan leaf, so EXPLAIN stays free.
+      graft.functions.registerAll(s)
+      val idx = ServingIndexes.text(s, dir)
+      s.sql(s"SELECT * FROM graft_phrase('$idx', " +
+        s"'${PhraseTerms.mkString(" ")}', 10)")
     },
 
     "s37_batch_index_serving" -> { (s, dir) =>
@@ -2835,22 +2868,11 @@ object Similarity {
 
     // s36: the sliding-window truth recomputed from raw text —
     // overlapping starts count, 1-based positions, stop-exclusive
-    // range so a doc shorter than the phrase contributes nothing
-    "s36_phrase_index_serving" -> {
-      val m = PhraseTerms.length
-      val cond = PhraseTerms.zipWithIndex
-        .map { case (t, j) => s"t[i+$j] = '$t'" }.mkString(" AND ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE text IS NOT NULL),
-         |cnt AS (
-         |  SELECT doc_id, CAST(len(list_filter(
-         |    range(1, len(t) - ${m - 2}), i -> $cond)) AS BIGINT)
-         |    AS phrase_tf
-         |  FROM toks)
-         |SELECT doc_id, phrase_tf FROM cnt WHERE phrase_tf > 0
-         |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
-    },
+    // range so a doc shorter than the phrase contributes nothing.
+    // s52 runs the same contract through the graft_phrase TVF, so its
+    // oracle IS this one (the shared-val pattern).
+    "s36_phrase_index_serving" -> phraseOracle,
+    "s52_sql_phrase_serving" -> phraseOracle,
 
     // s37: each batch query's arm is an independent s09-shaped block
     // (own WITH — the BM25 CTE names are shared), the corpus stats

@@ -83,6 +83,9 @@ object SqlServing {
   private[graft] val dedupCheckSchema = StructType(Seq(
     StructField("fp_in_corpus", BooleanType),
     StructField("near_rej_corpus", BooleanType)))
+  private[graft] val phraseSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phrase_tf", LongType)))
 
   /** graft_bm25(indexDir, query, k): BM25 top-k from the written
     * postings index; terms are the whitespace-split query words.
@@ -153,6 +156,27 @@ object SqlServing {
       s"$tDir, $aDir, ${terms.mkString(" ")}, <${qv.length}-dim>, $n, $k",
       hybridSchema,
       s => HybridIndex.searchRefined(s, tDir, aDir, terms, qv, n, k))
+  }
+
+  /** graft_phrase(indexDir, phrase, k): exact consecutive-phrase
+    * search over the written POSITIONAL postings index — top-k docs
+    * by occurrence count (overlapping starts count, ties to the
+    * lowest doc_id). The phrase is the whitespace-split words IN
+    * ORDER (unlike graft_bm25's bag of words: "spark window" as a
+    * phrase is NOT `spark AND window`). Returns (doc_id, phrase_tf).
+    */
+  def phrasePlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_phrase"
+    graft.functions.requireArity(fn, args, 3,
+      "graft_phrase(indexDir, phrase, k)")
+    val dir = str(fn, args(0), "indexDir")
+    val phrase = str(fn, args(1), "phrase").trim.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    if (phrase.isEmpty)
+      bad(fn, "phrase", "must contain at least one word")
+    val k = int(fn, args(2), "k")
+    deferred(fn, s"$dir, ${phrase.mkString(" ")}, $k", phraseSchema,
+      s => TextIndex.searchPhrase(s, dir, phrase, k))
   }
 
   /** graft_dedup_check(indexDir, text): single-document admission

@@ -119,6 +119,14 @@ class GraftExtensionsSpec extends SparkTestBase {
       Seq("spark", "window", "query"), qv, 50, 10)
     assert(rows(sqlHyb).size == 10 && rows(sqlHyb) == rows(scalaHyb))
 
+    // the positional-phrase TVF must agree with the Scala twin
+    val sqlPh = fresh.sql(
+      s"SELECT * FROM graft_phrase('$textIdx', 'spark window', 10)")
+    val scalaPh = ops.TextIndex.searchPhrase(spark, textIdx,
+      Seq("spark", "window"), 10)
+    assert(sqlPh.columns.toSeq == scalaPh.columns.toSeq)
+    assert(rows(sqlPh).nonEmpty && rows(sqlPh) == rows(scalaPh))
+
     // the admission TVF: single-document dedup check against the
     // written index — must agree with the Scala probe verbatim
     val dedupIdx = ops.ServingIndexes.dedup(spark, sfVerify)
@@ -208,6 +216,8 @@ class GraftExtensionsSpec extends SparkTestBase {
         s"graft_ann_adc('$annIdx', '$csv', 5)").collect()
       fresh.sql(s"EXPLAIN SELECT * FROM graft_hybrid('$textIdx', " +
         s"'$annIdx', 'spark window query', '$csv', 50, 10)").collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM " +
+        s"graft_phrase('$textIdx', 'spark window', 10)").collect()
       fresh.sql(s"CREATE OR REPLACE TEMPORARY VIEW tvf_v AS " +
         s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
       (1 to 3).foreach(_ => fresh.sql("EXPLAIN SELECT * FROM tvf_v")

@@ -631,7 +631,8 @@ class PlanShapeSpec extends SparkTestBase {
     // outer plans contain the leaf and NO scans at all; what the
     // deferred search reads is pinned on the un-severed Scala twins
     // (s32/s33 above) plus GraftExtensionsSpec's schema/equality pins.
-    for (name <- Seq("s47_sql_bm25_serving", "s48_sql_ann_serving")) {
+    for (name <- Seq("s47_sql_bm25_serving", "s48_sql_ann_serving",
+        "s52_sql_phrase_serving")) {
       val df = SparkEntry.queries(name)(spark, sfSmoke)
       df.collect()
       def leaves(p: SparkPlan): Seq[SparkPlan] = p match {

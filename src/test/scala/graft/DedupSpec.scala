@@ -332,6 +332,45 @@ class DedupSpec extends SparkTestBase {
         s"${prefixed.take(2)} vs ${exact.take(2)}")
   }
 
+  test("containment generators on ARBITRARY corpora: prefix == shingle " +
+      "always (the pigeonhole theorem, not a fixture coincidence); " +
+      "bands ⊆ shingle (its documented recall trade)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    def words(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 1 to 5) {
+      val base = (0 until 25).map { i =>
+        (i.toLong, s"src${rnd.nextInt(2)}", words(5 + rnd.nextInt(30)))
+      }
+      // planted inclusions: donor text wrapped in noise — the
+      // asym_inclusion case (high containment, low Jaccard) bands
+      // can miss and prefix filtering must not
+      val wrapped = (0 until 6).map { k =>
+        val donor = base(rnd.nextInt(base.size))
+        (100L + k, donor._2, s"${donor._3} ${words(3 + rnd.nextInt(20))}")
+      }
+      val dir = tmpDir(s"containment-prop-$round")
+      (base ++ wrapped).toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def run(gen: String): Seq[String] =
+        ops.Dedup.containmentPairs(spark, dir, forceGen = Some(gen))
+          .collect().map(_.toString).toSeq
+      val exact = run("shingle")
+      val prefix = run("prefix")
+      val bands = run("bands")
+      assert(prefix == exact,
+        s"round $round: prefix filtering must be exact on any corpus " +
+          s"(${prefix.size} vs ${exact.size} rows)")
+      assert(bands.toSet.subsetOf(exact.toSet),
+        s"round $round: band output must be a subset of the exact " +
+          s"output (verification is exact, only candidates can be lost)")
+    }
+  }
+
   /** [[withConfs]] that returns the body's value. */
   private def withConfsValue[T](kv: (String, String)*)(body: => T): T = {
     val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }

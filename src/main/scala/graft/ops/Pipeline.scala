@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -555,6 +555,77 @@ object Pipeline {
           round(ratio, 6).as("straggler_ratio"),
           (ratio <= lit(1.5)).as("balanced"))
         .orderBy($"source", $"shard")
+    },
+
+    "p23_layout_scan_fraction" -> { (s, dir) =>
+      import s.implicits._
+      // The STORAGE-LAYOUT lever measured as a gated number — the
+      // decision row behind Layout.zorderWrite. A 100 TB fact table is
+      // queried along two independent axes (here the event stream's
+      // two: time and user); the layout chosen at WRITE time decides
+      // how many files a predicate on each axis must READ, because
+      // parquet footer pruning works exactly when that column's
+      // per-file [min,max] is tight. Model (all-integer, so the curve
+      // hash-gates): both axes normalize into 16-bit buckets
+      // (Layout.zorderValue's arithmetic, bounds from the data's own
+      // min/max), 64 equal-width files are carved from the sort key of
+      // each candidate layout — time-sorted (streaming ingest's natural
+      // order), user-sorted, and Z-ORDER (the native ZOrder64 Morton
+      // interleave the physical writer uses, top 6 of 32 z-bits) — and
+      // each of 8 fixed probe ranges per axis (1/16 of the bucket
+      // domain wide) counts the files whose [min,max] on that axis
+      // overlap it. Scale shape: ONE narrow corpus scan (2 columns), a
+      // per-row 3-way fan-out, one ≤192-group aggregation with map-side
+      // partials; the probe join and the curve are broadcast-tiny. The
+      // result is the standard one, now a measured fixture fact: each
+      // single-column sort prunes hard on its own axis and reads ~every
+      // file on the other, z-order pays a modest factor on each axis to
+      // prune on BOTH — the quantified "why" for paying the
+      // z-interleave at write time.
+      val ev = Tables.load(s, dir, "events")
+        .filter($"ts".isNotNull && $"user_id".isNotNull)
+        .select(unix_micros($"ts").as("a"), $"user_id".as("b"))
+      val bounds = ev.agg(min($"a").as("alo"), max($"a").as("ahi"),
+        min($"b").as("blo"), max($"b").as("bhi"))
+      def b16(c: Column, lo: Column, hi: Column): Column =
+        floor((c - lo).cast("double") / greatest(hi - lo, lit(1L)) *
+          65535.0).cast("long")
+      val bk = ev.crossJoin(broadcast(bounds))
+        .select(b16($"a", $"alo", $"ahi").as("a16"),
+          b16($"b", $"blo", $"bhi").as("b16"))
+        .withColumn("z", graft.functions.ZOrder64($"a16", $"b16"))
+      val perFile = bk
+        .select(explode(array(
+          struct(lit("ts_sort").as("layout"),
+            shiftright($"a16", 10).as("file_id")),
+          struct(lit("user_sort").as("layout"),
+            shiftright($"b16", 10).as("file_id")),
+          struct(lit("zorder").as("layout"),
+            shiftright($"z", 26).as("file_id")))).as("lf"),
+          $"a16", $"b16")
+        .select($"lf.layout".as("layout"), $"lf.file_id".as("file_id"),
+          $"a16", $"b16")
+        .groupBy($"layout", $"file_id")
+        .agg(min($"a16").as("min_a"), max($"a16").as("max_a"),
+          min($"b16").as("min_b"), max($"b16").as("max_b"))
+      val nf = perFile.groupBy($"layout").agg(count(lit(1)).as("n_files"))
+      val probes = (for { ax <- Seq("time", "user"); j <- 0 until 8 }
+        yield (ax, j.toLong, j * 8192L, j * 8192L + 4095L))
+        .toDF("axis", "probe", "plo", "phi")
+      val hits = perFile.crossJoin(broadcast(probes))
+        .select($"layout", $"axis", $"probe",
+          when($"axis" === "time", $"min_a").otherwise($"min_b").as("mn"),
+          when($"axis" === "time", $"max_a").otherwise($"max_b").as("mx"),
+          $"plo", $"phi")
+        .groupBy($"layout", $"axis", $"probe")
+        .agg(sum(when($"mn" <= $"phi" && $"mx" >= $"plo", 1L)
+          .otherwise(0L)).as("files_read"))
+      hits.groupBy($"layout", $"axis")
+        .agg(round(avg($"files_read"), 4).as("avg_files_read"))
+        .join(nf, "layout")
+        .select($"layout", $"axis", $"n_files", $"avg_files_read",
+          round($"avg_files_read" / $"n_files", 6).as("read_frac"))
+        .orderBy($"layout", $"axis")
     },
 
     "p13_pack_slices" -> { (s, dir) =>
@@ -1367,6 +1438,65 @@ object Pipeline {
          |    <= CAST(1.5 AS DOUBLE)) AS balanced
          |FROM per CROSS JOIN tot
          |ORDER BY source, shard""".stripMargin,
+
+    // p23's z-value in portable SQL: the bit-by-bit Morton interleave
+    // ZOrder64 is bit-identical to (LayoutSpec proves the parity of the
+    // fused kernel against exactly this composed form).
+    "p23_layout_scan_fraction" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"(((a16 >> $i) & 1) << ${2 * i}) + " +
+          s"(((b16 >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      val probeRows = (for { ax <- Seq("time", "user"); j <- 0 until 8 }
+        yield s"('$ax', CAST($j AS BIGINT), CAST(${j * 8192} AS BIGINT), " +
+          s"CAST(${j * 8192 + 4095} AS BIGINT))").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS a, user_id AS b FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |bounds AS (
+         |  SELECT min(a) AS alo, max(a) AS ahi,
+         |    min(b) AS blo, max(b) AS bhi FROM e),
+         |bk AS (
+         |  SELECT
+         |    CAST(floor(CAST(a - alo AS DOUBLE) / greatest(ahi - alo, 1)
+         |      * 65535.0) AS BIGINT) AS a16,
+         |    CAST(floor(CAST(b - blo AS DOUBLE) / greatest(bhi - blo, 1)
+         |      * 65535.0) AS BIGINT) AS b16
+         |  FROM e CROSS JOIN bounds),
+         |z AS (SELECT a16, b16, $zTerms AS zv FROM bk),
+         |fan AS (
+         |  SELECT 'ts_sort' AS layout, a16 >> 10 AS file_id, a16, b16
+         |  FROM z
+         |  UNION ALL
+         |  SELECT 'user_sort', b16 >> 10, a16, b16 FROM z
+         |  UNION ALL
+         |  SELECT 'zorder', zv >> 26, a16, b16 FROM z),
+         |pf AS (
+         |  SELECT layout, file_id, min(a16) AS min_a, max(a16) AS max_a,
+         |    min(b16) AS min_b, max(b16) AS max_b
+         |  FROM fan GROUP BY layout, file_id),
+         |nf AS (SELECT layout, count(*) AS n_files FROM pf
+         |  GROUP BY layout),
+         |probes AS (SELECT * FROM (VALUES $probeRows)
+         |  AS v(axis, probe, plo, phi)),
+         |hits AS (
+         |  SELECT p.layout, pr.axis, pr.probe,
+         |    sum(CASE WHEN
+         |        (CASE WHEN pr.axis = 'time' THEN p.min_a
+         |              ELSE p.min_b END) <= pr.phi
+         |        AND (CASE WHEN pr.axis = 'time' THEN p.max_a
+         |             ELSE p.max_b END) >= pr.plo
+         |      THEN 1 ELSE 0 END) AS files_read
+         |  FROM pf p CROSS JOIN probes pr
+         |  GROUP BY p.layout, pr.axis, pr.probe),
+         |curve AS (
+         |  SELECT layout, axis,
+         |    round(avg(files_read), 4) AS avg_files_read
+         |  FROM hits GROUP BY layout, axis)
+         |SELECT c.layout, c.axis, n.n_files, c.avg_files_read,
+         |  round(c.avg_files_read / n.n_files, 6) AS read_frac
+         |FROM curve c JOIN nf n USING (layout)
+         |ORDER BY c.layout, c.axis""".stripMargin
+    },
 
     "p20_length_bucket_curve" ->
       s"""WITH lens AS (

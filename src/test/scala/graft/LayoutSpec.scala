@@ -154,4 +154,38 @@ class LayoutSpec extends SparkTestBase {
     // nothing lost in the rewrite
     assert(spark.read.parquet(zDir).count() == li.count())
   }
+
+  test("p23: the scan-fraction curve says what the layouts must say — " +
+      "each single sort prunes its own axis only, z-order prunes both") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("p23_layout_scan_fraction")(
+        spark, sfVerify)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(rows.size == 6, s"3 layouts x 2 axes: ${rows.keySet}")
+    def frac(layout: String, axis: String): Double = rows((layout, axis))._2
+    // a single-column sort prunes hard on its own axis...
+    assert(frac("ts_sort", "time") < 0.3, s"${frac("ts_sort", "time")}")
+    assert(frac("user_sort", "user") < 0.3, s"${frac("user_sort", "user")}")
+    // ...and reads nearly every file on the other
+    assert(frac("ts_sort", "user") > 0.8, s"${frac("ts_sort", "user")}")
+    assert(frac("user_sort", "time") > 0.8, s"${frac("user_sort", "time")}")
+    // z-order pays a modest factor on each axis to prune on BOTH — the
+    // whole argument for the interleave, as a gated inequality
+    Seq("time", "user").foreach { ax =>
+      assert(frac("zorder", ax) < 0.5, s"$ax ${frac("zorder", ax)}")
+      assert(frac("zorder", ax) > 0.0, s"$ax ${frac("zorder", ax)}")
+    }
+    // file counts: 64 equal-width carves, minus empties on sparse axes
+    assert(rows.values.forall { case (n, _) => n >= 2 && n <= 64 })
+    // the curve's corpus cost is two narrow event scans (bounds + the
+    // bucketed fan-out) — the probe stage must NOT rescan the corpus
+    val plan = SparkEntry.queries("p23_layout_scan_fraction")(
+      spark, sfVerify).queryExecution.executedPlan
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size <= 2, s"expected <=2 event scans, got ${scans.size}")
+  }
 }

@@ -248,6 +248,11 @@ object SqlServing {
       case other => bad(fn, what, s"must be a string literal, got: $other")
     }
 
+  /** Every int argument here is a retrieval count (k, n): reject
+    * non-positive values at ANALYSIS time with the parameter-oriented
+    * error, instead of letting a deferred `limit(-5)` surface a
+    * generic execution failure later.
+    */
   private def int(fn: String, e: Expression, what: String): Int = {
     val l: Long = lit(fn, e, what) match {
       case i: java.lang.Integer => i.longValue()
@@ -256,20 +261,55 @@ object SqlServing {
       case b: java.lang.Byte => b.longValue()
       case other => bad(fn, what, s"must be an integer literal, got: $other")
     }
-    if (l < Int.MinValue || l > Int.MaxValue)
-      bad(fn, what, s"is out of Int range: $l")
+    if (l < 1 || l > Int.MaxValue)
+      bad(fn, what, s"must be a positive count, got: $l")
     l.toInt
   }
 
-  private def doubles(fn: String, e: Expression, what: String): Seq[Double] =
-    lit(fn, e, what) match {
+  /** Vector decode accepts ANY numeric element type, because a plain
+    * SQL literal `array(0.25, 0.5)` is array<decimal(3,2)> — only the
+    * `d`-suffixed spelling is array<double> — and `toDoubleArray()` on
+    * a non-double ArrayData leaks a ClassCastException, exactly the
+    * internal-error class this surface promises never to surface for
+    * an argument defect.
+    */
+  private def doubles(fn: String, e: Expression, what: String): Seq[Double] = {
+    val decoded = lit(fn, e, what) match {
       case s: UTF8String =>
         try s.toString.split(",").map(_.trim).filter(_.nonEmpty)
           .map(_.toDouble).toSeq
         catch { case _: NumberFormatException =>
           bad(fn, what, s"has a non-numeric component: $s") }
-      case a: ArrayData => a.toDoubleArray().toSeq
+      case a: ArrayData =>
+        import org.apache.spark.sql.types._
+        val et = e.dataType match {
+          case ArrayType(t, _) => t
+          case other => bad(fn, what,
+            s"must be a numeric array or a comma-separated string, " +
+              s"got type: ${other.sql}")
+        }
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i))
+            bad(fn, what, s"contains a NULL element at position $i")
+          et match {
+            case DoubleType => a.getDouble(i)
+            case FloatType => a.getFloat(i).toDouble
+            case LongType => a.getLong(i).toDouble
+            case IntegerType => a.getInt(i).toDouble
+            case ShortType => a.getShort(i).toDouble
+            case ByteType => a.getByte(i).toDouble
+            case dt: DecimalType =>
+              a.getDecimal(i, dt.precision, dt.scale).toDouble
+            case other => bad(fn, what,
+              s"must have numeric elements, got element type ${other.sql}")
+          }
+        }
+      case null => bad(fn, what, "must not be NULL")
       case other => bad(fn, what,
-        s"must be array<double> or a comma-separated string, got: $other")
+        s"must be a numeric array or a comma-separated string, got: $other")
     }
+    if (decoded.isEmpty)
+      bad(fn, what, "must contain at least one component")
+    decoded
+  }
 }

@@ -153,6 +153,59 @@ class GraftExtensionsSpec extends SparkTestBase {
       s"expected a literal-argument message: ${err.getMessage}")
   }
 
+  test("TVF vector decode: SQL's NATURAL array spelling (plain decimal " +
+      "literals) works and matches the double spelling; NULL elements, " +
+      "empty vectors, non-numeric arrays and non-positive counts raise " +
+      "parameter errors, never internal exceptions") {
+    import spark.implicits._
+    val annIdx = ops.ServingIndexes.ann(spark, sfVerify)
+    val textIdx = ops.ServingIndexes.text(spark, sfVerify)
+    val qv = Tables.load(spark, sfVerify, "embeddings")
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head()
+      .getSeq[Double](0).toSeq
+    val fresh = spark.newSession()
+    // components at 6 dp so the decimal and double spellings denote the
+    // same exact value (both decode to the nearest double of the same
+    // decimal numeral — Decimal.toDouble == Double.parse here)
+    val vals = qv.map(d =>
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+    val decArr = vals.mkString("array(", ", ", ")")      // array<decimal>
+    val dblArr = vals.map(_ + "d").mkString("array(", ", ", ")")
+    def rows(q: String): Seq[String] =
+      fresh.sql(q).collect().map(_.toString).sorted.toSeq
+    val dec = rows(s"SELECT * FROM graft_ann_adc('$annIdx', $decArr, 5)")
+    val dbl = rows(s"SELECT * FROM graft_ann_adc('$annIdx', $dblArr, 5)")
+    assert(dec.size == 5 && dec == dbl,
+      "decimal-literal array must decode to the same query vector")
+
+    // every defect is an ANALYSIS-time parameter error naming the
+    // function — no ClassCastException from toDoubleArray, no deferred
+    // limit(-5) failure at execution
+    def expectParamError(q: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        fresh.sql(q).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"expected '$needle' for `$q`, got: ${e.getMessage}")
+    }
+    expectParamError(
+      s"SELECT * FROM graft_ann_adc('$annIdx', array(0.25, NULL), 5)",
+      "NULL element")
+    expectParamError(
+      s"SELECT * FROM graft_ann_adc('$annIdx', '', 5)",
+      "at least one component")
+    expectParamError(
+      s"SELECT * FROM graft_ann_adc('$annIdx', array('a', 'b'), 5)",
+      "numeric elements")
+    expectParamError(
+      s"SELECT * FROM graft_bm25('$textIdx', 'spark', 0)",
+      "positive count")
+    expectParamError(
+      s"SELECT * FROM graft_ann_adc('$annIdx', $dblArr, -3)",
+      "positive count")
+  }
+
   test("deferred serving TVFs: EXPLAIN and schema probes run ZERO " +
       "Spark jobs; the declared schemas match the Scala twins'; " +
       "execution reads the index as of run time (no pinned snapshot)") {

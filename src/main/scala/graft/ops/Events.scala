@@ -172,6 +172,59 @@ object Events {
         .orderBy($"event_type")
     },
 
+    "e40_skew_salt_decision" -> { (s, dir) =>
+      import s.implicits._
+      // SHUFFLE-SKEW DECISION CARD — the number behind "should this
+      // groupBy salt?". e09 demonstrates the two-phase salted rewrite
+      // and d09 its components variant; THIS row emits the go/no-go
+      // that picks between them and the direct plan, per candidate
+      // shuffle axis (event_type: ~5 keys, user_id: the natural key,
+      // day: calendar-bounded). A hash shuffle cannot split one key,
+      // so the hottest key's row count lower-bounds the slowest
+      // reducer at ANY partition count; target = ceil(total/P) is the
+      // balanced-task budget at P reducers, salt_n = ceil(max_key /
+      // target) the fan-out that brings the hot key back under it
+      // (salt_n = 1 → "direct": the rewrite costs a second agg and is
+      // pure loss on balanced axes), post_salt_max the proven bound
+      // after the split. skew_factor = max/avg is the conventional
+      // diagnostic reported alongside. Scale shapes: the 3-axis
+      // fan-out is per-row over ONE narrow 3-column scan (no
+      // self-union re-reads); the only data-sized shuffle is the
+      // (axis, key) count with map-side partials; everything after is
+      // 3 rows. AQE handles JOIN skew at runtime, but aggregation
+      // salting is a plan-time rewrite — an autotuner reads exactly
+      // this card before choosing e09's plan.
+      val P = 32L // reducer count the budget prices against
+      ev(s, dir)
+        .select(explode(array(
+          struct(lit("day").as("axis"),
+            to_date($"ts").cast("string").as("k")),
+          struct(lit("event_type").as("axis"),
+            coalesce($"event_type", lit("<null>")).as("k")),
+          struct(lit("user_id").as("axis"),
+            coalesce($"user_id".cast("string"), lit("<null>")).as("k"))
+        )).as("ak"))
+        .select($"ak.axis".as("axis"), $"ak.k".as("k"))
+        .groupBy($"axis", $"k").agg(count(lit(1)).as("cnt"))
+        .groupBy($"axis")
+        .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total_rows"),
+          max($"cnt").as("max_key_rows"))
+        .withColumn("max_share",
+          round($"max_key_rows" / $"total_rows".cast("double"), 6))
+        .withColumn("skew_factor",
+          round(($"max_key_rows" * $"n_keys") /
+            $"total_rows".cast("double"), 6))
+        .withColumn("target_task_rows",
+          expr(s"(total_rows + $P - 1) div $P"))
+        .withColumn("salt_n", expr(
+          "(max_key_rows + target_task_rows - 1) div target_task_rows"))
+        .withColumn("post_salt_max_rows",
+          expr("(max_key_rows + salt_n - 1) div salt_n"))
+        .withColumn("decision",
+          when($"salt_n" > 1, lit("salt")).otherwise(lit("direct")))
+        .orderBy($"axis")
+    },
+
     "e10_sliding_windows" -> { (s, dir) =>
       import s.implicits._
       // Sliding event-time windows (1 h length, 30 min slide): each
@@ -1287,6 +1340,43 @@ object Events {
       """SELECT event_type, count(*) AS n,
         |round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e40_skew_salt_decision" ->
+      """WITH keyed AS (
+        |  SELECT 'day' AS axis, CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', coalesce(event_type, '<null>') FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', coalesce(CAST(user_id AS VARCHAR), '<null>')
+        |  FROM events),
+        |kc AS (SELECT axis, k, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+        |ax AS (
+        |  SELECT axis, count(*) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |    max(cnt) AS max_key_rows
+        |  FROM kc GROUP BY axis),
+        |d AS (
+        |  SELECT axis, n_keys, total_rows, max_key_rows,
+        |    round(max_key_rows / CAST(total_rows AS DOUBLE), 6)
+        |      AS max_share,
+        |    round((max_key_rows * n_keys) / CAST(total_rows AS DOUBLE), 6)
+        |      AS skew_factor,
+        |    (total_rows + 31) // 32 AS target_task_rows
+        |  FROM ax),
+        |sn AS (
+        |  SELECT *,
+        |    (max_key_rows + target_task_rows - 1) // target_task_rows
+        |      AS salt_n
+        |  FROM d)
+        |SELECT axis, n_keys, total_rows, max_key_rows, max_share,
+        |  skew_factor,
+        |  CAST(target_task_rows AS BIGINT) AS target_task_rows,
+        |  CAST(salt_n AS BIGINT) AS salt_n,
+        |  CAST((max_key_rows + salt_n - 1) // salt_n AS BIGINT)
+        |    AS post_salt_max_rows,
+        |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
+        |FROM sn ORDER BY axis""".stripMargin,
 
     "e10_sliding_windows" ->
       """SELECT win_start, event_type, count(*) AS n FROM (

@@ -39,6 +39,33 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("e40: salt recommendation brings the hot key under the task " +
+      "budget, and the decision flips with the axis shape") {
+    // sfVerify, not sfSmoke: the direct case needs per-key rows under
+    // the task budget, and key COUNTS scale with SF while per-key
+    // rows stay flat — at sf0.001 every axis salts (budget 32), from
+    // sf0.01 up the balanced user axis flips to direct
+    val rows = ops.Events.queries("e40_skew_salt_decision")(spark, sfVerify)
+      .collect().map(r => r.getAs[String]("axis") -> r).toMap
+    rows.values.foreach { r =>
+      val target = r.getAs[Long]("target_task_rows")
+      val saltN = r.getAs[Long]("salt_n")
+      val post = r.getAs[Long]("post_salt_max_rows")
+      val maxK = r.getAs[Long]("max_key_rows")
+      assert(saltN >= 1)
+      // ceil-division theorem the card relies on: splitting the hot
+      // key ceil(max/target)-ways provably lands under the budget
+      assert(post <= math.max(target, 1),
+        s"post-salt bound $post exceeds target $target")
+      assert(post * saltN >= maxK, "split must cover every hot-key row")
+      assert((r.getAs[String]("decision") == "salt") == (saltN > 1))
+    }
+    // fixture shape: 5 event types over a 313-row budget must salt;
+    // the user axis is balanced (max 99 rows/user) and stays direct
+    assert(rows("event_type").getAs[String]("decision") == "salt")
+    assert(rows("user_id").getAs[String]("decision") == "direct")
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

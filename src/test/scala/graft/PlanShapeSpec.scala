@@ -343,6 +343,9 @@ class PlanShapeSpec extends SparkTestBase {
       ("t18_bigram_surprisal", "documents.parquet", 1),
       ("t21_surprisal_buckets", "documents.parquet", 2), // + source join
       ("e13_funnel_steps", "events.parquet", 1),
+      // e40's 3-axis skew card fans out per-row (explode), not by
+      // self-union: one narrow scan feeds all three key histograms
+      ("e40_skew_salt_decision", "events.parquet", 1),
       ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
       ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
       // d12 deliberately re-reads instead of materializing the

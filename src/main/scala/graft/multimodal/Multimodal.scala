@@ -259,25 +259,7 @@ object Multimodal {
       // deterministic metadata (m09's duration proxy), one narrow id
       // join for the text side, one per-format agg; engine-exact by
       // construction.
-      val text = graft.Tables.load(s, dir, "documents")
-        .select($"doc_id".as("media_id"),
-          when($"text".isNull, lit(0L))
-            .otherwise(size(split($"text", " ")).cast("long"))
-            .as("text_toks"))
-      mediaTable(s, dir)
-        .withColumn("blen", octet_length($"content").cast("long"))
-        .withColumn("fps", ($"media_id" % 2 * 6 + 24).cast("long"))
-        .withColumn("media_toks",
-          when($"format".isin("png", "jpeg"),
-            expr("((width + 15) div 16) * ((height + 15) div 16)")
-              .cast("long"))
-          .when($"format" === "wav", expr("(blen * 40) div 80"))
-          .otherwise( // mp4: m09's 1 Hz samples x the patch grid
-            when(expr("(blen * 40 * fps) div 1000") >= 1,
-              (expr("(((blen * 40 * fps) div 1000) - 1) div fps") + 1) *
-                expr("((width + 15) div 16) * ((height + 15) div 16)"))
-            .otherwise(lit(0L))))
-        .join(text, "media_id")
+      tokenFrame(s, dir, Seq(16))
         .groupBy($"format")
         .agg(count(lit(1)).as("n_items"),
           sum($"text_toks").as("text_tokens"),
@@ -288,6 +270,81 @@ object Multimodal {
           sum(expr("(text_toks + media_toks + 2047) div 2048"))
             .as("ctx_windows"))
         .orderBy($"format")
+    },
+
+    "m12_interleaved_pack" -> { (s, dir) =>
+      import s.implicits._
+      // INTERLEAVED MULTIMODAL SEQUENCE PACKING — p06's concat-and-
+      // chunk accounting, run on COMBINED modality tokens: each sample
+      // is a media item plus its paired text, costed by the m10 token
+      // model (the card that shows media dominates ~99:1 on vision
+      // formats — packing on text tokens alone would overflow vision
+      // windows by orders of magnitude, which is exactly why a VLM
+      // packer needs this row and not p06). Within each
+      // (format, shard) cell samples concatenate in media_id order and
+      // cut into 2048-token context windows; the per-format report
+      // rolls shards up: windows yielded, samples straddling a window
+      // boundary (they lose attention continuity), padding at shard
+      // tails. Cells are modality-homogeneous (per format) because
+      // samples of one modality share a collator. Scale shapes: the
+      // running offset is a windowed sum partitioned by
+      // (format, shard), never format alone — one dominant modality
+      // would otherwise serialize its whole cumsum through a single
+      // task (the p06 discipline); everything else is integer
+      // arithmetic on the narrow token frame, exact by construction.
+      val w = Window.partitionBy($"format", $"shard").orderBy($"media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokenFrame(s, dir, Seq(16))
+        .withColumn("shard", expr(s"media_id div $MediaShardDocs"))
+        .withColumn("n_toks", $"text_toks" + $"media_toks")
+        .withColumn("cum", sum($"n_toks").over(w))
+        .withColumn("split_sample", $"n_toks" > 0 &&
+          expr(s"(cum - n_toks) div $CtxToks") =!=
+          expr(s"(cum - 1) div $CtxToks"))
+        .groupBy($"format", $"shard")
+        .agg(count(lit(1)).as("s_n"),
+          sum($"text_toks").as("s_tt"),
+          sum($"media_toks").as("s_mt"),
+          expr(s"(sum(n_toks) + $CtxToks - 1) div $CtxToks").as("s_win"),
+          sum(when($"split_sample", 1L).otherwise(0L)).as("s_splits"),
+          (expr(s"(sum(n_toks) + $CtxToks - 1) div $CtxToks") * CtxToks -
+            sum($"n_toks")).as("s_pad"))
+        .groupBy($"format")
+        .agg(sum($"s_n").as("n_samples"),
+          sum($"s_tt").as("text_tokens"),
+          sum($"s_mt").as("media_tokens"),
+          sum($"s_win").as("n_windows"),
+          sum($"s_splits").as("n_split_samples"),
+          sum($"s_pad").as("tail_pad"))
+        .orderBy($"format")
+    },
+
+    "m13_patch_budget_curve" -> { (s, dir) =>
+      import s.implicits._
+      // PATCH-SIZE OPERATING CURVE — the resolution lever priced as a
+      // gated number: the ViT patch size is the one knob that moves a
+      // vision corpus's token bill quadratically (8 px is 4x the
+      // tokens of 16 px, 32 px a quarter), and the decision "what
+      // resolution can this context budget afford" is read off
+      // exactly this table. Per (patch_px, format): the media token
+      // bill, integer tokens-per-item, the media share against the
+      // paired text, and the 2048-token windows the combined samples
+      // fill. Audio rows are flat across the sweep — the lever
+      // doesn't reach codec-frame tokenization, which is itself the
+      // scope fact the card states. One corpus scan: the sweep fans
+      // out per-row inside [[tokenFrame]], then one map-side-partial
+      // agg over 12 groups; engine-exact integer/dyadic arithmetic.
+      tokenFrame(s, dir, PatchSweep)
+        .groupBy($"patch_px", $"format")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"media_toks").as("media_tokens"),
+          expr("sum(media_toks) div count(1)").as("toks_per_item"),
+          round(sum($"media_toks").cast("double") /
+            (sum($"media_toks") + sum($"text_toks")).cast("double"), 6)
+            .as("media_share"),
+          sum(expr(s"(text_toks + media_toks + ${CtxToks - 1})" +
+            s" div $CtxToks")).as("ctx_windows"))
+        .orderBy($"patch_px", $"format")
     },
 
     "m01_media_catalog" -> { (s, dir) =>
@@ -493,6 +550,92 @@ object Multimodal {
     */
   private val MediaShardBytes = 4096L
 
+  /** m12's packing-cell width in samples (the p06 ShardDocs analogue:
+    * shards bound the windowed cumsum's partition so one dominant
+    * modality never serializes its whole prefix sum through a single
+    * task) and the shared context-window length (m10's 2048).
+    */
+  private val MediaShardDocs = 200L
+  private val CtxToks = 2048L
+
+  /** m13's ViT patch-size sweep: brackets the shipped 16 px one step
+    * each way (8 px quadruples the image token bill, 32 px quarters
+    * it).
+    */
+  private val PatchSweep = Seq(8, 16, 32)
+
+  /** Per-item modality token frame under the m10 token model —
+    * (media_id, format, patch_px, text_toks, media_toks) at each swept
+    * ViT patch size: images cost the patch grid
+    * ceil(w/p)*ceil(h/p), audio costs 80 ms codec frames
+    * (patch-independent — the sweep rows are flat on wav, which is
+    * itself the lever-scope fact), video costs m09's 1 Hz sampled
+    * frames times the grid, and the paired text costs its whitespace
+    * tokens. The sweep fans out PER ROW (explode over the patch list)
+    * so any number of swept sizes still reads the corpus once; the
+    * frame is narrow (5 columns) and shuffle-free.
+    */
+  private def tokenFrame(s: SparkSession, dir: String,
+      patches: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val text = Tables.load(s, dir, "documents")
+      .select($"doc_id".as("media_id"),
+        when($"text".isNull, lit(0L))
+          .otherwise(size(split($"text", " ")).cast("long"))
+          .as("text_toks"))
+    val grid = "(((width + patch_px - 1) div patch_px) * " +
+      "((height + patch_px - 1) div patch_px))"
+    mediaTable(s, dir)
+      .withColumn("blen", octet_length($"content").cast("long"))
+      .withColumn("fps", ($"media_id" % 2 * 6 + 24).cast("long"))
+      .withColumn("patch_px", explode(array(patches.map(lit(_)): _*)))
+      .withColumn("media_toks",
+        when($"format".isin("png", "jpeg"), expr(grid).cast("long"))
+        .when($"format" === "wav", expr("(blen * 40) div 80"))
+        .otherwise( // mp4: m09's 1 Hz samples x the patch grid
+          when(expr("(blen * 40 * fps) div 1000") >= 1,
+            (expr("(((blen * 40 * fps) div 1000) - 1) div fps") + 1) *
+              expr(grid).cast("long"))
+          .otherwise(lit(0L))))
+      .join(text, "media_id")
+      .select($"media_id", $"format", $"patch_px",
+        $"text_toks", $"media_toks")
+  }
+
+  /** DuckDB twin of [[tokenFrame]]: CTEs ending in
+    * `tok(media_id, format, patch_px, text_toks, media_toks)`.
+    */
+  private def tokSqlCtes(patches: Seq[Int]): String =
+    s"""$mediaSql,
+       |t AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(CASE WHEN text IS NULL THEN 0
+       |      ELSE len(string_split(text, ' ')) END AS BIGINT)
+       |      AS text_toks
+       |  FROM documents),
+       |mm AS (
+       |  SELECT media_id, format,
+       |    CAST(strlen(content) AS BIGINT) AS blen,
+       |    CAST(media_id % 2 * 6 + 24 AS BIGINT) AS fps,
+       |    width, height
+       |  FROM media),
+       |tok AS (
+       |  SELECT media_id, format, patch_px, text_toks,
+       |    CASE
+       |      WHEN format IN ('png', 'jpeg') THEN
+       |        CAST(((width + patch_px - 1) // patch_px) *
+       |          ((height + patch_px - 1) // patch_px) AS BIGINT)
+       |      WHEN format = 'wav' THEN (blen * 40) // 80
+       |      WHEN (blen * 40 * fps) // 1000 >= 1 THEN
+       |        ((((blen * 40 * fps) // 1000) - 1) // fps + 1) *
+       |          CAST(((width + patch_px - 1) // patch_px) *
+       |            ((height + patch_px - 1) // patch_px) AS BIGINT)
+       |      ELSE 0
+       |    END AS media_toks
+       |  FROM mm JOIN t USING (media_id),
+       |    unnest([${patches.mkString(", ")}]) AS pp(patch_px))"""
+      .stripMargin
+
   private val mediaSql =
     """media AS (
       |  SELECT doc_id AS media_id, text AS content,
@@ -524,43 +667,61 @@ object Multimodal {
     },
 
     "m10_context_budget" ->
-      s"""WITH $mediaSql,
-         |t AS (
-         |  SELECT doc_id AS media_id,
-         |    CAST(CASE WHEN text IS NULL THEN 0
-         |      ELSE len(string_split(text, ' ')) END AS BIGINT)
-         |      AS text_toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT media_id, format,
-         |    CAST(strlen(content) AS BIGINT) AS blen,
-         |    CAST(media_id % 2 * 6 + 24 AS BIGINT) AS fps,
-         |    width, height
-         |  FROM media),
-         |tok AS (
-         |  SELECT media_id, format,
-         |    CASE
-         |      WHEN format IN ('png', 'jpeg') THEN
-         |        CAST(((width + 15) // 16) * ((height + 15) // 16)
-         |          AS BIGINT)
-         |      WHEN format = 'wav' THEN (blen * 40) // 80
-         |      WHEN (blen * 40 * fps) // 1000 >= 1 THEN
-         |        ((((blen * 40 * fps) // 1000) - 1) // fps + 1) *
-         |          CAST(((width + 15) // 16) * ((height + 15) // 16)
-         |            AS BIGINT)
-         |      ELSE 0
-         |    END AS media_toks
-         |  FROM m)
+      s"""WITH ${tokSqlCtes(Seq(16))}
          |SELECT format, count(*) AS n_items,
          |  CAST(sum(text_toks) AS BIGINT) AS text_tokens,
          |  CAST(sum(media_toks) AS BIGINT) AS media_tokens,
          |  round(CAST(sum(media_toks) AS DOUBLE)
          |    / CAST(sum(media_toks) + sum(text_toks) AS DOUBLE), 6)
          |    AS media_share,
-         |  CAST(sum((text_toks + media_toks + 2047) // 2048) AS BIGINT)
-         |    AS ctx_windows
-         |FROM tok JOIN t USING (media_id)
-         |GROUP BY format ORDER BY format""".stripMargin,
+         |  CAST(sum((text_toks + media_toks + ${CtxToks - 1})
+         |    // $CtxToks) AS BIGINT) AS ctx_windows
+         |FROM tok GROUP BY format ORDER BY format""".stripMargin,
+
+    "m12_interleaved_pack" ->
+      s"""WITH ${tokSqlCtes(Seq(16))},
+         |d AS (
+         |  SELECT media_id, format, media_id // $MediaShardDocs AS shard,
+         |    text_toks, media_toks, text_toks + media_toks AS n_toks
+         |  FROM tok),
+         |c AS (
+         |  SELECT *, sum(n_toks) OVER (PARTITION BY format, shard
+         |    ORDER BY media_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS cum
+         |  FROM d),
+         |sh AS (
+         |  SELECT format, shard, count(*) AS s_n,
+         |    CAST(sum(text_toks) AS BIGINT) AS s_tt,
+         |    CAST(sum(media_toks) AS BIGINT) AS s_mt,
+         |    CAST((sum(n_toks) + ${CtxToks - 1}) // $CtxToks AS BIGINT)
+         |      AS s_win,
+         |    CAST(sum(CASE WHEN n_toks > 0 AND
+         |        (cum - n_toks) // $CtxToks <> (cum - 1) // $CtxToks
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s_splits,
+         |    CAST(((sum(n_toks) + ${CtxToks - 1}) // $CtxToks) * $CtxToks
+         |      - sum(n_toks) AS BIGINT) AS s_pad
+         |  FROM c GROUP BY format, shard)
+         |SELECT format,
+         |  CAST(sum(s_n) AS BIGINT) AS n_samples,
+         |  CAST(sum(s_tt) AS BIGINT) AS text_tokens,
+         |  CAST(sum(s_mt) AS BIGINT) AS media_tokens,
+         |  CAST(sum(s_win) AS BIGINT) AS n_windows,
+         |  CAST(sum(s_splits) AS BIGINT) AS n_split_samples,
+         |  CAST(sum(s_pad) AS BIGINT) AS tail_pad
+         |FROM sh GROUP BY format ORDER BY format""".stripMargin,
+
+    "m13_patch_budget_curve" ->
+      s"""WITH ${tokSqlCtes(PatchSweep)}
+         |SELECT patch_px, format, count(*) AS n_items,
+         |  CAST(sum(media_toks) AS BIGINT) AS media_tokens,
+         |  CAST(sum(media_toks) // count(*) AS BIGINT) AS toks_per_item,
+         |  round(CAST(sum(media_toks) AS DOUBLE)
+         |    / CAST(sum(media_toks) + sum(text_toks) AS DOUBLE), 6)
+         |    AS media_share,
+         |  CAST(sum((text_toks + media_toks + ${CtxToks - 1})
+         |    // $CtxToks) AS BIGINT) AS ctx_windows
+         |FROM tok GROUP BY patch_px, format
+         |ORDER BY patch_px, format""".stripMargin,
 
     "m09_frame_sample_plan" ->
       s"""WITH $mediaSql,

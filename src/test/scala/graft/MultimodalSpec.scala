@@ -21,6 +21,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.select("format").distinct().count() == 4)
   }
 
+  test("m12/m13: packing identity holds, packing never costs more " +
+      "windows than per-item ceils, and the patch lever is quadratic " +
+      "on vision but flat on audio") {
+    val m12 = Multimodal.queries("m12_interleaved_pack")(spark, sfVerify)
+      .collect().map(r => r.getAs[String]("format") -> r).toMap
+    val m10 = Multimodal.queries("m10_context_budget")(spark, sfVerify)
+      .collect().map(r => r.getAs[String]("format") -> r).toMap
+    m12.foreach { case (fmt, r) =>
+      val toks = r.getAs[Long]("text_tokens") + r.getAs[Long]("media_tokens")
+      // exact accounting identity: every window is 2048 tokens of
+      // content plus tail padding, nothing lost or double-counted
+      assert(r.getAs[Long]("n_windows") * 2048L ==
+        toks + r.getAs[Long]("tail_pad"), s"window identity broke on $fmt")
+      assert(r.getAs[Long]("n_split_samples") <= r.getAs[Long]("n_samples"))
+      // concat-packing can only beat m10's one-ceil-per-item bound
+      assert(r.getAs[Long]("n_windows") <= m10(fmt).getAs[Long]("ctx_windows"),
+        s"packing must not cost extra windows on $fmt")
+      // the two rows must agree on the token model itself
+      assert(r.getAs[Long]("text_tokens") ==
+        m10(fmt).getAs[Long]("text_tokens"))
+      assert(r.getAs[Long]("media_tokens") ==
+        m10(fmt).getAs[Long]("media_tokens"))
+    }
+    val m13 = Multimodal.queries("m13_patch_budget_curve")(spark, sfVerify)
+      .collect()
+      .map(r => (r.getAs[Int]("patch_px"), r.getAs[String]("format")) -> r)
+      .toMap
+    Seq("jpeg", "png", "mp4").foreach { fmt =>
+      val Seq(t8, t16, t32) = Seq(8, 16, 32)
+        .map(p => m13((p, fmt)).getAs[Long]("media_tokens").toDouble)
+      // halving the patch ~quadruples the grid (ceil slack keeps it
+      // off exactly 4x); the curve must be steeply monotone
+      assert(t8 / t16 > 3.5 && t8 / t16 < 4.5, s"$fmt 8->16 ratio")
+      assert(t16 / t32 > 3.5 && t16 / t32 < 4.5, s"$fmt 16->32 ratio")
+    }
+    val wav = Seq(8, 16, 32).map(p => m13((p, "wav")).getAs[Long]("media_tokens"))
+    assert(wav.distinct.size == 1, "codec-frame audio must ignore the patch lever")
+  }
+
   test("feature extraction is deterministic and bounded [0,1)") {
     val f1 = Multimodal.queries("m02_feature_extract")(spark, sfSmoke)
     val f2 = Multimodal.queries("m02_feature_extract")(spark, sfSmoke)

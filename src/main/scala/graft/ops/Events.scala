@@ -225,6 +225,83 @@ object Events {
         .orderBy($"axis")
     },
 
+    "e41_watermark_delay_curve" -> { (s, dir) =>
+      import s.implicits._
+      // WATERMARK-DELAY OPERATING CURVE — the allowed-lateness lever
+      // priced as a gated number: every withWatermark() call in the
+      // e-family hard-codes a delay, and the honest way to choose it
+      // is this curve (drop share at each candidate delay, plus the
+      // smallest delay meeting a 0.5% completeness SLO). The fixture
+      // is generated in event-time order, so ARRIVAL is modeled as
+      // ts + a deterministic md5-coin ingest delay (uniform 0..30 min
+      // — the p07 coin: engine-reproducible, partition-independent);
+      // an event's watermark at arrival is the max event-time among
+      // strictly-earlier arrivals, and it is dropped at delay d when
+      // watermark - ts > d. Scale shape: the global running max is
+      // NOT a single-task window — it decomposes into the two-phase
+      // prefix-scan (per-arrival-hour bucket maxima, an exclusive
+      // prefix max over the tiny hours-sized bucket frame, broadcast
+      // back, plus a bounded within-bucket running max), the same
+      // discipline a 100 TB arrival log forces. The curve itself is
+      // five conditional sums in ONE pass, unpivoted.
+      val HourUs = 3600L * 1000 * 1000
+      val delays = Seq(0L, 60L, 300L, 900L, 1800L)
+      val base = ev(s, dir)
+        .select($"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("delay_s", expr(
+          "cast(conv(substr(md5(cast(event_id as string)), 1, 8), " +
+            "16, 10) as bigint) % 1800"))
+        .withColumn("arr_us", $"ts_us" + $"delay_s" * 1000000L)
+        .withColumn("bucket", expr(s"arr_us div $HourUs"))
+      // the exclusive prefix max runs over the BUCKET frame: one row
+      // per arrival hour, bounded by the corpus's time span (a year of
+      // arrivals is ~9k rows), never by its row count. It deliberately
+      // does NOT use a window — the partition-less-WindowExec guard
+      // bans that class board-wide (and Catalyst folds a constant
+      // partition key right back out) — instead the bounded frame
+      // collapses to ONE array row and the prefix max is pure
+      // expression work (sort_array + indexed transform + aggregate
+      // over the prefix slice), exploded back to (bucket, pmax).
+      val buckets = base.groupBy($"bucket").agg(max($"ts_us").as("bmax"))
+        .agg(sort_array(collect_list(struct($"bucket", $"bmax"))).as("bs"))
+        .select(explode(expr(
+          "transform(bs, (x, i) -> struct(x.bucket AS bucket, " +
+            "aggregate(slice(bs, 1, i), cast(-1 as bigint), " +
+            "(acc, y) -> greatest(acc, y.bmax)) AS pmax))")).as("r"))
+        .select($"r.bucket".as("bucket"), $"r.pmax".as("pmax"))
+      val inBucket = Window.partitionBy($"bucket")
+        .orderBy($"arr_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lat = base
+        .withColumn("prevb", max($"ts_us").over(inBucket))
+        .join(broadcast(buckets), "bucket")
+        .withColumn("late_us", greatest(lit(0L),
+          greatest(coalesce($"prevb", lit(-1L)),
+            coalesce($"pmax", lit(-1L))) - $"ts_us"))
+      // the recommendation (smallest SLO-meeting delay) is a coalesce
+      // over the static ascending delay list on the ONE-ROW counts
+      // frame — no window, no second evaluation of the upstream; the
+      // rounding matches drop_share's exactly so the flag and the
+      // share can never disagree at the SLO boundary
+      val aggs = count(lit(1)).as("n") +: delays.map(d =>
+        sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L)).as(s"c$d"))
+      lat.agg(aggs.head, aggs.tail: _*)
+        .withColumn("rec_s", coalesce(delays.map(d =>
+          when(round(col(s"c$d") / $"n".cast("double"), 6) <= 0.005,
+            lit(d))): _*))
+        .select($"n", $"rec_s", explode(array(delays.map(d =>
+          struct(lit(d).as("delay_s"), col(s"c$d").as("n_dropped"))): _*))
+          .as("r"))
+        .select($"r.delay_s".as("delay_s"), $"r.n_dropped".as("n_dropped"),
+          round($"r.n_dropped" / $"n".cast("double"), 6).as("drop_share"),
+          $"rec_s")
+        .withColumn("meets_slo", $"drop_share" <= 0.005)
+        .withColumn("is_recommended",
+          coalesce($"delay_s" === $"rec_s", lit(false)))
+        .drop("rec_s")
+        .orderBy($"delay_s")
+    },
+
     "e10_sliding_windows" -> { (s, dir) =>
       import s.implicits._
       // Sliding event-time windows (1 h length, 30 min slide): each
@@ -1377,6 +1454,56 @@ object Events {
         |    AS post_salt_max_rows,
         |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
         |FROM sn ORDER BY axis""".stripMargin,
+
+    "e41_watermark_delay_curve" ->
+      """WITH e2 AS (
+        |  SELECT event_id, ts_us, arr_us, arr_us // 3600000000 AS bucket
+        |  FROM (
+        |    SELECT event_id, ts_us, ts_us + delay_s * 1000000 AS arr_us
+        |    FROM (
+        |      SELECT event_id, epoch_us(ts) AS ts_us,
+        |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 1800 AS delay_s
+        |      FROM events))),
+        |bk AS (SELECT bucket, max(ts_us) AS bmax FROM e2 GROUP BY bucket),
+        |bp AS (
+        |  SELECT bucket, max(bmax) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM bk),
+        |w AS (
+        |  SELECT bucket, ts_us,
+        |    max(ts_us) OVER (PARTITION BY bucket ORDER BY arr_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevb
+        |  FROM e2),
+        |lat AS (
+        |  SELECT greatest(0,
+        |    greatest(coalesce(prevb, -1), coalesce(pmax, -1)) - ts_us)
+        |    AS late_us
+        |  FROM w JOIN bp USING (bucket)),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS c60,
+        |    sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS c300,
+        |    sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS c900,
+        |    sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END) AS c1800
+        |  FROM lat),
+        |cur AS (
+        |  SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+        |    CAST(CASE d.delay_s WHEN 0 THEN c0 WHEN 60 THEN c60
+        |      WHEN 300 THEN c300 WHEN 900 THEN c900 ELSE c1800 END
+        |      AS BIGINT) AS n_dropped,
+        |    n
+        |  FROM c, (VALUES (0), (60), (300), (900), (1800)) d(delay_s)),
+        |sh AS (
+        |  SELECT delay_s, n_dropped,
+        |    round(n_dropped / CAST(n AS DOUBLE), 6) AS drop_share
+        |  FROM cur),
+        |fl AS (SELECT *, drop_share <= 0.005 AS meets_slo FROM sh)
+        |SELECT delay_s, n_dropped, drop_share, meets_slo,
+        |  coalesce(delay_s = min(CASE WHEN meets_slo THEN delay_s END)
+        |    OVER (), FALSE) AS is_recommended
+        |FROM fl ORDER BY delay_s""".stripMargin,
 
     "e10_sliding_windows" ->
       """SELECT win_start, event_type, count(*) AS n FROM (

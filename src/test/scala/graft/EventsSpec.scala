@@ -66,6 +66,28 @@ class EventsSpec extends SparkTestBase {
     assert(rows("user_id").getAs[String]("decision") == "direct")
   }
 
+  test("e41: drop curve is monotone, the max-jitter delay provably " +
+      "admits everything, and exactly the smallest SLO-meeting delay " +
+      "is recommended") {
+    val rows = ops.Events.queries("e41_watermark_delay_curve")(
+      spark, sfVerify).orderBy(col("delay_s")).collect()
+    val dropped = rows.map(_.getAs[Long]("n_dropped"))
+    assert(dropped.zip(dropped.tail).forall { case (a, b) => a >= b },
+      "larger allowed lateness cannot drop more events")
+    // lateness <= the late event's own jitter <= 1799 s < 1800 s
+    assert(dropped.last == 0L, "the 1800 s delay must admit every event")
+    rows.foreach { r =>
+      val share = r.getAs[Double]("drop_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Boolean]("meets_slo") == (share <= 0.005))
+    }
+    val rec = rows.filter(_.getAs[Boolean]("is_recommended"))
+    assert(rec.length == 1, "exactly one recommended delay")
+    assert(rec.head.getAs[Long]("delay_s") ==
+      rows.filter(_.getAs[Boolean]("meets_slo"))
+        .map(_.getAs[Long]("delay_s")).min)
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -346,6 +346,9 @@ class PlanShapeSpec extends SparkTestBase {
       // e40's 3-axis skew card fans out per-row (explode), not by
       // self-union: one narrow scan feeds all three key histograms
       ("e40_skew_salt_decision", "events.parquet", 1),
+      // e41's two-phase prefix max is the classic 2-pass scan: one
+      // narrow pass for bucket maxima, one for the joined main pass
+      ("e41_watermark_delay_curve", "events.parquet", 2),
       ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
       ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
       // d12 deliberately re-reads instead of materializing the

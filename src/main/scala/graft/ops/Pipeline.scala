@@ -557,6 +557,54 @@ object Pipeline {
         .orderBy($"source", $"shard")
     },
 
+    "p24_ingest_file_curve" -> { (s, dir) =>
+      import s.implicits._
+      // THE SMALL-FILES LEVER — streaming ingest's trigger interval
+      // priced as a gated curve. A micro-batch sink writes one file
+      // per (day partition, trigger epoch) that saw data, so the
+      // trigger is a latency-vs-file-count trade: per candidate
+      // interval (1 min / 10 min / 1 h) the card reports the files a
+      // day-partitioned events sink would write, mean rows per file,
+      // the share of files under the compaction target, the
+      // bin-packed file count a compaction pass would leave
+      // (per-day ceil(rows/target) — rows can't cross the partition
+      // boundary), and the write amplification a later OPTIMIZE pays
+      // (written/packed). The latency SLO is the external input; the
+      // curve is what each second of allowed latency buys in file
+      // count — the number behind "compact hourly" runbooks. Scale
+      // shapes: one narrow 2-column scan, per-row 3-way trigger
+      // fan-out, then two map-side-partial aggregations whose group
+      // counts are calendar-bounded (days x epochs), never
+      // corpus-bounded; everything downstream of the first agg is
+      // tiny. All-integer arithmetic plus 6-dp dyadic shares.
+      val triggers = Seq(60L, 600L, 3600L)
+      Tables.load(s, dir, "events")
+        .select(to_date($"ts").cast("string").as("day"),
+          unix_micros($"ts").as("us"))
+        .select(explode(array(triggers.map(t =>
+          struct(lit(t).as("trigger_s"),
+            expr(s"us div ${t * 1000000L}").as("epoch"))): _*)).as("tk"),
+          $"day")
+        .groupBy($"tk.trigger_s".as("trigger_s"), $"day", $"tk.epoch")
+        .agg(count(lit(1)).as("f_rows"))
+        .groupBy($"trigger_s", $"day")
+        .agg(count(lit(1)).as("d_files"), sum($"f_rows").as("d_rows"),
+          sum(when($"f_rows" < IngestTargetRows, 1L).otherwise(0L))
+            .as("d_small"),
+          expr(s"(sum(f_rows) + $IngestTargetRows - 1) div " +
+            s"$IngestTargetRows").as("d_packed"))
+        .groupBy($"trigger_s")
+        .agg(sum($"d_files").as("n_files"), sum($"d_rows").as("total_rows"),
+          round(sum($"d_rows") / sum($"d_files").cast("double"), 6)
+            .as("rows_per_file"),
+          round(sum($"d_small") / sum($"d_files").cast("double"), 6)
+            .as("small_share"),
+          sum($"d_packed").as("packed_files"),
+          round(sum($"d_files") / sum($"d_packed").cast("double"), 6)
+            .as("amplification"))
+        .orderBy($"trigger_s")
+    },
+
     "p23_layout_scan_fraction" -> { (s, dir) =>
       import s.implicits._
       // The STORAGE-LAYOUT lever measured as a gated number — the
@@ -1033,6 +1081,12 @@ object Pipeline {
     */
   private val PackLen = 512
 
+  /** p24's compaction target in rows per file (a fixture-scaled stand-
+    * in for the usual 128 MB-1 GB file target; the arithmetic is
+    * target-agnostic).
+    */
+  private val IngestTargetRows = 500L
+
   /** p07's sampling-coin modulus. A power of two that divides the
     * md5-prefix range exactly (16^8 = 4096 * 2^20), so the coin is
     * uniform; see the threshold comment in p07.
@@ -1442,6 +1496,37 @@ object Pipeline {
     // p23's z-value in portable SQL: the bit-by-bit Morton interleave
     // ZOrder64 is bit-identical to (LayoutSpec proves the parity of the
     // fused kernel against exactly this composed form).
+    "p24_ingest_file_curve" ->
+      s"""WITH k AS (
+         |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |    epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT t.trigger_s, day,
+         |    us // (CAST(t.trigger_s AS BIGINT) * 1000000) AS epoch,
+         |    count(*) AS f_rows
+         |  FROM k, (VALUES (60), (600), (3600)) t(trigger_s)
+         |  GROUP BY 1, 2, 3),
+         |d AS (
+         |  SELECT trigger_s, day, count(*) AS d_files,
+         |    CAST(sum(f_rows) AS BIGINT) AS d_rows,
+         |    sum(CASE WHEN f_rows < $IngestTargetRows THEN 1 ELSE 0 END)
+         |      AS d_small,
+         |    (sum(f_rows) + ${IngestTargetRows - 1}) // $IngestTargetRows
+         |      AS d_packed
+         |  FROM f GROUP BY 1, 2)
+         |SELECT CAST(trigger_s AS BIGINT) AS trigger_s,
+         |  CAST(sum(d_files) AS BIGINT) AS n_files,
+         |  CAST(sum(d_rows) AS BIGINT) AS total_rows,
+         |  round(sum(d_rows) / CAST(sum(d_files) AS DOUBLE), 6)
+         |    AS rows_per_file,
+         |  round(sum(d_small) / CAST(sum(d_files) AS DOUBLE), 6)
+         |    AS small_share,
+         |  CAST(sum(d_packed) AS BIGINT) AS packed_files,
+         |  round(sum(d_files) / CAST(sum(d_packed) AS DOUBLE), 6)
+         |    AS amplification
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "p23_layout_scan_fraction" -> {
       val zTerms = (0 until 16).map(i =>
         s"(((a16 >> $i) & 1) << ${2 * i}) + " +

@@ -238,4 +238,29 @@ class PipelineSpec extends SparkTestBase {
       assert(alt == base, "shuffle manifest changed with partition count")
     }
   }
+
+  test("p24: file curve is monotone in the trigger, the compaction " +
+      "endpoint is trigger-invariant, and amplification is consistent") {
+    val rows = ops.Pipeline.queries("p24_ingest_file_curve")(spark, sfVerify)
+      .orderBy(col("trigger_s")).collect()
+    assert(rows.length == 3)
+    val files = rows.map(_.getAs[Long]("n_files"))
+    assert(files.zip(files.tail).forall { case (a, b) => a >= b },
+      "a wider trigger cannot write more files")
+    // compaction bin-packs per day partition: its endpoint depends
+    // only on the data's day histogram, never on how ingest sliced it
+    assert(rows.map(_.getAs[Long]("packed_files")).distinct.length == 1,
+      "packed file count must be trigger-invariant")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_rows") == rows.head.getAs[Long]("total_rows"))
+      assert(r.getAs[Long]("n_files") >= r.getAs[Long]("packed_files"),
+        "compaction cannot increase the file count")
+      val amp = r.getAs[Double]("amplification")
+      val expect = r.getAs[Long]("n_files").toDouble /
+        r.getAs[Long]("packed_files").toDouble
+      assert(math.abs(amp - expect) < 1e-6)
+      val share = r.getAs[Double]("small_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
 }

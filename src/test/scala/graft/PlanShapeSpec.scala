@@ -349,6 +349,9 @@ class PlanShapeSpec extends SparkTestBase {
       // e41's two-phase prefix max is the classic 2-pass scan: one
       // narrow pass for bucket maxima, one for the joined main pass
       ("e41_watermark_delay_curve", "events.parquet", 2),
+      // p24's trigger sweep fans out per-row: one narrow scan feeds
+      // all three file inventories
+      ("p24_ingest_file_curve", "events.parquet", 1),
       ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
       ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
       // d12 deliberately re-reads instead of materializing the

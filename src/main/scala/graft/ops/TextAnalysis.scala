@@ -712,6 +712,54 @@ object TextAnalysis {
         .orderBy($"source")
     },
 
+    "t29_lang_mixture_curve" -> { (s, dir) =>
+      import s.implicits._
+      // MULTILINGUAL REBALANCING CURVE — exponentiated-share language
+      // sampling (the XLM-R alpha-sampling family) as a gated number:
+      // raw token shares leave tail languages starved (en is ~44% of
+      // this corpus), so the mix reweights each language by
+      // share^alpha before normalizing; alpha=1 keeps natural
+      // proportions, smaller alphas flatten toward uniform. The
+      // exponent is computed in EXACT integer arithmetic — alpha=0.5
+      // is the integer sqrt (floor of the IEEE sqrt, bit-identical in
+      // both engines for counts far below 2^52), alpha=0.25 its
+      // composition — so the curve hash-gates where a libm pow()
+      // could drift in the last ulp. Per (alpha, lang): docs, tokens,
+      // the normalized weight, the integer-division token allocation
+      // against the corpus-total budget (alpha=1 reproduces the
+      // corpus itself — the anchor the spec pins), and the
+      // upsample factor (>1 = the language repeats epochs; the
+      // number a data card reports as repetition risk). Scale: one
+      // tokenize agg to a langs-sized frame; the 3-alpha fan-out,
+      // totals, and join all happen on that tiny frame (broadcast).
+      val per = docs(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"text".isNull, lit(0L))
+            .otherwise(size(split($"text", " ")).cast("long")))
+            .as("lang_toks"))
+      val lv = per.select($"lang", $"n_docs", $"lang_toks",
+          explode(array(
+            struct(lit(1.0).as("alpha"), $"lang_toks".as("f")),
+            struct(lit(0.5).as("alpha"),
+              expr("cast(floor(sqrt(cast(lang_toks as double))) " +
+                "as bigint)").as("f")),
+            struct(lit(0.25).as("alpha"),
+              expr("cast(floor(sqrt(floor(sqrt(cast(lang_toks " +
+                "as double))))) as bigint)").as("f")))).as("a"))
+        .select($"lang", $"n_docs", $"lang_toks",
+          $"a.alpha".as("alpha"), $"a.f".as("f"))
+      val tot = lv.groupBy($"alpha")
+        .agg(sum($"f").as("sum_f"), sum($"lang_toks").as("budget"))
+      lv.join(broadcast(tot), "alpha")
+        .select($"alpha", $"lang", $"n_docs", $"lang_toks",
+          round($"f" / $"sum_f".cast("double"), 6).as("weight"),
+          expr("(budget * f) div sum_f").as("alloc_toks"))
+        .withColumn("upsample",
+          round($"alloc_toks" / $"lang_toks".cast("double"), 6))
+        .orderBy($"alpha", $"lang")
+    },
+
     "t28_bpe_merge_curve" -> { (s, dir) =>
       import s.implicits._
       // The TOKENIZER-SIZE operating curve — the measured-knob
@@ -1467,6 +1515,36 @@ object TextAnalysis {
          |FROM bpec GROUP BY source ORDER BY source""".stripMargin,
 
     // t28: the same double-pass replace fold per (doc, k) over the
+    "t29_lang_mixture_curve" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 0
+        |      ELSE len(string_split(text, ' ')) END) AS BIGINT)
+        |      AS lang_toks
+        |  FROM documents GROUP BY lang),
+        |lv AS (
+        |  SELECT lang, n_docs, lang_toks,
+        |    CAST(a.alpha AS DOUBLE) AS alpha,
+        |    CASE a.alpha
+        |      WHEN 1.0 THEN lang_toks
+        |      WHEN 0.5 THEN
+        |        CAST(floor(sqrt(CAST(lang_toks AS DOUBLE))) AS BIGINT)
+        |      ELSE CAST(floor(sqrt(floor(sqrt(
+        |        CAST(lang_toks AS DOUBLE))))) AS BIGINT)
+        |    END AS f
+        |  FROM per, (VALUES (1.0), (0.5), (0.25)) a(alpha)),
+        |tot AS (
+        |  SELECT alpha, CAST(sum(f) AS BIGINT) AS sum_f,
+        |    CAST(sum(lang_toks) AS BIGINT) AS budget
+        |  FROM lv GROUP BY alpha)
+        |SELECT alpha, lang, n_docs, lang_toks,
+        |  round(f / CAST(sum_f AS DOUBLE), 6) AS weight,
+        |  (budget * f) // sum_f AS alloc_toks,
+        |  round(((budget * f) // sum_f) / CAST(lang_toks AS DOUBLE), 6)
+        |    AS upsample
+        |FROM lv JOIN tot USING (alpha)
+        |ORDER BY alpha, lang""".stripMargin,
+
     // top-k slice of the shared ranked merge list
     "t28_bpe_merge_curve" -> {
       val cfg = BpeCurveKs.map(k => s"($k)").mkString(", ")

@@ -286,4 +286,32 @@ class TextAnalysisSpec extends SparkTestBase {
           s"for '$t'")
     }
   }
+
+  test("t29: alpha=1 reproduces the corpus exactly, weights normalize, " +
+      "allocation conserves the budget to floor loss, and the dominant " +
+      "language flattens as alpha drops") {
+    val rows = ops.TextAnalysis.queries("t29_lang_mixture_curve")(
+      spark, sfVerify).collect()
+    val byAlpha = rows.groupBy(_.getAs[Double]("alpha"))
+    assert(byAlpha.keySet == Set(1.0, 0.5, 0.25))
+    val budget = byAlpha(1.0).map(_.getAs[Long]("lang_toks")).sum
+    byAlpha.foreach { case (a, rs) =>
+      val wsum = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(wsum - 1.0) < 1e-4, s"weights at alpha=$a sum to $wsum")
+      val alloc = rs.map(_.getAs[Long]("alloc_toks")).sum
+      // each language's floor division loses < 1 token
+      assert(alloc <= budget && alloc > budget - rs.length,
+        s"allocation at alpha=$a lost more than floor slack")
+    }
+    byAlpha(1.0).foreach { r =>
+      assert(r.getAs[Long]("alloc_toks") == r.getAs[Long]("lang_toks"))
+      assert(r.getAs[Double]("upsample") == 1.0)
+    }
+    val top = byAlpha(1.0).maxBy(_.getAs[Double]("weight"))
+      .getAs[String]("lang")
+    def w(a: Double) = byAlpha(a)
+      .find(_.getAs[String]("lang") == top).get.getAs[Double]("weight")
+    assert(w(1.0) > w(0.5) && w(0.5) > w(0.25),
+      "alpha-sampling must flatten the dominant language monotonically")
+  }
 }

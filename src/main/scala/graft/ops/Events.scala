@@ -302,6 +302,86 @@ object Events {
         .orderBy($"delay_s")
     },
 
+    "e42_state_peak_card" -> { (s, dir) =>
+      import s.implicits._
+      // STATE-STORE SIZING CARD — the number behind every stateful
+      // e-family query's RocksDB footprint: session-window state
+      // lives from a session's first event until the watermark passes
+      // last-event + gap, so PEAK CONCURRENT OPEN SESSIONS is what
+      // sizes state memory and picks the state-partition count (the
+      // 100 TB failure mode is a state store that grew past executor
+      // memory because nobody priced the peak). Sessions come from
+      // the e03 islands form; each emits interval deltas (+1 at
+      // start, -1 at expiry, expiry-before-start on ties), and the
+      // running sum's maximum is the peak. The global running sum
+      // reuses e41's two-phase discipline — per-hour bucket partial
+      // sums and peaks, the exclusive bucket-offset prefix computed
+      // window-free on the collapsed hours-bounded array, offsets
+      // added back to in-bucket peaks — so no partition-less window
+      // touches a corpus-sized frame. Per day: sessions started and
+      // expired, the day's peak open sessions, its state footprint at
+      // 4 KB/session, and the globally recommended state-partition
+      // count at 512 sessions/partition (constant across rows, like
+      // p22's straggler ratio; computed from the day frame after an
+      // eager checkpoint so the corpus pipeline runs once).
+      val DayUs = 86400L * 1000 * 1000
+      val HourUs = 3600L * 1000 * 1000
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val sess = ev(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("prev", lag($"us", 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev".isNull || $"us" - $"prev" >= GapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum($"new_sess")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sess_id")
+        .agg(min($"us").as("start_us"),
+          (max($"us") + GapUs).as("expire_us"))
+      val deltas = sess.select(explode(array(
+          struct($"start_us".as("t"), lit(1L).as("d")),
+          struct($"expire_us".as("t"), lit(-1L).as("d")))).as("e"))
+        .select($"e.t".as("t"), $"e.d".as("d"))
+        .withColumn("bucket", expr(s"t div $HourUs"))
+      // ties sort (t, d): a session expiring at the instant another
+      // starts is freed first — adjacent sessions never double-count.
+      // Run values over equal-(t, d) runs are permutation-invariant
+      // (each step adds the same delta), so the max hash-gates.
+      val inb = Window.partitionBy($"bucket").orderBy($"t", $"d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perBucket = deltas.withColumn("run", sum($"d").over(inb))
+        .groupBy($"bucket")
+        .agg(max($"run").as("b_peak"), sum($"d").as("b_sum"))
+      val gPeaks = perBucket
+        .agg(sort_array(collect_list(
+          struct($"bucket", $"b_peak", $"b_sum"))).as("bs"))
+        .select(explode(expr(
+          "transform(bs, (x, i) -> struct(x.bucket AS bucket, " +
+            "x.b_peak + aggregate(slice(bs, 1, i), cast(0 as bigint), " +
+            "(acc, y) -> acc + y.b_sum) AS g_peak))")).as("r"))
+        .select(expr(s"r.bucket div 24").as("day_id"),
+          $"r.g_peak".as("g_peak"))
+        .groupBy($"day_id").agg(max($"g_peak").as("peak_open"))
+      val st = sess.groupBy(expr(s"start_us div $DayUs").as("day_id"))
+        .agg(count(lit(1)).as("n_started"))
+      val ex = sess.groupBy(expr(s"expire_us div $DayUs").as("day_id"))
+        .agg(count(lit(1)).as("n_expired"))
+      val days = gPeaks
+        .join(st, Seq("day_id"), "full_outer")
+        .join(ex, Seq("day_id"), "full_outer")
+        .select($"day_id", coalesce($"n_started", lit(0L)).as("n_started"),
+          coalesce($"n_expired", lit(0L)).as("n_expired"),
+          coalesce($"peak_open", lit(0L)).as("peak_open"))
+        .localCheckpoint() // days-sized; upstream corpus pass runs once
+      val global = days.agg(max($"peak_open").as("global_peak"))
+      days.crossJoin(broadcast(global))
+        .select(
+          expr("date_add(date'1970-01-01', cast(day_id as int))").as("day"),
+          $"n_started", $"n_expired", $"peak_open",
+          ($"peak_open" * 4L).as("state_kb"),
+          expr("(global_peak + 511) div 512").as("rec_partitions"))
+        .orderBy($"day")
+    },
+
     "e10_sliding_windows" -> { (s, dir) =>
       import s.implicits._
       // Sliding event-time windows (1 h length, 30 min slide): each
@@ -1504,6 +1584,57 @@ object Events {
         |  coalesce(delay_s = min(CASE WHEN meets_slo THEN delay_s END)
         |    OVER (), FALSE) AS is_recommended
         |FROM fl ORDER BY delay_s""".stripMargin,
+
+    "e42_state_peak_card" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        |  FROM o),
+        |sgl AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM m),
+        |sid AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM sgl),
+        |iv AS (
+        |  SELECT user_id, sess, min(us) AS start_us,
+        |    max(us) + 1800000000 AS expire_us
+        |  FROM sid GROUP BY 1, 2),
+        |d AS (
+        |  SELECT start_us AS t, CAST(1 AS BIGINT) AS dd FROM iv
+        |  UNION ALL
+        |  SELECT expire_us, -1 FROM iv),
+        |r AS (
+        |  SELECT t, sum(dd) OVER (ORDER BY t, dd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |pb AS (
+        |  SELECT t // 86400000000 AS day_id,
+        |    CAST(max(run) AS BIGINT) AS peak_open
+        |  FROM r GROUP BY 1),
+        |st AS (
+        |  SELECT start_us // 86400000000 AS day_id,
+        |    count(*) AS n_started
+        |  FROM iv GROUP BY 1),
+        |ex AS (
+        |  SELECT expire_us // 86400000000 AS day_id,
+        |    count(*) AS n_expired
+        |  FROM iv GROUP BY 1),
+        |g AS (SELECT max(peak_open) AS gp FROM pb)
+        |SELECT DATE '1970-01-01' + CAST(day_id AS INT) AS day,
+        |  coalesce(n_started, 0) AS n_started,
+        |  coalesce(n_expired, 0) AS n_expired,
+        |  peak_open,
+        |  peak_open * 4 AS state_kb,
+        |  CAST((gp + 511) // 512 AS BIGINT) AS rec_partitions
+        |FROM pb LEFT JOIN st USING (day_id) LEFT JOIN ex USING (day_id)
+        |CROSS JOIN g
+        |ORDER BY day""".stripMargin,
 
     "e10_sliding_windows" ->
       """SELECT win_start, event_type, count(*) AS n FROM (

@@ -88,6 +88,26 @@ class EventsSpec extends SparkTestBase {
         .map(_.getAs[Long]("delay_s")).min)
   }
 
+  test("e42: session accounting conserves, ties to e03's gated total, " +
+      "and the sizing columns are internally consistent") {
+    val rows = ops.Events.queries("e42_state_peak_card")(spark, sfVerify)
+      .collect()
+    val started = rows.map(_.getAs[Long]("n_started")).sum
+    val expired = rows.map(_.getAs[Long]("n_expired")).sum
+    assert(started == expired, "every opened session must expire")
+    val e03Total = ops.Events.queries("e03_user_sessions")(spark, sfVerify)
+      .agg(sum("n_sessions")).collect()(0).getLong(0)
+    assert(started == e03Total,
+      s"interval model ($started) must agree with e03's islands ($e03Total)")
+    val gp = rows.map(_.getAs[Long]("peak_open")).max
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("peak_open")
+      assert(peak >= 1 && peak <= started)
+      assert(r.getAs[Long]("state_kb") == peak * 4L)
+      assert(r.getAs[Long]("rec_partitions") == (gp + 511) / 512)
+    }
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -135,6 +135,13 @@ object Similarity {
   // merge on the driver, no full sort shuffle.
 
   private val KmK = 8      // coarse cells to train
+
+  /** s53's serving shard budget in bytes — fixture-scaled (1 MiB) so
+    * the card yields multi-shard answers on the test corpora; real
+    * deployments swap in 10s of GB and the ceil-division is
+    * budget-agnostic.
+    */
+  private val ServingShardBytes = 1L << 20
   private val KmIters = 2  // bounded Lloyd passes
   /** Bounded training-sample size, shared by the coarse quantizer and
     * the PQ codebooks (one sample frame → the CTE chains compose).
@@ -1021,6 +1028,58 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s53_serving_memory_card" -> { (s, dir) =>
+      import s.implicits._
+      // SERVING-TIER MEMORY CARD — "does this index fit in RAM, and
+      // across how many shards?" priced from the WRITTEN artifacts
+      // (the s46/s51/d35 maintenance-decision shape applied to the
+      // capacity dimension). Per component of the three serving
+      // indexes: the artifact's actual row count (read from the index
+      // directories — a drifted build changes this row, which is the
+      // point) and its decoded in-memory footprint under a documented
+      // width model (ids/cells/tf/len 8 B, PQ code 1 B packed,
+      // centroid/codebook doubles, md5 fp 32 B, band 32 B canonical,
+      // postings add their true term bytes and 8 B per stored
+      // position). Per kind: total bytes and the shard count at the
+      // 1 MiB fixture-scaled shard budget (real deployments swap in
+      // 10s of GB; ceil-division is budget-agnostic). The oracle
+      // re-derives every count from the RAW tables — N vectors, N*PqM
+      // code rows, distinct (doc, term) postings with their term/tf
+      // sums, the corpus-split fp/band counts — so the gate proves
+      // artifact-vs-corpus integrity, not just arithmetic. Scale:
+      // each probe is one metadata-sized aggregate over one artifact
+      // (count/sum); the card itself is 8 literal rows.
+      val annDir = ServingIndexes.ann(s, dir)
+      val textDir = ServingIndexes.text(s, dir)
+      val dedupDir = ServingIndexes.dedup(s, dir)
+      def n(p: String): Long = s.read.parquet(p).count()
+      val post = s.read.parquet(s"$textDir/postings")
+        .agg(count(lit(1)).as("n"), sum($"tf").as("tt"),
+          sum(length($"term")).as("tb")).head()
+      val (nPost, sumTf, termB) =
+        (post.getLong(0), post.getLong(1), post.getLong(2))
+      val rows = Seq(
+        ("ann", "ann/invlists", n(s"$annDir/invlists"), 16L, 0L),
+        ("ann", "ann/codes", n(s"$annDir/codes"), 17L, 0L),
+        ("ann", "ann/centroids", n(s"$annDir/centroids"), 520L, 0L),
+        ("ann", "ann/codebooks", n(s"$annDir/codebooks"), 80L, 0L),
+        ("text", "text/postings", nPost, 24L, termB + 8L * sumTf),
+        ("text", "text/docs", n(s"$textDir/docs"), 16L, 0L),
+        ("dedup", "dedup/fps", n(s"$dedupDir/fps"), 40L, 0L),
+        ("dedup", "dedup/bands", n(s"$dedupDir/bands"), 32L, 0L))
+      val comp = rows.toDF("kind", "component", "n_rows", "w", "extra")
+        .select($"kind", $"component", $"n_rows",
+          ($"n_rows" * $"w" + $"extra").as("est_bytes"))
+      val tot = comp.groupBy($"kind")
+        .agg(sum($"est_bytes").as("kind_bytes"))
+      comp.join(broadcast(tot), "kind")
+        .select($"kind", $"component", $"n_rows", $"est_bytes",
+          $"kind_bytes",
+          expr(s"(kind_bytes + ${ServingShardBytes - 1}) div " +
+            s"$ServingShardBytes").as("shards"))
+        .orderBy($"kind", $"component")
+    },
+
     "s26_source_embedding_coverage" -> { (s, dir) =>
       import s.implicits._
       // Per-source EMBEDDING-SPACE COVERAGE over the trained coarse
@@ -2368,6 +2427,48 @@ object Similarity {
          |  FROM adc) WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // s53: every artifact count re-derived from the RAW tables —
+    // N vectors (invlists), N*PqM per-subspace code rows, the
+    // KmK/PqM*PqK constant frames, distinct (doc, term) postings
+    // with true term-byte and stored-position sums, corpus-split
+    // fp/band counts — then the same width model and shard division
+    "s53_serving_memory_card" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term),
+         |ps AS (
+         |  SELECT count(*) AS n_post,
+         |    CAST(sum(strlen(term)) AS BIGINT) AS tb,
+         |    CAST(sum(tf) AS BIGINT) AS tt
+         |  FROM p),
+         |ne AS (SELECT count(*) AS n FROM embeddings),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |sp AS (SELECT count(*) AS n FROM documents
+         |       WHERE doc_id % 5 <> 4),
+         |comp AS (
+         |  SELECT 'ann' AS kind, 'ann/invlists' AS component,
+         |    n AS n_rows, n * 16 AS est_bytes FROM ne
+         |  UNION ALL SELECT 'ann', 'ann/codes', n * 8, n * 8 * 17 FROM ne
+         |  UNION ALL SELECT 'ann', 'ann/centroids', 8, 8 * 520
+         |  UNION ALL SELECT 'ann', 'ann/codebooks', 128, 128 * 80
+         |  UNION ALL SELECT 'text', 'text/postings', n_post,
+         |    n_post * 24 + tb + 8 * tt FROM ps
+         |  UNION ALL SELECT 'text', 'text/docs', n, n * 16 FROM nd
+         |  UNION ALL SELECT 'dedup', 'dedup/fps', n, n * 40 FROM sp
+         |  UNION ALL SELECT 'dedup', 'dedup/bands', n * 3, n * 3 * 32
+         |    FROM sp),
+         |tot AS (
+         |  SELECT kind, CAST(sum(est_bytes) AS BIGINT) AS kind_bytes
+         |  FROM comp GROUP BY kind)
+         |SELECT kind, component, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(est_bytes AS BIGINT) AS est_bytes, kind_bytes,
+         |  CAST((kind_bytes + ${ServingShardBytes - 1})
+         |    // $ServingShardBytes AS BIGINT) AS shards
+         |FROM comp JOIN tot USING (kind)
+         |ORDER BY kind, component""".stripMargin,
+
     "s26_source_embedding_coverage" ->
       s"""WITH $kmSqlCtes,
          |sc AS (

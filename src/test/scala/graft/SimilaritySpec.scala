@@ -199,4 +199,25 @@ class SimilaritySpec extends SparkTestBase {
           "seam is leaking summation order")
     }
   }
+
+  test("s53: artifact structure ratios hold (codes = PqM x invlists, " +
+      "bands = 3 x fps), kind totals add up, and shard division is " +
+      "consistent") {
+    val rows = ops.Similarity.queries("s53_serving_memory_card")(
+      spark, sfSmoke).collect()
+      .map(r => r.getAs[String]("component") -> r).toMap
+    assert(rows("ann/codes").getAs[Long]("n_rows") ==
+      8L * rows("ann/invlists").getAs[Long]("n_rows"))
+    assert(rows("dedup/bands").getAs[Long]("n_rows") ==
+      3L * rows("dedup/fps").getAs[Long]("n_rows"))
+    rows.values.groupBy(_.getAs[String]("kind")).foreach { case (k, rs) =>
+      val total = rs.map(_.getAs[Long]("est_bytes")).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("kind_bytes") == total,
+          s"$k kind_bytes must equal the component sum")
+        assert(r.getAs[Long]("shards") == (total + (1L << 20) - 1) / (1L << 20))
+        assert(r.getAs[Long]("est_bytes") > 0)
+      }
+    }
+  }
 }

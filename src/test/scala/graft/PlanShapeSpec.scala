@@ -352,6 +352,11 @@ class PlanShapeSpec extends SparkTestBase {
       // p24's trigger sweep fans out per-row: one narrow scan feeds
       // all three file inventories
       ("p24_ingest_file_curve", "events.parquet", 1),
+      // tokenFrame rows: one media-side scan + one text-side scan of
+      // documents; the patch sweep (m13) must NOT add a third — it
+      // fans out per-row inside the shared helper
+      ("m12_interleaved_pack", "documents.parquet", 2),
+      ("m13_patch_budget_curve", "documents.parquet", 2),
       ("s03_lsh_ann_topk", "embeddings.parquet", 4), // 2 pruned q-side
       ("d05_ngram_jaccard_top_pairs", "documents.parquet", 1),
       // d12 deliberately re-reads instead of materializing the

@@ -242,8 +242,12 @@ object Events {
       // prefix-scan (per-arrival-hour bucket maxima, an exclusive
       // prefix max over the tiny hours-sized bucket frame, broadcast
       // back, plus a bounded within-bucket running max), the same
-      // discipline a 100 TB arrival log forces. The curve itself is
-      // five conditional sums in ONE pass, unpivoted.
+      // discipline a 100 TB arrival log forces. Bucket width is the
+      // skew knob: the in-bucket window sorts one bucket per task, so
+      // at 100 TB the hour constant narrows (to minutes) until one
+      // bucket's arrivals fit a task — the structure is
+      // width-agnostic. The curve itself is five conditional sums in
+      // ONE pass, unpivoted.
       val HourUs = 3600L * 1000 * 1000
       val delays = Seq(0L, 60L, 300L, 900L, 1800L)
       val base = ev(s, dir)
@@ -346,6 +350,10 @@ object Events {
       // starts is freed first — adjacent sessions never double-count.
       // Run values over equal-(t, d) runs are permutation-invariant
       // (each step adds the same delta), so the max hash-gates.
+      // Bucket width is the skew knob: the in-bucket window sorts one
+      // bucket per task, so at 100 TB the hour constant narrows (to
+      // minutes) until a bucket's deltas fit a task — the two-phase
+      // structure is width-agnostic (same note as e41).
       val inb = Window.partitionBy($"bucket").orderBy($"t", $"d")
         .rowsBetween(Window.unboundedPreceding, 0)
       val perBucket = deltas.withColumn("run", sum($"d").over(inb))

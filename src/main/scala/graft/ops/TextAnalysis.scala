@@ -732,12 +732,16 @@ object TextAnalysis {
       // number a data card reports as repetition risk). Scale: one
       // tokenize agg to a langs-sized frame; the 3-alpha fan-out,
       // totals, and join all happen on that tiny frame (broadcast).
+      // eager checkpoint: the langs-sized frame feeds both the alpha
+      // fan-out and the totals — materializing ~5 rows guarantees the
+      // corpus is tokenized exactly once regardless of exchange reuse
       val per = docs(s, dir)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"text".isNull, lit(0L))
             .otherwise(size(split($"text", " ")).cast("long")))
             .as("lang_toks"))
+        .localCheckpoint()
       val lv = per.select($"lang", $"n_docs", $"lang_toks",
           explode(array(
             struct(lit(1.0).as("alpha"), $"lang_toks".as("f")),

@@ -390,6 +390,74 @@ object Events {
         .orderBy($"day")
     },
 
+    "e43_admission_backlog_curve" -> { (s, dir) =>
+      import s.implicits._
+      // ADMISSION-CONTROL SIZING CURVE — the one scale knob the
+      // REFERENCE itself exposes (B5: max_records_per_trigger,
+      // SURVEY §2.1), priced: a per-trigger cap below the arrival
+      // rate grows an unbounded backlog, one near the mean rides
+      // bursts, one above drains them — and the decision needs the
+      // Lindley recursion backlog_t = max(0, backlog_{t-1} +
+      // arrivals_t - cap), which has the closed form
+      // P_t - min_{s<=t} P_s over prefix sums of (arrivals - cap).
+      // Per cap (0.9x / 1.1x / 1.5x the mean arrival rate, so the
+      // curve keeps its shape at every SF): peak backlog, epochs
+      // spent backlogged, the final backlog and its drained flag, and
+      // utilization. Scale shapes: one corpus scan to 10-minute epoch
+      // counts (map-side partials); the dense epoch series
+      // (calendar-bounded, like e41's buckets) collapses to ONE
+      // sorted array row and the recursion is pure expression work
+      // (aggregate HOF with a struct accumulator), fanned out per cap
+      // — no partition-less window, no driver loop.
+      val EpochUs = 600L * 1000 * 1000
+      // epoch counts are calendar-bounded (like e41's buckets); the
+      // eager checkpoint lets the bounds agg and the densify join
+      // both read them with ONE corpus scan
+      val sparse = ev(s, dir)
+        .select(expr(s"unix_micros(ts) div $EpochUs").as("epoch"))
+        .groupBy($"epoch").agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val bounds = sparse.agg(min($"epoch").as("e0"),
+        max($"epoch").as("e1"), sum($"a").as("total"))
+      // densify over [min, max] — zero-arrival epochs drain backlog
+      val arr = bounds
+        .select($"total", ($"e1" - $"e0" + 1).as("n_epochs"),
+          explode(expr("sequence(e0, e1)")).as("epoch"))
+        .join(sparse, Seq("epoch"), "left")
+        .select($"total", $"n_epochs", $"epoch",
+          coalesce($"a", lit(0L)).as("a"))
+        .groupBy($"total", $"n_epochs")
+        .agg(expr("transform(sort_array(collect_list(struct(epoch, a))), " +
+          "x -> x.a)").as("arrs"))
+      arr.select($"total", $"n_epochs", $"arrs", explode(array(
+          Seq(9L, 11L, 15L).map(m => lit(m)): _*)).as("m"))
+        .withColumn("cap",
+          expr("(total * m + 10 * n_epochs - 1) div (10 * n_epochs)"))
+        .withColumn("acc", expr("""
+          aggregate(arrs,
+            named_struct('p', cast(0 as bigint), 'mn', cast(0 as bigint),
+              'b', cast(0 as bigint), 'peak', cast(0 as bigint),
+              'nb', cast(0 as bigint)),
+            (acc, x) -> named_struct(
+              'p', acc.p + x - cap,
+              'mn', least(acc.mn, acc.p + x - cap),
+              'b', acc.p + x - cap - least(acc.mn, acc.p + x - cap),
+              'peak', greatest(acc.peak,
+                acc.p + x - cap - least(acc.mn, acc.p + x - cap)),
+              'nb', acc.nb + if(acc.p + x - cap
+                - least(acc.mn, acc.p + x - cap) > 0, 1, 0)))"""))
+        .select(
+          round($"m" / lit(10.0), 1).as("cap_x_mean"),
+          $"cap".as("cap_rows"),
+          $"acc.peak".as("peak_backlog"),
+          $"acc.nb".as("backlogged_epochs"),
+          $"acc.b".as("final_backlog"),
+          ($"acc.b" === 0L).as("drained"),
+          round($"total" / ($"cap" * $"n_epochs").cast("double"), 6)
+            .as("utilization"))
+        .orderBy($"cap_x_mean")
+    },
+
     "e10_sliding_windows" -> { (s, dir) =>
       import s.implicits._
       // Sliding event-time windows (1 h length, 30 min slide): each
@@ -1643,6 +1711,50 @@ object Events {
         |FROM pb LEFT JOIN st USING (day_id) LEFT JOIN ex USING (day_id)
         |CROSS JOIN g
         |ORDER BY day""".stripMargin,
+
+    "e43_admission_backlog_curve" ->
+      """WITH sparse AS (
+        |  SELECT epoch_us(ts) // 600000000 AS epoch, count(*) AS a
+        |  FROM events GROUP BY 1),
+        |bnd AS (
+        |  SELECT min(epoch) AS e0, max(epoch) AS e1,
+        |    CAST(sum(a) AS BIGINT) AS total
+        |  FROM sparse),
+        |dense AS (
+        |  SELECT d.total, d.n_epochs, d.epoch,
+        |    CAST(coalesce(s.a, 0) AS BIGINT) AS a
+        |  FROM (SELECT total, e1 - e0 + 1 AS n_epochs,
+        |          unnest(range(e0, e1 + 1)) AS epoch
+        |        FROM bnd) d
+        |  LEFT JOIN sparse s ON s.epoch = d.epoch),
+        |caps AS (
+        |  SELECT t.total, t.n_epochs, mm.m,
+        |    (t.total * mm.m + 10 * t.n_epochs - 1)
+        |      // (10 * t.n_epochs) AS cap
+        |  FROM (SELECT DISTINCT total, n_epochs FROM dense) t,
+        |    (VALUES (9), (11), (15)) mm(m)),
+        |r AS (
+        |  SELECT c.m, c.cap, c.total, c.n_epochs, d.epoch,
+        |    sum(d.a - c.cap) OVER (PARTITION BY c.m ORDER BY d.epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM dense d CROSS JOIN caps c),
+        |bl AS (
+        |  SELECT m, cap, total, n_epochs, epoch,
+        |    p - least(min(p) OVER (PARTITION BY m ORDER BY epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS b
+        |  FROM r)
+        |SELECT round(CAST(m AS DOUBLE) / 10.0, 1) AS cap_x_mean,
+        |  CAST(cap AS BIGINT) AS cap_rows,
+        |  CAST(max(b) AS BIGINT) AS peak_backlog,
+        |  CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS backlogged_epochs,
+        |  CAST(arg_max(b, epoch) AS BIGINT) AS final_backlog,
+        |  CAST(arg_max(b, epoch) AS BIGINT) = 0 AS drained,
+        |  round(any_value(total)
+        |    / CAST(cap * any_value(n_epochs) AS DOUBLE), 6)
+        |    AS utilization
+        |FROM bl GROUP BY m, cap ORDER BY cap_x_mean""".stripMargin,
 
     "e10_sliding_windows" ->
       """SELECT win_start, event_type, count(*) AS n FROM (

@@ -108,6 +108,36 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("e43: the gated curve matches an independent Lindley recursion " +
+      "and is monotone in the cap") {
+    val rows = ops.Events.queries("e43_admission_backlog_curve")(
+      spark, sfVerify).orderBy(col("cap_rows")).collect()
+    assert(rows.length == 3)
+    // independent reference: replay backlog_t = max(0, b + a_t - cap)
+    // directly over the dense epoch counts in Scala
+    val sparse = Tables.load(spark, sfVerify, "events")
+      .selectExpr("unix_micros(ts) div 600000000 as e")
+      .groupBy("e").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (e0, e1) = (sparse.keys.min, sparse.keys.max)
+    val dense = (e0 to e1).map(e => sparse.getOrElse(e, 0L))
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("cap_rows")
+      var b = 0L; var peak = 0L; var nb = 0L
+      dense.foreach { a =>
+        b = math.max(0L, b + a - cap)
+        peak = math.max(peak, b); if (b > 0) nb += 1
+      }
+      assert(r.getAs[Long]("peak_backlog") == peak, s"peak at cap=$cap")
+      assert(r.getAs[Long]("final_backlog") == b, s"final at cap=$cap")
+      assert(r.getAs[Long]("backlogged_epochs") == nb, s"nb at cap=$cap")
+      assert(r.getAs[Boolean]("drained") == (b == 0L))
+    }
+    val peaks = rows.map(_.getAs[Long]("peak_backlog"))
+    assert(peaks.zip(peaks.tail).forall { case (a, c) => a >= c },
+      "a higher cap cannot deepen the backlog")
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

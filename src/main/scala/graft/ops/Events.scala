@@ -258,21 +258,13 @@ object Events {
         .withColumn("arr_us", $"ts_us" + $"delay_s" * 1000000L)
         .withColumn("bucket", expr(s"arr_us div $HourUs"))
       // the exclusive prefix max runs over the BUCKET frame: one row
-      // per arrival hour, bounded by the corpus's time span (a year of
-      // arrivals is ~9k rows), never by its row count. It deliberately
-      // does NOT use a window — the partition-less-WindowExec guard
-      // bans that class board-wide (and Catalyst folds a constant
-      // partition key right back out) — instead the bounded frame
-      // collapses to ONE array row and the prefix max is pure
-      // expression work (sort_array + indexed transform + aggregate
-      // over the prefix slice), exploded back to (bucket, pmax).
-      val buckets = base.groupBy($"bucket").agg(max($"ts_us").as("bmax"))
-        .agg(sort_array(collect_list(struct($"bucket", $"bmax"))).as("bs"))
-        .select(explode(expr(
-          "transform(bs, (x, i) -> struct(x.bucket AS bucket, " +
-            "aggregate(slice(bs, 1, i), cast(-1 as bigint), " +
-            "(acc, y) -> greatest(acc, y.bmax)) AS pmax))")).as("r"))
-        .select($"r.bucket".as("bucket"), $"r.pmax".as("pmax"))
+      // per arrival hour, bounded by the corpus's time span, never by
+      // its row count — the PrefixScan contract (window-free; see its
+      // scaladoc for why, and PrefixScanSpec for the property proof)
+      val buckets = PrefixScan.exclusive(
+          base.groupBy($"bucket").agg(max($"ts_us").as("bmax")),
+          $"bucket", $"bmax", PrefixScan.MaxOp, zero = -1L)
+        .select($"bucket", $"prefix".as("pmax"))
       val inBucket = Window.partitionBy($"bucket")
         .orderBy($"arr_us", $"event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -356,18 +348,20 @@ object Events {
       // structure is width-agnostic (same note as e41).
       val inb = Window.partitionBy($"bucket").orderBy($"t", $"d")
         .rowsBetween(Window.unboundedPreceding, 0)
+      // per-bucket partial sums and peaks; the exclusive bucket-offset
+      // prefix comes from the shared PrefixScan (hours-bounded,
+      // window-free — property-proven against the sequential scan),
+      // checkpointed so its one in-bucket window pass isn't re-run
+      // for both consumers of perBucket
       val perBucket = deltas.withColumn("run", sum($"d").over(inb))
         .groupBy($"bucket")
         .agg(max($"run").as("b_peak"), sum($"d").as("b_sum"))
+        .localCheckpoint()
       val gPeaks = perBucket
-        .agg(sort_array(collect_list(
-          struct($"bucket", $"b_peak", $"b_sum"))).as("bs"))
-        .select(explode(expr(
-          "transform(bs, (x, i) -> struct(x.bucket AS bucket, " +
-            "x.b_peak + aggregate(slice(bs, 1, i), cast(0 as bigint), " +
-            "(acc, y) -> acc + y.b_sum) AS g_peak))")).as("r"))
-        .select(expr(s"r.bucket div 24").as("day_id"),
-          $"r.g_peak".as("g_peak"))
+        .join(broadcast(PrefixScan.exclusive(perBucket, $"bucket",
+          $"b_sum", PrefixScan.SumOp, zero = 0L)), "bucket")
+        .select(expr("bucket div 24").as("day_id"),
+          ($"b_peak" + $"prefix").as("g_peak"))
         .groupBy($"day_id").agg(max($"g_peak").as("peak_open"))
       val st = sess.groupBy(expr(s"start_us div $DayUs").as("day_id"))
         .agg(count(lit(1)).as("n_started"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PrefixScan
+
+/** Property proof of the two-phase prefix-scan helper: for seeded
+  * random bucket frames (gaps, negative values, single bucket,
+  * adversarial orderings), the exclusive prefix equals the sequential
+  * left-fold reference — for both ops and both zero sentinels the
+  * board uses. This is the decomposition e41/e42 rest on; proving it
+  * here once means each query's spec only has to pin its own
+  * semantics.
+  */
+class PrefixScanSpec extends SparkTestBase {
+
+  private def randomFrames(seed: Long): Seq[List[(Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 25).map { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val buckets = List.fill(n)(rnd.nextLong() % 50).distinct
+      buckets.map(b => b -> (rnd.nextLong() % 1000))
+    } :+ List(7L -> -3L) // single-bucket edge
+  }
+
+  private def reference(rows: List[(Long, Long)], zero: Long,
+      op: (Long, Long) => Long): Map[Long, Long] = {
+    val sorted = rows.sortBy(_._1)
+    sorted.indices.map { i =>
+      sorted(i)._1 -> sorted.take(i).map(_._2).foldLeft(zero)(op)
+    }.toMap
+  }
+
+  private def run(rows: List[(Long, Long)], op: PrefixScan.Op,
+      zero: Long): Map[Long, Long] = {
+    import spark.implicits._
+    PrefixScan.exclusive(rows.toDF("b", "v"), $"b", $"v", op, zero)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("exclusive prefix MAX equals the sequential fold on seeded " +
+      "random bucket frames") {
+    randomFrames(41L).foreach { rows =>
+      assert(run(rows, PrefixScan.MaxOp, -1L) ==
+        reference(rows, -1L, math.max),
+        s"MAX diverged on $rows")
+    }
+  }
+
+  test("exclusive prefix SUM equals the sequential fold on seeded " +
+      "random bucket frames (negative deltas included)") {
+    randomFrames(42L).foreach { rows =>
+      assert(run(rows, PrefixScan.SumOp, 0L) ==
+        reference(rows, 0L, (a: Long, b: Long) => a + b),
+        s"SUM diverged on $rows")
+    }
+  }
+
+  test("first bucket's prefix is the zero sentinel; plan has no " +
+      "WindowExec") {
+    import spark.implicits._
+    val df = PrefixScan.exclusive(
+      Seq((5L, 10L), (7L, 20L)).toDF("b", "v"), $"b", $"v",
+      PrefixScan.MaxOp, zero = -1L)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(5L) == -1L && rows(7L) == 10L)
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(df.queryExecution.executedPlan.collect {
+      case w: WindowExec => w
+    }.isEmpty, "the helper must stay window-free")
+  }
+}

@@ -138,6 +138,21 @@ class EventsSpec extends SparkTestBase {
       "a higher cap cannot deepen the backlog")
   }
 
+  test("decision cards are partition-independent: identical rows under " +
+      "a different shuffle layout (the resumable/deterministic claim " +
+      "behind the md5-coin and two-phase-scan constructions)") {
+    val cards = Seq("e40_skew_salt_decision", "e41_watermark_delay_curve",
+      "e42_state_peak_card", "e43_admission_backlog_curve")
+    val base = cards.map(c =>
+      c -> ops.Events.queries(c)(spark, sfSmoke).collect().toSeq).toMap
+    withConfs("spark.sql.shuffle.partitions" -> "3") {
+      cards.foreach { c =>
+        val alt = ops.Events.queries(c)(spark, sfSmoke).collect().toSeq
+        assert(alt == base(c), s"$c changed with partition count")
+      }
+    }
+  }
+
   test("funnel steps are monotone and conversion bounded") {
     val r = ops.Events.queries("e13_funnel_steps")(spark, sfSmoke).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -80,27 +80,14 @@ object AnnIndex {
     */
   private[graft] val ProbeLiteralBudget = 8192L
 
-  /** Row count of a caller's query frame for plan switching, costed
-    * zero jobs when the plan already knows (literal frames, frames
-    * with CBO row counts); otherwise the frame is eagerly
-    * localCheckpointed FIRST and the count reads the materialized
-    * partitions — so sizing never evaluates the caller's lineage a
-    * second time behind the search, and a nondeterministic frame
-    * cannot size against a different evaluation than the one searched.
+  /** Row count of a caller's query frame for plan switching — the
+    * shared stats-first ladder, one audited home ([[PlanSizing]]).
     * Returns the (possibly checkpointed) frame to search plus its
-    * count.
+    * count; searches MUST use the returned frame so the sized
+    * evaluation is the executed one.
     */
   private def sizedQueries(queries: DataFrame): (DataFrame, Long) =
-    queries.queryExecution.optimizedPlan match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        (queries, l.data.size.toLong)
-      case p => p.stats.rowCount match {
-        case Some(rc) => (queries, rc.toLong)
-        case None =>
-          val q = queries.localCheckpoint()
-          (q, q.count())
-      }
-    }
+    PlanSizing.sizedRows(queries)
 
   /** Train on the corpus at `dir` and write the index artifacts.
     * Deterministic end-to-end (the s14/s16 rounding discipline), so

@@ -412,8 +412,17 @@ object Dedup {
 
   private[graft] def starCandidates(s: SparkSession, bands: DataFrame): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"band")
-    bands.withColumn("hub", min($"doc_id").over(w))
+    // Hub = min(doc_id) per band, THROUGH the live salted-agg auto
+    // path (round 14): the former per-band window sorted a flooded
+    // band's whole bucket inside one task — exactly the skew this
+    // operator exists to guard — while min is decomposable, so
+    // saltedAggAuto can split a hot band across reducers when its
+    // sizing says to (direct single-shuffle otherwise; results are
+    // identical either way, and the join back on band is an equi-join
+    // AQE skew-splits at runtime).
+    val hubs = Events.saltedAggAuto(s, bands, Seq("band"),
+      Seq(Events.SaltMin($"doc_id", "hub")))
+    bands.join(hubs, "band")
       .filter($"doc_id" =!= $"hub")
       .select($"hub".as("a_id"), $"doc_id".as("b_id"))
       .distinct()
@@ -472,8 +481,7 @@ object Dedup {
         val budget = s.conf
           .get("spark.graft.dedup.containment.bandBudgetBytes",
             (1L << 30).toString).toLong
-        docs(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes >
-          BigInt(budget)
+        PlanSizing.scanBytes(docs(s, dir)) > BigInt(budget)
     }
 
   private[graft] def containmentPairs(s: SparkSession, dir: String,

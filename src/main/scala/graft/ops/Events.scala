@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -154,21 +154,162 @@ object Events {
       .orderBy($"hour_start")
   }
 
+  /** Decomposable-aggregate descriptors for [[saltedAggAuto]]: the
+    * two-phase salted rewrite only exists for aggregates that split
+    * into a per-(key, salt) partial and an exact combine, so the API
+    * admits exactly those (count → sum of partial counts; sum/min/max
+    * → themselves). avg/distinct callers compose from these
+    * (sum+count) or stay direct. Note the double-sum caveat: FLOAT
+    * sums re-associate under salting (same as any shuffle-order
+    * change), DECIMAL sums widen precision through the combine —
+    * callers hash-gating float output round it (e09's discipline).
+    */
+  sealed trait SaltAgg { def alias: String }
+  final case class SaltCount(alias: String) extends SaltAgg
+  final case class SaltSum(c: Column, alias: String) extends SaltAgg
+  final case class SaltMin(c: Column, alias: String) extends SaltAgg
+  final case class SaltMax(c: Column, alias: String) extends SaltAgg
+
+  /** The e40 sizing for ONE axis, consumed live: per-key counts of
+    * `keys` over `df` (one column-pruned pass, map-side partials),
+    * then the card's ceil-division arithmetic — target = ⌈total/P⌉
+    * rows per balanced task, salt_n = ⌈max_key/target⌉ the fan-out
+    * that provably brings the hottest key back under it (1 = the
+    * axis is balanced at budget P; the rewrite would be pure loss).
+    * Separated from [[saltedAggAuto]] so the switch DECISION is
+    * spec-pinnable without plan forensics.
+    */
+  private[graft] def saltDecision(s: SparkSession, df: DataFrame,
+      keys: Seq[String], p: Long): Long = {
+    val card = df.select(keys.map(col): _*)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")), max(col("cnt"))).head()
+    if (card.isNullAt(0)) 1L // empty frame: nothing to salt
+    else {
+      val total = card.getLong(0)
+      val maxKey = card.getLong(1)
+      val target = math.max(1L, (total + p - 1) / p)
+      (maxKey + target - 1) / target
+    }
+  }
+
+  /** e40's decision card promoted from a REPORT into ENGINE BEHAVIOR
+    * (the round-13 verdict's top item): a groupBy wrapper that picks
+    * the direct single-shuffle aggregation or e09's two-phase salted
+    * rewrite per call, using the same stats-first budget-switch
+    * discipline that already guards the containment candidate
+    * generator and the ANN probe/refine literals.
+    *
+    * The ladder (conf `spark.graft.agg.salt` ∈ {auto, direct, salt},
+    * overridable per call):
+    *  - `direct` / `salt`: forced — zero sizing cost (forced salt
+    *    fans out `spark.graft.agg.saltN`-ways, default 16, e09's
+    *    historical constant).
+    *  - `auto`: frames whose optimizer scan estimate sits under
+    *    `spark.graft.agg.saltBudgetBytes` (default 1 GiB) go DIRECT
+    *    with zero jobs — a sub-budget aggregation cannot be
+    *    meaningfully skew-bound, and a wrong call costs one slow task,
+    *    not a plan. Above the budget the [[saltDecision]] sizing pass
+    *    runs (deliberately NOT a checkpoint: the card projects to the
+    *    key columns, so the extra pass is a column-pruned narrow scan
+    *    — at 100 TB that is far cheaper than materializing the full
+    *    working set to executor disks, and an advisory sizing
+    *    tolerates a nondeterministic frame where a plan-identity
+    *    switch would not) and its salt_n picks the plan: 1 → direct,
+    *    else the two-phase rewrite at exactly that fan-out.
+    *
+    * `spread` seeds the salt (any roughly-uniform per-row expression;
+    * defaults to a per-row id). The salt value NEVER affects results
+    * for the admitted aggregate set — it only routes rows — so a
+    * speculative/retried task re-deriving different salts is safe.
+    *
+    * Recurring pipelines at 100 TB should persist the e40 card and
+    * force the mode per axis instead of paying the sizing pass per
+    * run — the card IS this decision, precomputed ("an autotuner
+    * reads exactly this card before choosing e09's plan").
+    */
+  def saltedAggAuto(s: SparkSession, df: DataFrame, keys: Seq[String],
+      aggs: Seq[SaltAgg], spread: Option[Column] = None,
+      mode: Option[String] = None,
+      budgetBytes: Option[Long] = None): DataFrame = {
+    require(aggs.nonEmpty, "saltedAggAuto needs at least one aggregate")
+    val m = mode.getOrElse(s.conf.get("spark.graft.agg.salt", "auto"))
+    val saltN: Long = m match {
+      case "direct" => 1L
+      case "salt" => s.conf.get("spark.graft.agg.saltN", "16").toLong
+      case "auto" =>
+        val budget = budgetBytes.getOrElse(
+          s.conf.get("spark.graft.agg.saltBudgetBytes",
+            (1L << 30).toString).toLong)
+        if (PlanSizing.scanBytes(df) <= BigInt(budget)) 1L
+        else {
+          val p = s.conf.getOption("spark.graft.skew.reducerBudget")
+            .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toLong
+          saltDecision(s, df, keys, p)
+        }
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.agg.salt must be auto|direct|salt, got '$other'")
+    }
+    val keyCols = keys.map(col)
+    if (saltN <= 1L) {
+      df.groupBy(keyCols: _*).agg(
+        directAgg(aggs.head), aggs.tail.map(directAgg): _*)
+    } else {
+      val sprd = spread.getOrElse(monotonically_increasing_id())
+      val partials = aggs.zipWithIndex.map { case (a, i) =>
+        partialAgg(a, s"__p$i")
+      }
+      val combines = aggs.zipWithIndex.map { case (a, i) =>
+        combineAgg(a, s"__p$i")
+      }
+      df.withColumn("__salt",
+          pmod(crc32(sprd.cast("string")), lit(saltN)))
+        .groupBy((keyCols :+ col("__salt")): _*)
+        .agg(partials.head, partials.tail: _*)
+        .groupBy(keyCols: _*)
+        .agg(combines.head, combines.tail: _*)
+    }
+  }
+
+  private def directAgg(a: SaltAgg): Column = a match {
+    case SaltCount(n) => count(lit(1)).as(n)
+    case SaltSum(c, n) => sum(c).as(n)
+    case SaltMin(c, n) => min(c).as(n)
+    case SaltMax(c, n) => max(c).as(n)
+  }
+
+  private def partialAgg(a: SaltAgg, pn: String): Column = a match {
+    case SaltCount(_) => count(lit(1)).as(pn)
+    case SaltSum(c, _) => sum(c).as(pn)
+    case SaltMin(c, _) => min(c).as(pn)
+    case SaltMax(c, _) => max(c).as(pn)
+  }
+
+  private def combineAgg(a: SaltAgg, pn: String): Column = a match {
+    case SaltCount(n) => sum(col(pn)).as(n)
+    case SaltSum(_, n) => sum(col(pn)).as(n)
+    case SaltMin(_, n) => min(col(pn)).as(n)
+    case SaltMax(_, n) => max(col(pn)).as(n)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_salted_agg" -> { (s, dir) =>
       import s.implicits._
-      // Skew-safe two-phase aggregation: event_type has only 5 values,
-      // so a direct groupBy concentrates each key on one reducer at
-      // scale. Phase 1 groups on (key, salt) — 16-way fan-out of each
-      // hot key — phase 2 combines the partials. Result is identical to
-      // the direct aggregation (the oracle IS the direct form).
-      val salted = ev(s, dir)
-        .withColumn("salt", pmod(crc32($"event_id".cast("string")), lit(16)))
-        .groupBy($"event_type", $"salt")
-        .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
-      salted
-        .groupBy($"event_type")
-        .agg(sum($"pn").as("n"), round(sum($"pv"), 2).as("total_value"))
+      // Skew-safe two-phase aggregation, gated THROUGH the live auto
+      // path (round 14): event_type has only 5 values, so a direct
+      // groupBy concentrates each key on one reducer at scale.
+      // [[saltedAggAuto]] sizes the axis (budget 0 forces the sizing
+      // pass at every SF — what this row certifies is the real
+      // decision machinery, not a hand-forced rewrite), derives the
+      // e40 ceil-division salt_n, and emits the two-phase plan:
+      // phase 1 groups on (key, salt), phase 2 combines the partials.
+      // Result is identical to the direct aggregation at ANY salt
+      // fan-out (the oracle IS the direct form; the float sum is
+      // rounded, the e09 discipline).
+      saltedAggAuto(s, ev(s, dir), Seq("event_type"),
+        Seq(SaltCount("n"), SaltSum($"value", "pv")),
+        spread = Some($"event_id"), budgetBytes = Some(0L))
+        .select($"event_type", $"n", round($"pv", 2).as("total_value"))
         .orderBy($"event_type")
     },
 
@@ -193,8 +334,15 @@ object Events {
       // (axis, key) count with map-side partials; everything after is
       // 3 rows. AQE handles JOIN skew at runtime, but aggregation
       // salting is a plan-time rewrite — an autotuner reads exactly
-      // this card before choosing e09's plan.
-      val P = 32L // reducer count the budget prices against
+      // this card before choosing e09's plan — and since round 14 one
+      // DOES: saltedAggAuto derives exactly this arithmetic live,
+      // reading spark.graft.skew.reducerBudget with the SESSION's
+      // shuffle.partitions as its fallback. The gated card keeps a
+      // pinned default budget instead (32, the board's documented
+      // deployment width) so its rows stay deterministic across any
+      // session layout — an autotuner overrides the conf to price its
+      // own cluster.
+      val P = s.conf.get("spark.graft.skew.reducerBudget", "32").toLong
       ev(s, dir)
         .select(explode(array(
           struct(lit("day").as("axis"),
@@ -362,17 +510,41 @@ object Events {
           $"b_sum", PrefixScan.SumOp, zero = 0L)), "bucket")
         .select(expr("bucket div 24").as("day_id"),
           ($"b_peak" + $"prefix").as("g_peak"))
-        .groupBy($"day_id").agg(max($"g_peak").as("peak_open"))
+        .groupBy($"day_id").agg(max($"g_peak").as("delta_peak"))
+      // DAY-ENTERING CANDIDATE (round-13 advisory → round-14 fix):
+      // the delta samples alone understate a day entered with N open
+      // sessions whose in-day deltas are all expiries (they report
+      // N-1) and MISS a day spanned by open sessions with no deltas
+      // at all. The running count between a day's start and its first
+      // delta IS the entering count — the exclusive prefix sum of the
+      // per-day delta sums — so the day spine densifies over
+      // [first, last] delta day and each day's peak is
+      // max(entering, delta peak). The global max is unaffected (a
+      // day's entering count never exceeds the previous day's peak);
+      // only the per-day sizing column tightens.
+      val perDayRaw = perBucket
+        .groupBy(expr("bucket div 24").as("day_id"))
+        .agg(sum($"b_sum").as("d_sum"))
+      val perDay = perDayRaw
+        .agg(min($"day_id").as("d0"), max($"day_id").as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day_id"))
+        .join(perDayRaw, Seq("day_id"), "left")
+        .select($"day_id", coalesce($"d_sum", lit(0L)).as("d_sum"))
+      val entering = PrefixScan.exclusive(perDay, $"day_id", $"d_sum",
+          PrefixScan.SumOp, zero = 0L)
+        .select($"bucket".as("day_id"), $"prefix".as("entering"))
       val st = sess.groupBy(expr(s"start_us div $DayUs").as("day_id"))
         .agg(count(lit(1)).as("n_started"))
       val ex = sess.groupBy(expr(s"expire_us div $DayUs").as("day_id"))
         .agg(count(lit(1)).as("n_expired"))
-      val days = gPeaks
-        .join(st, Seq("day_id"), "full_outer")
-        .join(ex, Seq("day_id"), "full_outer")
+      val days = entering // the dense day frame is the spine now
+        .join(gPeaks, Seq("day_id"), "left")
+        .join(st, Seq("day_id"), "left")
+        .join(ex, Seq("day_id"), "left")
         .select($"day_id", coalesce($"n_started", lit(0L)).as("n_started"),
           coalesce($"n_expired", lit(0L)).as("n_expired"),
-          coalesce($"peak_open", lit(0L)).as("peak_open"))
+          greatest(coalesce($"delta_peak", lit(0L)), $"entering")
+            .as("peak_open"))
         .localCheckpoint() // days-sized; upstream corpus pass runs once
       val global = days.agg(max($"peak_open").as("global_peak"))
       days.crossJoin(broadcast(global))
@@ -399,54 +571,57 @@ object Events {
       // spent backlogged, the final backlog and its drained flag, and
       // utilization. Scale shapes: one corpus scan to 10-minute epoch
       // counts (map-side partials); the dense epoch series
-      // (calendar-bounded, like e41's buckets) collapses to ONE
-      // sorted array row and the recursion is pure expression work
-      // (aggregate HOF with a struct accumulator), fanned out per cap
-      // — no partition-less window, no driver loop.
+      // (calendar-bounded, like e41's buckets) rides the promoted
+      // PrefixScan.exclusiveSumMin since round 14 — the Lindley form
+      // (exclusive prefix sum + exclusive min-over-prefix-sums,
+      // grouped per cap) in the ONE audited O(B²) bounded-fold home
+      // whose property proof covers e41/e42/e43 alike. Each epoch's
+      // inclusive values derive row-locally from the exclusive pair:
+      // p_in = prefix + (a - cap), mn_in = least(min_prefix, p_in),
+      // backlog = p_in - mn_in = the max(0, b + a - cap) recursion in
+      // closed form. The curve then re-aggregates per cap (peak,
+      // backlogged epochs, max_by-bucket final) — no partition-less
+      // window, no driver loop.
       val EpochUs = 600L * 1000 * 1000
       // epoch counts are calendar-bounded (like e41's buckets); the
-      // eager checkpoint lets the bounds agg and the densify join
-      // both read them with ONE corpus scan
+      // eager checkpoint lets the bounds agg, the densify join and
+      // the scan's join-back all read them with ONE corpus scan
       val sparse = ev(s, dir)
         .select(expr(s"unix_micros(ts) div $EpochUs").as("epoch"))
         .groupBy($"epoch").agg(count(lit(1)).as("a"))
         .localCheckpoint()
       val bounds = sparse.agg(min($"epoch").as("e0"),
         max($"epoch").as("e1"), sum($"a").as("total"))
-      // densify over [min, max] — zero-arrival epochs drain backlog
-      val arr = bounds
+      // densify over [min, max] — zero-arrival epochs drain backlog —
+      // and fan out per cap BEFORE the scan so the grouped fold runs
+      // once per cap over its own collapsed row
+      val perCap = bounds
         .select($"total", ($"e1" - $"e0" + 1).as("n_epochs"),
           explode(expr("sequence(e0, e1)")).as("epoch"))
         .join(sparse, Seq("epoch"), "left")
         .select($"total", $"n_epochs", $"epoch",
-          coalesce($"a", lit(0L)).as("a"))
-        .groupBy($"total", $"n_epochs")
-        .agg(expr("transform(sort_array(collect_list(struct(epoch, a))), " +
-          "x -> x.a)").as("arrs"))
-      arr.select($"total", $"n_epochs", $"arrs", explode(array(
-          Seq(9L, 11L, 15L).map(m => lit(m)): _*)).as("m"))
+          coalesce($"a", lit(0L)).as("a"),
+          explode(array(Seq(9L, 11L, 15L).map(m => lit(m)): _*)).as("m"))
         .withColumn("cap",
           expr("(total * m + 10 * n_epochs - 1) div (10 * n_epochs)"))
-        .withColumn("acc", expr("""
-          aggregate(arrs,
-            named_struct('p', cast(0 as bigint), 'mn', cast(0 as bigint),
-              'b', cast(0 as bigint), 'peak', cast(0 as bigint),
-              'nb', cast(0 as bigint)),
-            (acc, x) -> named_struct(
-              'p', acc.p + x - cap,
-              'mn', least(acc.mn, acc.p + x - cap),
-              'b', acc.p + x - cap - least(acc.mn, acc.p + x - cap),
-              'peak', greatest(acc.peak,
-                acc.p + x - cap - least(acc.mn, acc.p + x - cap)),
-              'nb', acc.nb + if(acc.p + x - cap
-                - least(acc.mn, acc.p + x - cap) > 0, 1, 0)))"""))
+        .localCheckpoint()
+      PrefixScan.exclusiveSumMin(perCap, $"epoch", $"a" - $"cap",
+          groups = Seq("m", "cap", "total", "n_epochs"))
+        .join(perCap.select($"m", $"epoch".as("bucket"), $"a"),
+          Seq("m", "bucket"))
+        .withColumn("p_in", $"prefix" + ($"a" - $"cap"))
+        .withColumn("backlog", $"p_in" - least($"min_prefix", $"p_in"))
+        .groupBy($"m", $"cap", $"total", $"n_epochs")
+        .agg(max($"backlog").as("peak"),
+          sum(when($"backlog" > 0L, 1L).otherwise(0L)).as("nb"),
+          max_by($"backlog", $"bucket").as("fin"))
         .select(
           round($"m" / lit(10.0), 1).as("cap_x_mean"),
           $"cap".as("cap_rows"),
-          $"acc.peak".as("peak_backlog"),
-          $"acc.nb".as("backlogged_epochs"),
-          $"acc.b".as("final_backlog"),
-          ($"acc.b" === 0L).as("drained"),
+          $"peak".as("peak_backlog"),
+          $"nb".as("backlogged_epochs"),
+          $"fin".as("final_backlog"),
+          ($"fin" === 0L).as("drained"),
           round($"total" / ($"cap" * $"n_epochs").cast("double"), 6)
             .as("utilization"))
         .orderBy($"cap_x_mean")
@@ -694,11 +869,31 @@ object Events {
       // — no built-in streaming operator expresses it, the interval
       // join bounds both sides). Gated against e08's ASOF JOIN oracle
       // verbatim: the streamed enrichment must converge to the batch
-      // truth on the bounded fixture (0-second delay, so the final
-      // no-data batch's watermark passes every event).
-      val src = Tables.loadStream(s, dir, "events")
+      // truth on the bounded fixture. Finality is STRICTLY below the
+      // watermark since round 14 (the enricher's closed 1 ms
+      // boundary), so a bounded replay needs the watermark pushed
+      // PAST the last real event — the standard terminal-punctuation
+      // pattern: union ONE far-future heartbeat click for a sentinel
+      // user outside the fixture. Clicks never emit rows, so the
+      // output set is untouched; the heartbeat's only effect is the
+      // final watermark jump that flushes the horizon events (both
+      // file sources drain in the first batch, the watermark moves at
+      // batch end, and the no-data batch's timeout re-arm emits
+      // everything — same convergence as before, now at exact µs
+      // attribution precision).
+      val real = Tables.loadStream(s, dir, "events")
         .filter($"event_type".isin("click", "purchase"))
         .select($"user_id", $"ts", $"event_id", $"event_type")
+      val hbDir = java.nio.file.Files
+        .createTempDirectory("graft-e39-heartbeat").toString
+      Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+          -1L, "click"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .select(real.schema.fields.map(f =>
+          col(f.name).cast(f.dataType)): _*)
+        .write.mode("overwrite").parquet(hbDir)
+      val src = real
+        .unionByName(s.readStream.schema(real.schema).parquet(hbDir))
         .withWatermark("ts", "0 seconds")
       graft.streaming.MemoryGate.append(s,
         graft.streaming.AsofEnricher.enrich(s, src),
@@ -1685,8 +1880,22 @@ object Events {
         |  FROM d),
         |pb AS (
         |  SELECT t // 86400000000 AS day_id,
-        |    CAST(max(run) AS BIGINT) AS peak_open
+        |    CAST(max(run) AS BIGINT) AS delta_peak
         |  FROM r GROUP BY 1),
+        |ds AS (
+        |  SELECT t // 86400000000 AS day_id,
+        |    CAST(sum(dd) AS BIGINT) AS d_sum
+        |  FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(day_id), max(day_id)))
+        |    AS day_id
+        |  FROM ds),
+        |ent AS (
+        |  SELECT day_id,
+        |    CAST(coalesce(sum(coalesce(d_sum, 0)) OVER (ORDER BY day_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS entering
+        |  FROM spine LEFT JOIN ds USING (day_id)),
         |st AS (
         |  SELECT start_us // 86400000000 AS day_id,
         |    count(*) AS n_started
@@ -1695,14 +1904,18 @@ object Events {
         |  SELECT expire_us // 86400000000 AS day_id,
         |    count(*) AS n_expired
         |  FROM iv GROUP BY 1),
-        |g AS (SELECT max(peak_open) AS gp FROM pb)
+        |pk AS (
+        |  SELECT day_id,
+        |    greatest(coalesce(delta_peak, 0), entering) AS peak_open
+        |  FROM ent LEFT JOIN pb USING (day_id)),
+        |g AS (SELECT max(peak_open) AS gp FROM pk)
         |SELECT DATE '1970-01-01' + CAST(day_id AS INT) AS day,
         |  coalesce(n_started, 0) AS n_started,
         |  coalesce(n_expired, 0) AS n_expired,
         |  peak_open,
         |  peak_open * 4 AS state_kb,
         |  CAST((gp + 511) // 512 AS BIGINT) AS rec_partitions
-        |FROM pb LEFT JOIN st USING (day_id) LEFT JOIN ex USING (day_id)
+        |FROM pk LEFT JOIN st USING (day_id) LEFT JOIN ex USING (day_id)
         |CROSS JOIN g
         |ORDER BY day""".stripMargin,
 

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The two-phase EXCLUSIVE PREFIX SCAN over a bucket-aggregated frame —
-  * the discipline e41 (watermark prefix max), e42 (state-peak offsets)
-  * and any future global-running-value query share, promoted to one
-  * audited implementation.
+  * the discipline e41 (watermark prefix max), e42 (state-peak offsets),
+  * e43 (Lindley backlog prefixes) and any future global-running-value
+  * query share, promoted to one audited implementation.
   *
   * A global running max/sum over a corpus-sized frame needs a total
   * order, and a partition-less window serializes the whole corpus
@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   * Cost note: the fold is O(B²) combine steps over the bounded bucket
   * count B (a year of hours is ~8.8k → ~39M adds in one task's
   * expression eval) — fine at the calendar scales the discipline
-  * requires; a caller whose bucket axis is NOT calendar-bounded is
-  * holding it wrong (that is the contract, spec-pinned by
-  * PrefixScanSpec's property tests against the sequential reference).
+  * requires. The calendar-boundedness CONTRACT is enforced, not just
+  * documented (the round-13 advisory): a frame wider than
+  * `spark.graft.prefixscan.maxBuckets` (default 131072 — generous for
+  * any calendar axis, 15 years of hours) fails loudly with
+  * `raise_error` inside the collapsed-row projection instead of
+  * silently running a one-task quadratic blowup or OOMing the
+  * collect_list. A caller whose bucket axis is NOT calendar-bounded is
+  * holding it wrong; at genuinely finer grains, narrow the bucket
+  * width until the count is bounded again (the structure is
+  * width-agnostic) or segment the scan.
   *
   * The first bucket's prefix is `zero` (e41 passes -1 as its "no
-  * earlier watermark" sentinel; e42 passes 0 — an empty sum).
+  * earlier watermark" sentinel; e42 and e43 pass 0 — an empty sum).
   */
 object PrefixScan {
 
@@ -40,19 +47,85 @@ object PrefixScan {
   case object SumOp extends Op {
     private[PrefixScan] val sql = "acc + y.v"
   }
+  case object MinOp extends Op {
+    private[PrefixScan] val sql = "least(acc, y.v)"
+  }
+
+  /** Default ceiling on the collapsed bucket frame — see the contract
+    * note in the object scaladoc. Override per session via
+    * `spark.graft.prefixscan.maxBuckets`.
+    */
+  private[graft] val DefaultMaxBuckets = 131072L
+
+  /** The sorted single-row bucket frame with the boundedness contract
+    * enforced at the one place the frame materializes. `groups` rides
+    * along untouched (empty → one global row).
+    */
+  private def collapsed(df: DataFrame, bucket: Column, value: Column,
+      groups: Seq[String]): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.prefixscan.maxBuckets",
+        DefaultMaxBuckets.toString).toLong
+    require(!groups.exists(Set("b", "v")),
+      "group columns may not be named 'b' or 'v'")
+    val pre = df.select((groups.map(col) :+ bucket.cast("long").as("b")
+      :+ value.cast("long").as("v")): _*)
+    val agged =
+      if (groups.isEmpty)
+        pre.agg(sort_array(collect_list(struct(col("b"), col("v"))))
+          .as("bs"))
+      else
+        pre.groupBy(groups.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("b"), col("v"))))
+            .as("bs"))
+    agged.withColumn("bs", expr(
+      s"if(size(bs) <= ${cap}L, bs, raise_error(concat(" +
+        "'PrefixScan: bucket frame violates the calendar-bounded " +
+        s"contract (', cast(size(bs) as string), ' > ${cap} buckets " +
+        "- narrow the bucket axis or raise " +
+        "spark.graft.prefixscan.maxBuckets)')))"))
+  }
 
   /** (bucket, prefix) for every bucket of `df`: prefix = the op-fold
     * of `value` over all buckets strictly below it, starting from
     * `zero`. `df` must be bucket-aggregated (one row per bucket) and
-    * bounded by construction — see the scaladoc contract.
+    * bounded by construction — see the scaladoc contract (enforced).
     */
   def exclusive(df: DataFrame, bucket: Column, value: Column, op: Op,
       zero: Long): DataFrame =
-    df.select(bucket.cast("long").as("b"), value.cast("long").as("v"))
-      .agg(sort_array(collect_list(struct(col("b"), col("v")))).as("bs"))
+    collapsed(df, bucket, value, Seq.empty)
       .select(explode(expr(
         "transform(bs, (x, i) -> struct(x.b AS bucket, " +
           s"aggregate(slice(bs, 1, i), cast($zero as bigint), " +
           s"(acc, y) -> ${op.sql}) AS prefix))")).as("r"))
       .select(col("r.bucket").as("bucket"), col("r.prefix").as("prefix"))
+
+  /** The Lindley form (e43's accumulator, promoted per the round-13
+    * verdict): per group and bucket, the EXCLUSIVE prefix sum of
+    * `value` AND the exclusive minimum over prefix sums — both seeded
+    * at 0, the empty-prefix sum, so `min_prefix` is min(0, min over
+    * proper prefixes). One fold carries the (sum, min) struct; a
+    * caller derives the inclusive values from its own row
+    * (p_in = prefix + v, mn_in = least(min_prefix, p_in)) and e.g.
+    * the Lindley backlog as p_in - mn_in — the max(0, b + v) queue
+    * recursion in closed form.
+    *
+    * `groups` (column NAMES of `df`; e43: the admission cap) fans the
+    * scan out: one collapsed row and one fold per group, same contract
+    * per group. Output: groups ++ (bucket, prefix, min_prefix).
+    */
+  def exclusiveSumMin(df: DataFrame, bucket: Column, value: Column,
+      groups: Seq[String] = Seq.empty): DataFrame = {
+    val names = groups
+    collapsed(df, bucket, value, groups)
+      .select((names.map(col) :+ explode(expr(
+        "transform(bs, (x, i) -> struct(x.b AS bucket, " +
+          "aggregate(slice(bs, 1, i), " +
+          "named_struct('p', cast(0 as bigint), 'mn', cast(0 as bigint)), " +
+          "(acc, y) -> named_struct('p', acc.p + y.v, " +
+          "'mn', least(acc.mn, acc.p + y.v))) AS pm))")).as("r")): _*)
+      .select((names.map(col) :+ col("r.bucket").as("bucket")
+        :+ col("r.pm.p").as("prefix")
+        :+ col("r.pm.mn").as("min_prefix")): _*)
+  }
 }

@@ -28,20 +28,24 @@ case class AsofOut(purchase_id: Long, user_id: Long,
   * §4.3, same as StatefulSessionizer.
   *
   * Correctness discipline: an event's enrichment is only FINAL once the
-  * watermark passes its timestamp (an earlier click could still
-  * arrive), so each invocation buffers arrivals, emits exactly the
-  * purchases at-or-below the watermark — scanning them in the
+  * watermark STRICTLY passes its millisecond (Spark floors event times
+  * to ms for all watermark math, and admits rows AT the watermark ms
+  * forever — so only `< wmMs` guarantees no row that sorts earlier can
+  * still arrive; round 14 closed the former `<=` 1 ms divergence
+  * window). Each invocation buffers arrivals, emits exactly the
+  * purchases strictly below the watermark — scanning them in the
   * (ts, event_id) total order e08's window uses, seeded by the carried
-  * final click — and retains the rest. Readiness compares at MS
-  * precision (`tsUs / 1000 <= watermarkMs`) because Spark's watermark
-  * arithmetic floors event times to milliseconds; a µs-precision
-  * compare would strand the max-timestamp events forever. Emitted rows
-  * are append-mode exact-once (an event leaves the buffer when it
-  * emits). The gate runs with a 0-second watermark delay so the
-  * bounded fixture converges to the batch answer; a production
-  * deployment sets a real delay and adds EventTimeTimeout state
-  * eviction for departed users — semantics are unchanged, only the
-  * finality lag moves.
+  * final click — and retains the rest. Emitted rows are append-mode
+  * exact-once (an event leaves the buffer when it emits). Liveness at
+  * the stream horizon: events at the maximum seen timestamp finalize
+  * on the next watermark advance — automatic on an unbounded stream,
+  * forced on a bounded replay by a terminal heartbeat row past the
+  * horizon (e39 unions one far-future click for a sentinel user;
+  * clicks never emit output). The gate runs with a 0-second watermark
+  * delay so the bounded fixture converges to the batch answer; a
+  * production deployment sets a real delay and adds EventTimeTimeout
+  * state eviction for departed users — semantics are unchanged, only
+  * the finality lag moves.
   *
   * Scale shape: one shuffle on user_id (the same key the batch form
   * shuffles on), per-key state = one click + the sub-watermark-lag
@@ -79,22 +83,27 @@ object AsofEnricher {
     val all = prev.buf ++
       rows.map(r => AsofEvt(r._2, r._3, r._4)).toSeq
     val wmMs = st.getCurrentWatermarkMs()
-    // FINALITY BOUNDARY, explicit (round-12 advisory): an event is
-    // final when its MILLISECOND (Spark floors event times to ms for
-    // all watermark math) is <= the watermark. Spark's late-row filter
-    // drops rows strictly BELOW the watermark, so a same-millisecond,
-    // earlier-MICROSECOND out-of-order click can still be admitted in
-    // a later batch after purchases in that millisecond were emitted
-    // as final — at the 1 ms boundary the streamed attribution can
-    // diverge from the batch oracle by design. The alternative
-    // (finalize strictly below, `< wmMs`) closes that window but
-    // strands every max-timestamp event until some later input pushes
-    // the watermark past it — correct under a production delay +
-    // unbounded stream, non-convergent for a bounded replay (this
-    // gate's shape, and any backfill). `<=` is the deliberate choice:
-    // sub-millisecond attribution order inside the watermark
-    // millisecond is the documented precision limit of the operator.
-    val (ready, pending) = all.partition(_.tsUs / 1000L <= wmMs)
+    // FINALITY BOUNDARY, closed (round-13 advisory → round-14 fix):
+    // an event is final only when its MILLISECOND (Spark floors event
+    // times to ms for all watermark math) is STRICTLY below the
+    // watermark. Spark's late-row filter admits rows AT the watermark
+    // millisecond forever, so the former `<=` finality left a 1 ms
+    // window where a same-millisecond earlier-MICROSECOND out-of-order
+    // click could arrive AFTER that millisecond's purchases had been
+    // emitted as final — streamed attribution diverging from the
+    // batch oracle at the boundary (AsofEnricherSpec pins the exact
+    // fixture: it fails on `<=`, passes on `<`). With `<`, an event
+    // finalizes only once Spark can no longer admit a row that sorts
+    // before it — the operator is exact at full microsecond
+    // precision. The cost is liveness, not correctness: events at the
+    // stream's maximum timestamp wait until the watermark passes
+    // their millisecond, which an unbounded stream does on the next
+    // arrival and a bounded replay forces with a terminal heartbeat
+    // row past the data's horizon (the standard punctuation pattern —
+    // e39's gate unions one far-future click for a sentinel user;
+    // clicks never emit). The timeout re-arm below keeps the flush
+    // prompt: every watermark advance re-partitions the buffer.
+    val (ready, pending) = all.partition(_.tsUs / 1000L < wmMs)
     var ck: Option[(Long, Long)] =
       if (prev.hasClick) Some((prev.clickTs, prev.clickId)) else None
     val out = Seq.newBuilder[AsofOut]

@@ -43,8 +43,10 @@ class EventsSpec extends SparkTestBase {
       "budget, and the decision flips with the axis shape") {
     // sfVerify, not sfSmoke: the direct case needs per-key rows under
     // the task budget, and key COUNTS scale with SF while per-key
-    // rows stay flat — at sf0.001 every axis salts (budget 32), from
-    // sf0.01 up the balanced user axis flips to direct
+    // rows stay flat — at sf0.001 every axis salts (budget 32, the
+    // card's pinned default since round 14; override via
+    // spark.graft.skew.reducerBudget), from sf0.01 up the balanced
+    // user axis flips to direct
     val rows = ops.Events.queries("e40_skew_salt_decision")(spark, sfVerify)
       .collect().map(r => r.getAs[String]("axis") -> r).toMap
     rows.values.foreach { r =>
@@ -64,6 +66,18 @@ class EventsSpec extends SparkTestBase {
     // the user axis is balanced (max 99 rows/user) and stays direct
     assert(rows("event_type").getAs[String]("decision") == "salt")
     assert(rows("user_id").getAs[String]("decision") == "direct")
+    // the reducer budget is a LIVE conf input (round 14): at 4
+    // reducers the per-task target swallows the hot event_type key
+    // (2017 rows < ceil(10000/4)) and the 32-budget "salt" call
+    // rightly flips to direct — fewer reducers, less imbalance to fix
+    withConfs("spark.graft.skew.reducerBudget" -> "4") {
+      val alt = ops.Events.queries("e40_skew_salt_decision")(
+        spark, sfVerify).collect()
+        .map(r => r.getAs[String]("axis") -> r).toMap
+      assert(alt("event_type").getAs[Long]("target_task_rows") >
+        rows("event_type").getAs[Long]("target_task_rows"))
+      assert(alt("event_type").getAs[String]("decision") == "direct")
+    }
   }
 
   test("e41: drop curve is monotone, the max-jitter delay provably " +
@@ -102,7 +116,11 @@ class EventsSpec extends SparkTestBase {
     val gp = rows.map(_.getAs[Long]("peak_open")).max
     rows.foreach { r =>
       val peak = r.getAs[Long]("peak_open")
-      assert(peak >= 1 && peak <= started)
+      // a dense-spine day with no deltas and nothing carried in can
+      // legitimately peak at 0 (round-14 entering-count fix); any day
+      // that STARTS a session holds it open at least an instant
+      assert(peak >= 0 && peak <= started)
+      if (r.getAs[Long]("n_started") > 0) assert(peak >= 1)
       assert(r.getAs[Long]("state_kb") == peak * 4L)
       assert(r.getAs[Long]("rec_partitions") == (gp + 511) / 512)
     }

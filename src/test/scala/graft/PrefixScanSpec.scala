@@ -69,4 +69,61 @@ class PrefixScanSpec extends SparkTestBase {
       case w: WindowExec => w
     }.isEmpty, "the helper must stay window-free")
   }
+
+  test("exclusive prefix MIN equals the sequential fold on seeded " +
+      "random bucket frames") {
+    randomFrames(43L).foreach { rows =>
+      assert(run(rows, PrefixScan.MinOp, Long.MaxValue) ==
+        reference(rows, Long.MaxValue, math.min),
+        s"MIN diverged on $rows")
+    }
+  }
+
+  test("exclusiveSumMin (the Lindley form) equals the sequential " +
+      "(prefix-sum, min-prefix-sum) fold, per group") {
+    import spark.implicits._
+    randomFrames(44L).zipWithIndex.foreach { case (rows, gi) =>
+      // two copies under different group keys in ONE frame: the
+      // grouped scan must fold each group against its own buckets
+      val df = rows.flatMap { case (b, v) =>
+        Seq(("ga", b, v), ("gb", b, v + 7L))
+      }.toDF("g", "b", "v")
+      val out = PrefixScan.exclusiveSumMin(df, $"b", $"v", Seq("g"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      Seq("ga" -> 0L, "gb" -> 7L).foreach { case (g, off) =>
+        val sorted = rows.sortBy(_._1)
+        var p = 0L; var mn = 0L
+        sorted.foreach { case (b, v) =>
+          assert(out((g, b)) == ((p, mn)),
+            s"group $g bucket $b diverged (frame $gi)")
+          p += v + off
+          mn = math.min(mn, p)
+        }
+      }
+    }
+  }
+
+  test("the calendar-boundedness contract is ENFORCED: an over-cap " +
+      "bucket frame fails loudly instead of folding quadratically") {
+    import spark.implicits._
+    withConfs("spark.graft.prefixscan.maxBuckets" -> "16") {
+      val wide = spark.range(17)
+        .select(col("id").as("b"), lit(1L).as("v"))
+      val e = intercept[Exception] {
+        PrefixScan.exclusive(wide, $"b", $"v",
+          PrefixScan.SumOp, 0L).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("calendar-bounded")),
+        s"wrong failure: $e")
+      // at the cap, the scan still runs
+      val ok = spark.range(16).select(col("id").as("b"), lit(1L).as("v"))
+      assert(PrefixScan.exclusive(ok, $"b", $"v", PrefixScan.SumOp, 0L)
+        .count() == 16L)
+    }
+  }
 }

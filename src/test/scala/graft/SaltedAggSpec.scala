@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+
+/** The e40 card promoted to engine behavior (Events.saltedAggAuto):
+  * pins (1) direct / forced-salt / auto path identity on the real
+  * fixture, (2) the switch decision itself WITHOUT plan forensics —
+  * saltDecision is the separated, directly-callable arithmetic — and
+  * (3) the stats-first budget rung: a sub-budget auto call plans the
+  * direct aggregation without running a single sizing job.
+  */
+class SaltedAggSpec extends SparkTestBase {
+
+  private def events = Tables.load(spark, sfSmoke, "events")
+
+  private def rounded(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.select(col("event_type"), col("n"), round(col("sv"), 2),
+        col("mn"), col("mx"))
+      .orderBy("event_type").collect().map(_.toSeq.toSeq).toSeq
+
+  test("direct, forced-salt and auto paths are result-identical over " +
+      "count/sum/min/max (the decomposability contract)") {
+    val aggs = Seq(
+      Events.SaltCount("n"),
+      Events.SaltSum(col("value"), "sv"),
+      Events.SaltMin(col("value"), "mn"),
+      Events.SaltMax(col("value"), "mx"))
+    def run(mode: String, budget: Option[Long] = None) = rounded(
+      Events.saltedAggAuto(spark, events, Seq("event_type"), aggs,
+        spread = Some(col("event_id")), mode = Some(mode),
+        budgetBytes = budget))
+    val direct = run("direct")
+    assert(direct.nonEmpty)
+    assert(run("salt") === direct)
+    // auto with budget 0: the sizing pass runs, the 5-key axis salts
+    assert(run("auto", budget = Some(0L)) === direct)
+    // auto with an unreachable budget: the zero-job direct rung
+    assert(run("auto", budget = Some(Long.MaxValue)) === direct)
+  }
+
+  test("saltDecision: the e40 ceil-division arithmetic, pinned on " +
+      "constructed skew without plan forensics") {
+    import spark.implicits._
+    // 90 rows on one hot key + 10 singletons, budget P=10:
+    // target = ceil(100/10) = 10, salt_n = ceil(90/10) = 9
+    val hot = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("k")
+    assert(Events.saltDecision(spark, hot, Seq("k"), 10L) === 9L)
+    // balanced: 10 keys x 10 rows, target 10 -> salt_n 1 (direct)
+    val flat = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    assert(Events.saltDecision(spark, flat, Seq("k"), 10L) === 1L)
+    // empty frame: nothing to salt
+    assert(Events.saltDecision(spark,
+      hot.filter(lit(false)), Seq("k"), 10L) === 1L)
+    // degenerate budget P=1: one reducer holds everything anyway
+    assert(Events.saltDecision(spark, hot, Seq("k"), 1L) === 1L)
+  }
+
+  test("auto under budget: direct plan, ZERO sizing jobs (the " +
+      "stats-first rung — the containment/ANN switch discipline)") {
+    val sc = spark.sparkContext
+    def drain(): Unit = {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+      ()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val ev = events // the parquet footer read happens HERE, not below
+    drain()
+    sc.addSparkListener(l)
+    try {
+      // constructing the auto plan under budget must not size by job:
+      // the scan estimate answers for free
+      val out = Events.saltedAggAuto(spark, ev, Seq("event_type"),
+        Seq(Events.SaltCount("n")))
+      drain()
+      assert(jobs.get === 0,
+        s"sub-budget auto construction ran ${jobs.get} sizing jobs")
+      assert(out.columns.toSeq === Seq("event_type", "n"))
+    } finally sc.removeSparkListener(l)
+  }
+
+  test("d09's star hubs ride the auto path and stay window-free " +
+      "(the flooded-band task-skew guard)") {
+    import spark.implicits._
+    val bands = spark.range(200)
+      .select(col("id").as("doc_id"),
+        (col("id") % 7).cast("string").as("band"))
+    val cand = ops.Dedup.starCandidates(spark, bands)
+    // hub = min per band: members 0..6 are their bands' hubs
+    assert(cand.filter($"b_id" < 7).count() === 0)
+    assert(cand.count() === 200L - 7L)
+    // the hub computation must not plan a per-band window (one task
+    // per flooded band): no WindowExec anywhere in the physical plan
+    assert(!cand.queryExecution.executedPlan.toString.contains("Window"),
+      "star hubs regressed to a per-band window sort")
+  }
+}

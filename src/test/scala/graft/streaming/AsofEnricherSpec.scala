@@ -64,6 +64,54 @@ class AsofEnricherSpec extends SparkTestBase {
     }
   }
 
+  test("1 ms finality boundary (round-14 fix): a same-millisecond " +
+      "earlier-microsecond click still wins — finality must be " +
+      "STRICTLY below the watermark") {
+    // The fixture the round-13 verdict asked for: purchase at
+    // M + 500 µs, watermark parked EXACTLY at millisecond M, then the
+    // out-of-order click at M + 200 µs. Spark admits rows AT the
+    // watermark millisecond forever, so `<=` finality (pre-round-14)
+    // emits the purchase unattributed at the first assert below —
+    // this test FAILS on `<=` and passes on `<`.
+    def us(minute: Int, micros: Int): Timestamp = {
+      val t = new Timestamp(ts(minute).getTime)
+      t.setNanos(micros * 1000); t
+    }
+    run("asof_boundary") { (source, q) =>
+      // B1: the purchase (M + 500 µs) and a clock click parking the
+      // 1 h watermark exactly at M = ts(30)
+      source.addData(Ev(1, us(30, 500), 2, "purchase"),
+        Ev(99, ts(90), 90, "click"))
+      q.processAllAvailable()
+      // B2: unrelated traffic; user 1's timeout fires at wm == M.
+      // THE boundary assert: the purchase's millisecond EQUALS the
+      // watermark, a same-ms earlier-µs click is still admissible, so
+      // the purchase must stay pending (`<=` emits it here, null-
+      // attributed)
+      source.addData(Ev(98, ts(90), 91, "click"))
+      q.processAllAvailable()
+      assert(spark.table("asof_boundary").count() == 0,
+        "purchase emitted AT the watermark millisecond - the 1 ms " +
+          "finality window is open again")
+      // B3: the same-millisecond, earlier-microsecond click (M+200µs)
+      // — legal input (its ms >= watermark), sorts BEFORE the
+      // purchase in e08's (ts, event_id) order
+      source.addData(Ev(1, us(30, 200), 3, "click"))
+      q.processAllAvailable()
+      // flush: push the watermark past the horizon (twice — a batch's
+      // watermark reflects the previous batch's max event time)
+      source.addData(Ev(97, ts(20000), 92, "click"))
+      q.processAllAvailable()
+      source.addData(Ev(96, ts(30000), 93, "click"))
+      q.processAllAvailable()
+      val got = spark.table("asof_boundary")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == Seq((2L, 1L, 3L, 300L)),
+        s"same-ms attribution must land at 300 µs gap: $got")
+    }
+  }
+
   test("no-prior-click purchases emit null attribution and the carried " +
       "final click crosses batches") {
     run("asof_carry") { (source, q) =>

@@ -1036,11 +1036,16 @@ object Similarity {
       // capacity dimension). Per component of the three serving
       // indexes: the artifact's actual row count (read from the index
       // directories — a drifted build changes this row, which is the
-      // point) and its decoded in-memory footprint under a documented
-      // width model (ids/cells/tf/len 8 B, PQ code 1 B packed,
-      // centroid/codebook doubles, md5 fp 32 B, band 32 B canonical,
-      // postings add their true term bytes and 8 B per stored
-      // position). Per kind: total bytes and the shard count at the
+      // point) and its decoded in-memory footprint under the
+      // SCHEMA-VALIDATED width model (ServingWidths, round 14: the
+      // field policy is checked against each written parquet schema —
+      // drift fails the card loudly — and every data-dependent width
+      // is measured from the artifact rows; values unchanged from the
+      // documented constants, the migration proof in SimilaritySpec:
+      // ids/cells/tf/len 8 B slots, PQ code 1 B packed,
+      // centroid/codebook doubles, md5 fp hex bytes, band 24 B
+      // canonical slot + 8 B id, postings their true term bytes and
+      // 8 B per stored position). Per kind: total bytes and the shard count at the
       // 1 MiB fixture-scaled shard budget (real deployments swap in
       // 10s of GB; ceil-division is budget-agnostic). The oracle
       // re-derives every count from the RAW tables — N vectors, N*PqM
@@ -1052,24 +1057,20 @@ object Similarity {
       val annDir = ServingIndexes.ann(s, dir)
       val textDir = ServingIndexes.text(s, dir)
       val dedupDir = ServingIndexes.dedup(s, dir)
-      def n(p: String): Long = s.read.parquet(p).count()
-      val post = s.read.parquet(s"$textDir/postings")
-        .agg(count(lit(1)).as("n"), sum($"tf").as("tt"),
-          sum(length($"term")).as("tb")).head()
-      val (nPost, sumTf, termB) =
-        (post.getLong(0), post.getLong(1), post.getLong(2))
       val rows = Seq(
-        ("ann", "ann/invlists", n(s"$annDir/invlists"), 16L, 0L),
-        ("ann", "ann/codes", n(s"$annDir/codes"), 17L, 0L),
-        ("ann", "ann/centroids", n(s"$annDir/centroids"), 520L, 0L),
-        ("ann", "ann/codebooks", n(s"$annDir/codebooks"), 80L, 0L),
-        ("text", "text/postings", nPost, 24L, termB + 8L * sumTf),
-        ("text", "text/docs", n(s"$textDir/docs"), 16L, 0L),
-        ("dedup", "dedup/fps", n(s"$dedupDir/fps"), 40L, 0L),
-        ("dedup", "dedup/bands", n(s"$dedupDir/bands"), 32L, 0L))
-      val comp = rows.toDF("kind", "component", "n_rows", "w", "extra")
-        .select($"kind", $"component", $"n_rows",
-          ($"n_rows" * $"w" + $"extra").as("est_bytes"))
+        ("ann", "ann/invlists", s"$annDir/invlists"),
+        ("ann", "ann/codes", s"$annDir/codes"),
+        ("ann", "ann/centroids", s"$annDir/centroids"),
+        ("ann", "ann/codebooks", s"$annDir/codebooks"),
+        ("text", "text/postings", s"$textDir/postings"),
+        ("text", "text/docs", s"$textDir/docs"),
+        ("dedup", "dedup/fps", s"$dedupDir/fps"),
+        ("dedup", "dedup/bands", s"$dedupDir/bands"))
+        .map { case (kind, component, path) =>
+          val (nRows, estBytes) = ServingWidths.measure(s, component, path)
+          (kind, component, nRows, estBytes)
+        }
+      val comp = rows.toDF("kind", "component", "n_rows", "est_bytes")
       val tot = comp.groupBy($"kind")
         .agg(sum($"est_bytes").as("kind_bytes"))
       comp.join(broadcast(tot), "kind")

@@ -220,4 +220,43 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
   }
+
+  test("s53 migration proof: the schema-derived widths (ServingWidths) " +
+      "equal the historical documented constants, and schema drift " +
+      "fails loudly") {
+    // the round-14 refactor swapped hand-maintained width constants
+    // for the schema-validated per-field policy; this pins that the
+    // derived per-row widths reproduce the documented model EXACTLY
+    // (the fixed-width components divide evenly; postings decompose
+    // into 24 B fixed + term bytes + 8 B per position)
+    val rows = ops.Similarity.queries("s53_serving_memory_card")(
+      spark, sfSmoke).collect()
+      .map(r => r.getAs[String]("component") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"))).toMap
+    Seq("ann/invlists" -> 16L, "ann/codes" -> 17L,
+      "ann/centroids" -> 520L, "ann/codebooks" -> 80L,
+      "text/docs" -> 16L, "dedup/fps" -> 40L, "dedup/bands" -> 32L)
+      .foreach { case (c, w) =>
+        val (n, b) = rows(c)
+        assert(b == n * w, s"$c: derived $b != documented $w x $n rows")
+      }
+    val (nPost, bPost) = rows("text/postings")
+    val textDir = ops.ServingIndexes.text(spark, sfSmoke)
+    val agg = spark.read.parquet(s"$textDir/postings")
+      .agg(org.apache.spark.sql.functions.expr("sum(length(term))"),
+        org.apache.spark.sql.functions.expr("sum(tf)")).head()
+    assert(bPost == 24L * nPost + agg.getLong(0) + 8L * agg.getLong(1),
+      "postings width model diverged from the documented decomposition")
+    // drift detection: an unlisted column must fail with the
+    // actionable message, not price silently
+    val tmp = tmpDir("s53-drift")
+    spark.read.parquet(s"$textDir/docs")
+      .withColumn("surprise", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(tmp)
+    val e = intercept[IllegalStateException] {
+      ops.ServingWidths.measure(spark, "text/docs", tmp)
+    }
+    assert(e.getMessage.contains("surprise") &&
+      e.getMessage.contains("schema drift"))
+  }
 }

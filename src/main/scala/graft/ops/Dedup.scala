@@ -510,40 +510,7 @@ object Dedup {
     // UNORDERED pairs (a < b, half the rows) and the directed view is
     // a cheap row-level mirror
     val und = (if (gen == "prefix") {
-      // PREFIX FILTERING (AllPairs/PPJoin adapted to containment) —
-      // the RECALL-PRESERVING scale generator: for C(A→B) ≥ t, A and
-      // B must share ≥ ⌈t·|A|⌉ shingles, so by pigeonhole they share
-      // at least one of A's first ⌊(1−t)·|A|⌋+1 shingles under ANY
-      // fixed global order. Order by GLOBAL RARITY (document
-      // frequency asc, shingle tiebreak): the prefix then holds A's
-      // rarest shingles, and the candidate join (A-prefix ⋈ B-full,
-      // same-source) collides almost only on genuinely shared rare
-      // content — the df-ordering is what kills the hot-shingle
-      // blowup, the ⌊(1−t)|A|⌋+1 cut is what keeps it EXACT (unlike
-      // bands, which at low Jaccard lose exactly the asym_inclusion
-      // pairs this operator exists for). At t=0.5 the prefix is
-      // ~half of A, so the structural win is the rarity ordering,
-      // not the cut — recorded honestly.
-      val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      val wP = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
-      val pref = sh.join(dfreq, "sh")
-        .withColumn("rn", row_number().over(wP))
-        .join(sizes, "doc_id")
-        .filter($"rn" <=
-          floor($"n_sh".cast("double") / 2.0d).cast("long") + 1L)
-        .select($"doc_id".as("p_id"), $"sh", $"source")
-      val full = sh
-        .select($"doc_id".as("f_id"), $"sh".as("sh_f"),
-          $"source".as("source_f"))
-      pref.join(full,
-          $"source" === $"source_f" && $"sh" === $"sh_f" &&
-            $"p_id" =!= $"f_id")
-        // directed prefix hits cover BOTH directions; normalize to
-        // the unordered key the exact stage runs on
-        .select(least($"p_id", $"f_id").as("a_id"),
-          greatest($"p_id", $"f_id").as("b_id"))
-        .distinct()
-        .transform(exactCounts)
+      prefixCandidates(s, sh, sizes).transform(exactCounts)
     } else if (gen == "bands") {
       // LSH-band candidates (same-source, a < b), then exact
       // intersection counts ONLY for candidates: cand ⋈ sh(A) on a_id
@@ -584,6 +551,80 @@ object Dedup {
       .select($"a_id", $"b_id", $"n_inter", $"n_a", $"n_b",
         $"containment", $"jaccard", $"gap", $"asym_inclusion")
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** The d36 prefix-filter candidate generator, separated so the spec
+    * can price the positional cut directly. `sh` is the checkpointed
+    * (doc_id, sh[, h], source) shingle stream, `sizes` its per-doc
+    * counts; output is the unordered candidate pair set
+    * (a_id < b_id). `positional = false` disables PPJoin's second cut
+    * (measurement only — production always keeps it).
+    *
+    * PREFIX FILTERING (AllPairs/PPJoin adapted to containment) —
+    * the RECALL-PRESERVING scale generator: for C(A→B) ≥ t, A and
+    * B must share ≥ ⌈t·|A|⌉ shingles, so by pigeonhole they share
+    * at least one of A's first ⌊(1−t)·|A|⌋+1 shingles under ANY
+    * fixed global order. Order by GLOBAL RARITY (document
+    * frequency asc, shingle tiebreak): the prefix then holds A's
+    * rarest shingles, and the candidate join (A-prefix ⋈ B-full,
+    * same-source) collides almost only on genuinely shared rare
+    * content — the df-ordering is what kills the hot-shingle
+    * blowup, the ⌊(1−t)|A|⌋+1 cut is what keeps it EXACT (unlike
+    * bands, which at low Jaccard lose exactly the asym_inclusion
+    * pairs this operator exists for). At t=0.5 the prefix is
+    * ~half of A, so the rarity ordering carries the join cost and
+    * POSITIONAL FILTERING (PPJoin's second cut, round 14) carries
+    * the candidate count: at each pair's MINIMUM colliding token
+    * w1 (global (df, sh) order), no shared token precedes w1, so
+    * overlap ≤ min(|A|-pos_A(w1), |B|-pos_B(w1)) + 1 — pairs whose
+    * bound can't reach ⌈t·min(|A|,|B|)⌉ die BEFORE the exact
+    * intersection fan-out. Exactness: a qualifying pair's first
+    * SHARED token provably sits in the smaller doc's prefix
+    * (pigeonhole), so it collides, it IS the minimum colliding
+    * token, and its bound ≥ the true overlap ≥ the requirement —
+    * only non-qualifying pairs (which exactCounts would discard
+    * anyway) can be cut. The bound is symmetric under the
+    * direction swap, so duplicate two-direction collisions of the
+    * same token tie harmlessly in the min_by.
+    */
+  private[graft] def prefixCandidates(s: SparkSession, sh: DataFrame,
+      sizes: DataFrame, positional: Boolean = true): DataFrame = {
+    import s.implicits._
+    val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wP = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+    // rarity ranks feed BOTH join sides (the positional bound needs
+    // each side's token position) — materialized once, the d05
+    // rationale, eager like every checkpoint on this path
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(wP))
+      .join(sizes, "doc_id")
+      .localCheckpoint()
+    val pref = ranked
+      .filter($"rn" <=
+        floor($"n_sh".cast("double") / 2.0d).cast("long") + 1L)
+      .select($"doc_id".as("p_id"), $"sh", $"df",
+        $"rn".as("rn_p"), $"n_sh".as("n_p"), $"source")
+    val full = ranked
+      .select($"doc_id".as("f_id"), $"sh".as("sh_f"),
+        $"rn".as("rn_f"), $"n_sh".as("n_f"),
+        $"source".as("source_f"))
+    val joined = pref.join(full,
+        $"source" === $"source_f" && $"sh" === $"sh_f" &&
+          $"p_id" =!= $"f_id")
+      // directed prefix hits cover BOTH directions; normalize to
+      // the unordered key the exact stage runs on, keeping each
+      // pair's minimum-order collision for the positional bound
+      // (the group-agg replaces the former distinct — same shuffle)
+      .groupBy(least($"p_id", $"f_id").as("a_id"),
+        greatest($"p_id", $"f_id").as("b_id"))
+      .agg(min_by(struct($"rn_p", $"rn_f", $"n_p", $"n_f"),
+        struct($"df", $"sh")).as("w1"))
+    (if (positional)
+      joined.filter(
+        least($"w1.n_p" - $"w1.rn_p", $"w1.n_f" - $"w1.rn_f") + 1L >=
+          expr("(least(w1.n_p, w1.n_f) + 1) div 2"))
+    else joined)
+      .select($"a_id", $"b_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

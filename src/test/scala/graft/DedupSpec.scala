@@ -332,6 +332,40 @@ class DedupSpec extends SparkTestBase {
         s"${prefixed.take(2)} vs ${exact.take(2)}")
   }
 
+  test("d36 positional filter (PPJoin's second cut, round 14): strictly " +
+      "fewer candidates, every gated containment pair retained") {
+    import spark.implicits._
+    Seq(sfSmoke, sfVerify).foreach { sf =>
+      val d = Tables.load(spark, sf, "documents")
+      val sh = d.withColumn("toks", split($"text", " "))
+        .select($"doc_id",
+          explode(graft.functions.Shingle3($"toks")).as("sh"))
+        .join(d.select($"doc_id", $"source"), "doc_id")
+        .localCheckpoint()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      def pairs(positional: Boolean): Set[(Long, Long)] =
+        ops.Dedup.prefixCandidates(spark, sh, sizes, positional)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cut = pairs(positional = true)
+      val all = pairs(positional = false)
+      assert(cut.subsetOf(all), s"$sf: the cut invented a candidate")
+      assert(cut.size < all.size,
+        s"$sf: positional bound cut nothing (${all.size} candidates)")
+      // exactness on the real fixture: every gated containment pair
+      // survives the cut (the ARBITRARY-corpora property test proves
+      // the theorem; this prices it: counts recorded in SCALE.md)
+      val gated = ops.Dedup.queries("d36_containment_prefix_filtered")(
+        spark, sf).select("a_id", "b_id")
+        .collect() // directed view: normalize to the unordered key
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(gated.subsetOf(cut), s"$sf: the cut dropped a true pair: " +
+        s"missing=${(gated -- cut).toSeq.sorted}")
+      info(s"$sf: candidates ${all.size} -> ${cut.size} " +
+        s"(${gated.size} qualifying)")
+    }
+  }
+
   test("containment generators on ARBITRARY corpora: prefix == shingle " +
       "always (the pigeonhole theorem, not a fixture coincidence); " +
       "bands ⊆ shingle (its documented recall trade)") {

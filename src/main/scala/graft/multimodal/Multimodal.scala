@@ -510,8 +510,10 @@ object Multimodal {
     * buckets: every distinct content links to its bucket's minimum
     * fingerprint hub, so a flooded bucket contributes k−1 candidate
     * edges, never the k(k−1)/2 an all-pairs expansion would — the same
-    * boundedness-for-recall trade, and the window is partitioned
-    * (format, ph) so no single task ever sees more than one bucket.
+    * boundedness-for-recall trade, and (round 14) the hub min rides
+    * Events.saltedAggAuto instead of a per-bucket window, so even the
+    * flooded bucket itself never serializes through one task when the
+    * sizing says to split it.
     */
   private[graft] def dedupStatsFromBase(s: SparkSession,
       base: DataFrame): DataFrame = {
@@ -523,9 +525,16 @@ object Multimodal {
       .groupBy($"format")
       .agg(count(lit(1)).as("n_ph_buckets"),
         max($"bc").as("max_ph_bucket"))
-    val hubW = Window.partitionBy($"format", $"ph")
-    val cands = per
-      .withColumn("hub", min($"fp").over(hubW))
+    // hub = min(fp) per (format, ph) bucket, through the live
+    // salted-agg auto path (round 14, same move as d09's star hubs):
+    // the former per-bucket window sorted a flooded pHash bucket
+    // inside ONE task — exactly the skew the spec below plants —
+    // while min is decomposable, so saltedAggAuto can split a hot
+    // bucket across reducers when its sizing says to (direct
+    // single-shuffle otherwise; identical results either way)
+    val hubs = graft.ops.Events.saltedAggAuto(s, per,
+      Seq("format", "ph"), Seq(graft.ops.Events.SaltMin($"fp", "hub")))
+    val cands = per.join(hubs, Seq("format", "ph"))
       .filter($"fp" =!= $"hub")
       .groupBy($"format")
       .agg(count(lit(1)).as("n_near_cands"))

@@ -360,8 +360,15 @@ object Dedup {
     var iter = 0
     val maxIters = 32
     while (changed > 0 && iter < maxIters) {
-      val nbr = und.join(labels, und("b_id") === labels("id"))
-        .groupBy($"a_id").agg(min($"lbl").as("nlbl"))
+      // neighbor-min through the live salted-agg auto path (round
+      // 14): a star hub's degree is the flooded cluster's size, so
+      // the per-node min is the loop's one hot-key aggregation —
+      // decomposable, so the auto path can split it when the sizing
+      // says to (direct at fixture scale; identical labels either
+      // way, and the budget rung costs zero jobs per iteration)
+      val nbr = Events.saltedAggAuto(s,
+        und.join(labels, und("b_id") === labels("id")),
+        Seq("a_id"), Seq(Events.SaltMin($"lbl", "nlbl")))
       val hop = labels.select($"id".as("h_id"), $"lbl".as("h_lbl"))
       val next = labels
         .join(nbr, labels("id") === nbr("a_id"), "left")

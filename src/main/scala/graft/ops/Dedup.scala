@@ -359,16 +359,20 @@ object Dedup {
     var changed = 1L
     var iter = 0
     val maxIters = 32
+    // neighbor-min through the salted-agg path (round 14): a star
+    // hub's degree is the flooded cluster's size, so the per-node min
+    // is the loop's one hot-key aggregation — decomposable, so the
+    // salted plan can split it when the sizing says to (direct at
+    // fixture scale; identical labels either way). Priced ONCE before
+    // the loop: the join's per-a_id fan-in IS und's a_id degree
+    // histogram on every hop (labels only relabel), and deciding per
+    // iteration paid an optimizer pass per hop for the same answer
+    // (+0.7 s on the gated rows, SCALE.md round 14).
+    val hubSaltN = Events.saltPlanFor(s, und, Seq("a_id"))
     while (changed > 0 && iter < maxIters) {
-      // neighbor-min through the live salted-agg auto path (round
-      // 14): a star hub's degree is the flooded cluster's size, so
-      // the per-node min is the loop's one hot-key aggregation —
-      // decomposable, so the auto path can split it when the sizing
-      // says to (direct at fixture scale; identical labels either
-      // way, and the budget rung costs zero jobs per iteration)
-      val nbr = Events.saltedAggAuto(s,
+      val nbr = Events.saltedAggWith(s,
         und.join(labels, und("b_id") === labels("id")),
-        Seq("a_id"), Seq(Events.SaltMin($"lbl", "nlbl")))
+        Seq("a_id"), Seq(Events.SaltMin($"lbl", "nlbl")), hubSaltN)
       val hop = labels.select($"id".as("h_id"), $"lbl".as("h_lbl"))
       val next = labels
         .join(nbr, labels("id") === nbr("a_id"), "left")

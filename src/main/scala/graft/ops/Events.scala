@@ -232,24 +232,47 @@ object Events {
       aggs: Seq[SaltAgg], spread: Option[Column] = None,
       mode: Option[String] = None,
       budgetBytes: Option[Long] = None): DataFrame = {
-    require(aggs.nonEmpty, "saltedAggAuto needs at least one aggregate")
     val m = mode.getOrElse(s.conf.get("spark.graft.agg.salt", "auto"))
     val saltN: Long = m match {
       case "direct" => 1L
       case "salt" => s.conf.get("spark.graft.agg.saltN", "16").toLong
-      case "auto" =>
-        val budget = budgetBytes.getOrElse(
-          s.conf.get("spark.graft.agg.saltBudgetBytes",
-            (1L << 30).toString).toLong)
-        if (PlanSizing.scanBytes(df) <= BigInt(budget)) 1L
-        else {
-          val p = s.conf.getOption("spark.graft.skew.reducerBudget")
-            .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toLong
-          saltDecision(s, df, keys, p)
-        }
+      case "auto" => saltPlanFor(s, df, keys, budgetBytes)
       case other => throw new IllegalArgumentException(
         s"spark.graft.agg.salt must be auto|direct|salt, got '$other'")
     }
+    saltedAggWith(s, df, keys, aggs, saltN, spread)
+  }
+
+  /** The `auto` arm of [[saltedAggAuto]]'s ladder, exposed so callers
+    * that aggregate REPEATEDLY over frames with one size profile (the
+    * components loop: the join's per-key fan-in is the edge frame's
+    * degree histogram on every hop) can price ONCE and reuse the
+    * decision via [[saltedAggWith]] — deciding per iteration pays an
+    * optimizer pass (and, above budget, a card job) per hop for the
+    * same answer (measured +0.7 s on the gated components rows,
+    * SCALE.md round 14).
+    */
+  private[graft] def saltPlanFor(s: SparkSession, df: DataFrame,
+      keys: Seq[String], budgetBytes: Option[Long] = None): Long = {
+    val budget = budgetBytes.getOrElse(
+      s.conf.get("spark.graft.agg.saltBudgetBytes",
+        (1L << 30).toString).toLong)
+    if (PlanSizing.scanBytes(df) <= BigInt(budget)) 1L
+    else {
+      val p = s.conf.getOption("spark.graft.skew.reducerBudget")
+        .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toLong
+      saltDecision(s, df, keys, p)
+    }
+  }
+
+  /** The decided-plan builder behind [[saltedAggAuto]]: the direct
+    * single-shuffle aggregation at `saltN` ≤ 1, the two-phase salted
+    * rewrite at exactly that fan-out otherwise.
+    */
+  private[graft] def saltedAggWith(s: SparkSession, df: DataFrame,
+      keys: Seq[String], aggs: Seq[SaltAgg], saltN: Long,
+      spread: Option[Column] = None): DataFrame = {
+    require(aggs.nonEmpty, "saltedAggWith needs at least one aggregate")
     val keyCols = keys.map(col)
     if (saltN <= 1L) {
       df.groupBy(keyCols: _*).agg(
@@ -572,20 +595,18 @@ object Events {
       // utilization. Scale shapes: one corpus scan to 10-minute epoch
       // counts (map-side partials); the dense epoch series
       // (calendar-bounded, like e41's buckets) rides the promoted
-      // PrefixScan.exclusiveSumMin since round 14 — the Lindley form
-      // (exclusive prefix sum + exclusive min-over-prefix-sums,
-      // grouped per cap) in the ONE audited O(B²) bounded-fold home
-      // whose property proof covers e41/e42/e43 alike. Each epoch's
-      // inclusive values derive row-locally from the exclusive pair:
-      // p_in = prefix + (a - cap), mn_in = least(min_prefix, p_in),
-      // backlog = p_in - mn_in = the max(0, b + a - cap) recursion in
-      // closed form. The curve then re-aggregates per cap (peak,
-      // backlogged epochs, max_by-bucket final) — no partition-less
-      // window, no driver loop.
+      // PrefixScan.lindleyStats since round 14 — the queue recursion
+      // in closed prefix form as a LINEAR per-cap fold in the one
+      // audited bounded-fold home (property-proven there against the
+      // sequential recursion, alongside e41/e42's per-bucket
+      // exclusive form; this consumer needs only terminal stats, so
+      // the quadratic per-bucket explode would be pure loss — round
+      // 14 measured 0.18 s vs 7.3 s at sf0.1's ~4.3k epochs). No
+      // partition-less window, no driver loop.
       val EpochUs = 600L * 1000 * 1000
       // epoch counts are calendar-bounded (like e41's buckets); the
-      // eager checkpoint lets the bounds agg, the densify join and
-      // the scan's join-back all read them with ONE corpus scan
+      // eager checkpoint lets the bounds agg and the densify join
+      // both read them with ONE corpus scan
       val sparse = ev(s, dir)
         .select(expr(s"unix_micros(ts) div $EpochUs").as("epoch"))
         .groupBy($"epoch").agg(count(lit(1)).as("a"))
@@ -593,7 +614,7 @@ object Events {
       val bounds = sparse.agg(min($"epoch").as("e0"),
         max($"epoch").as("e1"), sum($"a").as("total"))
       // densify over [min, max] — zero-arrival epochs drain backlog —
-      // and fan out per cap BEFORE the scan so the grouped fold runs
+      // and fan out per cap BEFORE the fold so the grouped pass runs
       // once per cap over its own collapsed row
       val perCap = bounds
         .select($"total", ($"e1" - $"e0" + 1).as("n_epochs"),
@@ -604,24 +625,15 @@ object Events {
           explode(array(Seq(9L, 11L, 15L).map(m => lit(m)): _*)).as("m"))
         .withColumn("cap",
           expr("(total * m + 10 * n_epochs - 1) div (10 * n_epochs)"))
-        .localCheckpoint()
-      PrefixScan.exclusiveSumMin(perCap, $"epoch", $"a" - $"cap",
+      PrefixScan.lindleyStats(perCap, $"epoch", $"a" - $"cap",
           groups = Seq("m", "cap", "total", "n_epochs"))
-        .join(perCap.select($"m", $"epoch".as("bucket"), $"a"),
-          Seq("m", "bucket"))
-        .withColumn("p_in", $"prefix" + ($"a" - $"cap"))
-        .withColumn("backlog", $"p_in" - least($"min_prefix", $"p_in"))
-        .groupBy($"m", $"cap", $"total", $"n_epochs")
-        .agg(max($"backlog").as("peak"),
-          sum(when($"backlog" > 0L, 1L).otherwise(0L)).as("nb"),
-          max_by($"backlog", $"bucket").as("fin"))
         .select(
           round($"m" / lit(10.0), 1).as("cap_x_mean"),
           $"cap".as("cap_rows"),
-          $"peak".as("peak_backlog"),
-          $"nb".as("backlogged_epochs"),
-          $"fin".as("final_backlog"),
-          ($"fin" === 0L).as("drained"),
+          $"peak_backlog",
+          $"backlogged_buckets".as("backlogged_epochs"),
+          $"final_backlog",
+          ($"final_backlog" === 0L).as("drained"),
           round($"total" / ($"cap" * $"n_epochs").cast("double"), 6)
             .as("utilization"))
         .orderBy($"cap_x_mean")

@@ -101,31 +101,41 @@ object PrefixScan {
       .select(col("r.bucket").as("bucket"), col("r.prefix").as("prefix"))
 
   /** The Lindley form (e43's accumulator, promoted per the round-13
-    * verdict): per group and bucket, the EXCLUSIVE prefix sum of
-    * `value` AND the exclusive minimum over prefix sums — both seeded
-    * at 0, the empty-prefix sum, so `min_prefix` is min(0, min over
-    * proper prefixes). One fold carries the (sum, min) struct; a
-    * caller derives the inclusive values from its own row
-    * (p_in = prefix + v, mn_in = least(min_prefix, p_in)) and e.g.
-    * the Lindley backlog as p_in - mn_in — the max(0, b + v) queue
-    * recursion in closed form.
+    * verdict — as a LINEAR terminal fold, deliberately NOT the O(B²)
+    * per-bucket explode): per group, ONE pass of the queue recursion
+    * backlog = max(0, backlog + value) over the sorted bucket frame,
+    * carried in closed prefix form (p = running sum, mn = running
+    * min over prefix sums seeded at the empty-prefix 0, backlog =
+    * p − mn). A consumer that needs only the terminal statistics —
+    * peak backlog, buckets spent backlogged, the final backlog —
+    * must not pay the per-bucket quadratic fold: round 14 measured
+    * e43 at 0.18 s (linear, ~4.3k epochs × 3 caps) vs 7.3 s through
+    * the exclusive-prefix explode at sf0.1. The per-bucket
+    * [[exclusive]] form stays for consumers that genuinely emit a
+    * value per bucket (e41/e42, hours-bounded frames).
     *
     * `groups` (column NAMES of `df`; e43: the admission cap) fans the
-    * scan out: one collapsed row and one fold per group, same contract
-    * per group. Output: groups ++ (bucket, prefix, min_prefix).
+    * fold out: one collapsed row and one linear pass per group, same
+    * enforced contract per group. Output: groups ++
+    * (peak_backlog, backlogged_buckets, final_backlog).
     */
-  def exclusiveSumMin(df: DataFrame, bucket: Column, value: Column,
-      groups: Seq[String] = Seq.empty): DataFrame = {
-    val names = groups
+  def lindleyStats(df: DataFrame, bucket: Column, value: Column,
+      groups: Seq[String] = Seq.empty): DataFrame =
     collapsed(df, bucket, value, groups)
-      .select((names.map(col) :+ explode(expr(
-        "transform(bs, (x, i) -> struct(x.b AS bucket, " +
-          "aggregate(slice(bs, 1, i), " +
-          "named_struct('p', cast(0 as bigint), 'mn', cast(0 as bigint)), " +
-          "(acc, y) -> named_struct('p', acc.p + y.v, " +
-          "'mn', least(acc.mn, acc.p + y.v))) AS pm))")).as("r")): _*)
-      .select((names.map(col) :+ col("r.bucket").as("bucket")
-        :+ col("r.pm.p").as("prefix")
-        :+ col("r.pm.mn").as("min_prefix")): _*)
-  }
+      .withColumn("acc", expr("""
+        aggregate(bs,
+          named_struct('p', cast(0 as bigint), 'mn', cast(0 as bigint),
+            'b', cast(0 as bigint), 'peak', cast(0 as bigint),
+            'nb', cast(0 as bigint)),
+          (acc, y) -> named_struct(
+            'p', acc.p + y.v,
+            'mn', least(acc.mn, acc.p + y.v),
+            'b', acc.p + y.v - least(acc.mn, acc.p + y.v),
+            'peak', greatest(acc.peak,
+              acc.p + y.v - least(acc.mn, acc.p + y.v)),
+            'nb', acc.nb + if(acc.p + y.v
+              - least(acc.mn, acc.p + y.v) > 0, 1, 0)))"""))
+      .select((groups.map(col) :+ col("acc.peak").as("peak_backlog")
+        :+ col("acc.nb").as("backlogged_buckets")
+        :+ col("acc.b").as("final_backlog")): _*)
 }

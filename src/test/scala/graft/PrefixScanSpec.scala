@@ -79,28 +79,29 @@ class PrefixScanSpec extends SparkTestBase {
     }
   }
 
-  test("exclusiveSumMin (the Lindley form) equals the sequential " +
-      "(prefix-sum, min-prefix-sum) fold, per group") {
+  test("lindleyStats (the linear Lindley terminal fold) equals the " +
+      "sequential max(0, b + v) queue recursion, per group") {
     import spark.implicits._
     randomFrames(44L).zipWithIndex.foreach { case (rows, gi) =>
       // two copies under different group keys in ONE frame: the
-      // grouped scan must fold each group against its own buckets
+      // grouped fold must run each group against its own buckets
       val df = rows.flatMap { case (b, v) =>
         Seq(("ga", b, v), ("gb", b, v + 7L))
       }.toDF("g", "b", "v")
-      val out = PrefixScan.exclusiveSumMin(df, $"b", $"v", Seq("g"))
+      val out = PrefixScan.lindleyStats(df, $"b", $"v", Seq("g"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1)) ->
-          (r.getLong(2), r.getLong(3))).toMap
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       Seq("ga" -> 0L, "gb" -> 7L).foreach { case (g, off) =>
-        val sorted = rows.sortBy(_._1)
-        var p = 0L; var mn = 0L
-        sorted.foreach { case (b, v) =>
-          assert(out((g, b)) == ((p, mn)),
-            s"group $g bucket $b diverged (frame $gi)")
-          p += v + off
-          mn = math.min(mn, p)
+        // independent reference: the DIRECT recursion, not the
+        // closed prefix form the implementation carries
+        var b = 0L; var peak = 0L; var nb = 0L
+        rows.sortBy(_._1).foreach { case (_, v) =>
+          b = math.max(0L, b + v + off)
+          peak = math.max(peak, b); if (b > 0) nb += 1
         }
+        assert(out(g) == ((peak, nb, b)),
+          s"group $g diverged from the direct recursion (frame $gi)")
       }
     }
   }

@@ -79,7 +79,9 @@ package object functions {
     ("graft_dedup_check", "graft.ops.SqlServing",
       e => graft.ops.SqlServing.dedupCheckPlan(e)),
     ("graft_phrase", "graft.ops.SqlServing",
-      e => graft.ops.SqlServing.phrasePlan(e)))
+      e => graft.ops.SqlServing.phrasePlan(e)),
+    ("graft_skew", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.skewPlan(e)))
 
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */

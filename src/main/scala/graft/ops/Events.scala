@@ -170,6 +170,41 @@ object Events {
   final case class SaltMin(c: Column, alias: String) extends SaltAgg
   final case class SaltMax(c: Column, alias: String) extends SaltAgg
 
+  /** The e40 card arithmetic for ANY axis set — one narrow scan, the
+    * axes fanned out per-row (explode of structs, never a self-union
+    * re-read), per-(axis, key) counts with map-side partials, then
+    * the ceil-division sizing columns. Shared by the gated e40 row
+    * (three fixture axes at the pinned budget) and the `graft_skew`
+    * SQL TVF (caller-chosen axis and budget) so the two surfaces
+    * cannot drift. Callers pass `k` expressions that are already
+    * string-typed and null-coalesced — the key text is part of the
+    * axis contract.
+    */
+  private[graft] def skewCardFor(df: DataFrame,
+      axes: Seq[(String, Column)], p: Long): DataFrame =
+    df.select(explode(array(axes.map { case (name, k) =>
+        struct(lit(name).as("axis"), k.as("k"))
+      }: _*)).as("ak"))
+      .select(col("ak.axis").as("axis"), col("ak.k").as("k"))
+      .groupBy(col("axis"), col("k")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("axis"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_key_rows"))
+      .withColumn("max_share",
+        round(col("max_key_rows") / col("total_rows").cast("double"), 6))
+      .withColumn("skew_factor",
+        round((col("max_key_rows") * col("n_keys")) /
+          col("total_rows").cast("double"), 6))
+      .withColumn("target_task_rows",
+        expr(s"(total_rows + $p - 1) div $p"))
+      .withColumn("salt_n", expr(
+        "(max_key_rows + target_task_rows - 1) div target_task_rows"))
+      .withColumn("post_salt_max_rows",
+        expr("(max_key_rows + salt_n - 1) div salt_n"))
+      .withColumn("decision",
+        when(col("salt_n") > 1, lit("salt")).otherwise(lit("direct")))
+      .orderBy(col("axis"))
+
   /** The e40 sizing for ONE axis, consumed live: per-key counts of
     * `keys` over `df` (one column-pruned pass, map-side partials),
     * then the card's ceil-division arithmetic — target = ⌈total/P⌉
@@ -366,34 +401,25 @@ object Events {
       // session layout — an autotuner overrides the conf to price its
       // own cluster.
       val P = s.conf.get("spark.graft.skew.reducerBudget", "32").toLong
-      ev(s, dir)
-        .select(explode(array(
-          struct(lit("day").as("axis"),
-            to_date($"ts").cast("string").as("k")),
-          struct(lit("event_type").as("axis"),
-            coalesce($"event_type", lit("<null>")).as("k")),
-          struct(lit("user_id").as("axis"),
-            coalesce($"user_id".cast("string"), lit("<null>")).as("k"))
-        )).as("ak"))
-        .select($"ak.axis".as("axis"), $"ak.k".as("k"))
-        .groupBy($"axis", $"k").agg(count(lit(1)).as("cnt"))
-        .groupBy($"axis")
-        .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total_rows"),
-          max($"cnt").as("max_key_rows"))
-        .withColumn("max_share",
-          round($"max_key_rows" / $"total_rows".cast("double"), 6))
-        .withColumn("skew_factor",
-          round(($"max_key_rows" * $"n_keys") /
-            $"total_rows".cast("double"), 6))
-        .withColumn("target_task_rows",
-          expr(s"(total_rows + $P - 1) div $P"))
-        .withColumn("salt_n", expr(
-          "(max_key_rows + target_task_rows - 1) div target_task_rows"))
-        .withColumn("post_salt_max_rows",
-          expr("(max_key_rows + salt_n - 1) div salt_n"))
-        .withColumn("decision",
-          when($"salt_n" > 1, lit("salt")).otherwise(lit("direct")))
-        .orderBy($"axis")
+      skewCardFor(ev(s, dir), Seq(
+        "day" -> to_date($"ts").cast("string"),
+        "event_type" -> coalesce($"event_type", lit("<null>")),
+        "user_id" -> coalesce($"user_id".cast("string"), lit("<null>"))
+      ), P)
+    },
+
+    "e44_skew_card_sql" -> { (s, dir) =>
+      // The autotuner surface in SQL (round 14, the s47/s48/d37
+      // discipline applied to the skew card): this row's entire query
+      // is the text a SQL-only client types before deciding whether a
+      // groupBy needs e09's salted rewrite — graft_skew over the raw
+      // table, axis and reducer budget as literal arguments. The TVF
+      // defers to the exact Scala core the gated e40 row runs
+      // (Events.skewCardFor), so both surfaces are hash-gated against
+      // the same arithmetic and neither can drift.
+      graft.functions.registerAll(s)
+      s.sql(s"SELECT * FROM graft_skew('$dir', 'events', " +
+        "'event_type', 32)")
     },
 
     "e41_watermark_delay_curve" -> { (s, dir) =>
@@ -1811,6 +1837,40 @@ object Events {
         |    AS post_salt_max_rows,
         |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
         |FROM sn ORDER BY axis""".stripMargin,
+
+    // e44: the SQL TVF surface over the same card — single axis
+    // (event_type) at the same pinned budget, so the twin is e40's
+    // arithmetic restricted to one axis
+    "e44_skew_card_sql" ->
+      """WITH kc AS (
+        |  SELECT coalesce(event_type, '<null>') AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |ax AS (
+        |  SELECT 'event_type' AS axis, count(*) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |    max(cnt) AS max_key_rows
+        |  FROM kc),
+        |d AS (
+        |  SELECT axis, n_keys, total_rows, max_key_rows,
+        |    round(max_key_rows / CAST(total_rows AS DOUBLE), 6)
+        |      AS max_share,
+        |    round((max_key_rows * n_keys) / CAST(total_rows AS DOUBLE), 6)
+        |      AS skew_factor,
+        |    (total_rows + 31) // 32 AS target_task_rows
+        |  FROM ax),
+        |sn AS (
+        |  SELECT *,
+        |    (max_key_rows + target_task_rows - 1) // target_task_rows
+        |      AS salt_n
+        |  FROM d)
+        |SELECT axis, n_keys, total_rows, max_key_rows, max_share,
+        |  skew_factor,
+        |  CAST(target_task_rows AS BIGINT) AS target_task_rows,
+        |  CAST(salt_n AS BIGINT) AS salt_n,
+        |  CAST((max_key_rows + salt_n - 1) // salt_n AS BIGINT)
+        |    AS post_salt_max_rows,
+        |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
+        |FROM sn""".stripMargin,
 
     "e41_watermark_delay_curve" ->
       """WITH e2 AS (

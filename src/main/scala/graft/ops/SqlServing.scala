@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.plans.ServingScan
@@ -86,6 +87,17 @@ object SqlServing {
   private[graft] val phraseSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("phrase_tf", LongType)))
+  private[graft] val skewSchema = StructType(Seq(
+    StructField("axis", StringType),
+    StructField("n_keys", LongType),
+    StructField("total_rows", LongType),
+    StructField("max_key_rows", LongType),
+    StructField("max_share", DoubleType),
+    StructField("skew_factor", DoubleType),
+    StructField("target_task_rows", LongType),
+    StructField("salt_n", LongType),
+    StructField("post_salt_max_rows", LongType),
+    StructField("decision", StringType)))
 
   /** graft_bm25(indexDir, query, k): BM25 top-k from the written
     * postings index; terms are the whitespace-split query words.
@@ -203,6 +215,32 @@ object SqlServing {
             Seq((-1L, text)).toDF("doc_id", "text"))
           .select("fp_in_corpus", "near_rej_corpus")
       })
+  }
+
+  /** graft_skew(dataDir, table, keyCol, p): the shuffle-skew decision
+    * card for ONE grouping axis of a raw fixture table — the question
+    * a SQL-only client asks BEFORE writing a groupBy: "does this axis
+    * need the two-phase salted rewrite at p reducers?". Returns the
+    * e40 card row (n_keys, total_rows, max_key_rows, max_share,
+    * skew_factor, target_task_rows, salt_n, post_salt_max_rows,
+    * decision) computed by the exact Scala core the gated e40 row and
+    * the live saltedAggAuto rewrite consume (Events.skewCardFor), so
+    * the SQL surface cannot drift from either. Keys compare as
+    * null-coalesced strings ('<null>'), the card's axis contract.
+    */
+  def skewPlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_skew"
+    graft.functions.requireArity(fn, args, 4,
+      "graft_skew(dataDir, table, keyCol, p)")
+    val dir = str(fn, args(0), "dataDir")
+    val table = str(fn, args(1), "table")
+    val keyCol = str(fn, args(2), "keyCol")
+    val p = int(fn, args(3), "p")
+    if (p < 1) bad(fn, "p", "must be >= 1")
+    deferred(fn, s"$dir, $table, $keyCol, p=$p", skewSchema,
+      s => Events.skewCardFor(graft.Tables.load(s, dir, table),
+        Seq(keyCol -> F.coalesce(F.col(keyCol).cast("string"),
+          F.lit("<null>"))), p.toLong))
   }
 
   private def deferred(fn: String, argsDesc: String, schema: StructType,

@@ -80,6 +80,23 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("e44/graft_skew: the SQL card equals the gated e40 axis row " +
+      "bit-for-bit (both surfaces share skewCardFor)") {
+    val sql = ops.Events.queries("e44_skew_card_sql")(spark, sfSmoke)
+      .collect().map(_.toSeq.toSeq).toSeq
+    val scala = ops.Events.queries("e40_skew_salt_decision")(spark, sfSmoke)
+      .filter(col("axis") === "event_type")
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(sql == scala, s"SQL $sql != Scala $scala")
+    // argument validation: the parameter-oriented error class, not a
+    // ClassCastException (the SqlServing requireArity principle)
+    graft.functions.registerAll(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_skew('/x', 'events', 'k', 0)")
+    }
+    assert(e.getMessage.contains("graft_skew"))
+  }
+
   test("e41: drop curve is monotone, the max-jitter delay provably " +
       "admits everything, and exactly the smallest SLO-meeting delay " +
       "is recommended") {

@@ -271,6 +271,8 @@ class GraftExtensionsSpec extends SparkTestBase {
         s"'$annIdx', 'spark window query', '$csv', 50, 10)").collect()
       fresh.sql(s"EXPLAIN SELECT * FROM " +
         s"graft_phrase('$textIdx', 'spark window', 10)").collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM " +
+        s"graft_skew('$sfSmoke', 'events', 'event_type', 8)").collect()
       fresh.sql(s"CREATE OR REPLACE TEMPORARY VIEW tvf_v AS " +
         s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
       (1 to 3).foreach(_ => fresh.sql("EXPLAIN SELECT * FROM tvf_v")

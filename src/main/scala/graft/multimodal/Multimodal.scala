@@ -518,8 +518,13 @@ object Multimodal {
   private[graft] def dedupStatsFromBase(s: SparkSession,
       base: DataFrame): DataFrame = {
     import s.implicits._
+    // four consumers fork from the per-content frame (buckets,
+    // contents, the cands join side, the hub aggregation — round-14
+    // review finding): materialized once, the d05 rationale, EAGER
+    // like every checkpoint on the board
     val per = base.groupBy($"format", $"fp", $"ph")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val buckets = per.groupBy($"format", $"ph")
       .agg(sum($"c").as("bc"))
       .groupBy($"format")

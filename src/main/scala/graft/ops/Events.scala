@@ -267,6 +267,8 @@ object Events {
       aggs: Seq[SaltAgg], spread: Option[Column] = None,
       mode: Option[String] = None,
       budgetBytes: Option[Long] = None): DataFrame = {
+    // misuse must fail BEFORE the auto arm pays a sizing job
+    require(aggs.nonEmpty, "saltedAggAuto needs at least one aggregate")
     val m = mode.getOrElse(s.conf.get("spark.graft.agg.salt", "auto"))
     val saltN: Long = m match {
       case "direct" => 1L

@@ -238,9 +238,20 @@ object SqlServing {
     val p = int(fn, args(3), "p")
     if (p < 1) bad(fn, "p", "must be >= 1")
     deferred(fn, s"$dir, $table, $keyCol, p=$p", skewSchema,
-      s => Events.skewCardFor(graft.Tables.load(s, dir, table),
-        Seq(keyCol -> F.coalesce(F.col(keyCol).cast("string"),
-          F.lit("<null>"))), p.toLong))
+      s => {
+        // the dir/table/keyCol arguments can only be CHECKED against
+        // storage at execution (deferral keeps analysis IO-free), but
+        // the failure must still carry the module's parameter-oriented
+        // framing, not a raw unresolved-column error (round-14 review
+        // finding)
+        val df = graft.Tables.load(s, dir, table)
+        if (!df.columns.contains(keyCol))
+          bad(fn, "keyCol", s"column '$keyCol' not in table " +
+            s"'$table' (has: ${df.columns.mkString(", ")})")
+        Events.skewCardFor(df,
+          Seq(keyCol -> F.coalesce(F.col(keyCol).cast("string"),
+            F.lit("<null>"))), p.toLong)
+      })
   }
 
   private def deferred(fn: String, argsDesc: String, schema: StructType,

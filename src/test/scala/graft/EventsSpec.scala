@@ -177,7 +177,8 @@ class EventsSpec extends SparkTestBase {
       "a different shuffle layout (the resumable/deterministic claim " +
       "behind the md5-coin and two-phase-scan constructions)") {
     val cards = Seq("e40_skew_salt_decision", "e41_watermark_delay_curve",
-      "e42_state_peak_card", "e43_admission_backlog_curve")
+      "e42_state_peak_card", "e43_admission_backlog_curve",
+      "e44_skew_card_sql")
     val base = cards.map(c =>
       c -> ops.Events.queries(c)(spark, sfSmoke).collect().toSeq).toMap
     withConfs("spark.sql.shuffle.partitions" -> "3") {

@@ -525,9 +525,16 @@ object TextAnalysis {
         .withColumn("avg_nll",
           round((-$"nll_sum").cast("double") /
             $"n_bigrams".cast("double"), 6))
-      val w = Window.partitionBy($"lang").orderBy($"avg_nll", $"doc_id")
-      scored
-        .withColumn("ntl", ntile(3).over(w))
+      // per-lang tercile WITHOUT the per-lang window (round 14): a
+      // language partition is a corpus share at 100 TB, and ntile
+      // needs the group's total order, so the old
+      // ntile(3).over(partitionBy(lang)) sorted a language's whole
+      // slice in one task — GlobalRank.groupedNtile decomposes it
+      // into one distributed range sort + a broadcast group-offset
+      // join (closed-form NTILE semantics, property-proven ==
+      // Spark's window; this row re-gated hash-identical)
+      graft.plans.GlobalRank.groupedNtile(scored.localCheckpoint(),
+          Seq("lang"), Seq($"avg_nll", $"doc_id"), 3, "ntl")
         .withColumn("bucket", when($"ntl" === 1, "head")
           .when($"ntl" === 2, "middle").otherwise("tail"))
         .select($"doc_id", $"lang", $"n_bigrams", $"avg_nll", $"bucket")
@@ -889,8 +896,11 @@ object TextAnalysis {
       // sum DECIMAL-cast contributions before ONE double division.
       val sup = unigramSurprisalCore(s, dir)
         .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
-      val w = Window.partitionBy($"source").orderBy($"surprisal", $"doc_id")
-      sup.withColumn("bucket", ntile(10).over(w))
+      // per-source decile through the distributed grouped ntile (the
+      // t27 rationale — a source partition is a corpus share at
+      // 100 TB); checkpoint first, the GlobalRank double-pass note
+      graft.plans.GlobalRank.groupedNtile(sup.localCheckpoint(),
+          Seq("source"), Seq($"surprisal", $"doc_id"), 10, "bucket")
         .groupBy($"source", $"bucket")
         .agg(count(lit(1)).as("n_docs"),
           round(sum($"len") / count(lit(1)).cast("double"), 4)

@@ -35,4 +35,44 @@ object GlobalRank {
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
+    * for the last flooded-partition class: `ntile(k).over(
+    * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the
+    * corpus in one task (a language or source partition IS a corpus
+    * share at 100 TB — the same hazard the d09/m05 hub windows had,
+    * but unsplittable by salting because ntile needs the group's
+    * total order). The decomposition: one GLOBAL range-partitioned
+    * rank over (group ++ order) — a distributed sort, every executor
+    * sorting its slice — then per-group rank = global rank − the
+    * group's offset (a group-count-sized aggregate, broadcast back),
+    * and the tile from the closed form of SQL NTILE semantics
+    * (first n mod k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the
+    * property spec pins equality against Spark's own ntile window on
+    * random frames). `order` must be total within each group
+    * (include a tiebreaker), the ntile precondition anyway.
+    *
+    * Cost note: inherits [[apply]]'s zipWithIndex double-pass —
+    * callers rank an expensive frame AFTER localCheckpointing it.
+    */
+  def groupedNtile(df: DataFrame, group: Seq[String],
+      order: Seq[Column], k: Int, name: String): DataFrame = {
+    require(k >= 1, "ntile k must be >= 1")
+    import org.apache.spark.sql.functions._
+    val ranked = apply(df, group.map(col) ++ order, "__gr")
+    val sizes = ranked.groupBy(group.map(col): _*)
+      .agg(min(col("__gr")).as("__off"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(sizes), group)
+      .withColumn("__r", col("__gr") - col("__off") + 1L)
+      .withColumn(name, expr(
+        s"""CASE WHEN __n % ${k}L = 0
+           |  THEN (__r - 1) div (__n div ${k}L) + 1
+           |  WHEN __r <= (__n % ${k}L) * (__n div ${k}L + 1)
+           |  THEN (__r - 1) div (__n div ${k}L + 1) + 1
+           |  ELSE __n % ${k}L +
+           |    (__r - 1 - (__n % ${k}L) * (__n div ${k}L + 1))
+           |      div (__n div ${k}L) + 1
+           |END""".stripMargin).cast("int"))
+      .drop("__gr", "__off", "__n", "__r")
+  }
 }

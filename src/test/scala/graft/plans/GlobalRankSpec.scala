@@ -41,4 +41,35 @@ class GlobalRankSpec extends SparkTestBase {
         .contains("Window"),
       "GlobalRank must not plan any window operator")
   }
+
+  test("groupedNtile == ntile().over(partitionBy(group)) for every " +
+      "(group-size, k) shape, window-free (the t21/t27 rewrite's " +
+      "closed-form NTILE proof)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4114L)
+    // group sizes deliberately spanning every NTILE regime: n < k,
+    // n == k, n % k == 0, n % k != 0, singleton groups
+    val rows = (0 until 40).flatMap { g =>
+      val n = 1 + rnd.nextInt(37)
+      (0 until n).map(i => (s"g$g", rnd.nextLong() % 10000, g * 1000L + i))
+    }
+    Seq(1, 3, 7, 10).foreach { k =>
+      val df = rows.toDF("g", "v", "id")
+      val got = GlobalRank.groupedNtile(df, Seq("g"),
+          Seq($"v", $"id"), k, "ntl")
+        .select($"id", $"ntl")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.withColumn("ntl", ntile(k).over(
+          Window.partitionBy($"g").orderBy($"v", $"id")))
+        .select($"id", $"ntl")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"k=$k: closed-form NTILE diverged, " +
+        s"first diffs: ${got.toSeq.sortBy(_._1)
+          .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+    }
+    val plan = GlobalRank.groupedNtile(rows.toDF("g", "v", "id"),
+      Seq("g"), Seq($"v", $"id"), 3, "ntl")
+    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+      "groupedNtile must not plan any window operator")
+  }
 }

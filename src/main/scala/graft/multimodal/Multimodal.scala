@@ -180,13 +180,23 @@ object Multimodal {
       // layout dataloaders want. Output is the shard manifest: counts,
       // bytes, id range, an order-sensitive content digest (what a
       // writer verifies after the copy), and the overflow flag.
-      val w = Window.partitionBy($"format").orderBy($"media_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      mediaTable(s, dir)
+      // the per-format cumsum rides the distributed two-pass scan
+      // (round 14): a format partition is a modality's whole corpus
+      // slice at 100 TB, and the former window serialized it through
+      // one task. The scan input is the NARROW (format, media_id,
+      // nbytes) frame (the GlobalRank double-pass note — column
+      // pruning makes both passes cheap); shard ids join back on the
+      // unique media_id, and the heavy content column is scanned once
+      // on the md5 leg.
+      val base = mediaTable(s, dir)
         .withColumn("nbytes", octet_length($"content").cast("long"))
         .filter($"nbytes" > 0)
-        .withColumn("cum", sum($"nbytes").over(w))
+      val shards = graft.plans.GlobalRank.groupedCumsum(
+          base.select($"format", $"media_id", $"nbytes"),
+          Seq("format"), Seq($"media_id"), $"nbytes", "cum")
         .withColumn("shard", expr(s"(cum - nbytes) div $MediaShardBytes"))
+        .select($"media_id", $"shard")
+      base.join(shards, "media_id")
         .withColumn("m_md5", md5($"content"))
         .groupBy($"format", $"shard")
         .agg(count(lit(1)).as("n_media"),

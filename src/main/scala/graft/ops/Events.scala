@@ -1037,10 +1037,15 @@ object Events {
         .filter(to_date($"ts") >= lo && to_date($"ts") <= hi)
         .groupBy($"event_type", $"user_id")
         .agg(count(lit(1)).as("n"))
+      // bounded-heap cut to 5 per type BEFORE the rank window (round
+      // 14): the per-(type, user) aggregate frame scales with the
+      // user universe, so rank-then-filter sorted a corpus share per
+      // type in one task; the window now ranks ≤5 rows per key
       val w = Window.partitionBy($"event_type")
         .orderBy($"n".desc, $"user_id")
-      exact.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 5)
+      graft.plans.TopKPerKey(exact, Seq("event_type"),
+          struct($"n" * -1, $"user_id"), 5)
+        .withColumn("rnk", row_number().over(w))
         .join(merged, Seq("event_type", "user_id"), "left")
         .select($"event_type", $"user_id", $"n", $"rnk",
           coalesce($"est_n" === $"n", lit(false)).as("sketch_ok"))
@@ -1318,10 +1323,13 @@ object Events {
         .groupBy($"event_type", $"user_id")
         .agg(round(sum($"value"), 2).as("total_value"),
           count(lit(1)).as("n"))
+      // bounded-heap cut before the rank window (the e05/q07 round-14
+      // discipline — the per-user aggregate frame is corpus-scaled)
       val w = Window.partitionBy($"event_type")
         .orderBy($"total_value".desc, $"user_id")
-      sums.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 3)
+      graft.plans.TopKPerKey(sums, Seq("event_type"),
+          struct($"total_value" * -1, $"user_id"), 3)
+        .withColumn("rnk", row_number().over(w))
         .orderBy($"event_type", $"rnk")
     },
 

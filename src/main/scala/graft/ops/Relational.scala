@@ -145,12 +145,18 @@ object Relational {
 
     "q07_top_parts_per_brand" -> { (s, dir) =>
       import s.implicits._
-      // window function: row_number partitioned by brand, total order.
+      // Per-brand top-3: the bounded-heap TopKPerKey cuts each brand
+      // to 3 rows BEFORE any sort (round 14 — a brand partition is a
+      // corpus share at 100 TB, so the former plain rank window
+      // sorted it in one task), then row_number ranks the ≤3
+      // survivors per brand — a window over a k-bounded frame, safe
+      // at any scale. Same rows, same ranks (the heap's order is the
+      // window's total order).
       val w = Window.partitionBy($"p_brand")
         .orderBy($"p_retailprice".desc, $"p_partkey")
-      t(s, dir, "part")
+      graft.plans.TopKPerKey(t(s, dir, "part"), Seq("p_brand"),
+          struct($"p_retailprice" * -1, $"p_partkey"), 3)
         .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
         .select($"p_brand", $"p_partkey",
           round($"p_retailprice", 2).as("price"), $"rn")
         .orderBy($"p_brand", $"rn")

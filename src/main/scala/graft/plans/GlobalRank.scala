@@ -36,6 +36,55 @@ object GlobalRank {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** PER-GROUP RUNNING SUM WITHOUT A PER-GROUP WINDOW — the classic
+    * two-pass distributed scan, for the packing shapes (m07) whose
+    * per-format cumsum otherwise serializes a modality's whole corpus
+    * slice through one task. Pass 1: range-partition + sort on
+    * (group ++ order), collect the per-partition totals (one tiny
+    * number per partition). Pass 2: re-walk each partition with its
+    * exclusive offset. The per-GROUP rebase then rides a broadcast
+    * join: within the global sort a group's rows are contiguous, so
+    * the group's exclusive start offset is min(cum − value) over the
+    * group — WHICH REQUIRES `value` ≥ 0 (byte sizes, counts — the
+    * packing use cases; enforced per row, fail-fast). Inherits the
+    * double-pass note: the input lineage runs twice, so pass a
+    * NARROW frame (keys + value) and join the result back, or
+    * checkpoint first.
+    */
+  def groupedCumsum(df: DataFrame, group: Seq[String],
+      order: Seq[Column], value: Column, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val withV = df.withColumn("__v", value.cast("long"))
+    val sortCols = group.map(col) ++ order
+    val sorted = withV.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd0 = sorted.rdd
+    val partSums = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach { r =>
+        val v = r.getLong(vIdx)
+        require(v >= 0L, s"groupedCumsum needs non-negative values, got $v")
+        s += v
+      }
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partSums.scanLeft(0L)(_ + _))
+    val schema = sorted.schema.add(name, LongType, nullable = false)
+    val cum = spark.createDataFrame(
+      rdd0.mapPartitionsWithIndex { (i, it) =>
+        var run = offsets.value(i)
+        it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+      }, schema)
+    val goff = cum.groupBy(group.map(col): _*)
+      .agg(min(col(name) - col("__v")).as("__goff"))
+    cum.join(broadcast(goff), group)
+      .withColumn(name, col(name) - col("__goff"))
+      .drop("__goff", "__v")
+  }
+
   /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
     * for the last flooded-partition class: `ntile(k).over(
     * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the

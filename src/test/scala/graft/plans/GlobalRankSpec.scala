@@ -72,4 +72,44 @@ class GlobalRankSpec extends SparkTestBase {
     assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
       "groupedNtile must not plan any window operator")
   }
+
+  test("groupedCumsum == sum().over(partitionBy(group).orderBy(order)) " +
+      "running frame, window-free, partition-independent (the m07 " +
+      "packing rewrite's two-pass scan proof)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1407L)
+    val rows = (0 until 25).flatMap { g =>
+      (0 until 1 + rnd.nextInt(50)).map(i =>
+        (s"g$g", g * 1000L + i, rnd.nextInt(500).toLong))
+    }
+    // shuffled input: the scan must depend on (group, order) only
+    val df = rows.toDF("g", "id", "v").repartition(11, $"v")
+    val got = GlobalRank.groupedCumsum(df, Seq("g"), Seq($"id"),
+        $"v", "cum")
+      .select($"id", $"cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.toDF("g", "id", "v")
+      .withColumn("cum", sum($"v").over(Window.partitionBy($"g")
+        .orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "two-pass grouped cumsum diverged from the " +
+      s"window form; first diffs: ${got.toSeq.sortBy(_._1)
+        .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+    val plan = GlobalRank.groupedCumsum(df, Seq("g"), Seq($"id"),
+      $"v", "cum")
+    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+      "groupedCumsum must not plan any window operator")
+    // the non-negativity contract fails loudly, not silently wrong
+    val neg = Seq(("a", 1L, -5L)).toDF("g", "id", "v")
+    val e = intercept[Exception] {
+      GlobalRank.groupedCumsum(neg, Seq("g"), Seq($"id"), $"v", "cum")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-negative")), s"wrong error: $e")
+  }
 }

@@ -90,6 +90,32 @@ class SaltedAggSpec extends SparkTestBase {
     } finally sc.removeSparkListener(l)
   }
 
+  test("null semantics survive the two-phase rewrite: sum/min/max " +
+      "ignore nulls identically in partial and combine, count counts " +
+      "rows, an all-null group stays null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Some(3L)), ("a", None), ("a", Some(7L)),
+      ("b", None), ("b", None), // all-null group
+      ("c", Some(-2L)))
+    val df = rows.toDF("k", "v")
+    val aggs = Seq(Events.SaltCount("n"), Events.SaltSum($"v", "sv"),
+      Events.SaltMin($"v", "mn"), Events.SaltMax($"v", "mx"))
+    def run(mode: String) =
+      Events.saltedAggWith(spark, df, Seq("k"), aggs,
+        saltN = if (mode == "salt") 5L else 1L)
+        .orderBy("k").collect().map(_.toSeq.toSeq).toSeq
+    val direct = run("direct")
+    assert(run("salt") === direct)
+    // the contract itself, not just path identity: count counts ROWS
+    // (3 for group a incl. the null), null-ignoring sum/min/max, and
+    // the all-null group b is null across sv/mn/mx but n = 2
+    val a = direct.find(_.head == "a").get
+    assert(a === Seq("a", 3L, 10L, 3L, 7L))
+    val b = direct.find(_.head == "b").get
+    assert(b === Seq("b", 2L, null, null, null))
+  }
+
   test("d09's star hubs ride the auto path and stay window-free " +
       "(the flooded-band task-skew guard)") {
     import spark.implicits._

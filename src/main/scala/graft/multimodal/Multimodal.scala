@@ -184,8 +184,8 @@ object Multimodal {
       // (round 14): a format partition is a modality's whole corpus
       // slice at 100 TB, and the former window serialized it through
       // one task. The scan input is the NARROW (format, media_id,
-      // nbytes) frame (the GlobalRank double-pass note — column
-      // pruning makes both passes cheap); shard ids join back on the
+      // nbytes) frame (GlobalRank materializes exactly this frame —
+      // narrow in, cheap checkpoint); shard ids join back on the
       // unique media_id, and the heavy content column is scanned once
       // on the md5 leg.
       val base = mediaTable(s, dir)
@@ -524,6 +524,12 @@ object Multimodal {
     * Events.saltedAggAuto instead of a per-bucket window, so even the
     * flooded bucket itself never serializes through one task when the
     * sizing says to split it.
+    *
+    * CONTRACT: (format, ph) must be non-null — the hub join back is a
+    * plain equi-join, which DROPS null-key rows the former per-bucket
+    * window would have kept (r14 ADVICE). Both keys are md5-derived
+    * here (non-null by construction); a caller with nullable keys must
+    * coalesce them first.
     */
   private[graft] def dedupStatsFromBase(s: SparkSession,
       base: DataFrame): DataFrame = {

@@ -423,6 +423,11 @@ object Dedup {
 
   private[graft] def starCandidates(s: SparkSession, bands: DataFrame): DataFrame = {
     import s.implicits._
+    // CONTRACT: `band` must be non-null — the hub join back is a plain
+    // equi-join, which DROPS null-key rows the former per-band window
+    // would have kept (r14 ADVICE). Every caller derives band from
+    // concat_ws over MinHash slots (non-null by construction); a new
+    // caller with nullable bands must coalesce them first.
     // Hub = min(doc_id) per band, THROUGH the live salted-agg auto
     // path (round 14): the former per-band window sorted a flooded
     // band's whole bucket inside one task — exactly the skew this

@@ -42,6 +42,28 @@ object Events {
   private val e14Seeded =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** DRIVER-LOCAL scratch space for the gated streaming rows (e34/e35
+    * DLQ queues, e39's terminal heartbeat): a temp directory with a
+    * JVM-exit recursive cleanup, so repeated invocations don't leak one
+    * directory per run (r14 ADVICE). The path is driver-local BY
+    * ASSUMPTION — fine for the single-JVM gates these rows are, but a
+    * multi-node deployment of the same punctuation/DLQ patterns must
+    * point the equivalent option at shared storage (the sinks'
+    * `dead_letter_path` and any heartbeat source accept any
+    * Hadoop-visible URI; only the GATE defaults to local scratch).
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** HLL++ sketch cardinalities (approx_count_distinct). Not a
     * registered query: DuckDB's approx_count_distinct uses a different
     * sketch, so values can never hash-match an oracle — keeping it on
@@ -310,6 +332,21 @@ object Events {
       keys: Seq[String], aggs: Seq[SaltAgg], saltN: Long,
       spread: Option[Column] = None): DataFrame = {
     require(aggs.nonEmpty, "saltedAggWith needs at least one aggregate")
+    // The rewrite injects working columns (__salt, __p0..__pN) via
+    // withColumn — a caller frame already carrying one of those names
+    // would be silently overwritten and the aggregation corrupted, and
+    // an agg alias equal to a grouping key yields a duplicate output
+    // column. Both are contract violations; fail loudly (the
+    // PrefixScan 'b'/'v' discipline — r14 ADVICE).
+    val reserved = "__salt" +: aggs.indices.map(i => s"__p$i")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"saltedAggWith reserves column names ${reserved.mkString(", ")}; " +
+        s"input frame already has: ${clash.mkString(", ")}")
+    val aliasClash = aggs.map(_.alias).filter(keys.contains)
+    require(aliasClash.isEmpty,
+      "aggregate aliases may not collide with grouping keys: " +
+        aliasClash.mkString(", "))
     val keyCols = keys.map(col)
     if (saltN <= 1L) {
       df.groupBy(keyCols: _*).agg(
@@ -397,12 +434,15 @@ object Events {
       // this card before choosing e09's plan — and since round 14 one
       // DOES: saltedAggAuto derives exactly this arithmetic live,
       // reading spark.graft.skew.reducerBudget with the SESSION's
-      // shuffle.partitions as its fallback. The gated card keeps a
-      // pinned default budget instead (32, the board's documented
-      // deployment width) so its rows stay deterministic across any
-      // session layout — an autotuner overrides the conf to price its
-      // own cluster.
-      val P = s.conf.get("spark.graft.skew.reducerBudget", "32").toLong
+      // shuffle.partitions as its fallback. The gated card pins the
+      // LITERAL budget 32 instead (the board's documented deployment
+      // width) and deliberately ignores the conf: the DuckDB twin
+      // hardcodes the same 32, so a session that sets the live knob
+      // must not silently flip this row's hash (r14 ADVICE). An
+      // autotuner prices its own cluster through the conf-reading
+      // live path (saltedAggAuto) or the graft_skew TVF's p argument,
+      // never through this fixture row.
+      val P = 32L
       skewCardFor(ev(s, dir), Seq(
         "day" -> to_date($"ts").cast("string"),
         "event_type" -> coalesce($"event_type", lit("<null>")),
@@ -800,8 +840,7 @@ object Events {
       e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
         val fake = graft.sink.FakeKinesis.named(fakeName)
         fake.numShards.set(4)
-        val dlq = java.nio.file.Files
-          .createTempDirectory("graft-e34-dlq").toString + "/q"
+        val dlq = scratchDir("graft-e34-dlq") + "/q"
         val opts = Map(
           "aws_region_name" -> "us-east-1", "stream" -> stream,
           "client" -> s"fake:$fakeName", "on_persistent_error" -> "drop",
@@ -859,8 +898,7 @@ object Events {
       e14Seeded.computeIfAbsent(s"$fakeName|$stream", { _ =>
         val fake = graft.sink.FakeKinesis.named(fakeName)
         fake.numShards.set(4)
-        val dlq = java.nio.file.Files
-          .createTempDirectory("graft-e35-dlq").toString + "/q"
+        val dlq = scratchDir("graft-e35-dlq") + "/q"
         val opts = Map(
           "aws_region_name" -> "us-east-1", "stream" -> stream,
           "client" -> s"fake:$fakeName", "on_persistent_error" -> "drop",
@@ -924,8 +962,7 @@ object Events {
       val real = Tables.loadStream(s, dir, "events")
         .filter($"event_type".isin("click", "purchase"))
         .select($"user_id", $"ts", $"event_id", $"event_type")
-      val hbDir = java.nio.file.Files
-        .createTempDirectory("graft-e39-heartbeat").toString
+      val hbDir = scratchDir("graft-e39-heartbeat")
       Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
           -1L, "click"))
         .toDF("user_id", "ts", "event_id", "event_type")

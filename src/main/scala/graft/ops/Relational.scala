@@ -550,8 +550,8 @@ object Relational {
         .join(rev, $"c_custkey" === $"o_custkey", "left")
         .select($"c_custkey",
           coalesce($"r", lit(0.0)).cast("decimal(18,2)").as("revenue"))
-        // ranked twice below (deciles + Gini) and zipWithIndex's count
-        // pass would re-run the join lineage — materialize once
+        // consumed three times below (GlobalRank's sort, `tot`, and
+        // the rank's own source columns) — materialize once
         .localCheckpoint()
       val ranked = graft.plans.GlobalRank(cust,
         Seq($"revenue".desc, $"c_custkey".asc), "rnk")

@@ -532,8 +532,10 @@ object TextAnalysis {
       // slice in one task — GlobalRank.groupedNtile decomposes it
       // into one distributed range sort + a broadcast group-offset
       // join (closed-form NTILE semantics, property-proven ==
-      // Spark's window; this row re-gated hash-identical)
-      graft.plans.GlobalRank.groupedNtile(scored.localCheckpoint(),
+      // Spark's window; this row re-gated hash-identical). No caller
+      // pre-checkpoint: GlobalRank materializes its sorted frame
+      // internally since r15 (the lineage runs once).
+      graft.plans.GlobalRank.groupedNtile(scored,
           Seq("lang"), Seq($"avg_nll", $"doc_id"), 3, "ntl")
         .withColumn("bucket", when($"ntl" === 1, "head")
           .when($"ntl" === 2, "middle").otherwise("tail"))
@@ -898,8 +900,9 @@ object TextAnalysis {
         .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
       // per-source decile through the distributed grouped ntile (the
       // t27 rationale — a source partition is a corpus share at
-      // 100 TB); checkpoint first, the GlobalRank double-pass note
-      graft.plans.GlobalRank.groupedNtile(sup.localCheckpoint(),
+      // 100 TB); GlobalRank checkpoints its own sorted frame (r15),
+      // so the join lineage runs once without a caller checkpoint
+      graft.plans.GlobalRank.groupedNtile(sup,
           Seq("source"), Seq($"surprisal", $"doc_id"), 10, "bucket")
         .groupBy($"source", $"bucket")
         .agg(count(lit(1)).as("n_docs"),

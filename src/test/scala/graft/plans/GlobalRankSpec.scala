@@ -37,9 +37,29 @@ class GlobalRankSpec extends SparkTestBase {
 
     val ranked = GlobalRank(shuffled,
       Seq($"n_chars".desc, $"doc_id".asc), "rnk")
-    assert(!ranked.queryExecution.executedPlan.toString
-        .contains("Window"),
+    ranked.collect() // AQE: codegen spans appear in the FINAL plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
       "GlobalRank must not plan any window operator")
+    // the r15 Catalyst-native pin: the rank is ONE codegen'd projection
+    // over the checkpointed sort (offsets are a literal-map lookup) —
+    // no per-row external-Row detour, no join, no exchange downstream.
+    // Codegen'd operators print as "*(n) Op" in treeString form.
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"the rank must be join- and exchange-free downstream:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.contains("*(") && l.contains("rnk")),
+      s"the rank projection must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("GlobalRank internal-name collision fails fast, not silent " +
+      "corruption (r14 ADVICE)") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "__gr_mid")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank(df, Seq($"id"), "rnk")
+    }
+    assert(e.getMessage.contains("__gr_mid"), s"wrong error: $e")
   }
 
   test("groupedNtile == ntile().over(partitionBy(group)) for every " +
@@ -73,6 +93,23 @@ class GlobalRankSpec extends SparkTestBase {
       "groupedNtile must not plan any window operator")
   }
 
+  test("grouped closed forms keep null-key groups, exactly like the " +
+      "windows they replace (r14 ADVICE: the join-back is null-safe)") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L, 5L), (None, 2L, 7L), (None, 3L, 9L),
+        (Some("a"), 4L, 2L))
+      .toDF("g", "id", "v")
+    val cum = GlobalRank.groupedCumsum(df, Seq("g"), Seq($"id"),
+        $"v", "cum")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(cum == Map(1L -> 5L, 4L -> 7L, 2L -> 7L, 3L -> 16L),
+      s"null group must accumulate as one group, got $cum")
+    val ntl = GlobalRank.groupedNtile(df, Seq("g"), Seq($"id"), 2, "t")
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(ntl == Map(1L -> 1, 4L -> 2, 2L -> 1, 3L -> 2),
+      s"null group must tile as one group, got $ntl")
+  }
+
   test("groupedCumsum == sum().over(partitionBy(group).orderBy(order)) " +
       "running frame, window-free, partition-independent (the m07 " +
       "packing rewrite's two-pass scan proof)") {
@@ -97,10 +134,18 @@ class GlobalRankSpec extends SparkTestBase {
     assert(got == want, "two-pass grouped cumsum diverged from the " +
       s"window form; first diffs: ${got.toSeq.sortBy(_._1)
         .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
-    val plan = GlobalRank.groupedCumsum(df, Seq("g"), Seq($"id"),
-      $"v", "cum")
-    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
-      "groupedCumsum must not plan any window operator")
+    // r15: the in-partition running sum rides a window PARTITIONED BY
+    // the frozen pid — task-bounded by construction, the one window
+    // class the flooded-partition sweep admits. The pin: every window
+    // in the plan is the pid-partitioned one; no corpus-share window.
+    val planStr = GlobalRank.groupedCumsum(df, Seq("g"), Seq($"id"),
+      $"v", "cum").queryExecution.executedPlan.toString
+    val windowLines = planStr.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty &&
+        windowLines.forall(_.contains("__gr_pid")),
+      "every groupedCumsum window must be partitioned by the frozen " +
+        s"pid; got:\n${windowLines.mkString("\n")}")
     // the non-negativity contract fails loudly, not silently wrong
     val neg = Seq(("a", 1L, -5L)).toDF("g", "id", "v")
     val e = intercept[Exception] {

@@ -70,6 +70,51 @@ class PrefixScanSpec extends SparkTestBase {
     }.isEmpty, "the helper must stay window-free")
   }
 
+  test("segmented-scan chunk boundaries: every frame width around the " +
+      "perfect squares (chunk size transitions, full/partial last " +
+      "chunk, width 1) folds identically to the sequential reference") {
+    // the r15 segmentation chunks the sorted array into ceil(sqrt(B))
+    // slices; widths at n^2-1, n^2, n^2+1 exercise the chunk-size
+    // transition, the exactly-full last chunk, and the 1-element
+    // residual — the three places an off-by-one in the slice
+    // arithmetic would hide
+    val rnd = new scala.util.Random(4515L)
+    val widths = Seq(1, 2, 3, 4, 5, 8, 9, 10, 15, 16, 17, 24, 25, 26,
+      35, 36, 37, 48, 49, 50, 63, 64, 65, 99, 100, 101, 143, 144, 145)
+    widths.foreach { n =>
+      val rows = (0 until n).toList
+        .map(i => i.toLong -> (rnd.nextLong() % 1000))
+      assert(run(rows, PrefixScan.SumOp, 0L) ==
+        reference(rows, 0L, (a: Long, b: Long) => a + b),
+        s"SUM diverged at width $n")
+      assert(run(rows, PrefixScan.MaxOp, -1L) ==
+        reference(rows, -1L, math.max),
+        s"MAX diverged at width $n")
+      assert(run(rows, PrefixScan.MinOp, Long.MaxValue) ==
+        reference(rows, Long.MaxValue, math.min),
+        s"MIN diverged at width $n")
+    }
+  }
+
+  test("the segmented scan is actually sub-quadratic: a 50k-bucket " +
+      "frame (2.0e9 combine steps under the old per-bucket fold) " +
+      "completes in seconds") {
+    import spark.implicits._
+    val wide = spark.range(50000)
+      .select(col("id").as("b"), (col("id") % 7 - 3).as("v"))
+    val t0 = System.nanoTime()
+    val out = PrefixScan.exclusive(wide, $"b", $"v",
+      PrefixScan.SumOp, 0L)
+    // spot-check the closed form: prefix(i) = sum_{j<i} (j%7 - 3)
+    val got = out.filter(col("bucket").isin(0L, 49999L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = (0L until 49999L).map(j => j % 7 - 3).sum
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == Map(0L -> 0L, 49999L -> full))
+    assert(secs < 60.0, s"segmented scan took ${secs}s at 50k buckets " +
+      "- the quadratic is back")
+  }
+
   test("exclusive prefix MIN equals the sequential fold on seeded " +
       "random bucket frames") {
     randomFrames(43L).foreach { rows =>

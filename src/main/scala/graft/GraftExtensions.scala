@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => plans.ServingScanStrategy)
+    // round 15: flooded-window protection as engine behavior — the
+    // plan-time twin of the WindowExec runtime warning, with the
+    // GlobalRank closed-form rewrite behind spark.graft.window.guard
+    ext.injectPlannerStrategy(_ => plans.WindowRewriteStrategy)
+    ext.injectPreCBORule(_ => plans.WindowGuardRule)
   }
 }

@@ -21,4 +21,24 @@ private[graft] object ColumnBridge {
 
   def expression(c: Column): Expression =
     toExprM.invoke(null, c).asInstanceOf[Expression]
+
+  // Dataset.ofRows moved behind private[sql] in Spark 4; its static
+  // forwarder is public bytecode (plan-time only, cached). Shared by
+  // TopKPerKey and the WindowGuard rewrite.
+  private lazy val ofRowsM = {
+    val dcls = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    val m = dcls.getMethod("ofRows",
+      Class.forName("org.apache.spark.sql.classic.SparkSession"),
+      Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.LogicalPlan"))
+    (dcls.getField("MODULE$").get(null), m)
+  }
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame = {
+    val (module, m) = ofRowsM
+    m.invoke(module, spark, plan)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+  }
 }

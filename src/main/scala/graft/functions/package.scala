@@ -101,13 +101,16 @@ package object functions {
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
   /** Register every graft SQL function (scalar + table-valued) on the
-    * session. */
+    * session, plus the flooded-window guard (the attach-path twin of
+    * GraftExtensions' injectPreCBORule — same rule object, so the two
+    * paths cannot drift; default mode `warn` is a pure log line). */
   def registerAll(spark: SparkSession): Unit = {
     sqlFunctions.foreach { case (name, _, _) => registerOne(spark, name) }
     sqlTableFunctions.foreach { case (name, _, builder) =>
       spark.sessionState.tableFunctionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    graft.plans.WindowGuard.install(spark)
   }
 
   /** Register ONE function by its table name — the per-companion

@@ -179,6 +179,26 @@ object GlobalRank {
       .drop("__gr_goff", "__gr_v", "__gr_pid", "__gr_mid", "__gr_run")
   }
 
+  /** PER-GROUP ROW_NUMBER WITHOUT A PER-GROUP WINDOW — the same
+    * decomposition [[groupedNtile]] rides, minus the tile arithmetic:
+    * one global range-partitioned rank over (group ++ order), then
+    * per-group rank = global rank − the group's min rank + 1 (a
+    * group-count-sized aggregate, broadcast back null-safely). `order`
+    * must be total within each group for a deterministic answer — the
+    * same caveat `row_number()` itself carries on ties.
+    */
+  def groupedRowNumber(df: DataFrame, group: Seq[String],
+      order: Seq[Column], name: String): DataFrame = {
+    reserve(df, Seq("__gr_off2", "__gr")
+      ++ group.indices.map(i => s"__gr_k$i") :+ name)
+    val ranked = apply(df, group.map(col) ++ order, "__gr")
+    val offs = ranked.groupBy(group.map(col): _*)
+      .agg(min(col("__gr")).as("__gr_off2"))
+    nullSafeJoinB(ranked, offs, group)
+      .withColumn(name, col("__gr") - col("__gr_off2") + 1L)
+      .drop("__gr", "__gr_off2")
+  }
+
   /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
     * for the last flooded-partition class: `ntile(k).over(
     * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the

@@ -1,0 +1,292 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Literal, NTile, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.IntegerType
+
+/** FLOODED-WINDOW PROTECTION as permanent engine behavior (the r14
+  * verdict's top round-15 item): round 14's flooded-partition sweep
+  * classified every `Window.partitionBy` site in THIS library and
+  * moved the corpus-share exceptions to bounded twins — but that was a
+  * manual audit of Scala call sites. A SQL-only client writing
+  * `ntile(3) OVER (PARTITION BY lang ORDER BY ...)` or a partition-less
+  * `row_number()` still got the one-task sort, caught only at runtime
+  * by WindowExec's `No Partition Defined` log line. This rule is the
+  * PLAN-TIME twin of that runtime guard, injected into the optimizer
+  * (`GraftExtensions` / [[WindowGuard.install]]) behind
+  * `spark.graft.window.guard`:
+  *
+  *  - `off`   — do nothing.
+  *  - `warn`  — (default) log a warning naming the window, the hazard,
+  *              and the sanctioned alternatives (GlobalRank closed
+  *              forms, TopKPerKey / graft_topk for rank-then-filter).
+  *              Zero behavior change: existing plans run untouched.
+  *  - `fail`  — raise an AnalysisException instead of running a plan
+  *              that serializes a corpus through one task. The strict
+  *              posture for shared clusters.
+  *  - `rewrite` — substitute the GlobalRank closed form when the
+  *              window is PROVABLY equivalent to one (every window
+  *              expression in the node is `row_number()` or
+  *              `ntile(k)`, the class whose value is a pure function
+  *              of the (partition, total order) — rank/dense_rank tie
+  *              semantics and aggregate frames are NOT rewritten);
+  *              falls back to `warn` otherwise.
+  *
+  * A window is flagged as corpus-share when its child's optimizer size
+  * estimate exceeds `spark.graft.window.guard.budgetBytes` (default
+  * 1 GiB — the saltedAggAuto budget discipline: a sub-budget window
+  * cannot be meaningfully flooded, and a wrong call costs one slow
+  * task, not a plan) AND either
+  *  - the partition spec is empty or entirely foldable (the definite
+  *    class: ALL rows through one task — including the round-5 case
+  *    where a constant partition key folds away between analysis and
+  *    execution), or
+  *  - column-level stats (CBO / ANALYZE) price the partition keys'
+  *    combined distinct count low enough that the average group
+  *    exceeds `spark.graft.window.guard.maxGroupRows` (default 2^26
+  *    rows — a group that big IS a corpus share in one task).
+  * Without column stats the low-cardinality leg stays silent rather
+  * than guessing — the definite class needs no stats at all.
+  *
+  * The rewrite rides [[WindowRewrite]], a deferred-build unary node
+  * (the ServingScan discipline): the optimizer replaces the Window
+  * node, keeping its exact output attributes so parents resolve
+  * untouched, and the GlobalRank program is built against the child
+  * plan when the query EXECUTES. Equivalence obligations carried by
+  * the rewrite (and pinned by GraftExtensionsSpec): identical values
+  * for any total `ORDER BY` (the ntile/row_number precondition on
+  * ties), identical schema (IntegerType), null partition keys form
+  * one group exactly like the window's.
+  */
+object WindowGuard {
+
+  val ModeConf = "spark.graft.window.guard"
+  val BudgetConf = "spark.graft.window.guard.budgetBytes"
+  val MaxGroupRowsConf = "spark.graft.window.guard.maxGroupRows"
+
+  /** warn-once marker so the fixed-point optimizer batches the attach
+    * path uses don't re-log per iteration. */
+  private[plans] val Flagged = TreeNodeTag[Boolean]("graft.windowGuard")
+
+  /** Attach to an already-built session (the `registerAll` path):
+    * `experimental.extraOptimizations` runs the rule in the user
+    * batch; the strategy plans the rewrite node. Both idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(WindowGuardRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowGuardRule
+    if (!spark.experimental.extraStrategies.contains(WindowRewriteStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ WindowRewriteStrategy
+  }
+}
+
+object WindowGuardRule extends Rule[LogicalPlan] {
+
+  import WindowGuard._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    val mode = conf.getConfString(ModeConf, "warn")
+    if (mode == "off") plan
+    else plan.transformUp {
+      case w: Window if w.getTagValue(Flagged).isEmpty =>
+        hazardOf(w, conf) match {
+          case None => w
+          case Some(hazard) => mode match {
+            case "warn" => flagAndWarn(w, hazard)
+            case "fail" =>
+              throw new AnalysisException(
+                errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+                messageParameters = Map(
+                  "parameter" -> "`window`",
+                  "functionName" -> s"`${WindowGuard.ModeConf}`",
+                  "value" -> (s"corpus-share window blocked: $hazard. " +
+                    alternatives)))
+            case "rewrite" => tryRewrite(w) match {
+              case Some(p) =>
+                logWarning(s"graft window guard: REWROTE corpus-share " +
+                  s"window (${hazard}) to the GlobalRank closed form")
+                p
+              case None => flagAndWarn(w, hazard +
+                " (not rewritable: only row_number/ntile windows have" +
+                " proven closed forms)")
+            }
+            case other => throw new IllegalArgumentException(
+              s"$ModeConf must be off|warn|fail|rewrite, got '$other'")
+          }
+        }
+    }
+  }
+
+  private def alternatives: String =
+    "Sanctioned bounded forms: graft.plans.GlobalRank (row_number/" +
+      "ntile/cumsum closed forms), TopKPerKey or the graft_topk TVF " +
+      "(rank-then-filter), Events.saltedAggAuto (decomposable aggs); " +
+      "or set spark.graft.window.guard=rewrite for the provable class."
+
+  private def flagAndWarn(w: Window, hazard: String): Window = {
+    w.setTagValue(Flagged, true)
+    logWarning(s"graft window guard: $hazard. $alternatives")
+    w
+  }
+
+  /** The corpus-share test — see the object scaladoc. Cheap: plan
+    * stats only, zero jobs. */
+  private def hazardOf(w: Window, conf: SQLConf): Option[String] = {
+    val budget = BigInt(conf.getConfString(BudgetConf,
+      (1L << 30).toString))
+    val bytes = w.child.stats.sizeInBytes
+    if (bytes <= budget) None
+    else if (w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable))
+      Some(s"window over an estimated $bytes-byte child has no " +
+        "effective partition key - the WHOLE frame sorts through one " +
+        "task")
+    else {
+      val stats = w.child.stats
+      val ndvs = w.partitionSpec.map {
+        case a: Attribute =>
+          stats.attributeStats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      val maxGroup = conf.getConfString(MaxGroupRowsConf,
+        (1L << 26).toString).toLong
+      (stats.rowCount, ndvs) match {
+        case (Some(rows), nd) if nd.forall(_.isDefined) =>
+          val groups = nd.flatten.product.max(BigInt(1))
+          if (rows / groups > BigInt(maxGroup))
+            Some(s"window partition keys " +
+              s"${w.partitionSpec.map(_.sql).mkString(", ")} price " +
+              s"~${rows / groups} rows per group (stats: $rows rows / " +
+              s"$groups groups) - each group is a corpus share " +
+              "sorting through one task")
+          else None
+        case _ => None
+      }
+    }
+  }
+
+  /** Build the replacement plan when EVERY window expression in the
+    * node is a provable closed form. Conservative by construction:
+    * any shape this can't prove returns None (→ warn).
+    */
+  private def tryRewrite(w: Window): Option[LogicalPlan] = {
+    // partition keys must be plain attributes of the child (names the
+    // GlobalRank grouped forms can address); all-foldable specs are
+    // the empty partition in disguise (constant key = one group)
+    val parts: Option[Seq[String]] =
+      if (w.partitionSpec.forall(_.foldable)) Some(Seq.empty)
+      else if (w.partitionSpec.forall(_.isInstanceOf[AttributeReference]))
+        Some(w.partitionSpec.map(_.asInstanceOf[AttributeReference].name))
+      else None
+    // each window expression: Alias(WindowExpression(fn, spec)) with
+    // fn ∈ {row_number, ntile(lit k)}
+    val fns: Option[Seq[(String, Int, String)]] =
+      traverseOpt(w.windowExpressions) {
+        case a @ Alias(WindowExpression(RowNumber(), _), _) =>
+          Some(("row_number", 0, a.name))
+        case a @ Alias(WindowExpression(
+            NTile(Literal(k: Int, IntegerType)), _), _) if k >= 1 =>
+          Some(("ntile", k, a.name))
+        case _ => None
+      }
+    (parts, fns) match {
+      case (Some(group), Some(specs)) if w.orderSpec.nonEmpty &&
+          specs.nonEmpty =>
+        val childNames = w.child.output.map(_.name)
+        val reservedOk = childNames.distinct.size == childNames.size &&
+          !childNames.exists(n => n.startsWith("__gr") ||
+            specs.exists(_._3 == n)) &&
+          specs.map(_._3).distinct.size == specs.size &&
+          // partition-less ntile has no grouped closed form here yet
+          specs.forall { case (f, _, _) =>
+            f == "row_number" || group.nonEmpty }
+        if (!reservedOk) None
+        else {
+          val orderCols = w.orderSpec.map(graft.functions.ColumnBridge
+            .column(_).asInstanceOf[org.apache.spark.sql.Column])
+          val outNames = childNames ++ specs.map(_._3)
+          val build: (SparkSession, LogicalPlan) => DataFrame =
+            (s, child) => {
+              val base = graft.functions.ColumnBridge.ofRows(s, child)
+              val withRanks = specs.foldLeft(base) {
+                case (df, ("row_number", _, name)) =>
+                  val r =
+                    if (group.isEmpty) GlobalRank(df, orderCols, name)
+                    else GlobalRank.groupedRowNumber(df, group,
+                      orderCols, name)
+                  r.withColumn(name, col(name).cast("int"))
+                case (df, ("ntile", k, name)) =>
+                  GlobalRank.groupedNtile(df, group, orderCols, k, name)
+                case (_, (f, _, _)) => throw new IllegalStateException(
+                  s"unreachable window fn $f")
+              }
+              withRanks.select(outNames.map(col): _*)
+            }
+          Some(WindowRewrite(w.output, w.child,
+            s"${specs.map(_._1).mkString(",")} over " +
+              s"(${group.mkString(",")})", build))
+        }
+      case _ => None
+    }
+  }
+
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B])
+      : Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+}
+
+/** Deferred GlobalRank substitution for a flagged Window node: keeps
+  * the window's exact output attributes (parents resolve untouched,
+  * exprIds preserved), declares every child column referenced (column
+  * pruning must not narrow the frame under the closed form), and
+  * builds the GlobalRank program at EXECUTION (the ServingScan
+  * discipline — the optimizer stays job-free).
+  */
+case class WindowRewrite(output: Seq[Attribute], child: LogicalPlan,
+    desc: String, build: (SparkSession, LogicalPlan) => DataFrame)
+    extends UnaryNode {
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : WindowRewrite = copy(child = c)
+}
+
+object WindowRewriteStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case wr: WindowRewrite =>
+      WindowRewriteExec(wr.output, wr.child, wr.desc, wr.build) :: Nil
+    case _ => Nil
+  }
+}
+
+case class WindowRewriteExec(output: Seq[Attribute],
+    childPlan: LogicalPlan, desc: String,
+    build: (SparkSession, LogicalPlan) => DataFrame)
+    extends LeafExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val df = build(session, childPlan)
+    val got = df.schema
+    require(got.length == output.length && got.zip(output).forall {
+        case (f, a) => f.name == a.name && f.dataType == a.dataType },
+      s"WindowRewrite($desc): built plan schema " +
+        s"[${got.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}]" +
+        s" drifted from the window's declared output " +
+        s"[${output.map(a => s"${a.name}:${a.dataType.sql}").mkString(", ")}]")
+    df.queryExecution.toRdd
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"WindowRewriteExec $desc"
+}

@@ -337,4 +337,125 @@ class GraftExtensionsSpec extends SparkTestBase {
       .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("a", 3L), ("b", 16L)))
   }
+
+  // ---- flooded-window guard (round 15: the r14 sweep as a rule) ----
+
+  private def wgView(fresh: org.apache.spark.sql.SparkSession): Unit = {
+    import fresh.implicits._
+    (0 until 500).map(i =>
+        (i.toLong, s"lang${i % 4}", (i * 37 % 101).toDouble))
+      .toDF("doc_id", "lang", "score")
+      .createOrReplaceTempView("wg_docs")
+  }
+  private val NtileSql = "SELECT doc_id, lang, ntile(3) OVER " +
+    "(PARTITION BY lang ORDER BY score, doc_id) AS t FROM %s"
+  private val RowNumSql = "SELECT doc_id, row_number() OVER " +
+    "(ORDER BY score DESC, doc_id) AS rn FROM %s"
+  private val GroupedRnSql = "SELECT doc_id, row_number() OVER " +
+    "(PARTITION BY lang ORDER BY score, doc_id) AS rn FROM %s"
+
+  /** AQE wraps the real plan; its inner final plan is not a `children`
+    * member, so collect-based pins must unwrap it first. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("window guard REWRITE mode: corpus-share ntile and row_number " +
+      "through pure SQL run as GlobalRank closed forms — no WindowExec " +
+      "in the executed plan — and match the window answer exactly " +
+      "(partition-less via the size estimate; partitioned-by-low-card " +
+      "via ANALYZE column stats under CBO)") {
+    val fresh = spark.newSession()
+    wgView(fresh)
+    // the stats-priced table twin: 500 rows, ndv(lang)=4 → 125 rows
+    // per group, over the test's maxGroupRows=100 → corpus share
+    fresh.sql("DROP TABLE IF EXISTS wg15_docs")
+    fresh.table("wg_docs").write.mode("overwrite")
+      .saveAsTable("wg15_docs")
+    fresh.sql("ANALYZE TABLE wg15_docs COMPUTE STATISTICS")
+    fresh.sql("ANALYZE TABLE wg15_docs COMPUTE STATISTICS " +
+      "FOR COLUMNS lang")
+    try {
+      Seq((RowNumSql, "wg_docs", "rn"), (NtileSql, "wg15_docs", "t"),
+        (GroupedRnSql, "wg15_docs", "rn"))
+        .foreach { case (tpl, table, vcol) =>
+          val sql = tpl.format(table)
+          fresh.conf.set(plans.WindowGuard.ModeConf, "off")
+          val want = fresh.sql(sql).select(col("doc_id"), col(vcol))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
+          fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+          fresh.conf.set(plans.WindowGuard.MaxGroupRowsConf, "100")
+          fresh.conf.set("spark.sql.cbo.enabled", "true")
+          try {
+            val got = fresh.sql(sql)
+            val vals = got.select(col("doc_id"), col(vcol))
+              .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+            assert(vals == want, s"rewrite diverged from the window " +
+              s"answer for [$sql]; first diffs: ${vals.toSeq.sortBy(_._1)
+                .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+            val exec = finalPlan(got)
+            assert(exec.collect {
+              case w: org.apache.spark.sql.execution.window.WindowExec => w
+            }.isEmpty, s"rewrite must remove the WindowExec:\n$exec")
+            assert(exec.collect {
+              case w: plans.WindowRewriteExec => w
+            }.nonEmpty, s"the WindowRewrite node must plan:\n$exec")
+          } finally {
+            fresh.conf.unset(plans.WindowGuard.ModeConf)
+            fresh.conf.unset(plans.WindowGuard.BudgetConf)
+            fresh.conf.unset(plans.WindowGuard.MaxGroupRowsConf)
+            fresh.conf.unset("spark.sql.cbo.enabled")
+          }
+        }
+    } finally {
+      fresh.sql("DROP TABLE IF EXISTS wg15_docs")
+    }
+  }
+
+  test("window guard FAIL mode blocks the corpus-share window; WARN " +
+      "logs and leaves the plan; sub-budget frames never trip; " +
+      "non-rewritable shapes fall back to warn under rewrite") {
+    val fresh = spark.newSession()
+    wgView(fresh)
+    fresh.conf.set(plans.WindowGuard.ModeConf, "fail")
+    fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        fresh.sql(RowNumSql.format("wg_docs")).collect()
+      }
+      assert(e.getMessage.contains("corpus-share window blocked"),
+        s"wrong failure: $e")
+      // default budget (1 GiB): the same 500-row frame is sub-budget,
+      // so even fail mode lets it through — the guard prices hazard,
+      // not style
+      fresh.conf.unset(plans.WindowGuard.BudgetConf)
+      assert(fresh.sql(RowNumSql.format("wg_docs")).count() == 500L)
+      // warn at budget 0: plan unchanged (WindowExec still there),
+      // answer produced
+      fresh.conf.set(plans.WindowGuard.ModeConf, "warn")
+      fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+      val warned = fresh.sql(RowNumSql.format("wg_docs"))
+      assert(warned.count() == 500L)
+      assert(finalPlan(warned).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.nonEmpty, "warn mode must not change the plan")
+      // rank() has tie semantics GlobalRank does not prove — rewrite
+      // mode must fall back to warn (plan unchanged), never rewrite
+      fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
+      val rankSql = "SELECT doc_id, rank() OVER (ORDER BY score) AS r " +
+        "FROM wg_docs"
+      val ranked = fresh.sql(rankSql)
+      assert(ranked.count() == 500L)
+      assert(finalPlan(ranked).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.nonEmpty, "non-rewritable shapes must keep their window")
+    } finally {
+      fresh.conf.unset(plans.WindowGuard.ModeConf)
+      fresh.conf.unset(plans.WindowGuard.BudgetConf)
+    }
+  }
 }

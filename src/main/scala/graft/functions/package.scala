@@ -81,7 +81,9 @@ package object functions {
     ("graft_phrase", "graft.ops.SqlServing",
       e => graft.ops.SqlServing.phrasePlan(e)),
     ("graft_skew", "graft.ops.SqlServing",
-      e => graft.ops.SqlServing.skewPlan(e)))
+      e => graft.ops.SqlServing.skewPlan(e)),
+    ("graft_topk", "graft.ops.SqlServing",
+      e => graft.ops.SqlServing.topkPlan(e)))
 
   /** A wrong-arity SQL call must fail as an analysis error naming the
     * expected signature, not an IndexOutOfBoundsException from e(n). */

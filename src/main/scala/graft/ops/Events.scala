@@ -464,6 +464,22 @@ object Events {
         "'event_type', 32)")
     },
 
+    "e45_topk_sql" -> { (s, dir) =>
+      // The bounded rank-then-filter surface in SQL (round 15, the
+      // e44 discipline applied to TopKPerKey): this row's entire query
+      // is the text the flooded-window guard tells a SQL-only client
+      // to type instead of `row_number() OVER (PARTITION BY key ORDER
+      // BY v DESC) <= k` — the TVF runs the bounded-heap operator (≤k
+      // rows per key survive before any sort; the window that assigns
+      // rnk sees a k-bounded frame), so the sanctioned alternative is
+      // itself oracle-gated, not just named in a warning. Ties on
+      // (key, ord) are interchangeable everywhere, so the multiset is
+      // engine-deterministic (the hash gate's requirement).
+      graft.functions.registerAll(s)
+      s.sql(s"SELECT * FROM graft_topk('$dir', 'events', " +
+        "'event_type', 'value', 3) ORDER BY key, rnk")
+    },
+
     "e41_watermark_delay_curve" -> { (s, dir) =>
       import s.implicits._
       // WATERMARK-DELAY OPERATING CURVE — the allowed-lateness lever
@@ -1918,6 +1934,20 @@ object Events {
         |    AS post_salt_max_rows,
         |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
         |FROM sn""".stripMargin,
+
+    // e45: the TVF is a bounded-heap top-k; the oracle is the window
+    // form it replaces — identical multisets because ties on
+    // (key, ord) are interchangeable at the heap boundary and in rank
+    // assignment, and the projection carries no other columns
+    "e45_topk_sql" ->
+      """SELECT key, ord, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT coalesce(CAST(event_type AS VARCHAR), '<null>') AS key,
+        |    CAST(value AS DOUBLE) AS ord,
+        |    row_number() OVER (
+        |      PARTITION BY coalesce(CAST(event_type AS VARCHAR), '<null>')
+        |      ORDER BY CAST(value AS DOUBLE) DESC) AS rnk
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rnk <= 3""".stripMargin,
 
     "e41_watermark_delay_curve" ->
       """WITH e2 AS (

@@ -87,6 +87,10 @@ object SqlServing {
   private[graft] val phraseSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("phrase_tf", LongType)))
+  private[graft] val topkSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("ord", DoubleType),
+    StructField("rnk", IntegerType)))
   private[graft] val skewSchema = StructType(Seq(
     StructField("axis", StringType),
     StructField("n_keys", LongType),
@@ -251,6 +255,56 @@ object SqlServing {
         Events.skewCardFor(df,
           Seq(keyCol -> F.coalesce(F.col(keyCol).cast("string"),
             F.lit("<null>"))), p.toLong)
+      })
+  }
+
+  /** graft_topk(dataDir, table, keyCol, orderCol, k): bounded-heap
+    * per-key top-k over a raw fixture table — the SQL surface of the
+    * TopKPerKey operator, and the sanctioned alternative the
+    * flooded-window guard names when a SQL client writes the
+    * rank-then-filter window shape (`row_number() OVER (PARTITION BY
+    * key ORDER BY v DESC) <= k` sorts every key's FULL slice before
+    * discarding all but k rows; the heap keeps k rows per key in one
+    * pass, no sort). Returns (key, ord, rnk): keys compare as
+    * null-coalesced strings ('<null>', the graft_skew axis contract),
+    * ord is the order column as double (null ords excluded — they
+    * cannot rank), rnk densifies 1..k per key by ord DESC. Rows tied
+    * on (key, ord) are interchangeable at every stage (heap eviction,
+    * rank assignment), so the OUTPUT MULTISET is deterministic even
+    * though row identity among ties is not — the property the oracle
+    * hash gate rides.
+    */
+  def topkPlan(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_topk"
+    graft.functions.requireArity(fn, args, 5,
+      "graft_topk(dataDir, table, keyCol, orderCol, k)")
+    val dir = str(fn, args(0), "dataDir")
+    val table = str(fn, args(1), "table")
+    val keyCol = str(fn, args(2), "keyCol")
+    val orderCol = str(fn, args(3), "orderCol")
+    val k = int(fn, args(4), "k")
+    if (k < 1) bad(fn, "k", "must be >= 1")
+    deferred(fn, s"$dir, $table, $keyCol, $orderCol, k=$k", topkSchema,
+      s => {
+        val df = graft.Tables.load(s, dir, table)
+        Seq("keyCol" -> keyCol, "orderCol" -> orderCol).foreach {
+          case (what, c) =>
+            if (!df.columns.contains(c))
+              bad(fn, what, s"column '$c' not in table '$table' " +
+                s"(has: ${df.columns.mkString(", ")})")
+        }
+        val narrow = df.select(
+            F.coalesce(F.col(keyCol).cast("string"), F.lit("<null>"))
+              .as("key"),
+            F.col(orderCol).cast("double").as("ord"))
+          .filter(F.col("ord").isNotNull)
+        // heap cut FIRST (≤k rows per key survive), THEN the rank
+        // window over the k-bounded frame — the q07/e06/e38 pattern
+        graft.plans.TopKPerKey(narrow, Seq("key"),
+            F.struct((-F.col("ord")).as("no")), k)
+          .withColumn("rnk", F.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(F.col("key")).orderBy(F.col("ord").desc)))
       })
   }
 

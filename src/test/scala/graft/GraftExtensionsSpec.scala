@@ -273,6 +273,9 @@ class GraftExtensionsSpec extends SparkTestBase {
         s"graft_phrase('$textIdx', 'spark window', 10)").collect()
       fresh.sql(s"EXPLAIN SELECT * FROM " +
         s"graft_skew('$sfSmoke', 'events', 'event_type', 8)").collect()
+      fresh.sql(s"EXPLAIN SELECT * FROM " +
+        s"graft_topk('$sfSmoke', 'events', 'event_type', 'value', 3)")
+        .collect()
       fresh.sql(s"CREATE OR REPLACE TEMPORARY VIEW tvf_v AS " +
         s"SELECT * FROM graft_ann('$annIdx', '$csv', 5)")
       (1 to 3).foreach(_ => fresh.sql("EXPLAIN SELECT * FROM tvf_v")

@@ -180,17 +180,28 @@ object Events {
     * two-phase salted rewrite only exists for aggregates that split
     * into a per-(key, salt) partial and an exact combine, so the API
     * admits exactly those (count → sum of partial counts; sum/min/max
-    * → themselves). avg/distinct callers compose from these
-    * (sum+count) or stay direct. Note the double-sum caveat: FLOAT
-    * sums re-associate under salting (same as any shuffle-order
-    * change), DECIMAL sums widen precision through the combine —
-    * callers hash-gating float output round it (e09's discipline).
+    * → themselves; avg → a (sum, count) struct partial with the
+    * division in the combine; approx-distinct → DataSketches HLL
+    * partials merged by `hll_union_agg` — sketch register merge is
+    * exact, so the salted estimate EQUALS the direct one, the
+    * mergeability claim e15/e36 serve; note the direct arm uses the
+    * same `hll_sketch_agg`, NOT `approx_count_distinct`, whose HLL++
+    * registers are a different sketch and would flip estimates across
+    * mode changes). Note the double-sum caveat: FLOAT sums (including
+    * avg's sum partial) re-associate under salting (same as any
+    * shuffle-order change), so a mode flip in the auto ladder can move
+    * the last ulps run to run — callers hash-gating float output
+    * round it (e09's discipline); [[saltedAggWith]] logs a warning on
+    * float SaltSum/SaltAvg columns to make the trap visible.
     */
   sealed trait SaltAgg { def alias: String }
   final case class SaltCount(alias: String) extends SaltAgg
   final case class SaltSum(c: Column, alias: String) extends SaltAgg
   final case class SaltMin(c: Column, alias: String) extends SaltAgg
   final case class SaltMax(c: Column, alias: String) extends SaltAgg
+  final case class SaltAvg(c: Column, alias: String) extends SaltAgg
+  final case class SaltApproxDistinct(c: Column, alias: String)
+    extends SaltAgg
 
   /** The e40 card arithmetic for ANY axis set — one narrow scan, the
     * axes fanned out per-row (explode of structs, never a self-union
@@ -347,6 +358,7 @@ object Events {
     require(aliasClash.isEmpty,
       "aggregate aliases may not collide with grouping keys: " +
         aliasClash.mkString(", "))
+    warnFloatSums(df, aggs)
     val keyCols = keys.map(col)
     if (saltN <= 1L) {
       df.groupBy(keyCols: _*).agg(
@@ -373,6 +385,10 @@ object Events {
     case SaltSum(c, n) => sum(c).as(n)
     case SaltMin(c, n) => min(c).as(n)
     case SaltMax(c, n) => max(c).as(n)
+    case SaltAvg(c, n) => avg(c).as(n)
+    // the same sketch family as the salted arm — see the SaltAgg doc
+    case SaltApproxDistinct(c, n) =>
+      hll_sketch_estimate(hll_sketch_agg(c)).as(n)
   }
 
   private def partialAgg(a: SaltAgg, pn: String): Column = a match {
@@ -380,6 +396,10 @@ object Events {
     case SaltSum(c, _) => sum(c).as(pn)
     case SaltMin(c, _) => min(c).as(pn)
     case SaltMax(c, _) => max(c).as(pn)
+    // avg is NOT mergeable as a value; its (sum, count) pair is
+    case SaltAvg(c, _) =>
+      struct(sum(c).as("s"), count(c).as("n")).as(pn)
+    case SaltApproxDistinct(c, _) => hll_sketch_agg(c).as(pn)
   }
 
   private def combineAgg(a: SaltAgg, pn: String): Column = a match {
@@ -387,6 +407,41 @@ object Events {
     case SaltSum(_, n) => sum(col(pn)).as(n)
     case SaltMin(_, n) => min(col(pn)).as(n)
     case SaltMax(_, n) => max(col(pn)).as(n)
+    // sum-of-sums / sum-of-counts: all-null groups stay null (the
+    // 0-count division yields null, matching avg's semantics)
+    case SaltAvg(_, n) =>
+      (sum(col(s"$pn.s")) / sum(col(s"$pn.n"))).as(n)
+    case SaltApproxDistinct(_, n) =>
+      hll_sketch_estimate(hll_union_agg(col(pn))).as(n)
+  }
+
+  private lazy val saltLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Events")
+
+  /** The float-reassociation trap, surfaced (r14 verdict): a mode flip
+    * in the auto ladder regroups a float sum, moving its last ulps run
+    * to run. Warn — don't fail: the e09 rounding discipline is the
+    * sanctioned fix and rejecting doubles outright would ban the
+    * board's own gated usage.
+    */
+  private def warnFloatSums(df: DataFrame, aggs: Seq[SaltAgg]): Unit = {
+    val sums = aggs.collect {
+      case SaltSum(c, n) => (c, n, "SaltSum")
+      case SaltAvg(c, n) => (c, n, "SaltAvg")
+    }
+    if (sums.nonEmpty) {
+      val sch = df.select(sums.map(_._1): _*).schema
+      sch.zip(sums).foreach { case (f, (_, n, what)) =>
+        if (f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType)
+          saltLog.warn(s"saltedAgg: $what('$n') sums a " +
+            s"${f.dataType.simpleString} column - float sums " +
+            "re-associate when the salt mode changes (run-to-run " +
+            "nondeterminism in the last ulps under the auto ladder); " +
+            "round the result (the e09 discipline) or cast to DECIMAL " +
+            "for exact sums")
+      }
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -403,10 +458,16 @@ object Events {
       // Result is identical to the direct aggregation at ANY salt
       // fan-out (the oracle IS the direct form; the float sum is
       // rounded, the e09 discipline).
+      // SaltAvg rides the same gate since round 15: the (sum, count)
+      // struct partial with the division in the combine — the oracle
+      // is plain avg(), so the decomposition itself is hash-gated
+      // (rounded, the float discipline warnFloatSums points at).
       saltedAggAuto(s, ev(s, dir), Seq("event_type"),
-        Seq(SaltCount("n"), SaltSum($"value", "pv")),
+        Seq(SaltCount("n"), SaltSum($"value", "pv"),
+          SaltAvg($"value", "av")),
         spread = Some($"event_id"), budgetBytes = Some(0L))
-        .select($"event_type", $"n", round($"pv", 2).as("total_value"))
+        .select($"event_type", $"n", round($"pv", 2).as("total_value"),
+          round($"av", 2).as("avg_value"))
         .orderBy($"event_type")
     },
 
@@ -1861,7 +1922,8 @@ object Events {
   def oracle: Map[String, String] = Map(
     "e09_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        |round(sum(value), 2) AS total_value
+        |round(sum(value), 2) AS total_value,
+        |round(avg(value), 2) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e40_skew_salt_decision" ->

@@ -40,6 +40,86 @@ class SaltedAggSpec extends SparkTestBase {
     assert(run("auto", budget = Some(Long.MaxValue)) === direct)
   }
 
+  test("SaltAvg and SaltApproxDistinct are mode-identical: the " +
+      "(sum, count) struct partial and the HLL register merge give " +
+      "the direct answer at any salt fan-out (r15)") {
+    val aggs = Seq(
+      Events.SaltAvg(col("value"), "av"),
+      Events.SaltApproxDistinct(col("user_id"), "du"))
+    def run(mode: String) = Events.saltedAggAuto(spark, events,
+        Seq("event_type"), aggs, spread = Some(col("event_id")),
+        mode = Some(mode), budgetBytes = Some(0L))
+      .select(col("event_type"), round(col("av"), 6), col("du"))
+      .orderBy("event_type").collect().map(_.toSeq.toSeq).toSeq
+    val direct = run("direct")
+    assert(direct.nonEmpty && direct.forall(r =>
+      r(2).asInstanceOf[Long] > 0L))
+    assert(run("salt") === direct,
+      "salted avg/approx-distinct must equal the direct plan " +
+        "(HLL register merge is exact; avg divides merged partials)")
+    assert(run("auto") === direct)
+    // null semantics: avg of an all-null group is null, not 0/0
+    import spark.implicits._
+    val withNulls = Seq(("a", Some(2.0)), ("a", Some(4.0)),
+        ("b", None: Option[Double]))
+      .toDF("k", "v")
+    Seq("direct", "salt").foreach { m =>
+      val got = Events.saltedAggAuto(spark, withNulls, Seq("k"),
+          Seq(Events.SaltAvg(col("v"), "av")), mode = Some(m))
+        .orderBy("k").collect()
+      assert(got(0).getDouble(1) == 3.0 && got(1).isNullAt(1),
+        s"mode $m: avg null semantics broke: ${got.mkString(",")}")
+    }
+  }
+
+  test("float SaltSum/SaltAvg logs the reassociation warning; " +
+      "reserved working names and alias-key collisions fail fast " +
+      "(r14 ADVICE / r15)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.5)).toDF("k", "v")
+    // the slf4j logger is log4j2-backed in this JVM: capture via an
+    // appender on the named logger (the WindowWarningSpec pattern)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-salt-warn", null, null, true, Array.empty) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("re-associate")) { captured.add(m); () }
+      }
+    }
+    appender.start()
+    cfg.getRootLogger.addAppender(appender,
+      org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      Events.saltedAggAuto(spark, df, Seq("k"),
+        Seq(Events.SaltSum(col("v"), "sv")),
+        mode = Some("salt")).collect()
+      assert(!captured.isEmpty,
+        "float SaltSum must log the reassociation warning")
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-salt-warn")
+      appender.stop()
+      ctx.updateLoggers()
+    }
+    // reserved working columns: fail fast, never silent corruption
+    val clash = Seq(("a", 1L, 0L)).toDF("k", "v", "__salt")
+    val e1 = intercept[IllegalArgumentException] {
+      Events.saltedAggAuto(spark, clash, Seq("k"),
+        Seq(Events.SaltCount("n")), mode = Some("salt"))
+    }
+    assert(e1.getMessage.contains("__salt"), s"wrong error: $e1")
+    // agg alias colliding with a grouping key: same discipline
+    val e2 = intercept[IllegalArgumentException] {
+      Events.saltedAggAuto(spark, df, Seq("k"),
+        Seq(Events.SaltCount("k")), mode = Some("direct"))
+    }
+    assert(e2.getMessage.contains("grouping keys"), s"wrong error: $e2")
+  }
+
   test("saltDecision: the e40 ceil-division arithmetic, pinned on " +
       "constructed skew without plan forensics") {
     import spark.implicits._

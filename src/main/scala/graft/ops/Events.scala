@@ -42,6 +42,11 @@ object Events {
   private val e14Seeded =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** e46's persisted skew card, written once per (JVM, fixture) — the
+    * ServingIndexes build-once discipline. */
+  private val e46Card =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** DRIVER-LOCAL scratch space for the gated streaming rows (e34/e35
     * DLQ queues, e39's terminal heartbeat): a temp directory with a
     * JVM-exit recursive cleanup, so repeated invocations don't leak one
@@ -299,18 +304,52 @@ object Events {
   def saltedAggAuto(s: SparkSession, df: DataFrame, keys: Seq[String],
       aggs: Seq[SaltAgg], spread: Option[Column] = None,
       mode: Option[String] = None,
-      budgetBytes: Option[Long] = None): DataFrame = {
+      budgetBytes: Option[Long] = None,
+      cardDir: Option[String] = None): DataFrame = {
     // misuse must fail BEFORE the auto arm pays a sizing job
     require(aggs.nonEmpty, "saltedAggAuto needs at least one aggregate")
     val m = mode.getOrElse(s.conf.get("spark.graft.agg.salt", "auto"))
-    val saltN: Long = m match {
-      case "direct" => 1L
-      case "salt" => s.conf.get("spark.graft.agg.saltN", "16").toLong
-      case "auto" => saltPlanFor(s, df, keys, budgetBytes)
-      case other => throw new IllegalArgumentException(
+    val saltN: Long = (m, cardDir) match {
+      case ("direct", _) => 1L
+      case ("salt", _) => s.conf.get("spark.graft.agg.saltN", "16").toLong
+      // ARTIFACT-FIRST sizing (round 15, the serving-tier discipline):
+      // a recurring pipeline persists the e40 card once and every run
+      // reads its decision instead of re-paying the sizing pass — the
+      // card IS this decision, precomputed. Forced modes still win
+      // (they are the zero-cost override the card feeds into).
+      case ("auto", Some(cd)) => saltFromCard(s, cd, keys)
+      case ("auto", None) => saltPlanFor(s, df, keys, budgetBytes)
+      case (other, _) => throw new IllegalArgumentException(
         s"spark.graft.agg.salt must be auto|direct|salt, got '$other'")
     }
     saltedAggWith(s, df, keys, aggs, saltN, spread)
+  }
+
+  /** Read the persisted e40/e44 card's decision for ONE axis — the
+    * read-the-card-back path the round-14 verdict asked for. The card
+    * is any parquet written from [[skewCardFor]]'s output (or the
+    * `graft_skew` TVF's rows); the axis name contract is
+    * `keys.mkString(",")`, matching how a card writer names the axis
+    * it priced. Bounded read: one row per axis. A MISSING axis fails
+    * loudly — an artifact-first caller asked for a decision that was
+    * never priced; silently falling back to live sizing would hide a
+    * stale-card deployment bug.
+    */
+  private[graft] def saltFromCard(s: SparkSession, cardDir: String,
+      keys: Seq[String]): Long = {
+    val axis = keys.mkString(",")
+    val rows = s.read.parquet(cardDir)
+      .filter(col("axis") === axis)
+      .select(col("salt_n").cast("long"), col("decision"))
+      .collect()
+    require(rows.nonEmpty,
+      s"saltedAggAuto(cardDir=$cardDir): no card row for axis " +
+        s"'$axis' - write the skew card for this axis first " +
+        "(Events.skewCardFor / graft_skew) or drop cardDir to size live")
+    require(rows.length == 1,
+      s"saltedAggAuto(cardDir=$cardDir): ${rows.length} card rows for " +
+        s"axis '$axis' - the card must hold one decision per axis")
+    if (rows.head.getString(1) == "direct") 1L else rows.head.getLong(0)
   }
 
   /** The `auto` arm of [[saltedAggAuto]]'s ladder, exposed so callers
@@ -523,6 +562,35 @@ object Events {
       graft.functions.registerAll(s)
       s.sql(s"SELECT * FROM graft_skew('$dir', 'events', " +
         "'event_type', 32)")
+    },
+
+    "e46_salted_agg_card" -> { (s, dir) =>
+      import s.implicits._
+      // The e40 card's PERSISTENCE round trip, gated (round 15): a
+      // recurring 100 TB pipeline prices each shuffle axis ONCE
+      // (skewCardFor), persists the card, and every later run reads
+      // the decision instead of re-paying the sizing pass — the
+      // artifact-first discipline the serving tier already follows.
+      // This row runs the full loop: write the event_type axis card
+      // (once per JVM x fixture, like the serving indexes), aggregate
+      // THROUGH saltedAggAuto(cardDir=...) — which reads salt_n back
+      // from the artifact and skips the sizing job — and hash-gate
+      // against the same direct-form oracle as e09. The decision only
+      // routes rows (any salt_n yields identical results), so the
+      // card's pinned p=32 stays deterministic across session layouts
+      // (the e40 rule).
+      val cd = e46Card.computeIfAbsent(dir, { _ =>
+        val d = scratchDir("graft-e46-card")
+        skewCardFor(ev(s, dir), Seq(
+            "event_type" -> coalesce($"event_type", lit("<null>"))), 32L)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      saltedAggAuto(s, ev(s, dir), Seq("event_type"),
+        Seq(SaltCount("n"), SaltSum($"value", "pv")),
+        spread = Some($"event_id"), cardDir = Some(cd))
+        .select($"event_type", $"n", round($"pv", 2).as("total_value"))
+        .orderBy($"event_type")
     },
 
     "e45_topk_sql" -> { (s, dir) =>
@@ -1996,6 +2064,14 @@ object Events {
         |    AS post_salt_max_rows,
         |  CASE WHEN salt_n > 1 THEN 'salt' ELSE 'direct' END AS decision
         |FROM sn""".stripMargin,
+
+    // e46: the card round trip must land on the exact direct-form
+    // answer — same oracle family as e09 (sans the avg column, which
+    // e09 owns)
+    "e46_salted_agg_card" ->
+      """SELECT event_type, count(*) AS n,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // e45: the TVF is a bounded-heap top-k; the oracle is the window
     // form it replaces — identical multisets because ties on

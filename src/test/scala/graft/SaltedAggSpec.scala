@@ -120,6 +120,44 @@ class SaltedAggSpec extends SparkTestBase {
     assert(e2.getMessage.contains("grouping keys"), s"wrong error: $e2")
   }
 
+  test("cardDir (r15): the decision read back from a persisted skew " +
+      "card equals the live sizing decision; results are identical " +
+      "through the card path; a missing axis fails loudly") {
+    import spark.implicits._
+    val d = tmpDir("salt-card-spec")
+    val p = 8L
+    Events.skewCardFor(events, Seq(
+        "event_type" -> coalesce(col("event_type"), lit("<null>"))), p)
+      .write.mode("overwrite").parquet(d)
+    // decision parity: card salt_n == the live saltDecision at the
+    // same reducer budget (the card IS the decision, precomputed)
+    val live = Events.saltDecision(spark, events, Seq("event_type"), p)
+    assert(Events.saltFromCard(spark, d, Seq("event_type")) === live,
+      "the persisted card must carry the live decision")
+    // result parity through the full card path
+    val aggs = Seq(Events.SaltCount("n"),
+      Events.SaltSum(col("value"), "sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n"), round(col("sv"), 2))
+        .orderBy("event_type").collect().map(_.toSeq.toSeq).toSeq
+    val viaCard = rows(Events.saltedAggAuto(spark, events,
+      Seq("event_type"), aggs, cardDir = Some(d)))
+    val viaLive = rows(Events.saltedAggAuto(spark, events,
+      Seq("event_type"), aggs, budgetBytes = Some(0L)))
+    assert(viaCard === viaLive && viaCard.nonEmpty)
+    // a forced mode still wins over the card (the zero-cost override)
+    assert(rows(Events.saltedAggAuto(spark, events, Seq("event_type"),
+      aggs, mode = Some("direct"), cardDir = Some(d))) === viaLive)
+    // missing axis: loud failure naming the axis, never a silent
+    // fallback to live sizing
+    val e = intercept[IllegalArgumentException] {
+      Events.saltedAggAuto(spark, events, Seq("user_id"), aggs,
+        cardDir = Some(d))
+    }
+    assert(e.getMessage.contains("user_id") &&
+      e.getMessage.contains("no card row"), s"wrong error: $e")
+  }
+
   test("saltDecision: the e40 ceil-division arithmetic, pinned on " +
       "constructed skew without plan forensics") {
     import spark.implicits._

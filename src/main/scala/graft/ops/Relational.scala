@@ -878,6 +878,38 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    "q44_guard_rank_rewrite" -> { (s, dir) =>
+      // The r15 flooded-window guard's REWRITE path, driver-oracle-
+      // gated end-to-end: a SQL-only client's partition-less window
+      // battery runs with spark.graft.window.guard=rewrite FORCED
+      // (budget 0, so even the fixture-scale frame trips the definite
+      // one-task-sort hazard class) on a session CLONE — conf and
+      // injected rules are per-session, nothing leaks into the shared
+      // board session — and the GlobalRank closed forms must
+      // hash-match DuckDB computing the SAME window SQL. Covers both
+      // proven rewrite classes in one row: row_number + ntile over a
+      // total order (w1), and the tie-aware rank family over the
+      // 5-value, ties-heavy o_orderpriority order (w2). percent_rank/
+      // cume_dist are exact rationals of integer rank/count, so the
+      // doubles are engine-identical by IEEE division; round(6) is
+      // belt and braces (the q30 discipline).
+      val fresh = s.newSession()
+      graft.plans.WindowGuard.install(fresh)
+      fresh.conf.set(graft.plans.WindowGuard.ModeConf, "rewrite")
+      fresh.conf.set(graft.plans.WindowGuard.BudgetConf, "0")
+      t(fresh, dir, "orders").createOrReplaceTempView("q44_orders")
+      fresh.sql(
+        """SELECT o_orderkey,
+          |  row_number() OVER w1 AS rn, ntile(7) OVER w1 AS tile,
+          |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
+          |  round(percent_rank() OVER w2, 6) AS pct_rank,
+          |  round(cume_dist() OVER w2, 6) AS cume
+          |FROM q44_orders WHERE o_orderkey % 50 = 0
+          |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
+          |       w2 AS (ORDER BY o_orderpriority)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     "q16_outer_join" -> { (s, dir) =>
       import s.implicits._
       // FULL OUTER join of two asymmetric aggregates — null-producing
@@ -1508,6 +1540,20 @@ object Relational {
         |WHERE o_orderkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q44: the guard-rewrite closed forms vs DuckDB's native windows —
+    // the oracle is the IDENTICAL window SQL (the Spark side never
+    // plans a WindowExec for it; GraftExtensionsSpec pins that)
+    "q44_guard_rank_rewrite" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER w1 AS rn, ntile(7) OVER w1 AS tile,
+        |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
+        |  round(percent_rank() OVER w2, 6) AS pct_rank,
+        |  round(cume_dist() OVER w2, 6) AS cume
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
+        |       w2 AS (ORDER BY o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q16_outer_join" ->

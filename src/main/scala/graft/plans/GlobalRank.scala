@@ -199,6 +199,97 @@ object GlobalRank {
       .drop("__gr", "__gr_off2")
   }
 
+  /** TIE-AWARE RANK FAMILY WITHOUT A PER-GROUP WINDOW — rank,
+    * dense_rank, percent_rank and cume_dist as closed forms over one
+    * global range-partitioned rank. These four are STRONGER rewrite
+    * candidates than row_number/ntile: each is a pure function of the
+    * (partition, ORDER-VALUE) pair — ties cannot perturb the answer —
+    * so no total-order precondition is needed at all. With r = the
+    * global row_number over (group ++ order), off = the group's min r,
+    * n = the group's size, and the PEER set = rows sharing the group
+    * AND the order-key values:
+    *
+    *   rank         = min r over peers − off + 1
+    *   dense_rank   = the peer set's ordinal among the group's peer
+    *                  sets ordered by min r (a row_number over the
+    *                  peers frame — itself computed by the bounded
+    *                  grouped machinery here, never a corpus window)
+    *   percent_rank = (rank − 1) / (n − 1), 0.0 when n = 1 (SQL spec)
+    *   cume_dist    = (max r over peers − off + 1) / n
+    *
+    * Scale shape: the peers frame has one row per DISTINCT
+    * (group, order-values) key — corpus-scaled in general — so it is
+    * joined back by a SHUFFLE equi-join (null-safe keys plan as
+    * sort-merge), never broadcast; only the per-GROUP stats (bounded
+    * by the guard's low-cardinality premise, or a single row when
+    * `group` is empty) ride the broadcast join.
+    *
+    * Null/float semantics match the window they replace: null order
+    * values compare equal in SQL ordering → one peer set, exactly
+    * groupBy's null handling; NaN/−0.0 are normalized identically by
+    * groupBy and sort (and Spark's `<=>`/`=` treat NaN = NaN as true).
+    *
+    * `orderKeys` are the NAMES of the order columns (peer identity);
+    * `order` carries their directions for the global rank.
+    */
+  def rankFunctions(df: DataFrame, group: Seq[String],
+      order: Seq[Column], orderKeys: Seq[String],
+      fns: Seq[(String, String)]): DataFrame = {
+    val flavors = Set("rank", "dense_rank", "percent_rank", "cume_dist")
+    require(orderKeys.nonEmpty, "rankFunctions needs order key columns")
+    require(fns.nonEmpty && fns.forall(f => flavors(f._1)),
+      s"rankFunctions flavors must be ${flavors.mkString("|")}, got " +
+        fns.map(_._1).mkString(", "))
+    val peerKey = (group ++ orderKeys).distinct
+    reserve(df, Seq("__gr", "__gr_off2", "__gr_n", "__gr_pmin",
+      "__gr_pmax", "__gr_dr") ++
+      peerKey.indices.map(i => s"__gr_pk$i") ++
+      group.indices.map(i => s"__gr_k$i") ++ fns.map(_._2))
+    val ranked = apply(df, group.map(col) ++ order, "__gr")
+    val gAgg = Seq(min(col("__gr")).as("__gr_off2"),
+      count(lit(1)).as("__gr_n"))
+    val withG =
+      if (group.isEmpty)
+        ranked.crossJoin(broadcast(ranked.agg(gAgg.head, gAgg.tail: _*)))
+      else nullSafeJoinB(ranked,
+        ranked.groupBy(group.map(col): _*).agg(gAgg.head, gAgg.tail: _*),
+        group)
+    val peers0 = ranked.groupBy(peerKey.map(col): _*)
+      .agg(min(col("__gr")).as("__gr_pmin"),
+        max(col("__gr")).as("__gr_pmax"))
+    val peers =
+      if (!fns.exists(_._1 == "dense_rank")) peers0
+      else if (group.isEmpty)
+        apply(peers0, Seq(col("__gr_pmin")), "__gr_dr")
+      else groupedRowNumber(peers0, group, Seq(col("__gr_pmin")),
+        "__gr_dr")
+    val renamed = peerKey.zipWithIndex.foldLeft(peers) {
+      case (d, (k, i)) => d.withColumnRenamed(k, s"__gr_pk$i")
+    }
+    val cond = peerKey.zipWithIndex
+      .map { case (k, i) => withG(k) <=> renamed(s"__gr_pk$i") }
+      .reduce(_ && _)
+    val joined = withG.join(renamed, cond)
+      .drop(peerKey.indices.map(i => s"__gr_pk$i"): _*)
+    val out = fns.foldLeft(joined) {
+      case (d, ("rank", name)) => d.withColumn(name,
+        (col("__gr_pmin") - col("__gr_off2") + 1L).cast("int"))
+      case (d, ("dense_rank", name)) =>
+        d.withColumn(name, col("__gr_dr").cast("int"))
+      case (d, ("percent_rank", name)) => d.withColumn(name,
+        when(col("__gr_n") === 1L, lit(0.0d))
+          .otherwise((col("__gr_pmin") - col("__gr_off2")).cast("double")
+            / (col("__gr_n") - 1L).cast("double")))
+      case (d, ("cume_dist", name)) => d.withColumn(name,
+        (col("__gr_pmax") - col("__gr_off2") + 1L).cast("double") /
+          col("__gr_n").cast("double"))
+      case (_, (f, _)) =>
+        throw new IllegalStateException(s"unreachable flavor $f")
+    }
+    out.drop("__gr", "__gr_off2", "__gr_n", "__gr_pmin", "__gr_pmax",
+      "__gr_dr")
+  }
+
   /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
     * for the last flooded-partition class: `ntile(k).over(
     * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the
@@ -213,7 +304,10 @@ object GlobalRank {
     * semantics (first n mod k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
     * the property spec pins equality against Spark's own ntile window
     * on random frames). `order` must be total within each group
-    * (include a tiebreaker), the ntile precondition anyway.
+    * (include a tiebreaker), the ntile precondition anyway. An EMPTY
+    * `group` is the partition-less ntile (one global group): the
+    * per-group stats degenerate to a single (off=1, n=total) row,
+    * cross-joined broadcast.
     */
   def groupedNtile(df: DataFrame, group: Seq[String],
       order: Seq[Column], k: Int, name: String): DataFrame = {
@@ -221,9 +315,12 @@ object GlobalRank {
     reserve(df, Seq("__gr_off2", "__gr_n", "__gr_r",
       "__gr") ++ group.indices.map(i => s"__gr_k$i") :+ name)
     val ranked = apply(df, group.map(col) ++ order, "__gr")
-    val sizes = ranked.groupBy(group.map(col): _*)
-      .agg(min(col("__gr")).as("__gr_off2"), count(lit(1)).as("__gr_n"))
-    nullSafeJoinB(ranked, sizes, group)
+    val sAgg = Seq(min(col("__gr")).as("__gr_off2"),
+      count(lit(1)).as("__gr_n"))
+    (if (group.isEmpty)
+      ranked.crossJoin(broadcast(ranked.agg(sAgg.head, sAgg.tail: _*)))
+    else nullSafeJoinB(ranked, ranked.groupBy(group.map(col): _*)
+      .agg(sAgg.head, sAgg.tail: _*), group))
       .withColumn("__gr_r", col("__gr") - col("__gr_off2") + 1L)
       .withColumn(name, expr(
         s"""CASE WHEN __gr_n % ${k}L = 0

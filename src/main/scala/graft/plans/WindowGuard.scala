@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Literal, NTile, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, CumeDist, DenseRank, Literal, NTile, PercentRank, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -33,12 +33,17 @@ import org.apache.spark.sql.types.IntegerType
   *              that serializes a corpus through one task. The strict
   *              posture for shared clusters.
   *  - `rewrite` — substitute the GlobalRank closed form when the
-  *              window is PROVABLY equivalent to one (every window
-  *              expression in the node is `row_number()` or
-  *              `ntile(k)`, the class whose value is a pure function
-  *              of the (partition, total order) — rank/dense_rank tie
-  *              semantics and aggregate frames are NOT rewritten);
-  *              falls back to `warn` otherwise.
+  *              window is PROVABLY equivalent to one. Two proven
+  *              classes (round 15): `row_number()` / `ntile(k)` —
+  *              pure functions of the (partition, TOTAL order), the
+  *              same ties caveat the window itself carries — and the
+  *              tie-AWARE rank family `rank()` / `dense_rank()` /
+  *              `percent_rank()` / `cume_dist()` — pure functions of
+  *              the (partition, order VALUE), so no order caveat at
+  *              all, provided every ORDER BY key is a plain column
+  *              (peer identity must be addressable). Aggregate
+  *              frames, lead/lag and anything else fall back to
+  *              `warn`.
   *
   * A window is flagged as corpus-share when its child's optimizer size
   * estimate exceeds `spark.graft.window.guard.budgetBytes` (default
@@ -118,8 +123,10 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                   s"window (${hazard}) to the GlobalRank closed form")
                 p
               case None => flagAndWarn(w, hazard +
-                " (not rewritable: only row_number/ntile windows have" +
-                " proven closed forms)")
+                " (not rewritable: only row_number/ntile and the " +
+                "rank/dense_rank/percent_rank/cume_dist family have " +
+                "proven closed forms, and rank-family ORDER BY keys " +
+                "must be plain columns)")
             }
             case other => throw new IllegalArgumentException(
               s"$ModeConf must be off|warn|fail|rewrite, got '$other'")
@@ -130,8 +137,9 @@ object WindowGuardRule extends Rule[LogicalPlan] {
 
   private def alternatives: String =
     "Sanctioned bounded forms: graft.plans.GlobalRank (row_number/" +
-      "ntile/cumsum closed forms), TopKPerKey or the graft_topk TVF " +
-      "(rank-then-filter), Events.saltedAggAuto (decomposable aggs); " +
+      "ntile/rank/dense_rank/percent_rank/cume_dist/cumsum closed " +
+      "forms), TopKPerKey or the graft_topk TVF (rank-then-filter), " +
+      "Events.saltedAggAuto (decomposable aggs); " +
       "or set spark.graft.window.guard=rewrite for the provable class."
 
   private def flagAndWarn(w: Window, hazard: String): Window = {
@@ -189,7 +197,7 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         Some(w.partitionSpec.map(_.asInstanceOf[AttributeReference].name))
       else None
     // each window expression: Alias(WindowExpression(fn, spec)) with
-    // fn ∈ {row_number, ntile(lit k)}
+    // fn ∈ {row_number, ntile(lit k)} ∪ the tie-aware rank family
     val fns: Option[Seq[(String, Int, String)]] =
       traverseOpt(w.windowExpressions) {
         case a @ Alias(WindowExpression(RowNumber(), _), _) =>
@@ -197,20 +205,36 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         case a @ Alias(WindowExpression(
             NTile(Literal(k: Int, IntegerType)), _), _) if k >= 1 =>
           Some(("ntile", k, a.name))
+        case a @ Alias(WindowExpression(_: Rank, _), _) =>
+          Some(("rank", 0, a.name))
+        case a @ Alias(WindowExpression(_: DenseRank, _), _) =>
+          Some(("dense_rank", 0, a.name))
+        case a @ Alias(WindowExpression(_: PercentRank, _), _) =>
+          Some(("percent_rank", 0, a.name))
+        case a @ Alias(WindowExpression(_: CumeDist, _), _) =>
+          Some(("cume_dist", 0, a.name))
         case _ => None
       }
+    val rankClass = Set("rank", "dense_rank", "percent_rank",
+      "cume_dist")
     (parts, fns) match {
       case (Some(group), Some(specs)) if w.orderSpec.nonEmpty &&
           specs.nonEmpty =>
+        // the rank family's peer identity is the order VALUES — those
+        // must be plain columns the closed form can group on
+        val orderKeys: Option[Seq[String]] =
+          if (!specs.exists(s => rankClass(s._1))) Some(Nil)
+          else if (w.orderSpec.forall(
+              _.child.isInstanceOf[AttributeReference]))
+            Some(w.orderSpec
+              .map(_.child.asInstanceOf[AttributeReference].name))
+          else None
         val childNames = w.child.output.map(_.name)
         val reservedOk = childNames.distinct.size == childNames.size &&
           !childNames.exists(n => n.startsWith("__gr") ||
             specs.exists(_._3 == n)) &&
-          specs.map(_._3).distinct.size == specs.size &&
-          // partition-less ntile has no grouped closed form here yet
-          specs.forall { case (f, _, _) =>
-            f == "row_number" || group.nonEmpty }
-        if (!reservedOk) None
+          specs.map(_._3).distinct.size == specs.size
+        if (!reservedOk || orderKeys.isEmpty) None
         else {
           val orderCols = w.orderSpec.map(graft.functions.ColumnBridge
             .column(_).asInstanceOf[org.apache.spark.sql.Column])
@@ -218,7 +242,15 @@ object WindowGuardRule extends Rule[LogicalPlan] {
           val build: (SparkSession, LogicalPlan) => DataFrame =
             (s, child) => {
               val base = graft.functions.ColumnBridge.ofRows(s, child)
-              val withRanks = specs.foldLeft(base) {
+              val (rankFns, posFns) =
+                specs.partition(sp => rankClass(sp._1))
+              // the whole rank family shares one global rank + one
+              // peers frame — computed together, never per-function
+              val withTieAware =
+                if (rankFns.isEmpty) base
+                else GlobalRank.rankFunctions(base, group, orderCols,
+                  orderKeys.get, rankFns.map(f => (f._1, f._3)))
+              val withRanks = posFns.foldLeft(withTieAware) {
                 case (df, ("row_number", _, name)) =>
                   val r =
                     if (group.isEmpty) GlobalRank(df, orderCols, name)
@@ -255,7 +287,8 @@ object WindowGuardRule extends Rule[LogicalPlan] {
   * discipline — the optimizer stays job-free).
   */
 case class WindowRewrite(output: Seq[Attribute], child: LogicalPlan,
-    desc: String, build: (SparkSession, LogicalPlan) => DataFrame)
+    desc: String,
+    @transient build: (SparkSession, LogicalPlan) => DataFrame)
     extends UnaryNode {
   override def references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(c: LogicalPlan)
@@ -270,9 +303,17 @@ object WindowRewriteStrategy extends SparkStrategy {
   }
 }
 
+/** `childPlan` and `build` are `@transient`: a leaf exec node under a
+  * shuffle gets SERIALIZED into the parent stage's task closures
+  * (WholeStageCodegen captures the plan tree), and the build lambda
+  * closes over `Column`s, which are not serializable. Both fields are
+  * only read in `doExecute`, which always runs driver-side while the
+  * RDD DAG is being built — by the time tasks ship, the RDD exists and
+  * the nulled-out fields are dead weight.
+  */
 case class WindowRewriteExec(output: Seq[Attribute],
-    childPlan: LogicalPlan, desc: String,
-    build: (SparkSession, LogicalPlan) => DataFrame)
+    @transient childPlan: LogicalPlan, desc: String,
+    @transient build: (SparkSession, LogicalPlan) => DataFrame)
     extends LeafExecNode {
 
   override protected def doExecute(): RDD[InternalRow] = {

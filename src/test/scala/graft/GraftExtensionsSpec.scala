@@ -383,7 +383,11 @@ class GraftExtensionsSpec extends SparkTestBase {
       "FOR COLUMNS lang")
     try {
       Seq((RowNumSql, "wg_docs", "rn"), (NtileSql, "wg15_docs", "t"),
-        (GroupedRnSql, "wg15_docs", "rn"))
+        (GroupedRnSql, "wg15_docs", "rn"),
+        // r15: partition-less ntile rewrites too (the global group
+        // degenerate of the closed form)
+        ("SELECT doc_id, ntile(3) OVER (ORDER BY score, doc_id) AS t " +
+          "FROM %s", "wg_docs", "t"))
         .foreach { case (tpl, table, vcol) =>
           val sql = tpl.format(table)
           fresh.conf.set(plans.WindowGuard.ModeConf, "off")
@@ -419,6 +423,67 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("window guard REWRITE mode: the tie-aware rank family (rank/" +
+      "dense_rank/percent_rank/cume_dist — ties present, no " +
+      "tiebreaker, desc order covered) rewrites to the GlobalRank " +
+      "closed forms and matches the window answer exactly, " +
+      "partition-less and partitioned") {
+    val fresh = spark.newSession()
+    wgView(fresh)
+    fresh.sql("DROP TABLE IF EXISTS wg15r_docs")
+    fresh.table("wg_docs").write.mode("overwrite")
+      .saveAsTable("wg15r_docs")
+    fresh.sql("ANALYZE TABLE wg15r_docs COMPUTE STATISTICS")
+    fresh.sql("ANALYZE TABLE wg15r_docs COMPUTE STATISTICS " +
+      "FOR COLUMNS lang")
+    // score has ~5-deep ties (500 rows over 101 values) and NO
+    // tiebreaker: the tie-aware family must still be exact — its
+    // value is a pure function of the order VALUE
+    val battery = "rank() OVER w AS r, dense_rank() OVER w AS dr, " +
+      "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd"
+    val shapes = Seq(
+      s"SELECT doc_id, $battery FROM wg_docs " +
+        "WINDOW w AS (ORDER BY score DESC)",
+      s"SELECT doc_id, $battery FROM wg15r_docs " +
+        "WINDOW w AS (PARTITION BY lang ORDER BY score)",
+      // an EXPRESSION order key: the analyzer extracts it into a child
+      // projection (_w0), so peer identity is addressable and the
+      // rewrite must hold for it too
+      s"SELECT doc_id, $battery FROM wg_docs " +
+        "WINDOW w AS (ORDER BY score * 2)")
+    try {
+      shapes.foreach { sql =>
+        fresh.conf.set(plans.WindowGuard.ModeConf, "off")
+        val want = fresh.sql(sql).collect().map(_.toString).sorted.toSeq
+        fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
+        fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+        fresh.conf.set(plans.WindowGuard.MaxGroupRowsConf, "100")
+        fresh.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          val got = fresh.sql(sql)
+          val vals = got.collect().map(_.toString).sorted.toSeq
+          assert(vals == want, s"rank-family rewrite diverged for " +
+            s"[$sql]; first diffs: ${vals.zip(want)
+              .filter(p => p._1 != p._2).take(3).mkString(",")}")
+          val exec = finalPlan(got)
+          assert(exec.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec => w
+          }.isEmpty, s"rewrite must remove the WindowExec:\n$exec")
+          assert(exec.collect {
+            case w: plans.WindowRewriteExec => w
+          }.nonEmpty, s"the WindowRewrite node must plan:\n$exec")
+        } finally {
+          fresh.conf.unset(plans.WindowGuard.ModeConf)
+          fresh.conf.unset(plans.WindowGuard.BudgetConf)
+          fresh.conf.unset(plans.WindowGuard.MaxGroupRowsConf)
+          fresh.conf.unset("spark.sql.cbo.enabled")
+        }
+      }
+    } finally {
+      fresh.sql("DROP TABLE IF EXISTS wg15r_docs")
+    }
+  }
+
   test("window guard FAIL mode blocks the corpus-share window; WARN " +
       "logs and leaves the plan; sub-budget frames never trip; " +
       "non-rewritable shapes fall back to warn under rewrite") {
@@ -446,16 +511,21 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(finalPlan(warned).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.nonEmpty, "warn mode must not change the plan")
-      // rank() has tie semantics GlobalRank does not prove — rewrite
-      // mode must fall back to warn (plan unchanged), never rewrite
+      // shapes OUTSIDE the proven classes — an aggregate frame and an
+      // offset function — must fall back to warn (plan unchanged)
+      // under rewrite, never rewrite
       fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
-      val rankSql = "SELECT doc_id, rank() OVER (ORDER BY score) AS r " +
-        "FROM wg_docs"
-      val ranked = fresh.sql(rankSql)
-      assert(ranked.count() == 500L)
-      assert(finalPlan(ranked).collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }.nonEmpty, "non-rewritable shapes must keep their window")
+      for (sql <- Seq(
+          "SELECT doc_id, sum(score) OVER (ORDER BY score, doc_id) " +
+            "AS s FROM wg_docs",
+          "SELECT doc_id, lag(score, 1) OVER (ORDER BY score, doc_id) " +
+            "AS p FROM wg_docs")) {
+        val kept = fresh.sql(sql)
+        assert(kept.count() == 500L)
+        assert(finalPlan(kept).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.nonEmpty, s"non-rewritable shape must keep its window: $sql")
+      }
     } finally {
       fresh.conf.unset(plans.WindowGuard.ModeConf)
       fresh.conf.unset(plans.WindowGuard.BudgetConf)

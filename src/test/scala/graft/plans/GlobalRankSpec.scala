@@ -91,6 +91,17 @@ class GlobalRankSpec extends SparkTestBase {
       Seq("g"), Seq($"v", $"id"), 3, "ntl")
     assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
       "groupedNtile must not plan any window operator")
+    // the r15 partition-less form: one global group via the broadcast
+    // (off=1, n=total) row — equal to the partition-less ntile window
+    val gGot = GlobalRank.groupedNtile(rows.toDF("g", "v", "id"),
+        Seq.empty, Seq($"v", $"id"), 7, "ntl")
+      .select($"id", $"ntl")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gWant = rows.toDF("g", "v", "id")
+      .withColumn("ntl", ntile(7).over(Window.orderBy($"v", $"id")))
+      .select($"id", $"ntl")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gGot == gWant, "partition-less closed-form NTILE diverged")
   }
 
   test("grouped closed forms keep null-key groups, exactly like the " +
@@ -108,6 +119,58 @@ class GlobalRankSpec extends SparkTestBase {
       .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
     assert(ntl == Map(1L -> 1, 4L -> 2, 2L -> 1, 3L -> 2),
       s"null group must tile as one group, got $ntl")
+  }
+
+  test("rankFunctions == the rank/dense_rank/percent_rank/cume_dist " +
+      "windows — heavy ties, null order values, null-key and singleton " +
+      "groups, grouped AND partition-less, descending order — " +
+      "window-free (the r15 guard-rewrite's tie-aware closed forms)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1515L)
+    val rows = (0 until 30).flatMap { g =>
+      (0 until 1 + rnd.nextInt(40)).map { i =>
+        // ~6 distinct order values → every peer set has many rows;
+        // 10% null order values (one peer set per group); some rows
+        // carry a NULL group key
+        val v: Option[Long] =
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong)
+        (if (g % 7 == 0) None else Some(s"g${g % 5}"), g * 1000L + i, v)
+      }
+    } :+ ((Some("solo"), 999999L, Some(3L))) // n=1: percent_rank = 0.0
+    val fns = Seq(("rank", "r"), ("dense_rank", "dr"),
+      ("percent_rank", "pr"), ("cume_dist", "cd"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4))
+    // shuffled input: the answer depends on (group, order values) only
+    val df = rows.toDF("g", "id", "v").repartition(9, $"id")
+    for (grouped <- Seq(true, false)) {
+      val group = if (grouped) Seq("g") else Seq.empty[String]
+      val closed = GlobalRank.rankFunctions(df, group,
+          Seq($"v".desc), Seq("v"), fns)
+        .select($"id", $"r", $"dr", $"pr", $"cd")
+      val got = closed.collect().map(key).toMap
+      val w =
+        if (grouped) Window.partitionBy($"g").orderBy($"v".desc)
+        else Window.orderBy($"v".desc)
+      val want = rows.toDF("g", "id", "v").select($"id",
+          rank().over(w).as("r"), dense_rank().over(w).as("dr"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .collect().map(key).toMap
+      assert(got == want, s"grouped=$grouped: closed-form rank family " +
+        s"diverged; first diffs: ${got.toSeq.sortBy(_._1)
+          .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+      assert(!closed.queryExecution.executedPlan.toString
+          .contains("Window"),
+        "rankFunctions must not plan any window operator")
+    }
+    // the singleton group's spec-pinned edge: percent_rank is DEFINED
+    // as 0.0 at n=1, never a 0/0 NaN
+    val solo = GlobalRank.rankFunctions(
+        rows.toDF("g", "id", "v").filter($"g" === "solo"),
+        Seq("g"), Seq($"v"), Seq("v"), fns)
+      .select($"pr", $"cd").head()
+    assert(solo.getDouble(0) == 0.0 && solo.getDouble(1) == 1.0)
   }
 
   test("groupedCumsum == sum().over(partitionBy(group).orderBy(order)) " +

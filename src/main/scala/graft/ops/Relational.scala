@@ -898,15 +898,28 @@ object Relational {
       fresh.conf.set(graft.plans.WindowGuard.ModeConf, "rewrite")
       fresh.conf.set(graft.plans.WindowGuard.BudgetConf, "0")
       t(fresh, dir, "orders").createOrReplaceTempView("q44_orders")
+      // w1 (total order): row_number + ntile + lag/lead; w2 (5-value
+      // ties-heavy order): the rank family + the RANGE-framed running
+      // sum/count (SQL's default frame includes all PEERS — the
+      // per-peer scan path); w3: the ROWS-framed running sum. The
+      // analyzer normalizes per-function frames, so these split into
+      // several Window nodes — each must rewrite independently.
       fresh.sql(
         """SELECT o_orderkey,
           |  row_number() OVER w1 AS rn, ntile(7) OVER w1 AS tile,
+          |  lag(o_orderkey, 2, -1) OVER w1 AS lag2,
+          |  lead(o_orderkey, 1, -1) OVER w1 AS lead1,
+          |  sum(o_orderkey) OVER w3 AS rsum,
           |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
           |  round(percent_rank() OVER w2, 6) AS pct_rank,
-          |  round(cume_dist() OVER w2, 6) AS cume
+          |  round(cume_dist() OVER w2, 6) AS cume,
+          |  sum(o_orderkey) OVER w2 AS rng_sum,
+          |  count(*) OVER w2 AS rng_cnt
           |FROM q44_orders WHERE o_orderkey % 50 = 0
           |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
-          |       w2 AS (ORDER BY o_orderpriority)
+          |       w2 AS (ORDER BY o_orderpriority),
+          |       w3 AS (ORDER BY o_totalprice DESC, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |ORDER BY o_orderkey""".stripMargin)
     },
 
@@ -1545,15 +1558,24 @@ object Relational {
     // q44: the guard-rewrite closed forms vs DuckDB's native windows —
     // the oracle is the IDENTICAL window SQL (the Spark side never
     // plans a WindowExec for it; GraftExtensionsSpec pins that)
+    // the sum casts pin DuckDB's HUGEINT sum() back to BIGINT (Spark's
+    // integral window sum is LongType)
     "q44_guard_rank_rewrite" ->
       """SELECT o_orderkey,
         |  row_number() OVER w1 AS rn, ntile(7) OVER w1 AS tile,
+        |  lag(o_orderkey, 2, -1) OVER w1 AS lag2,
+        |  lead(o_orderkey, 1, -1) OVER w1 AS lead1,
+        |  CAST(sum(o_orderkey) OVER w3 AS BIGINT) AS rsum,
         |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
         |  round(percent_rank() OVER w2, 6) AS pct_rank,
-        |  round(cume_dist() OVER w2, 6) AS cume
+        |  round(cume_dist() OVER w2, 6) AS cume,
+        |  CAST(sum(o_orderkey) OVER w2 AS BIGINT) AS rng_sum,
+        |  count(*) OVER w2 AS rng_cnt
         |FROM orders WHERE o_orderkey % 50 = 0
         |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
-        |       w2 AS (ORDER BY o_orderpriority)
+        |       w2 AS (ORDER BY o_orderpriority),
+        |       w3 AS (ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q16_outer_join" ->

@@ -290,6 +290,196 @@ object GlobalRank {
       "__gr_dr")
   }
 
+  /** LAG/LEAD WITHOUT A PER-GROUP WINDOW — the offset functions as a
+    * rank-shifted SELF-JOIN over one global range-partitioned rank.
+    * With r = the global row_number over (group ++ order), the lag-n
+    * donor for a row is the row at rank r − n; because groups are
+    * CONTIGUOUS in the global sort, that donor is in the same group
+    * iff its group key equals the receiver's — checked null-safely in
+    * the join itself, so no group-stats pass is needed at all. A
+    * missed join (rank off the frame's edge or across a group
+    * boundary) yields `default`, and a present-but-null donor VALUE
+    * stays null (never `default`) via an explicit hit flag — SQL
+    * lag/lead semantics exactly.
+    *
+    * `delta` is the LAG distance: positive looks back, negative is
+    * lead (SQL's own lag(x, −n) == lead(x, n) convention), zero is
+    * the identity. The join key is the unique global rank — a
+    * perfectly uniform shuffle key, no skew by construction. Ties:
+    * like the window it replaces, the answer is only deterministic
+    * when `order` is total.
+    */
+  def groupedShift(df: DataFrame, group: Seq[String], order: Seq[Column],
+      value: Column, delta: Int, default: Column, name: String)
+      : DataFrame = {
+    reserve(df, Seq("__gr", "__gr_v", "__gr_tgt", "__gr_dv", "__gr_hit")
+      ++ group.indices.map(i => s"__gr_sk$i") :+ name)
+    val withV = df.withColumn("__gr_v", value)
+    val ranked = apply(withV, group.map(col) ++ order, "__gr")
+    val donor = ranked.select(
+      group.zipWithIndex.map { case (g, i) => col(g).as(s"__gr_sk$i") } ++
+        Seq((col("__gr") + delta).as("__gr_tgt"),
+          col("__gr_v").as("__gr_dv"), lit(true).as("__gr_hit")): _*)
+    val cond = group.zipWithIndex
+      .map { case (g, i) => ranked(g) <=> donor(s"__gr_sk$i") }
+      .foldLeft(ranked("__gr") === donor("__gr_tgt"))(_ && _)
+    ranked.join(donor, cond, "left")
+      .withColumn(name,
+        when(coalesce(col("__gr_hit"), lit(false)), col("__gr_dv"))
+          .otherwise(default))
+      .drop(Seq("__gr", "__gr_v", "__gr_tgt", "__gr_dv", "__gr_hit") ++
+        group.indices.map(i => s"__gr_sk$i"): _*)
+  }
+
+  /** Working names injected by [[runningCore]] and its public
+    * wrappers. */
+  private val RunWork = Seq("__gr_pid", "__gr_mid", "__gr_v0",
+    "__gr_nn", "__gr_cv", "__gr_cn", "__gr_gv", "__gr_gn")
+
+  /** PER-GROUP RUNNING TOTAL WITHOUT A PER-GROUP WINDOW — the shared
+    * core behind [[groupedRunningSum]]/[[groupedRunningCount]]. The
+    * same two-pass scan as [[groupedCumsum]] but with NO sign or null
+    * contract: it tracks the running VALUE total (`v0`, a never-null
+    * long — callers coalesce) and the running NON-NULL COUNT (`nn`,
+    * 0/1) side by side, prices both per-partition offsets in ONE
+    * bounded collect, and takes each group's exclusive offset as the
+    * (cum − row) value AT the group's first row via `min_by` on the
+    * frozen mid (a valid global-order surrogate: the partition id
+    * occupies the mid's upper bits) — exact for negative values,
+    * where groupedCumsum's min() trick would not be. `countMode`
+    * returns the count (never null, 0 at no rows); sum mode returns
+    * NULL until the group's running range holds a non-null value —
+    * SQL window-sum semantics exactly.
+    */
+  private def runningCore(df: DataFrame, group: Seq[String],
+      order: Seq[Column], v0: Column, nn: Column, countMode: Boolean,
+      name: String): DataFrame = {
+    val withV = df.withColumn("__gr_v0", v0.cast("long"))
+      .withColumn("__gr_nn", nn.cast("long"))
+    val sorted = sortedWithIds(withV, group.map(col) ++ order,
+      "__gr_pid", "__gr_mid")
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(col("__gr_mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // BOTH per-partition offset maps from one bounded collect (one
+    // row per partition, the offsetLookup discipline)
+    val counts = sorted.groupBy(col("__gr_pid"))
+      .agg(sum(col("__gr_v0")).cast("long").as("sv"),
+        sum(col("__gr_nn")).cast("long").as("sn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accV = 0L
+    var accN = 0L
+    val offV = counts.map { case (p, a, _) =>
+      val o = accV; accV += a; (p, o) }.toMap
+    val offN = counts.map { case (p, _, b) =>
+      val o = accN; accN += b; (p, o) }.toMap
+    def lk(m: Map[Int, Long]): Column =
+      if (m.isEmpty) lit(0L) else element_at(typedlit(m), col("__gr_pid"))
+    val cum = sorted
+      .withColumn("__gr_cv", lk(offV) + sum(col("__gr_v0")).over(w))
+      .withColumn("__gr_cn", lk(offN) + sum(col("__gr_nn")).over(w))
+    val gAgg = Seq(
+      min_by(col("__gr_cv") - col("__gr_v0"), col("__gr_mid"))
+        .as("__gr_gv"),
+      min_by(col("__gr_cn") - col("__gr_nn"), col("__gr_mid"))
+        .as("__gr_gn"))
+    val withGoff =
+      if (group.isEmpty)
+        cum.crossJoin(broadcast(cum.agg(gAgg.head, gAgg.tail: _*)))
+      else nullSafeJoinB(cum, cum.groupBy(group.map(col): _*)
+        .agg(gAgg.head, gAgg.tail: _*), group)
+    val res =
+      if (countMode) col("__gr_cn") - col("__gr_gn")
+      else when(col("__gr_cn") - col("__gr_gn") > 0L,
+        col("__gr_cv") - col("__gr_gv"))
+    withGoff.withColumn(name, res).drop(RunWork: _*)
+  }
+
+  /** Join-back half of the RANGE-frame forms: the running total is
+    * computed once per PEER (distinct (group, order-value)) on the
+    * bounded-by-construction peers frame, then joined back to the
+    * rows by SHUFFLE on the peer key (corpus-scaled — never
+    * broadcast). */
+  private def perPeerJoin(df: DataFrame, peers: DataFrame,
+      peerKey: Seq[String], name: String): DataFrame = {
+    val renamed = peerKey.zipWithIndex.foldLeft(
+        peers.select(peerKey.map(col) :+ col(name): _*)) {
+      case (d, (k, i)) => d.withColumnRenamed(k, s"__gr_pk$i")
+    }
+    val cond = peerKey.zipWithIndex
+      .map { case (k, i) => df(k) <=> renamed(s"__gr_pk$i") }
+      .reduce(_ && _)
+    df.join(renamed, cond)
+      .drop(peerKey.indices.map(i => s"__gr_pk$i"): _*)
+  }
+
+  /** RUNNING SUM WITHOUT A PER-GROUP WINDOW, for INTEGRAL values
+    * (byte/short/int/long — long addition is associative, so the
+    * partial-sum decomposition is bit-exact; float running sums are
+    * order-sensitive and NOT offered here). `rangeOrderKeys = None`
+    * is the ROWS UNBOUNDED PRECEDING..CURRENT ROW frame (ties need a
+    * total order, the window's own caveat); `Some(keys)` is the
+    * RANGE frame — SQL's default for `sum(x) OVER (ORDER BY …)` —
+    * where all PEER rows (equal order values) are included: the scan
+    * runs per-peer on the aggregated peers frame and joins back.
+    * Null semantics match the window: NULL until the running range
+    * holds a non-null value.
+    */
+  def groupedRunningSum(df: DataFrame, group: Seq[String],
+      order: Seq[Column], value: Column, name: String,
+      rangeOrderKeys: Option[Seq[String]] = None): DataFrame =
+    rangeOrderKeys match {
+      case None =>
+        reserve(df, RunWork ++ group.indices.map(i => s"__gr_k$i")
+          :+ name)
+        runningCore(df, group, order,
+          coalesce(value.cast("long"), lit(0L)),
+          value.isNotNull.cast("long"), countMode = false, name)
+      case Some(keys) =>
+        val peerKey = (group ++ keys).distinct
+        reserve(df, RunWork ++ Seq("__gr_pv", "__gr_pn") ++
+          peerKey.indices.map(i => s"__gr_pk$i") ++
+          group.indices.map(i => s"__gr_k$i") :+ name)
+        val peers = df.groupBy(peerKey.map(col): _*)
+          .agg(sum(coalesce(value.cast("long"), lit(0L))).as("__gr_pv"),
+            sum(value.isNotNull.cast("long")).as("__gr_pn"))
+        // `order` (directions included) must range over exactly the
+        // key columns — it resolves on the peers frame because the
+        // grouping attributes keep their identity through groupBy
+        val peersCum = runningCore(peers, group, order,
+          coalesce(col("__gr_pv"), lit(0L)), col("__gr_pn"),
+          countMode = false, name)
+        perPeerJoin(df, peersCum, peerKey, name)
+    }
+
+  /** RUNNING COUNT WITHOUT A PER-GROUP WINDOW — same frames as
+    * [[groupedRunningSum]]; `indicator` is 1L per counted row
+    * (`lit(1L)` for count(*), `(x IS NOT NULL)::long` for count(x)).
+    * Count is never null (0 at an empty range), exactly SQL's. */
+  def groupedRunningCount(df: DataFrame, group: Seq[String],
+      order: Seq[Column], indicator: Column, name: String,
+      rangeOrderKeys: Option[Seq[String]] = None): DataFrame =
+    rangeOrderKeys match {
+      case None =>
+        reserve(df, RunWork ++ group.indices.map(i => s"__gr_k$i")
+          :+ name)
+        runningCore(df, group, order, lit(0L),
+          coalesce(indicator.cast("long"), lit(0L)), countMode = true,
+          name)
+      case Some(keys) =>
+        val peerKey = (group ++ keys).distinct
+        reserve(df, RunWork ++ Seq("__gr_pn") ++
+          peerKey.indices.map(i => s"__gr_pk$i") ++
+          group.indices.map(i => s"__gr_k$i") :+ name)
+        val peers = df.groupBy(peerKey.map(col): _*)
+          .agg(sum(coalesce(indicator.cast("long"), lit(0L)))
+            .as("__gr_pn"))
+        val peersCum = runningCore(peers, group, order,
+          lit(0L), coalesce(col("__gr_pn"), lit(0L)), countMode = true,
+          name)
+        perPeerJoin(df, peersCum, peerKey, name)
+    }
+
   /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
     * for the last flooded-partition class: `ntile(k).over(
     * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the

@@ -3,12 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, CumeDist, DenseRank, Literal, NTile, PercentRank, Rank, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, PercentRank, RangeFrame, Rank, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
@@ -33,17 +34,28 @@ import org.apache.spark.sql.types.IntegerType
   *              that serializes a corpus through one task. The strict
   *              posture for shared clusters.
   *  - `rewrite` — substitute the GlobalRank closed form when the
-  *              window is PROVABLY equivalent to one. Two proven
-  *              classes (round 15): `row_number()` / `ntile(k)` —
-  *              pure functions of the (partition, TOTAL order), the
-  *              same ties caveat the window itself carries — and the
-  *              tie-AWARE rank family `rank()` / `dense_rank()` /
-  *              `percent_rank()` / `cume_dist()` — pure functions of
-  *              the (partition, order VALUE), so no order caveat at
-  *              all, provided every ORDER BY key is a plain column
-  *              (peer identity must be addressable). Aggregate
-  *              frames, lead/lag and anything else fall back to
-  *              `warn`.
+  *              window is PROVABLY equivalent to one. Four proven
+  *              classes (round 15):
+  *              (1) `row_number()` / `ntile(k)` — pure functions of
+  *              the (partition, TOTAL order), the same ties caveat
+  *              the window itself carries;
+  *              (2) the tie-AWARE rank family `rank()` /
+  *              `dense_rank()` / `percent_rank()` / `cume_dist()` —
+  *              pure functions of the (partition, order VALUE), so
+  *              no order caveat at all, provided every ORDER BY key
+  *              resolves to a column (peer identity must be
+  *              addressable — the analyzer extracts expression keys
+  *              into child projections, so this usually holds);
+  *              (3) `lag`/`lead` with literal offsets and foldable
+  *              defaults (respecting nulls) — a rank-shifted
+  *              self-join on the unique global rank;
+  *              (4) running `sum` (INTEGRAL inputs only — long
+  *              addition is associative, float reassociation is not
+  *              bit-stable) and running `count` over UNBOUNDED
+  *              PRECEDING..CURRENT ROW frames, both ROWS and RANGE
+  *              (SQL's default) flavors.
+  *              Everything else — other aggregate frames, ignoreNulls
+  *              offsets, first/last/nth_value — falls back to `warn`.
   *
   * A window is flagged as corpus-share when its child's optimizer size
   * estimate exceeds `spark.graft.window.guard.budgetBytes` (default
@@ -123,10 +135,12 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                   s"window (${hazard}) to the GlobalRank closed form")
                 p
               case None => flagAndWarn(w, hazard +
-                " (not rewritable: only row_number/ntile and the " +
-                "rank/dense_rank/percent_rank/cume_dist family have " +
-                "proven closed forms, and rank-family ORDER BY keys " +
-                "must be plain columns)")
+                " (not rewritable: proven closed forms cover " +
+                "row_number/ntile, rank/dense_rank/percent_rank/" +
+                "cume_dist, lag/lead with literal offsets, and " +
+                "running sum(integral)/count over UNBOUNDED " +
+                "PRECEDING..CURRENT ROW frames; rank-family and " +
+                "RANGE-frame ORDER BY keys must resolve to columns)")
             }
             case other => throw new IllegalArgumentException(
               s"$ModeConf must be off|warn|fail|rewrite, got '$other'")
@@ -183,6 +197,31 @@ object WindowGuardRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The provable rewrite classes, one case per GlobalRank closed
+    * form. */
+  private sealed trait RFn { def out: String; def label: String }
+  private case class FPos(fn: String, k: Int, out: String) extends RFn {
+    def label: String = fn
+  }
+  private case class FRank(fn: String, out: String) extends RFn {
+    def label: String = fn
+  }
+  private case class FShift(valueName: String, delta: Int,
+      default: Expression, out: String) extends RFn {
+    def label: String = if (delta >= 0) "lag" else "lead"
+  }
+  private case class FRun(isCount: Boolean, valueName: Option[String],
+      range: Boolean, out: String) extends RFn {
+    def label: String = if (isCount) "running_count" else "running_sum"
+  }
+
+  private def integral(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType
+  }
+
   /** Build the replacement plan when EVERY window expression in the
     * node is a provable closed form. Conservative by construction:
     * any shape this can't prove returns None (→ warn).
@@ -197,33 +236,82 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         Some(w.partitionSpec.map(_.asInstanceOf[AttributeReference].name))
       else None
     // each window expression: Alias(WindowExpression(fn, spec)) with
-    // fn ∈ {row_number, ntile(lit k)} ∪ the tie-aware rank family
-    val fns: Option[Seq[(String, Int, String)]] =
+    // fn in one of the four proven classes (see the object scaladoc)
+    val fns: Option[Seq[RFn]] =
       traverseOpt(w.windowExpressions) {
         case a @ Alias(WindowExpression(RowNumber(), _), _) =>
-          Some(("row_number", 0, a.name))
+          Some(FPos("row_number", 0, a.name))
         case a @ Alias(WindowExpression(
             NTile(Literal(k: Int, IntegerType)), _), _) if k >= 1 =>
-          Some(("ntile", k, a.name))
+          Some(FPos("ntile", k, a.name))
         case a @ Alias(WindowExpression(_: Rank, _), _) =>
-          Some(("rank", 0, a.name))
+          Some(FRank("rank", a.name))
         case a @ Alias(WindowExpression(_: DenseRank, _), _) =>
-          Some(("dense_rank", 0, a.name))
+          Some(FRank("dense_rank", a.name))
         case a @ Alias(WindowExpression(_: PercentRank, _), _) =>
-          Some(("percent_rank", 0, a.name))
+          Some(FRank("percent_rank", a.name))
         case a @ Alias(WindowExpression(_: CumeDist, _), _) =>
-          Some(("cume_dist", 0, a.name))
+          Some(FRank("cume_dist", a.name))
+        // lag/lead: plain-column input, literal offset, foldable
+        // default, respecting-nulls only (ignoreNulls changes which
+        // row is the donor — no closed form here)
+        case a @ Alias(WindowExpression(lg: Lag, _), _)
+            if !lg.ignoreNulls && lg.default.foldable =>
+          (lg.input, lg.inputOffset) match {
+            case (ar: AttributeReference, Literal(n: Int, IntegerType)) =>
+              Some(FShift(ar.name, n, lg.default, a.name))
+            case _ => None
+          }
+        case a @ Alias(WindowExpression(ld: Lead, _), _)
+            if !ld.ignoreNulls && ld.default.foldable =>
+          (ld.input, ld.offset) match {
+            case (ar: AttributeReference, Literal(n: Int, IntegerType)) =>
+              Some(FShift(ar.name, -n, ld.default, a.name))
+            case _ => None
+          }
+        // running sum/count over the UNBOUNDED PRECEDING..CURRENT ROW
+        // frame, both ROWS and RANGE (SQL's default) flavors. Sum only
+        // for INTEGRAL inputs: long addition is associative, so the
+        // partial-sum decomposition is bit-exact — float running sums
+        // are order-sensitive and stay on the window (warn).
+        case a @ Alias(WindowExpression(ae: AggregateExpression,
+            WindowSpecDefinition(_, _, SpecifiedWindowFrame(ft,
+              UnboundedPreceding, CurrentRow))), _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum if integral(s.child.dataType) =>
+              s.child match {
+                case ar: AttributeReference => Some(FRun(
+                  isCount = false, Some(ar.name),
+                  ft == RangeFrame, a.name))
+                case _ => None
+              }
+            case c: Count => c.children match {
+              // count(*) / count(const): every row counts
+              case Seq(l: Literal) if l.value != null => Some(FRun(
+                isCount = true, None, ft == RangeFrame, a.name))
+              case Seq(ar: AttributeReference) => Some(FRun(
+                isCount = true, Some(ar.name), ft == RangeFrame,
+                a.name))
+              case _ => None
+            }
+            case _ => None
+          }
         case _ => None
       }
-    val rankClass = Set("rank", "dense_rank", "percent_rank",
-      "cume_dist")
     (parts, fns) match {
       case (Some(group), Some(specs)) if w.orderSpec.nonEmpty &&
           specs.nonEmpty =>
-        // the rank family's peer identity is the order VALUES — those
-        // must be plain columns the closed form can group on
+        // the rank family's and the RANGE frames' peer identity is the
+        // order VALUES — those must be plain columns the closed forms
+        // can group on
+        val needsPeers = specs.exists {
+          case _: FRank => true
+          case f: FRun => f.range
+          case _ => false
+        }
         val orderKeys: Option[Seq[String]] =
-          if (!specs.exists(s => rankClass(s._1))) Some(Nil)
+          if (!needsPeers) Some(Nil)
           else if (w.orderSpec.forall(
               _.child.isInstanceOf[AttributeReference]))
             Some(w.orderSpec
@@ -232,40 +320,53 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         val childNames = w.child.output.map(_.name)
         val reservedOk = childNames.distinct.size == childNames.size &&
           !childNames.exists(n => n.startsWith("__gr") ||
-            specs.exists(_._3 == n)) &&
-          specs.map(_._3).distinct.size == specs.size
+            specs.exists(_.out == n)) &&
+          specs.map(_.out).distinct.size == specs.size
         if (!reservedOk || orderKeys.isEmpty) None
         else {
           val orderCols = w.orderSpec.map(graft.functions.ColumnBridge
             .column(_).asInstanceOf[org.apache.spark.sql.Column])
-          val outNames = childNames ++ specs.map(_._3)
+          val outNames = childNames ++ specs.map(_.out)
           val build: (SparkSession, LogicalPlan) => DataFrame =
             (s, child) => {
               val base = graft.functions.ColumnBridge.ofRows(s, child)
-              val (rankFns, posFns) =
-                specs.partition(sp => rankClass(sp._1))
+              val rankFns = specs.collect { case f: FRank => f }
               // the whole rank family shares one global rank + one
               // peers frame — computed together, never per-function
               val withTieAware =
                 if (rankFns.isEmpty) base
                 else GlobalRank.rankFunctions(base, group, orderCols,
-                  orderKeys.get, rankFns.map(f => (f._1, f._3)))
-              val withRanks = posFns.foldLeft(withTieAware) {
-                case (df, ("row_number", _, name)) =>
+                  orderKeys.get, rankFns.map(f => (f.fn, f.out)))
+              val withRanks = specs.foldLeft(withTieAware) {
+                case (df, _: FRank) => df // batched above
+                case (df, FPos("row_number", _, name)) =>
                   val r =
                     if (group.isEmpty) GlobalRank(df, orderCols, name)
                     else GlobalRank.groupedRowNumber(df, group,
                       orderCols, name)
                   r.withColumn(name, col(name).cast("int"))
-                case (df, ("ntile", k, name)) =>
+                case (df, FPos("ntile", k, name)) =>
                   GlobalRank.groupedNtile(df, group, orderCols, k, name)
-                case (_, (f, _, _)) => throw new IllegalStateException(
+                case (df, FShift(vn, delta, dflt, name)) =>
+                  GlobalRank.groupedShift(df, group, orderCols,
+                    col(vn), delta,
+                    graft.functions.ColumnBridge.column(dflt)
+                      .asInstanceOf[org.apache.spark.sql.Column], name)
+                case (df, FRun(isCount, vn, range, name)) =>
+                  val rk = if (range) Some(orderKeys.get) else None
+                  if (isCount) GlobalRank.groupedRunningCount(df,
+                    group, orderCols,
+                    vn.map(v => col(v).isNotNull.cast("long"))
+                      .getOrElse(lit(1L)), name, rk)
+                  else GlobalRank.groupedRunningSum(df, group,
+                    orderCols, col(vn.get), name, rk)
+                case (_, f) => throw new IllegalStateException(
                   s"unreachable window fn $f")
               }
               withRanks.select(outNames.map(col): _*)
             }
           Some(WindowRewrite(w.output, w.child,
-            s"${specs.map(_._1).mkString(",")} over " +
+            s"${specs.map(_.label).mkString(",")} over " +
               s"(${group.mkString(",")})", build))
         }
       case _ => None

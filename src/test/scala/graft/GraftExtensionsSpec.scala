@@ -484,6 +484,58 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("window guard REWRITE mode: lag/lead and running sum/count " +
+      "(ROWS and RANGE-default frames) rewrite to the GlobalRank " +
+      "closed forms and match the window answers exactly — offsets " +
+      "across partition edges yield the default, the RANGE sum " +
+      "includes all peers") {
+    val fresh = spark.newSession()
+    wgView(fresh)
+    val shapes = Seq(
+      // offset class over a total order (lag across the frame edge
+      // hits the -1 default; lead's default is null)
+      "SELECT doc_id, lag(doc_id, 2, -1) OVER " +
+        "(ORDER BY score, doc_id) AS lg, lead(doc_id, 1) OVER " +
+        "(ORDER BY score, doc_id) AS ld FROM wg_docs",
+      // ROWS running sum + count over a total order
+      "SELECT doc_id, sum(doc_id) OVER (ORDER BY score, doc_id ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, " +
+        "count(*) OVER (ORDER BY score, doc_id ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS rc FROM wg_docs",
+      // RANGE (SQL default) over the ties-heavy score: peer-inclusive
+      "SELECT doc_id, sum(doc_id) OVER (ORDER BY score) AS rs, " +
+        "count(*) OVER (ORDER BY score) AS rc FROM wg_docs")
+    shapes.foreach { sql =>
+      fresh.conf.set(plans.WindowGuard.ModeConf, "off")
+      val want = fresh.sql(sql).collect().map(_.toString).sorted.toSeq
+      fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
+      fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+      try {
+        val got = fresh.sql(sql)
+        val vals = got.collect().map(_.toString).sorted.toSeq
+        assert(vals == want, s"offset/running rewrite diverged for " +
+          s"[$sql]; first diffs: ${vals.zip(want)
+            .filter(p => p._1 != p._2).take(3).mkString(",")}")
+        val exec = finalPlan(got)
+        assert(exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              // the pid-partitioned running scan inside the closed
+              // form is task-bounded BY CONSTRUCTION — the one
+              // admitted window class
+              if !w.partitionSpec.exists(_.toString.contains("__gr_pid"))
+            => w
+        }.isEmpty, s"rewrite must remove the corpus-share " +
+          s"WindowExec:\n$exec")
+        assert(exec.collect {
+          case w: plans.WindowRewriteExec => w
+        }.nonEmpty, s"the WindowRewrite node must plan:\n$exec")
+      } finally {
+        fresh.conf.unset(plans.WindowGuard.ModeConf)
+        fresh.conf.unset(plans.WindowGuard.BudgetConf)
+      }
+    }
+  }
+
   test("window guard FAIL mode blocks the corpus-share window; WARN " +
       "logs and leaves the plan; sub-budget frames never trip; " +
       "non-rewritable shapes fall back to warn under rewrite") {
@@ -511,15 +563,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(finalPlan(warned).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.nonEmpty, "warn mode must not change the plan")
-      // shapes OUTSIDE the proven classes — an aggregate frame and an
-      // offset function — must fall back to warn (plan unchanged)
-      // under rewrite, never rewrite
+      // shapes OUTSIDE the proven classes — a FLOAT running sum
+      // (reassociation is not bit-stable, so it must NOT rewrite) and
+      // first_value (no closed form) — must fall back to warn (plan
+      // unchanged) under rewrite, never rewrite
       fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
       for (sql <- Seq(
           "SELECT doc_id, sum(score) OVER (ORDER BY score, doc_id) " +
             "AS s FROM wg_docs",
-          "SELECT doc_id, lag(score, 1) OVER (ORDER BY score, doc_id) " +
-            "AS p FROM wg_docs")) {
+          "SELECT doc_id, first_value(score) OVER " +
+            "(ORDER BY score, doc_id) AS p FROM wg_docs")) {
         val kept = fresh.sql(sql)
         assert(kept.count() == 500L)
         assert(finalPlan(kept).collect {

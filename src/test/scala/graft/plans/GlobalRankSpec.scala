@@ -173,6 +173,128 @@ class GlobalRankSpec extends SparkTestBase {
     assert(solo.getDouble(0) == 0.0 && solo.getDouble(1) == 1.0)
   }
 
+  test("groupedShift == lag/lead windows — group boundaries yield the " +
+      "default, present-but-null donor values stay null (never the " +
+      "default), null-key groups, partition-less, window-free (the " +
+      "r15 guard-rewrite's offset closed form)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1551L)
+    val rows = (0 until 25).flatMap { g =>
+      (0 until 1 + rnd.nextInt(7)).map { i => // small groups: many edges
+        val v: Option[Long] =
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextLong() % 100)
+        (if (g % 6 == 0) None else Some(s"g${g % 4}"), g * 100L + i, v)
+      }
+    }
+    val df = rows.toDF("g", "id", "v").repartition(7, $"v")
+    for ((delta, fn) <- Seq(
+        (2, (c: org.apache.spark.sql.Column,
+             w: org.apache.spark.sql.expressions.WindowSpec) =>
+          lag(c, 2, -999L).over(w)),
+        (-1, (c: org.apache.spark.sql.Column,
+              w: org.apache.spark.sql.expressions.WindowSpec) =>
+          lead(c, 1, -999L).over(w)));
+        grouped <- Seq(true, false)) {
+      val group = if (grouped) Seq("g") else Seq.empty[String]
+      val got = GlobalRank.groupedShift(df, group, Seq($"id"),
+          $"v", delta, lit(-999L), "s")
+        .select($"id", $"s")
+        .collect().map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+      val w =
+        if (grouped)
+          org.apache.spark.sql.expressions.Window.partitionBy($"g")
+            .orderBy($"id")
+        else org.apache.spark.sql.expressions.Window.orderBy($"id")
+      val want = rows.toDF("g", "id", "v")
+        .select($"id", fn($"v", w).as("s"))
+        .collect().map(r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+      assert(got == want, s"delta=$delta grouped=$grouped: shift " +
+        s"closed form diverged; first diffs: ${got.toSeq.sortBy(_._1)
+          .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+    }
+    val plan = GlobalRank.groupedShift(df, Seq("g"), Seq($"id"),
+      $"v", 1, lit(null), "s")
+    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+      "groupedShift must not plan any window operator")
+  }
+
+  test("groupedRunningSum/Count == the sum/count windows over " +
+      "UNBOUNDED PRECEDING..CURRENT ROW — ROWS and RANGE (ties " +
+      "included) flavors, negative values, null values (sum stays " +
+      "NULL until the first non-null), null-key groups, " +
+      "partition-less, window-free except the task-bounded " +
+      "pid-partitioned scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151L)
+    val rows = (0 until 20).flatMap { g =>
+      (0 until 1 + rnd.nextInt(30)).map { i =>
+        val v: Option[Long] = if (rnd.nextInt(4) == 0) None
+          else Some(rnd.nextLong() % 50) // negatives included
+        (if (g % 5 == 0) None else Some(s"g${g % 3}"), g * 1000L + i,
+          v, rnd.nextInt(6).toLong) // x: heavy ties for RANGE peers
+      }
+    }
+    val df = rows.toDF("g", "id", "v", "x").repartition(9, $"id")
+    val W = org.apache.spark.sql.expressions.Window
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+    for (grouped <- Seq(true, false)) {
+      val group = if (grouped) Seq("g") else Seq.empty[String]
+      def spec(order: Seq[org.apache.spark.sql.Column]) =
+        if (grouped) W.partitionBy($"g").orderBy(order: _*)
+        else W.orderBy(order: _*)
+      // ROWS frame: total order (x, id)
+      val rowsW = spec(Seq($"x", $"id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val gotRows = asMap(GlobalRank.groupedRunningSum(df, group,
+        Seq($"x", $"id"), $"v", "rs").select($"id", $"rs"))
+      val wantRows = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", sum($"v").over(rowsW).as("rs")))
+      assert(gotRows == wantRows, s"grouped=$grouped ROWS running sum " +
+        s"diverged; first diffs: ${gotRows.toSeq.sortBy(_._1)
+          .filter(p => wantRows(p._1) != p._2).take(3).mkString(",")}")
+      // RANGE frame (SQL's default): ties on x — all peers included
+      val rangeW = spec(Seq($"x"))
+      val gotRange = asMap(GlobalRank.groupedRunningSum(df, group,
+        Seq($"x"), $"v", "rs", Some(Seq("x"))).select($"id", $"rs"))
+      val wantRange = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", sum($"v").over(rangeW).as("rs")))
+      assert(gotRange == wantRange, s"grouped=$grouped RANGE running " +
+        s"sum diverged; first diffs: ${gotRange.toSeq.sortBy(_._1)
+          .filter(p => wantRange(p._1) != p._2).take(3).mkString(",")}")
+      // counts: count(v) skips nulls, count(*) counts rows
+      val gotCnt = asMap(GlobalRank.groupedRunningCount(df, group,
+        Seq($"x", $"id"), $"v".isNotNull.cast("long"), "rc")
+        .select($"id", $"rc"))
+      val wantCnt = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", count($"v").over(rowsW).as("rc")))
+      assert(gotCnt == wantCnt, s"grouped=$grouped running count(v) " +
+        "diverged")
+      val gotStar = asMap(GlobalRank.groupedRunningCount(df, group,
+        Seq($"x"), lit(1L), "rc", Some(Seq("x"))).select($"id", $"rc"))
+      val wantStar = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", count(lit(1)).over(rangeW).as("rc")))
+      assert(gotStar == wantStar, s"grouped=$grouped RANGE running " +
+        "count(*) diverged")
+    }
+    // plan pin: the only window is the task-bounded pid-partitioned
+    // running scan (the groupedCumsum discipline)
+    val planStr = GlobalRank.groupedRunningSum(df, Seq("g"),
+      Seq($"x", $"id"), $"v", "rs").queryExecution.executedPlan.toString
+    val windowLines = planStr.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty &&
+        windowLines.forall(_.contains("__gr_pid")),
+      "every groupedRunningSum window must be partitioned by the " +
+        s"frozen pid; got:\n${windowLines.mkString("\n")}")
+  }
+
   test("groupedCumsum == sum().over(partitionBy(group).orderBy(order)) " +
       "running frame, window-free, partition-independent (the m07 " +
       "packing rewrite's two-pass scan proof)") {

@@ -910,6 +910,9 @@ object Relational {
           |  lag(o_orderkey, 2, -1) OVER w1 AS lag2,
           |  lead(o_orderkey, 1, -1) OVER w1 AS lead1,
           |  sum(o_orderkey) OVER w3 AS rsum,
+          |  first_value(o_orderkey) OVER w1 AS fv,
+          |  last_value(o_orderkey) OVER w4 AS lv,
+          |  nth_value(o_orderkey, 3) OVER w4 AS nv3,
           |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
           |  round(percent_rank() OVER w2, 6) AS pct_rank,
           |  round(cume_dist() OVER w2, 6) AS cume,
@@ -919,7 +922,10 @@ object Relational {
           |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
           |       w2 AS (ORDER BY o_orderpriority),
           |       w3 AS (ORDER BY o_totalprice DESC, o_orderkey
-          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |       w4 AS (ORDER BY o_totalprice DESC, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING
+          |         AND UNBOUNDED FOLLOWING)
           |ORDER BY o_orderkey""".stripMargin)
     },
 
@@ -1566,6 +1572,9 @@ object Relational {
         |  lag(o_orderkey, 2, -1) OVER w1 AS lag2,
         |  lead(o_orderkey, 1, -1) OVER w1 AS lead1,
         |  CAST(sum(o_orderkey) OVER w3 AS BIGINT) AS rsum,
+        |  first_value(o_orderkey) OVER w1 AS fv,
+        |  last_value(o_orderkey) OVER w4 AS lv,
+        |  nth_value(o_orderkey, 3) OVER w4 AS nv3,
         |  rank() OVER w2 AS rnk, dense_rank() OVER w2 AS drnk,
         |  round(percent_rank() OVER w2, 6) AS pct_rank,
         |  round(cume_dist() OVER w2, 6) AS cume,
@@ -1575,7 +1584,10 @@ object Relational {
         |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
         |       w2 AS (ORDER BY o_orderpriority),
         |       w3 AS (ORDER BY o_totalprice DESC, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w4 AS (ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q16_outer_join" ->

@@ -331,6 +331,68 @@ object GlobalRank {
         group.indices.map(i => s"__gr_sk$i"): _*)
   }
 
+  /** FIRST_VALUE / LAST_VALUE / NTH_VALUE WITHOUT A PER-GROUP WINDOW —
+    * with a frame pinned to the partition edge, each is "the value at
+    * per-group rank K": K = 1 (first_value, frame start UNBOUNDED
+    * PRECEDING), K = group size (last_value, frame end UNBOUNDED
+    * FOLLOWING), K = n (nth_value from the frame start). The closed
+    * form: one global rank, the per-group (min, max) rank stats
+    * (bounded broadcast), FILTER the rows sitting at each group's
+    * target rank (one row per group — never an aggregate over the
+    * value, so a NULL value at the edge stays null, exactly
+    * respect-nulls semantics), and join that one-row-per-group frame
+    * back broadcast. n > group size yields null, SQL's nth_value.
+    * Ties: deterministic only under a total `order`, the same caveat
+    * the window carries.
+    *
+    * `target` maps the group's (minRank, maxRank) to the global rank
+    * wanted: `(off, mx) => off` for first, `=> mx` for last,
+    * `=> off + n - 1` for nth.
+    */
+  def groupedEdgeValue(df: DataFrame, group: Seq[String],
+      order: Seq[Column], value: Column,
+      target: (Column, Column) => Column, name: String): DataFrame = {
+    reserve(df, Seq("__gr", "__gr_v", "__gr_off2", "__gr_mx")
+      ++ group.indices.map(i => s"__gr_k$i") :+ name)
+    val ranked = apply(df.withColumn("__gr_v", value),
+      group.map(col) ++ order, "__gr")
+    val gAgg = Seq(min(col("__gr")).as("__gr_off2"),
+      max(col("__gr")).as("__gr_mx"))
+    val withG =
+      if (group.isEmpty)
+        ranked.crossJoin(broadcast(ranked.agg(gAgg.head, gAgg.tail: _*)))
+      else nullSafeJoinB(ranked, ranked.groupBy(group.map(col): _*)
+        .agg(gAgg.head, gAgg.tail: _*), group)
+    // the rows at each group's target rank: ONE per group, bounded
+    val edge = withG
+      .filter(col("__gr") === target(col("__gr_off2"), col("__gr_mx")))
+      .select(group.map(col) :+ col("__gr_v").as(name): _*)
+    val out =
+      if (group.isEmpty)
+        // 0 or 1 edge rows globally; a left cross keeps all rows when
+        // the target rank is off-frame (nth beyond the size) — a
+        // group whose edge VALUE is null and a group with no edge row
+        // both correctly yield null
+        withG.join(broadcast(edge), lit(true), "left")
+      else nullSafeJoinLeftB(withG, edge, group)
+    out.drop("__gr", "__gr_v", "__gr_off2", "__gr_mx")
+  }
+
+  /** Left-outer variant of [[nullSafeJoinB]] — rows with no match in
+    * `small` keep nulls for its payload (nth_value past the group
+    * size). */
+  private def nullSafeJoinLeftB(big: DataFrame, small: DataFrame,
+      group: Seq[String]): DataFrame = {
+    val renamed = group.zipWithIndex.foldLeft(small) {
+      case (d, (g, i)) => d.withColumnRenamed(g, s"__gr_k$i")
+    }
+    val cond = group.zipWithIndex
+      .map { case (g, i) => big(g) <=> renamed(s"__gr_k$i") }
+      .reduce(_ && _)
+    big.join(broadcast(renamed), cond, "left")
+      .drop(group.indices.map(i => s"__gr_k$i"): _*)
+  }
+
   /** Working names injected by [[runningCore]] and its public
     * wrappers. */
   private val RunWork = Seq("__gr_pid", "__gr_mid", "__gr_v0",

@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, PercentRank, RangeFrame, Rank, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First, Last, Sum}
+import org.apache.spark.sql.catalyst.expressions.{NthValue, RowFrame, UnboundedFollowing}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -53,9 +54,16 @@ import org.apache.spark.sql.types.IntegerType
   *              addition is associative, float reassociation is not
   *              bit-stable) and running `count` over UNBOUNDED
   *              PRECEDING..CURRENT ROW frames, both ROWS and RANGE
-  *              (SQL's default) flavors.
+  *              (SQL's default) flavors;
+  *              (5) partition-edge values — `first_value` (frame
+  *              starting UNBOUNDED PRECEDING), `last_value` (frame
+  *              ending UNBOUNDED FOLLOWING, or the ROWS..CURRENT ROW
+  *              identity) and `nth_value` over the full-partition
+  *              frame — respect-nulls, each "the value at per-group
+  *              rank K" via one bounded stats broadcast.
   *              Everything else — other aggregate frames, ignoreNulls
-  *              offsets, first/last/nth_value — falls back to `warn`.
+  *              variants, position-dependent nth_value — falls back
+  *              to `warn`.
   *
   * A window is flagged as corpus-share when its child's optimizer size
   * estimate exceeds `spark.graft.window.guard.budgetBytes` (default
@@ -137,10 +145,11 @@ object WindowGuardRule extends Rule[LogicalPlan] {
               case None => flagAndWarn(w, hazard +
                 " (not rewritable: proven closed forms cover " +
                 "row_number/ntile, rank/dense_rank/percent_rank/" +
-                "cume_dist, lag/lead with literal offsets, and " +
-                "running sum(integral)/count over UNBOUNDED " +
-                "PRECEDING..CURRENT ROW frames; rank-family and " +
-                "RANGE-frame ORDER BY keys must resolve to columns)")
+                "cume_dist, lag/lead with literal offsets, running " +
+                "sum(integral)/count over UNBOUNDED PRECEDING.." +
+                "CURRENT ROW frames, and first/last/nth_value with " +
+                "partition-edge frames; rank-family and RANGE-frame " +
+                "ORDER BY keys must resolve to columns)")
             }
             case other => throw new IllegalArgumentException(
               s"$ModeConf must be off|warn|fail|rewrite, got '$other'")
@@ -214,6 +223,15 @@ object WindowGuardRule extends Rule[LogicalPlan] {
       range: Boolean, out: String) extends RFn {
     def label: String = if (isCount) "running_count" else "running_sum"
   }
+  private case class FEdge(flavor: String, valueName: String, n: Int,
+      out: String) extends RFn {
+    def label: String = flavor match {
+      case "first" => "first_value"
+      case "last" => "last_value"
+      case "self" => "last_value_current"
+      case _ => s"nth_value($n)"
+    }
+  }
 
   private def integral(dt: org.apache.spark.sql.types.DataType)
       : Boolean = {
@@ -269,24 +287,32 @@ object WindowGuardRule extends Rule[LogicalPlan] {
               Some(FShift(ar.name, -n, ld.default, a.name))
             case _ => None
           }
-        // running sum/count over the UNBOUNDED PRECEDING..CURRENT ROW
-        // frame, both ROWS and RANGE (SQL's default) flavors. Sum only
-        // for INTEGRAL inputs: long addition is associative, so the
-        // partial-sum decomposition is bit-exact — float running sums
-        // are order-sensitive and stay on the window (warn).
+        // aggregate window functions, dispatched on (function, frame):
+        // running sum/count over UNBOUNDED PRECEDING..CURRENT ROW
+        // (ROWS and RANGE flavors — sum only for INTEGRAL inputs:
+        // long addition is associative so the partial-sum
+        // decomposition is bit-exact; float running sums are
+        // order-sensitive and stay on the window), and the
+        // partition-edge values: first_value with a frame STARTING at
+        // UNBOUNDED PRECEDING (the frame's first row is the group's
+        // first row at every position), last_value with a frame
+        // ENDING at UNBOUNDED FOLLOWING (symmetric) or a ROWS frame
+        // ending at CURRENT ROW (the frame's last row IS the row —
+        // identity). Respect-nulls only.
         case a @ Alias(WindowExpression(ae: AggregateExpression,
-            WindowSpecDefinition(_, _, SpecifiedWindowFrame(ft,
-              UnboundedPreceding, CurrentRow))), _)
+            WindowSpecDefinition(_, _, frame)), _)
             if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case s: Sum if integral(s.child.dataType) =>
+          (ae.aggregateFunction, frame) match {
+            case (s: Sum, SpecifiedWindowFrame(ft, UnboundedPreceding,
+                CurrentRow)) if integral(s.child.dataType) =>
               s.child match {
                 case ar: AttributeReference => Some(FRun(
                   isCount = false, Some(ar.name),
                   ft == RangeFrame, a.name))
                 case _ => None
               }
-            case c: Count => c.children match {
+            case (c: Count, SpecifiedWindowFrame(ft, UnboundedPreceding,
+                CurrentRow)) => c.children match {
               // count(*) / count(const): every row counts
               case Seq(l: Literal) if l.value != null => Some(FRun(
                 isCount = true, None, ft == RangeFrame, a.name))
@@ -295,6 +321,41 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                 a.name))
               case _ => None
             }
+            case (f: First, SpecifiedWindowFrame(_, UnboundedPreceding,
+                _)) if !f.ignoreNulls =>
+              f.child match {
+                case ar: AttributeReference =>
+                  Some(FEdge("first", ar.name, 0, a.name))
+                case _ => None
+              }
+            case (l: Last, SpecifiedWindowFrame(_, _,
+                UnboundedFollowing)) if !l.ignoreNulls =>
+              l.child match {
+                case ar: AttributeReference =>
+                  Some(FEdge("last", ar.name, 0, a.name))
+                case _ => None
+              }
+            case (l: Last, SpecifiedWindowFrame(RowFrame, _,
+                CurrentRow)) if !l.ignoreNulls =>
+              l.child match {
+                case ar: AttributeReference =>
+                  Some(FEdge("self", ar.name, 0, a.name))
+                case _ => None
+              }
+            case _ => None
+          }
+        // nth_value over the FULL partition frame: the group's n-th
+        // row everywhere (null past the group size). The default
+        // up..CURRENT ROW frame is position-dependent (null until the
+        // frame holds n rows) and is NOT rewritten.
+        case a @ Alias(WindowExpression(nv: NthValue,
+            WindowSpecDefinition(_, _, SpecifiedWindowFrame(_,
+              UnboundedPreceding, UnboundedFollowing))), _)
+            if !nv.ignoreNulls =>
+          (nv.input, nv.offset) match {
+            case (ar: AttributeReference, Literal(n: Int, IntegerType))
+                if n >= 1 =>
+              Some(FEdge("nth", ar.name, n, a.name))
             case _ => None
           }
         case _ => None
@@ -360,6 +421,20 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                       .getOrElse(lit(1L)), name, rk)
                   else GlobalRank.groupedRunningSum(df, group,
                     orderCols, col(vn.get), name, rk)
+                case (df, FEdge("self", vn, _, name)) =>
+                  df.withColumn(name, col(vn))
+                case (df, FEdge(flavor, vn, n, name)) =>
+                  val tgt: (org.apache.spark.sql.Column,
+                      org.apache.spark.sql.Column) =>
+                      org.apache.spark.sql.Column = flavor match {
+                    case "first" => (off, _) => off
+                    case "last" => (_, mx) => mx
+                    case "nth" => (off, _) => off + lit(n - 1)
+                    case other => throw new IllegalStateException(
+                      s"unreachable edge flavor $other")
+                  }
+                  GlobalRank.groupedEdgeValue(df, group, orderCols,
+                    col(vn), tgt, name)
                 case (_, f) => throw new IllegalStateException(
                   s"unreachable window fn $f")
               }

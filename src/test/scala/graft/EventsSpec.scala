@@ -66,18 +66,31 @@ class EventsSpec extends SparkTestBase {
     // the user axis is balanced (max 99 rows/user) and stays direct
     assert(rows("event_type").getAs[String]("decision") == "salt")
     assert(rows("user_id").getAs[String]("decision") == "direct")
-    // the reducer budget is a LIVE conf input (round 14): at 4
-    // reducers the per-task target swallows the hot event_type key
-    // (2017 rows < ceil(10000/4)) and the 32-budget "salt" call
-    // rightly flips to direct — fewer reducers, less imbalance to fix
+    // the GATED row is PINNED to the literal 32-reducer budget (r14
+    // ADVICE, fixed in r15): its DuckDB twin cannot see the session
+    // conf, so setting the live knob must NOT flip this row's hash —
+    // conf-invariance is the contract now
     withConfs("spark.graft.skew.reducerBudget" -> "4") {
       val alt = ops.Events.queries("e40_skew_salt_decision")(
         spark, sfVerify).collect()
         .map(r => r.getAs[String]("axis") -> r).toMap
-      assert(alt("event_type").getAs[Long]("target_task_rows") >
+      assert(alt("event_type").getAs[Long]("target_task_rows") ==
         rows("event_type").getAs[Long]("target_task_rows"))
-      assert(alt("event_type").getAs[String]("decision") == "direct")
+      assert(alt("event_type").getAs[String]("decision") ==
+        rows("event_type").getAs[String]("decision"))
     }
+    // the LIVE surfaces (saltedAggAuto's conf-reading ladder, the
+    // graft_skew TVF's p argument) are where a deployment prices its
+    // own width: the same axis at p=4 flips to direct — the per-task
+    // target ceil(10000/4) swallows the hot event_type key (2017
+    // rows) — fewer reducers, less imbalance to fix
+    val live4 = ops.Events.skewCardFor(Tables.load(spark, sfVerify,
+        "events"),
+      Seq("event_type" -> coalesce(col("event_type"), lit("<null>"))),
+      4L).collect().map(r => r.getAs[String]("axis") -> r).toMap
+    assert(live4("event_type").getAs[Long]("target_task_rows") >
+      rows("event_type").getAs[Long]("target_task_rows"))
+    assert(live4("event_type").getAs[String]("decision") == "direct")
   }
 
   test("e44/graft_skew: the SQL card equals the gated e40 axis row " +

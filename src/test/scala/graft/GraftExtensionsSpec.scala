@@ -504,7 +504,20 @@ class GraftExtensionsSpec extends SparkTestBase {
         "UNBOUNDED PRECEDING AND CURRENT ROW) AS rc FROM wg_docs",
       // RANGE (SQL default) over the ties-heavy score: peer-inclusive
       "SELECT doc_id, sum(doc_id) OVER (ORDER BY score) AS rs, " +
-        "count(*) OVER (ORDER BY score) AS rc FROM wg_docs")
+        "count(*) OVER (ORDER BY score) AS rc FROM wg_docs",
+      // partition-edge values: first_value's DEFAULT frame starts at
+      // UNBOUNDED PRECEDING (rewritable); last/nth over the full
+      // frame; last over ROWS..CURRENT ROW is the identity
+      "SELECT doc_id, first_value(doc_id) OVER " +
+        "(ORDER BY score, doc_id) AS fv FROM wg_docs",
+      "SELECT doc_id, last_value(doc_id) OVER (ORDER BY score, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS lv, nth_value(doc_id, 3) OVER (ORDER BY score, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "AS nv FROM wg_docs",
+      "SELECT doc_id, last_value(doc_id) OVER (ORDER BY score, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv " +
+        "FROM wg_docs")
     shapes.foreach { sql =>
       fresh.conf.set(plans.WindowGuard.ModeConf, "off")
       val want = fresh.sql(sql).collect().map(_.toString).sorted.toSeq
@@ -565,13 +578,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       }.nonEmpty, "warn mode must not change the plan")
       // shapes OUTSIDE the proven classes — a FLOAT running sum
       // (reassociation is not bit-stable, so it must NOT rewrite) and
-      // first_value (no closed form) — must fall back to warn (plan
+      // last_value over its position-dependent DEFAULT frame (RANGE
+      // ..CURRENT ROW — the classic gotcha; only the partition-edge
+      // frames have closed forms) — must fall back to warn (plan
       // unchanged) under rewrite, never rewrite
       fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
       for (sql <- Seq(
           "SELECT doc_id, sum(score) OVER (ORDER BY score, doc_id) " +
             "AS s FROM wg_docs",
-          "SELECT doc_id, first_value(score) OVER " +
+          "SELECT doc_id, last_value(score) OVER " +
             "(ORDER BY score, doc_id) AS p FROM wg_docs")) {
         val kept = fresh.sql(sql)
         assert(kept.count() == 500L)

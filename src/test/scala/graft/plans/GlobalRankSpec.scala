@@ -295,6 +295,52 @@ class GlobalRankSpec extends SparkTestBase {
         s"frozen pid; got:\n${windowLines.mkString("\n")}")
   }
 
+  test("groupedEdgeValue == first_value/last_value/nth_value windows " +
+      "with partition-edge frames — NULL edge values stay null, nth " +
+      "past the group size yields null, null-key groups, " +
+      "partition-less, window-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1155L)
+    val rows = (0 until 20).flatMap { g =>
+      (0 until 1 + rnd.nextInt(5)).map { i => // sizes 1-5: nth(3) often off-frame
+        val v: Option[Long] =
+          if (rnd.nextInt(4) == 0) None else Some(rnd.nextLong() % 100)
+        (if (g % 6 == 0) None else Some(s"g${g % 4}"), g * 100L + i, v)
+      }
+    }
+    val df = rows.toDF("g", "id", "v").repartition(5, $"v")
+    val W = org.apache.spark.sql.expressions.Window
+    type C = org.apache.spark.sql.Column
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+    for (grouped <- Seq(true, false)) {
+      val group = if (grouped) Seq("g") else Seq.empty[String]
+      val base = if (grouped) W.partitionBy($"g").orderBy($"id")
+        else W.orderBy($"id")
+      val full = base.rowsBetween(W.unboundedPreceding,
+        W.unboundedFollowing)
+      for ((tgt, wantCol) <- Seq[((C, C) => C, C)](
+          (((off: C, _: C) => off), first($"v").over(full)),
+          (((_: C, mx: C) => mx), last($"v").over(full)),
+          (((off: C, _: C) => off + lit(2)),
+            nth_value($"v", 3).over(full)))) {
+        val got = asMap(GlobalRank.groupedEdgeValue(df, group,
+          Seq($"id"), $"v", tgt, "e").select($"id", $"e"))
+        val want = asMap(rows.toDF("g", "id", "v")
+          .select($"id", wantCol.as("e")))
+        assert(got == want, s"grouped=$grouped edge value diverged; " +
+          s"first diffs: ${got.toSeq.sortBy(_._1)
+            .filter(p => want(p._1) != p._2).take(3).mkString(",")}")
+      }
+    }
+    val plan = GlobalRank.groupedEdgeValue(df, Seq("g"), Seq($"id"),
+      $"v", (off, _) => off, "e")
+    assert(!plan.queryExecution.executedPlan.toString.contains("Window"),
+      "groupedEdgeValue must not plan any window operator")
+  }
+
   test("groupedCumsum == sum().over(partitionBy(group).orderBy(order)) " +
       "running frame, window-free, partition-independent (the m07 " +
       "packing rewrite's two-pass scan proof)") {

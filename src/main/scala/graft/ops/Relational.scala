@@ -917,7 +917,11 @@ object Relational {
           |  round(percent_rank() OVER w2, 6) AS pct_rank,
           |  round(cume_dist() OVER w2, 6) AS cume,
           |  sum(o_orderkey) OVER w2 AS rng_sum,
-          |  count(*) OVER w2 AS rng_cnt
+          |  count(*) OVER w2 AS rng_cnt,
+          |  round(min(o_totalprice) OVER w3, 2) AS run_min,
+          |  max(o_orderkey) OVER w2 AS rng_max,
+          |  sum(o_orderkey) OVER () AS tot_sum,
+          |  count(*) OVER () AS tot_cnt
           |FROM q44_orders WHERE o_orderkey % 50 = 0
           |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
           |       w2 AS (ORDER BY o_orderpriority),
@@ -1579,7 +1583,11 @@ object Relational {
         |  round(percent_rank() OVER w2, 6) AS pct_rank,
         |  round(cume_dist() OVER w2, 6) AS cume,
         |  CAST(sum(o_orderkey) OVER w2 AS BIGINT) AS rng_sum,
-        |  count(*) OVER w2 AS rng_cnt
+        |  count(*) OVER w2 AS rng_cnt,
+        |  round(min(o_totalprice) OVER w3, 2) AS run_min,
+        |  max(o_orderkey) OVER w2 AS rng_max,
+        |  CAST(sum(o_orderkey) OVER () AS BIGINT) AS tot_sum,
+        |  count(*) OVER () AS tot_cnt
         |FROM orders WHERE o_orderkey % 50 = 0
         |WINDOW w1 AS (ORDER BY o_totalprice DESC, o_orderkey),
         |       w2 AS (ORDER BY o_orderpriority),

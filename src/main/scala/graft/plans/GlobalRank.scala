@@ -542,6 +542,107 @@ object GlobalRank {
         perPeerJoin(df, peersCum, peerKey, name)
     }
 
+  /** FULL-FRAME WINDOW AGGREGATE WITHOUT A PER-GROUP WINDOW — the
+    * `agg(x) OVER (PARTITION BY g)` shape (no ORDER BY, or an
+    * explicit UNBOUNDED..UNBOUNDED frame): the value is constant per
+    * group, so the closed form is just the bounded groupBy aggregate
+    * broadcast back null-safely (one global row when `group` is
+    * empty). The caller picks the aggregate column; exactness is the
+    * caller's obligation (the guard admits min/max on any type,
+    * sum on integral, count — never float sums, whose groupBy
+    * partial-aggregation order differs from the window's sequential
+    * pass). The common "share of group total" pattern
+    * (`x / sum(x) OVER (PARTITION BY g)`) rides this.
+    */
+  def groupedFullAgg(df: DataFrame, group: Seq[String], aggCol: Column,
+      name: String): DataFrame = {
+    reserve(df, group.indices.map(i => s"__gr_k$i") :+ name)
+    if (group.isEmpty)
+      df.crossJoin(broadcast(df.agg(aggCol.as(name))))
+    else nullSafeJoinB(df,
+      df.groupBy(group.map(col): _*).agg(aggCol.as(name)), group)
+  }
+
+  /** RUNNING MIN/MAX WITHOUT A PER-GROUP WINDOW — order-INSENSITIVE
+    * and selection-exact for every orderable type (no float caveat:
+    * min/max never do arithmetic). Decomposition:
+    *
+    *  1. in-partition running extremum over the frozen (pid ++ group)
+    *     window — task-bounded by construction, the one admitted
+    *     window class;
+    *  2. per-(pid, group) totals — BOUNDED: one row per (partition,
+    *     group), the offsetLookup discipline;
+    *  3. each partition's "everything before me in my group" via a
+    *     non-equi BROADCAST self-join of that bounded totals frame
+    *     (strictly-lower pid, null-safe group equality) — O(P²·G)
+    *     combine pairs over a frame of P·G rows, distributed, never a
+    *     partition-less window;
+    *  4. result = least/greatest(in-partition run, before) — both
+    *     skip nulls, exactly SQL min/max's null-skipping, so a prefix
+    *     of all-null values stays null.
+    *
+    * `rangeOrderKeys` selects the RANGE (peer-inclusive) flavor via
+    * the per-peer scan + shuffle join-back, as in
+    * [[groupedRunningSum]]. ROWS ties carry the window's own
+    * total-order caveat; RANGE is tie-exact.
+    */
+  def groupedRunningExtremum(df: DataFrame, group: Seq[String],
+      order: Seq[Column], value: Column, isMin: Boolean, name: String,
+      rangeOrderKeys: Option[Seq[String]] = None): DataFrame = {
+    val ag: Column => Column = if (isMin) min else max
+    val cmb: (Column, Column) => Column =
+      if (isMin) (a, b) => least(a, b) else (a, b) => greatest(a, b)
+    rangeOrderKeys match {
+      case Some(keys) =>
+        val peerKey = (group ++ keys).distinct
+        reserve(df, Seq("__gr_pv") ++
+          peerKey.indices.map(i => s"__gr_pk$i") :+ name)
+        val peers = df.groupBy(peerKey.map(col): _*)
+          .agg(ag(value).as("__gr_pv"))
+        val peersRun = groupedRunningExtremum(peers, group, order,
+          col("__gr_pv"), isMin, name, None)
+        perPeerJoin(df, peersRun, peerKey, name)
+      case None =>
+        val work = Seq("__gr_pid", "__gr_mid", "__gr_v", "__gr_run",
+          "__gr_pgx", "__gr_p2", "__gr_x2", "__gr_bef")
+        reserve(df, work ++ group.indices.map(i => s"__gr_k$i")
+          ++ group.indices.map(i => s"__gr_bk$i") :+ name)
+        val sorted = sortedWithIds(df.withColumn("__gr_v", value),
+          group.map(col) ++ order, "__gr_pid", "__gr_mid")
+        val pidGroup = (col("__gr_pid") +: group.map(col))
+        val wRun = Window.partitionBy(pidGroup: _*)
+          .orderBy(col("__gr_mid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = sorted.withColumn("__gr_run",
+          ag(col("__gr_v")).over(wRun))
+        val tot = sorted.groupBy(pidGroup: _*)
+          .agg(ag(col("__gr_v")).as("__gr_pgx"))
+        val t2 = group.zipWithIndex.foldLeft(
+            tot.withColumnRenamed("__gr_pid", "__gr_p2")
+              .withColumnRenamed("__gr_pgx", "__gr_x2")) {
+          case (d, (g, i)) => d.withColumnRenamed(g, s"__gr_bk$i")
+        }
+        val befCond = group.zipWithIndex
+          .map { case (g, i) => tot(g) <=> t2(s"__gr_bk$i") }
+          .foldLeft(t2("__gr_p2") < tot("__gr_pid"))(_ && _)
+        val bef = tot.join(broadcast(t2), befCond, "left")
+          .groupBy(pidGroup: _*)
+          .agg(ag(col("__gr_x2")).as("__gr_bef"))
+        // join the bounded before-frame back broadcast: equi on pid,
+        // null-safe on the group keys
+        val befR = group.zipWithIndex.foldLeft(
+            bef.withColumnRenamed("__gr_pid", "__gr_p2")) {
+          case (d, (g, i)) => d.withColumnRenamed(g, s"__gr_bk$i")
+        }
+        val backCond = group.zipWithIndex
+          .map { case (g, i) => run(g) <=> befR(s"__gr_bk$i") }
+          .foldLeft(run("__gr_pid") === befR("__gr_p2"))(_ && _)
+        run.join(broadcast(befR), backCond)
+          .withColumn(name, cmb(col("__gr_run"), col("__gr_bef")))
+          .drop(work ++ group.indices.map(i => s"__gr_bk$i"): _*)
+    }
+  }
+
   /** PER-GROUP NTILE WITHOUT A PER-GROUP WINDOW — the round-14 fix
     * for the last flooded-partition class: `ntile(k).over(
     * partitionBy(lowCardKey))` sorts each key's ENTIRE slice of the

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, PercentRank, RangeFrame, Rank, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First, Last, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{NthValue, RowFrame, UnboundedFollowing}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,10 +60,18 @@ import org.apache.spark.sql.types.IntegerType
   *              ending UNBOUNDED FOLLOWING, or the ROWS..CURRENT ROW
   *              identity) and `nth_value` over the full-partition
   *              frame — respect-nulls, each "the value at per-group
-  *              rank K" via one bounded stats broadcast.
+  *              rank K" via one bounded stats broadcast;
+  *              (6) running `min`/`max` — order-insensitive selection,
+  *              exact for EVERY orderable type (no float caveat),
+  *              ROWS and RANGE flavors;
+  *              (7) full-partition-frame aggregates (`agg(x) OVER
+  *              (PARTITION BY g)`, no ORDER BY) for min/max/count/
+  *              sum(integral) — constant per group, one bounded
+  *              groupBy broadcast; the only rewritable order-less
+  *              class.
   *              Everything else — other aggregate frames, ignoreNulls
-  *              variants, position-dependent nth_value — falls back
-  *              to `warn`.
+  *              variants, position-dependent nth_value, float sums —
+  *              falls back to `warn`.
   *
   * A window is flagged as corpus-share when its child's optimizer size
   * estimate exceeds `spark.graft.window.guard.budgetBytes` (default
@@ -232,6 +240,17 @@ object WindowGuardRule extends Rule[LogicalPlan] {
       case _ => s"nth_value($n)"
     }
   }
+  // full-partition frame (no ORDER BY, or explicit UNBOUNDED..
+  // UNBOUNDED): op ∈ min|max|sum|count, constant per group
+  private case class FFull(op: String, valueName: Option[String],
+      out: String) extends RFn {
+    def label: String = s"${op}_over_partition"
+  }
+  // running min/max over UNBOUNDED PRECEDING..CURRENT ROW
+  private case class FExt(isMin: Boolean, valueName: String,
+      range: Boolean, out: String) extends RFn {
+    def label: String = if (isMin) "running_min" else "running_max"
+  }
 
   private def integral(dt: org.apache.spark.sql.types.DataType)
       : Boolean = {
@@ -321,6 +340,20 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                 a.name))
               case _ => None
             }
+            // running min/max: order-INSENSITIVE selection, exact for
+            // every orderable type — no float caveat
+            case (m: Min, SpecifiedWindowFrame(ft, UnboundedPreceding,
+                CurrentRow)) => m.child match {
+              case ar: AttributeReference => Some(FExt(isMin = true,
+                ar.name, ft == RangeFrame, a.name))
+              case _ => None
+            }
+            case (m: Max, SpecifiedWindowFrame(ft, UnboundedPreceding,
+                CurrentRow)) => m.child match {
+              case ar: AttributeReference => Some(FExt(isMin = false,
+                ar.name, ft == RangeFrame, a.name))
+              case _ => None
+            }
             case (f: First, SpecifiedWindowFrame(_, UnboundedPreceding,
                 _)) if !f.ignoreNulls =>
               f.child match {
@@ -342,6 +375,38 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                   Some(FEdge("self", ar.name, 0, a.name))
                 case _ => None
               }
+            // FULL-partition frame (`agg(x) OVER (PARTITION BY g)` —
+            // no ORDER BY resolves to RANGE UNBOUNDED..UNBOUNDED):
+            // constant per group, a bounded groupBy broadcast. Sum
+            // stays integral-only (groupBy partials reassociate).
+            // AFTER the First/Last cases — those own their frames.
+            case (fn, SpecifiedWindowFrame(_, UnboundedPreceding,
+                UnboundedFollowing)) => fn match {
+              case s: Sum if integral(s.child.dataType) =>
+                s.child match {
+                  case ar: AttributeReference =>
+                    Some(FFull("sum", Some(ar.name), a.name))
+                  case _ => None
+                }
+              case c: Count => c.children match {
+                case Seq(l: Literal) if l.value != null =>
+                  Some(FFull("count", None, a.name))
+                case Seq(ar: AttributeReference) =>
+                  Some(FFull("count", Some(ar.name), a.name))
+                case _ => None
+              }
+              case m: Min => m.child match {
+                case ar: AttributeReference =>
+                  Some(FFull("min", Some(ar.name), a.name))
+                case _ => None
+              }
+              case m: Max => m.child match {
+                case ar: AttributeReference =>
+                  Some(FFull("max", Some(ar.name), a.name))
+                case _ => None
+              }
+              case _ => None
+            }
             case _ => None
           }
         // nth_value over the FULL partition frame: the group's n-th
@@ -361,36 +426,51 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         case _ => None
       }
     (parts, fns) match {
-      case (Some(group), Some(specs)) if w.orderSpec.nonEmpty &&
-          specs.nonEmpty =>
-        // the rank family's and the RANGE frames' peer identity is the
-        // order VALUES — those must be plain columns the closed forms
-        // can group on
-        val needsPeers = specs.exists {
-          case _: FRank => true
-          case f: FRun => f.range
-          case _ => false
-        }
-        val orderKeys: Option[Seq[String]] =
-          if (!needsPeers) Some(Nil)
-          else if (w.orderSpec.forall(
+      // a window with NO ORDER BY is rewritable only when every
+      // expression is a full-frame aggregate (the one class whose
+      // value doesn't depend on an order)
+      case (Some(group), Some(specs)) if specs.nonEmpty &&
+          (w.orderSpec.nonEmpty ||
+            specs.forall(_.isInstanceOf[FFull])) =>
+        // post-analysis, every ORDER BY key is an AttributeReference
+        // into the child (the analyzer extracts expressions into _w0
+        // projections). The build lambda re-derives its sort Columns
+        // from (name, direction, null-ordering) triples AT BUILD TIME
+        // — capturing resolved Columns is WRONG: the nested execution
+        // re-analyzes the child plan, and relation deduplication may
+        // remap its exprIds, leaving a captured reference stale (a
+        // board-run-only MISSING_ATTRIBUTES failure taught this).
+        val orderAttrs: Option[Seq[(String, Boolean, Boolean)]] =
+          if (w.orderSpec.forall(
               _.child.isInstanceOf[AttributeReference]))
-            Some(w.orderSpec
-              .map(_.child.asInstanceOf[AttributeReference].name))
+            Some(w.orderSpec.map { so =>
+              (so.child.asInstanceOf[AttributeReference].name,
+                so.direction == org.apache.spark.sql.catalyst
+                  .expressions.Ascending,
+                so.nullOrdering == org.apache.spark.sql.catalyst
+                  .expressions.NullsFirst)
+            })
           else None
+        val orderKeys: Option[Seq[String]] =
+          orderAttrs.map(_.map(_._1))
         val childNames = w.child.output.map(_.name)
         val reservedOk = childNames.distinct.size == childNames.size &&
           !childNames.exists(n => n.startsWith("__gr") ||
             specs.exists(_.out == n)) &&
           specs.map(_.out).distinct.size == specs.size
-        if (!reservedOk || orderKeys.isEmpty) None
+        if (!reservedOk || orderAttrs.isEmpty) None
         else {
-          val orderCols = w.orderSpec.map(graft.functions.ColumnBridge
-            .column(_).asInstanceOf[org.apache.spark.sql.Column])
           val outNames = childNames ++ specs.map(_.out)
           val build: (SparkSession, LogicalPlan) => DataFrame =
             (s, child) => {
               val base = graft.functions.ColumnBridge.ofRows(s, child)
+              // name-based sort columns, resolved against THIS plan
+              val orderCols = orderAttrs.get.map {
+                case (n, true, true) => col(n).asc_nulls_first
+                case (n, true, false) => col(n).asc_nulls_last
+                case (n, false, true) => col(n).desc_nulls_first
+                case (n, false, false) => col(n).desc_nulls_last
+              }
               val rankFns = specs.collect { case f: FRank => f }
               // the whole rank family shares one global rank + one
               // peers frame — computed together, never per-function
@@ -421,6 +501,25 @@ object WindowGuardRule extends Rule[LogicalPlan] {
                       .getOrElse(lit(1L)), name, rk)
                   else GlobalRank.groupedRunningSum(df, group,
                     orderCols, col(vn.get), name, rk)
+                case (df, FExt(isMin, vn, range, name)) =>
+                  val rk = if (range) Some(orderKeys.get) else None
+                  GlobalRank.groupedRunningExtremum(df, group,
+                    orderCols, col(vn), isMin, name, rk)
+                case (df, FFull(op, vn, name)) =>
+                  val aggCol = op match {
+                    case "sum" =>
+                      org.apache.spark.sql.functions.sum(
+                        col(vn.get).cast("long"))
+                    case "count" => org.apache.spark.sql.functions
+                      .count(vn.map(col).getOrElse(lit(1)))
+                    case "min" =>
+                      org.apache.spark.sql.functions.min(col(vn.get))
+                    case "max" =>
+                      org.apache.spark.sql.functions.max(col(vn.get))
+                    case other => throw new IllegalStateException(
+                      s"unreachable full-frame op $other")
+                  }
+                  GlobalRank.groupedFullAgg(df, group, aggCol, name)
                 case (df, FEdge("self", vn, _, name)) =>
                   df.withColumn(name, col(vn))
                 case (df, FEdge(flavor, vn, n, name)) =>

@@ -517,7 +517,16 @@ class GraftExtensionsSpec extends SparkTestBase {
         "AS nv FROM wg_docs",
       "SELECT doc_id, last_value(doc_id) OVER (ORDER BY score, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv " +
-        "FROM wg_docs")
+        "FROM wg_docs",
+      // running min/max: RANGE default over ties + explicit ROWS;
+      // selection is exact for doubles too (no float caveat)
+      "SELECT doc_id, min(score) OVER (ORDER BY score, doc_id) AS mn, " +
+        "max(doc_id) OVER (ORDER BY score, doc_id ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS mx FROM wg_docs",
+      // full-partition frame: no ORDER BY at all — the one rewritable
+      // order-less class
+      "SELECT doc_id, sum(doc_id) OVER () AS ts, count(*) OVER () " +
+        "AS tc, min(score) OVER () AS tm FROM wg_docs")
     shapes.foreach { sql =>
       fresh.conf.set(plans.WindowGuard.ModeConf, "off")
       val want = fresh.sql(sql).collect().map(_.toString).sorted.toSeq

@@ -295,6 +295,89 @@ class GlobalRankSpec extends SparkTestBase {
         s"frozen pid; got:\n${windowLines.mkString("\n")}")
   }
 
+  test("groupedRunningExtremum == min/max windows over UNBOUNDED " +
+      "PRECEDING..CURRENT ROW — ROWS and RANGE flavors, null values " +
+      "skipped (all-null prefixes stay null), null-key groups, " +
+      "partition-less; groupedFullAgg == the no-ORDER-BY full-frame " +
+      "aggregates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5115L)
+    val rows = (0 until 20).flatMap { g =>
+      (0 until 1 + rnd.nextInt(25)).map { i =>
+        val v: Option[Long] = if (rnd.nextInt(4) == 0) None
+          else Some(rnd.nextLong() % 50)
+        (if (g % 5 == 0) None else Some(s"g${g % 3}"), g * 1000L + i,
+          v, rnd.nextInt(5).toLong)
+      }
+    }
+    val df = rows.toDF("g", "id", "v", "x").repartition(9, $"id")
+    val W = org.apache.spark.sql.expressions.Window
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+    for (grouped <- Seq(true, false); isMin <- Seq(true, false)) {
+      val group = if (grouped) Seq("g") else Seq.empty[String]
+      def spec(order: Seq[org.apache.spark.sql.Column]) =
+        if (grouped) W.partitionBy($"g").orderBy(order: _*)
+        else W.orderBy(order: _*)
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (isMin) min else max
+      // ROWS over a total order
+      val rowsW = spec(Seq($"x", $"id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val gotR = asMap(GlobalRank.groupedRunningExtremum(df, group,
+        Seq($"x", $"id"), $"v", isMin, "e").select($"id", $"e"))
+      val wantR = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", fn($"v").over(rowsW).as("e")))
+      assert(gotR == wantR, s"grouped=$grouped isMin=$isMin ROWS " +
+        s"running extremum diverged; first diffs: ${gotR.toSeq
+          .sortBy(_._1).filter(p => wantR(p._1) != p._2).take(3)
+          .mkString(",")}")
+      // RANGE (default frame) over ties-heavy x: peer-inclusive
+      val gotRg = asMap(GlobalRank.groupedRunningExtremum(df, group,
+        Seq($"x"), $"v", isMin, "e", Some(Seq("x")))
+        .select($"id", $"e"))
+      val wantRg = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", fn($"v").over(spec(Seq($"x"))).as("e")))
+      assert(gotRg == wantRg, s"grouped=$grouped isMin=$isMin RANGE " +
+        "running extremum diverged")
+      // full-frame: constant per group
+      val gotF = asMap(GlobalRank.groupedFullAgg(df, group,
+        fn($"v"), "e").select($"id", $"e"))
+      val wantF = asMap(rows.toDF("g", "id", "v", "x")
+        .select($"id", fn($"v").over(spec(Seq($"x"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+          .as("e")))
+      assert(gotF == wantF, s"grouped=$grouped isMin=$isMin full-frame " +
+        "aggregate diverged")
+    }
+    // full-frame sum + count(*) against the windows
+    val gotS = GlobalRank.groupedFullAgg(df, Seq("g"),
+        sum($"v".cast("long")), "s")
+      .select($"id", $"s").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val wantS = rows.toDF("g", "id", "v", "x")
+      .select($"id", sum($"v").over(W.partitionBy($"g")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(gotS == wantS, "full-frame sum diverged")
+    // the plan pin: no windows at all in the full-agg form; only the
+    // pid-partitioned ones in the running form
+    assert(!GlobalRank.groupedFullAgg(df, Seq("g"), max($"v"), "e")
+      .queryExecution.executedPlan.toString.contains("Window"),
+      "groupedFullAgg must not plan any window operator")
+    val planStr = GlobalRank.groupedRunningExtremum(df, Seq("g"),
+      Seq($"x", $"id"), $"v", isMin = true, "e")
+      .queryExecution.executedPlan.toString
+    val wl = planStr.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(wl.nonEmpty && wl.forall(_.contains("__gr_pid")),
+      "every groupedRunningExtremum window must be partitioned by " +
+        s"the frozen pid; got:\n${wl.mkString("\n")}")
+  }
+
   test("groupedEdgeValue == first_value/last_value/nth_value windows " +
       "with partition-edge frames — NULL edge values stay null, nth " +
       "past the group size yields null, null-key groups, " +

@@ -57,15 +57,27 @@ object Events {
     * `dead_letter_path` and any heartbeat source accept any
     * Hadoop-visible URI; only the GATE defaults to local scratch).
     */
-  private[graft] def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  // ONE shutdown hook draining a queue of scratch dirs — a hook per
+  // call would accumulate a thread per run in a long-lived driver
+  // (bench loops run e39 hundreds of times; review r15)
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
         f.delete(); ()
       }
-      rm(p.toFile)
+      var p = scratchDirs.poll()
+      while (p != null) { rm(p.toFile); p = scratchDirs.poll() }
     }))
+    true
+  }
+
+  private[graft] def scratchDir(prefix: String): String = {
+    require(scratchHookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -479,6 +491,16 @@ object Events {
             "nondeterminism in the last ulps under the auto ladder); " +
             "round the result (the e09 discipline) or cast to DECIMAL " +
             "for exact sums")
+        else if (f.dataType
+            .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          saltLog.warn(s"saltedAgg: $what('$n') aggregates a " +
+            s"${f.dataType.simpleString} column - the two-phase " +
+            "salted form widens decimal precision across two sums " +
+            "(and divides at a different scale for SaltAvg), so the " +
+            "RESULT TYPE can differ from the direct arm's and flip " +
+            "with the auto ladder's mode; cast the result to a fixed " +
+            "decimal type at the call site for a mode-stable schema " +
+            "(review r15)")
       }
     }
   }

@@ -299,9 +299,17 @@ object SqlServing {
             F.col(orderCol).cast("double").as("ord"))
           .filter(F.col("ord").isNotNull)
         // heap cut FIRST (≤k rows per key survive), THEN the rank
-        // window over the k-bounded frame — the q07/e06/e38 pattern
+        // window over the k-bounded frame — the q07/e06/e38 pattern.
+        // The heap's ascending key is (nan-flag, -ord), NOT bare -ord:
+        // SQL sorts NaN greater than every double, so the DESC window
+        // ranks NaN rows first — but -NaN = NaN would be the LARGEST
+        // ascending value and the heap would evict exactly the rows
+        // the window keeps. The flag pins NaN rows to the front of
+        // the ascending order (ties among them interchangeable, like
+        // any equal ord).
         graft.plans.TopKPerKey(narrow, Seq("key"),
-            F.struct((-F.col("ord")).as("no")), k)
+            F.struct(F.when(F.isnan(F.col("ord")), 0).otherwise(1)
+              .as("nn"), (-F.col("ord")).as("no")), k)
           .withColumn("rnk", F.row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(F.col("key")).orderBy(F.col("ord").desc)))

@@ -87,15 +87,8 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
 
-  // Dataset.ofRows moved behind private[sql] in Spark 4; its static
-  // forwarder is public bytecode (plan-time only, cached).
-  private lazy val ofRows = {
-    val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
-    val m = cls.getMethod("ofRows",
-      Class.forName("org.apache.spark.sql.classic.SparkSession"),
-      classOf[LogicalPlan])
-    (cls.getField("MODULE$").get(null), m)
-  }
+  // Dataset.ofRows access goes through the one blessed reflective
+  // seam (ColumnBridge) — a Spark-internals shift is a one-place fix.
 
   /** Top-k rows per key group under ASCENDING `orderExpr` (encode
     * "descending" by negating, e.g. `struct(-$"price", $"id")` for
@@ -123,9 +116,7 @@ object TopKPerKey {
         throw new IllegalArgumentException(
           s"column '$name' not in ${childPlan.output.map(_.name)}"))
     val keys = keyCols.map(resolve)
-    val (module, m) = ofRows
-    m.invoke(module, spark,
+    graft.functions.ColumnBridge.ofRows(spark,
       TopKPerKey(k, keys, SortOrder(ordExpr, Ascending), childPlan))
-      .asInstanceOf[DataFrame]
   }
 }

@@ -457,6 +457,10 @@ object WindowGuardRule extends Rule[LogicalPlan] {
         val reservedOk = childNames.distinct.size == childNames.size &&
           !childNames.exists(n => n.startsWith("__gr") ||
             specs.exists(_.out == n)) &&
+          // an OUTPUT alias in the reserved namespace would collide
+          // with the closed forms' working columns mid-build — fall
+          // back to warn, never crash (review r15)
+          !specs.exists(_.out.startsWith("__gr")) &&
           specs.map(_.out).distinct.size == specs.size
         if (!reservedOk || orderAttrs.isEmpty) None
         else {

@@ -558,6 +558,45 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_topk ranks NaN ords like the window form it replaces " +
+      "(SQL sorts NaN greatest) instead of evicting them from the " +
+      "heap; a reserved-namespace output alias falls back to warn " +
+      "under rewrite, never crashes (review r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-nan")
+    Seq(("a", 1.0), ("a", 2.0), ("a", Double.NaN), ("a", 3.0),
+        ("b", Double.NaN))
+      .toDF("k", "v").write.mode("overwrite")
+      .parquet(dir.resolve("t.parquet").toString)
+    val fresh = spark.newSession()
+    val got = fresh.sql(s"SELECT * FROM graft_topk('$dir', 't', " +
+        "'k', 'v', 2) ORDER BY key, rnk")
+      .collect().map(r => (r.getString(0),
+        // NaN != NaN in Scala equality — compare via string form
+        r.getDouble(1).toString, r.getInt(2))).toSeq
+    assert(got == Seq(("a", "NaN", 1), ("a", "3.0", 2),
+      ("b", "NaN", 1)),
+      s"NaN must rank FIRST under the desc window semantics: $got")
+
+    // __gr-prefixed OUTPUT alias: the rewrite's working namespace —
+    // must fall back to warn (WindowExec kept), never corrupt or throw
+    wgView(fresh)
+    fresh.conf.set(plans.WindowGuard.ModeConf, "rewrite")
+    fresh.conf.set(plans.WindowGuard.BudgetConf, "0")
+    try {
+      val aliased = fresh.sql("SELECT doc_id, row_number() OVER " +
+        "(ORDER BY score, doc_id) AS __gr_pid FROM wg_docs")
+      assert(aliased.count() == 500L)
+      assert(finalPlan(aliased).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.nonEmpty, "reserved alias must keep its window (warn), " +
+        "never enter the rewrite")
+    } finally {
+      fresh.conf.unset(plans.WindowGuard.ModeConf)
+      fresh.conf.unset(plans.WindowGuard.BudgetConf)
+    }
+  }
+
   test("window guard FAIL mode blocks the corpus-share window; WARN " +
       "logs and leaves the plan; sub-budget frames never trip; " +
       "non-rewritable shapes fall back to warn under rewrite") {

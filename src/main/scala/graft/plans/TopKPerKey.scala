@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, InterpretedOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -56,22 +56,50 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Attribute], order: SortOrder,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val ordChild = order.child
+    val (dir, nulls) = (order.direction, order.nullOrdering)
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
-      // InterpretedOrdering gives "row a sorts before row b" for the
-      // requested SortOrder; the heap evicts the WORST kept row, i.e.
-      // the max under that ordering.
-      val ord = new InterpretedOrdering(Seq(order), childOutput)
-      val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      // The order key is PROJECTED ONCE per row (an InterpretedOrdering
+      // over the raw SortOrder re-evaluated the — typically
+      // struct-building — order expression interpreted on BOTH rows of
+      // EVERY heap comparison: per row that is O(log k) struct
+      // constructions, the dominant task cost of the r15-measured d33/
+      // s19 ADC cuts). Comparisons then read the materialized key row
+      // through a codegen'd ordering on a bound reference — no
+      // expression re-evaluation, no interpreter.
+      val ordProj = UnsafeProjection.create(Seq(ordChild), childOutput)
+      val keyOrd = RowOrdering.create(Seq(SortOrder(
+        BoundReference(0, ordChild.dataType, ordChild.nullable),
+        dir, nulls, Seq.empty)), Seq.empty)
+      // heap entries are (materialized order key, data row); the heap
+      // evicts the WORST kept entry, i.e. the max under the ordering
+      val entryOrd = new Ordering[(UnsafeRow, InternalRow)] {
+        override def compare(a: (UnsafeRow, InternalRow),
+            b: (UnsafeRow, InternalRow)): Int = keyOrd.compare(a._1, b._1)
+      }
+      val heaps = mutable.HashMap
+        .empty[InternalRow, mutable.PriorityQueue[(UnsafeRow, InternalRow)]]
       rows.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        // group lookup probes with the REUSED projection buffer
+        // (UnsafeRow equality/hash are content-based); the defensive
+        // copy happens only when a new group is inserted
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue
+              .empty[(UnsafeRow, InternalRow)](entryOrd)
+            heaps.put(probe.copy(), h)
+            h
+        }
+        val ordKey = ordProj(row)
+        if (heap.size < k) heap.enqueue((ordKey.copy(), row.copy()))
+        else if (keyOrd.compare(ordKey, heap.head._1) < 0) {
+          heap.dequeue(); heap.enqueue((ordKey.copy(), row.copy()))
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
     }
   }
 

@@ -34,6 +34,33 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected a hash exchange on the key:\n$plan")
   }
 
+  test("order-key edge values (NaN, null, infinities) match the window") {
+    // The heap path materializes the order key once per row and compares
+    // through a codegen'd ordering (r15 optimization) — this pins that
+    // path to Spark's own sort semantics on the values that have special
+    // ordering rules: NaN sorts after +Inf, nulls first under the
+    // default ascending order, and struct fields compare positionally.
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, Double.NaN), ("a", 2L, 1.0), ("a", 3L, -1.0),
+      ("a", 4L, Double.PositiveInfinity), ("a", 5L, Double.NegativeInfinity),
+      ("b", 6L, Double.NaN), ("b", 7L, Double.NaN), ("b", 8L, 0.0),
+      ("c", 9L, 2.0), ("c", 10L, 2.0), ("c", 11L, 2.0)
+    ).toDF("g", "id", "x")
+      // a null order-key field beside the non-null rows
+      .union(Seq(("a", 12L, 0.0)).toDF("g", "id", "x")
+        .select(col("g"), col("id"), lit(null).cast("double").as("x")))
+    val ordK = struct(col("x"), col("id"))
+    val custom = TopKPerKey(rows, Seq("g"), ordK, 2)
+    val w = Window.partitionBy(col("g")).orderBy(col("x").asc, col("id").asc)
+    val expected = rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    assert(custom.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(custom).count() == 0,
+      s"custom=${custom.collect().mkString(",")} " +
+        s"expected=${expected.collect().mkString(",")}")
+  }
+
   test("k=1 returns exactly one row per key; bad column errors clearly") {
     val one = TopKPerKey(parts, Seq("p_brand"), ord, 1)
     val brands = parts.select("p_brand").distinct().count()

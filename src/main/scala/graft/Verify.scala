@@ -23,6 +23,10 @@ object Verify {
       // this flag (Tables.load converts the resulting long to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // see Bench: the 100-entry default codegen cache thrashes under
+      // the board's unit count and recompiles every stage per query
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // FAIR scheduling for the concurrent streaming-gate phase (pools
       // are created on first use; batch queries run in the default
       // pool exactly as before — FIFO within a pool)

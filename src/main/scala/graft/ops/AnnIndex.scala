@@ -495,16 +495,21 @@ object AnnIndex {
       .withColumn("qd2",
         Similarity.kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"cell", $"sub", $"code", $"qd2")
-    val enc = s.read.parquet(s"$indexDir/codes")
-    val joined =
-      if (!residual)
-        enc.join(cand.drop("cell"), enc("vec_id") === cand("n_id"))
-          .join(qb(qtab.drop("cell")), Seq("q_id", "sub", "code"))
+    // ADC in table-lookup form (see Similarity.encWide): codes pivot to
+    // one row per vector, LUTs ride the (broadcast-sized) query side,
+    // and the distance is a pure projection — the former per-sub join +
+    // hash aggregation was the measured CPU hot spot of every ADC search
+    val encW = Similarity.encWide(s.read.parquet(s"$indexDir/codes"))
+    val adc =
+      (if (!residual)
+        encW.join(cand.drop("cell"), encW("vec_id") === cand("n_id"))
+          .join(qb(Similarity.qtabWide(qtab.drop("cell"), Seq("q_id"),
+            Similarity.PqM)), "q_id")
       else
-        enc.join(cand, enc("vec_id") === cand("n_id"))
-          .join(qb(qtab), Seq("q_id", "cell", "sub", "code"))
-    val adc = joined.groupBy($"q_id", $"n_id")
-      .agg(sum($"qd2").as("adc"))
+        encW.join(cand, encW("vec_id") === cand("n_id"))
+          .join(qb(Similarity.qtabWide(qtab, Seq("q_id", "cell"),
+            Similarity.PqM)), Seq("q_id", "cell")))
+        .select($"q_id", $"n_id", Similarity.adcCol(Similarity.PqM).as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), k)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")

@@ -439,6 +439,58 @@ object Similarity {
     * vector), and the bounded-heap TopKPerKey cuts to K before any
     * sort. Returns (q_id, n_id, adc DECIMAL, rnk).
     */
+  // ---- ADC in table-lookup form (r15 optimization) -------------------
+  // The original ADC shape joined the (vec_id, sub, code) code stream to
+  // the per-query distance table and hash-aggregated the per-(query,
+  // candidate) sum over PqM joined rows — a (candidates × PqM)-row
+  // intermediate feeding an aggregation with ~candidates×queries groups.
+  // Executed-plan metrics at sf0.1 showed that aggregation as the
+  // s-family's dominant CPU (d33: 3.2M joined rows → 402k groups,
+  // avgHashProbe ≈ 240, ~11 s aggTime). This is the classic FAISS ADC
+  // table-lookup instead: codes pivot to ONE row per vector (sub is
+  // dense 0..m−1 by construction, so the sorted struct array is
+  // positional), the query side carries an array-of-maps LUT
+  // (sub → code → qd2; codeword ids are SPARSE seed vec_ids, hence a
+  // map, scanned by codegen'd element_at over ≤PqK entries), and the
+  // distance is m lookups summed in DECIMAL — a pure projection, no
+  // per-sub fan-out, no aggregation. The add chain is the same m exact
+  // scale-6 addends (decimal adds never round), cast back to sum()'s
+  // decimal(22,6), so values AND output schema are bit-identical to the
+  // aggregate form — every consumer stays hash-gated. The HOFs building
+  // the LUT run only on the broadcast-sized query side; the corpus side
+  // reads positional struct fields inside whole-stage codegen.
+
+  /** (vec_id, codes array<struct<sub,code>> sorted by sub) from the long
+    * (vec_id, sub, `codeCol`) code stream — one row per vector.
+    */
+  private[graft] def encWide(enc: DataFrame,
+      codeCol: String = "code"): DataFrame =
+    enc.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        col(codeCol).cast("long").as("code")))).as("codes"))
+
+  /** The per-(`keys`) ADC lookup table: luts[sub+1] is a map
+    * code → qd2 for that subspace (subs dense 0..m−1).
+    */
+  private[graft] def qtabWide(qtab: DataFrame, keys: Seq[String],
+      m: Int): DataFrame =
+    qtab.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("sub"), col("code").cast("long")
+        .as("code"), col("qd2"))).as("p"))
+      .select(keys.map(col) :+ expr(
+        s"transform(sequence(0, ${m - 1}), s -> map_from_entries(" +
+          "transform(filter(p, x -> x.sub = s), " +
+          "y -> struct(y.code, y.qd2))))").as("luts"): _*)
+
+  /** The per-candidate ADC distance over (codes, luts): m codegen'd
+    * lookups summed exactly; decimal(22,6) = sum(decimal(12,6))'s type.
+    */
+  private[graft] def adcCol(m: Int): Column =
+    (0 until m).map { i =>
+      element_at(element_at(col("luts"), i + 1),
+        element_at(col("codes"), i + 1).getItem("code"))
+    }.reduce(_ + _).cast("decimal(22,6)")
+
   private def pqAdcTopKCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
@@ -450,12 +502,13 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
     val qtab = q.join(broadcast(cb), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-      .select($"q_id", $"sub", $"cell", $"qd2")
-    val adc = enc.join(broadcast(qtab), Seq("sub", "cell"))
-      .filter($"q_id" =!= $"vec_id")
-      .groupBy($"q_id", $"vec_id")
-      .agg(sum($"qd2").as("adc"))
-      .select($"q_id", $"vec_id".as("n_id"), $"adc")
+      .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
+    // flat ADC = every (query, vector) pair: the lookup form's pair
+    // generator is the same broadcast non-equi join exactTopKCore uses
+    val adc = encWide(enc, "cell")
+      .join(broadcast(qtabWide(qtab, Seq("q_id"), PqM)),
+        $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"), adcCol(PqM).as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), K)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -547,10 +600,10 @@ object Similarity {
       .join(broadcast(cb), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
-    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
-      .join(broadcast(qtab), Seq("q_id", "sub", "code"))
-      .groupBy($"q_id", $"n_id")
-      .agg(sum($"qd2").as("adc"))
+    val encW = encWide(enc)
+    val adc = encW.join(cand, encW("vec_id") === cand("n_id"))
+      .join(broadcast(qtabWide(qtab, Seq("q_id"), PqM)), "q_id")
+      .select($"q_id", $"n_id", adcCol(PqM).as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), topK)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -713,10 +766,12 @@ object Similarity {
     val qtab = qrs.join(broadcast(cb.withColumnRenamed("cell", "code")), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"cell", $"sub", $"code", $"qd2")
-    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
-      .join(broadcast(qtab), Seq("q_id", "cell", "sub", "code"))
-      .groupBy($"q_id", $"n_id")
-      .agg(sum($"qd2").as("adc"))
+    // residual LUTs are per-(query, probed cell) — still broadcast-sized
+    val encW = encWide(enc)
+    val adc = encW.join(cand, encW("vec_id") === cand("n_id"))
+      .join(broadcast(qtabWide(qtab, Seq("q_id", "cell"), PqM)),
+        Seq("q_id", "cell"))
+      .select($"q_id", $"n_id", adcCol(PqM).as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), K)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -2171,13 +2226,11 @@ object Similarity {
           .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
         val qtab = qsubs.join(broadcast(cb), "sub")
           .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-          .select($"q_id", $"sub", $"cell", $"qd2")
-        val adc = enc.select($"vec_id", $"sub", $"cell")
-          .join(broadcast(qtab), Seq("sub", "cell"))
-          .filter($"q_id" =!= $"vec_id")
-          .groupBy($"q_id", $"vec_id")
-          .agg(sum($"qd2").as("adc"))
-          .select($"q_id", $"vec_id".as("n_id"), $"adc")
+          .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
+        val adc = encWide(enc.select($"vec_id", $"sub", $"cell"), "cell")
+          .join(broadcast(qtabWide(qtab, Seq("q_id"), m)),
+            $"q_id" =!= $"vec_id")
+          .select($"q_id", $"vec_id".as("n_id"), adcCol(m).as("adc"))
         val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
             struct($"adc", $"n_id"), K)
           .select($"q_id", $"n_id")

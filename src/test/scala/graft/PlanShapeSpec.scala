@@ -438,25 +438,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("s17: the per-candidate ADC sum partial-aggregates in task, " +
-      "below its (q_id, vec_id) exchange") {
-    // The scale claim at Similarity.pqAdcTopKCore: codes of one vector
-    // are co-located by the assignment join, so the cross-subspace ADC
-    // sum reduces map-side and the exchange carries one skinny row per
-    // (query, candidate), never the candidate×PqM code stream. In the
-    // tree print the parent exchange sits ABOVE its partial child, so
-    // the pin is: a partial_sum exists, and the (q_id, vec_id) exchange
-    // appears above it.
+  test("s17: the ADC distance is a table-lookup projection — no " +
+      "per-candidate aggregation, no candidate×PqM fan-out") {
+    // The scale claim at Similarity.pqAdcTopKCore (lookup form, r15):
+    // codes pivot to ONE row per vector, the query side carries a
+    // broadcast LUT, and the distance is m element_at lookups summed in
+    // a pure projection. A regression back to the joined-code-stream
+    // form would reintroduce a hash aggregate keyed (q_id, n_id) over a
+    // candidate×PqM intermediate — pinned here as: element_at lookups
+    // present, and NO partial_sum anywhere in the candidate stream.
     val p = plan("s17_pq_adc_topk")
-    val ls = p.linesIterator.toSeq
-    val partialAt = ls.indexWhere(_.contains("partial_sum"))
-    assert(partialAt >= 0,
-      s"ADC sum must plan a map-side partial:\n${p.take(2000)}")
-    assert(ls.take(partialAt).exists(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("q_id") &&
-          l.contains("vec_id")),
-      "the (q_id, vec_id) exchange must be the partial agg's parent:\n" +
-        ls.slice(math.max(0, partialAt - 6), partialAt + 1).mkString("\n"))
+    assert(p.contains("element_at"),
+      s"ADC must be an element_at lookup projection:\n${p.take(2000)}")
+    assert(!p.contains("partial_sum"),
+      "ADC must not re-grow a per-candidate sum aggregation " +
+        s"(candidate×PqM fan-out):\n${p.take(2000)}")
     // the per-(vector, subspace) code argmax reduces map-side too
     // (prints as SortAggregate — struct buffers are sort-aggregated)
     assert(p.contains("partial_max"),
@@ -464,14 +460,14 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("s19/s23: both IVF-PQ variants compose the pinned shapes — " +
-      "map-side argmax for the assignments, in-task ADC partial sum, " +
+      "map-side argmax for the assignments, lookup-form ADC projection, " +
       "bounded-heap top-k") {
     for (name <- Seq("s19_ivfpq_topk", "s23_ivfpq_residual_topk")) {
       val p = plan(name)
       assert(p.contains("partial_max"),
         s"$name: cell/code assignments must argmax map-side:\n${p.take(2000)}")
-      assert(p.contains("partial_sum"),
-        s"$name: ADC sum must plan a map-side partial:\n${p.take(2000)}")
+      assert(p.contains("element_at"),
+        s"$name: ADC must be an element_at lookup projection:\n${p.take(2000)}")
       assert(p.contains("TopKPerKey"),
         s"$name: final cut must be the bounded-heap node:\n${p.take(2000)}")
       assert(!p.contains("CartesianProduct"),

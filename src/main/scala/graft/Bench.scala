@@ -26,6 +26,49 @@ object Bench {
     */
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** Queries designated OFF the one-line JSON (the sidecar always keeps
+    * every query at full precision). The emitted key set must be
+    * IDENTICAL run to run or the driver's line-to-line comparison
+    * reports phantom dropped/new queries — the r15 PERF artifact: 13
+    * "dropped_from_bench" + 16 "new_in_bench" rows, all churn from the
+    * value-ordered overflow drop whose cheapest-42 set shifts with
+    * ±0.1 s noise. The full board cannot fit the driver's 2000-char
+    * tail at any useful precision (246 entries × ~9 chars ≈ 2.2 KB),
+    * so the line sheds this FIXED, name-designated set of trivial
+    * fixture-scale rows (each ≤0.31 s on every recorded clean board;
+    * exactly the set the r15 line happened to shed, so the driver's
+    * key set never churns at the transition either) instead of
+    * whichever rows measured cheapest this run. Safety valve: an
+    * exempt row that measures ≥1.5 s or FAILED rides the line anyway —
+    * a regression or failure must never be hidden by the exemption —
+    * and the value-ordered guard below then sheds extra rows, trading
+    * one round of key churn for visibility.
+    */
+  private[graft] val LineExempt: Set[String] = Set(
+    "d04_simhash", "e02_json_stats", "e03_user_sessions",
+    "e08_asof_attribution", "e11b_exact_cardinality", "e13_funnel_steps",
+    "e20_incremental_rollup", "e25_rolling_range_window",
+    "m03_frame_sample", "m04_thumbnail_plan", "m06_chunk_plan",
+    "m09_frame_sample_plan", "p02_quality_filter", "p03_corpus_profile",
+    "p05_skew_report", "p18_token_budget_epochs",
+    "p21_pack_artifact_serving", "p22_pack_balance_audit",
+    "p24_ingest_file_curve", "q06_forecast_revenue",
+    "q11_scalar_functions", "q12_conditional_agg", "q15_running_totals",
+    "q18_percentiles", "q19_string_battery", "q20_pivot",
+    "q21_frame_functions", "q22_native_topk", "q30_rank_battery",
+    "s07_int8_quant", "t01_token_stats", "t02_top_terms",
+    "t04_quality_scores", "t06_fingerprint_summary",
+    "t07_stratified_sample", "t08_regex_token_counts",
+    "t09_bottomk_sample", "t11_repetition_scores",
+    "t12_winnowing_fingerprints", "t14_unicode_normalize",
+    "t20_pii_redaction", "t22_quality_classifier")
+
+  /** An exempt row stays off the line only while it is BOTH healthy and
+    * trivial — see [[LineExempt]]'s safety valve.
+    */
+  private[graft] def lineExemptNow(name: String, secs: Double): Boolean =
+    LineExempt(name) && secs >= 0 && secs < 1.5
   private[graft] def shortKey(name: String): String = {
     val code = name.takeWhile(_ != '_')
     val digits = code.drop(1)
@@ -266,8 +309,18 @@ object Bench {
     // so the drop path is exercisable without a 200-query board
     val LineBudget = sys.env.get("SPARK_GRAFT_LINE_BUDGET")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1900)
-    var kept = keys
-    var line = lineOf(kept, 0)
+    // NAME-designated drops come FIRST so the emitted key set is stable
+    // across runs (see LineExempt) — but only when the full line would
+    // actually overflow (a SPARK_GRAFT_ONLY subset line that fits keeps
+    // every row); `keys` and `results` are index-aligned (both derive
+    // from `results` in order), so the exemption is decided on full
+    // names regardless of the key encoding in play
+    var kept =
+      if (lineOf(keys, 0).length <= LineBudget) keys
+      else results.zip(keys).collect {
+        case ((name, v), kv) if !lineExemptNow(name, v) => kv
+      }
+    var line = lineOf(kept, keys.size - kept.size)
     while (line.length > LineBudget && kept.nonEmpty) {
       val victim = kept.minBy { case (kk, v) =>
         (if (v < 0) Double.MaxValue else v, kk) // never drop a failure

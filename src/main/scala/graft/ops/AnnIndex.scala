@@ -424,7 +424,8 @@ object AnnIndex {
     val probeBudget = s.conf
       .getOption("spark.graft.ann.probe.literalBudget")
       .map(_.toLong).getOrElse(ProbeLiteralBudget)
-    val candJoined = if (nq * nprobe <= probeBudget) {
+    val boundedProbe = nq * nprobe <= probeBudget
+    val candJoined = if (boundedProbe) {
       // BOUNDED batches: the probed cells resolve driver-side
       // (NProbe×|queries| tiny rows) into an IN-filter the partitioned
       // invlist scan PRUNES on at listing time — the read-path payoff
@@ -495,12 +496,27 @@ object AnnIndex {
       .withColumn("qd2",
         Similarity.kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"cell", $"sub", $"code", $"qd2")
-    // ADC in table-lookup form (see Similarity.encWide): codes pivot to
-    // one row per vector, LUTs ride the (broadcast-sized) query side,
-    // and the distance is a pure projection — the former per-sub join +
-    // hash aggregation was the measured CPU hot spot of every ADC search
-    val encW = Similarity.encWide(s.read.parquet(s"$indexDir/codes"))
-    val adc =
+    // The ADC form follows the probe branch (see the ADC-forms note in
+    // Similarity): BOUNDED batches join the code stream to the bounded
+    // candidate set and sum per (q_id, n_id) — the r16 quiet-box A/B
+    // measured the corpus-wide encWide pivot as a net loss when
+    // candidates ≪ corpus (s23 3.0→4.4 s, m11 1.31→1.47 s under
+    // lookup). LARGE batches (the d33 admission shape — corpus-fraction
+    // queries, many queries per candidate vector) keep the table-lookup
+    // form: the pivot amortizes and the join+sum aggregation was the
+    // measured CPU hot spot (d33 avgHashProbe ≈ 240; A/B 4.43→3.81 s).
+    val enc = s.read.parquet(s"$indexDir/codes")
+    val adc = if (boundedProbe) {
+      val joined =
+        if (!residual)
+          enc.join(cand.drop("cell"), enc("vec_id") === cand("n_id"))
+            .join(qb(qtab.drop("cell")), Seq("q_id", "sub", "code"))
+        else
+          enc.join(cand, enc("vec_id") === cand("n_id"))
+            .join(qb(qtab), Seq("q_id", "cell", "sub", "code"))
+      joined.groupBy($"q_id", $"n_id").agg(sum($"qd2").as("adc"))
+    } else {
+      val encW = Similarity.encWide(enc)
       (if (!residual)
         encW.join(cand.drop("cell"), encW("vec_id") === cand("n_id"))
           .join(qb(Similarity.qtabWide(qtab.drop("cell"), Seq("q_id"),
@@ -509,7 +525,17 @@ object AnnIndex {
         encW.join(cand, encW("vec_id") === cand("n_id"))
           .join(qb(Similarity.qtabWide(qtab, Seq("q_id", "cell"),
             Similarity.PqM)), Seq("q_id", "cell")))
-        .select($"q_id", $"n_id", Similarity.adcCol(Similarity.PqM).as("adc"))
+        .select($"q_id", $"n_id",
+          Similarity.adcCol(Similarity.PqM).as("adc"))
+        // invariant guard: a LUT miss (code absent, or a codes array
+        // that is not dense sub 0..m−1 — e.g. duplicate (vec_id, sub)
+        // rows after a torn re-ingest) yields a NULL adc, and NULL
+        // sorts FIRST under the ascending top-k — corrupted candidates
+        // would silently win every ranking. The join+sum form degrades
+        // safely (drops/partial-sums such rows); make the lookup form
+        // degrade the same way instead of inverting the ranking.
+        .filter($"adc".isNotNull)
+    }
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), k)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")

@@ -439,26 +439,34 @@ object Similarity {
     * vector), and the bounded-heap TopKPerKey cuts to K before any
     * sort. Returns (q_id, n_id, adc DECIMAL, rnk).
     */
-  // ---- ADC in table-lookup form (r15 optimization) -------------------
-  // The original ADC shape joined the (vec_id, sub, code) code stream to
-  // the per-query distance table and hash-aggregated the per-(query,
-  // candidate) sum over PqM joined rows — a (candidates × PqM)-row
-  // intermediate feeding an aggregation with ~candidates×queries groups.
-  // Executed-plan metrics at sf0.1 showed that aggregation as the
-  // s-family's dominant CPU (d33: 3.2M joined rows → 402k groups,
-  // avgHashProbe ≈ 240, ~11 s aggTime). This is the classic FAISS ADC
-  // table-lookup instead: codes pivot to ONE row per vector (sub is
-  // dense 0..m−1 by construction, so the sorted struct array is
-  // positional), the query side carries an array-of-maps LUT
-  // (sub → code → qd2; codeword ids are SPARSE seed vec_ids, hence a
-  // map, scanned by codegen'd element_at over ≤PqK entries), and the
-  // distance is m lookups summed in DECIMAL — a pure projection, no
-  // per-sub fan-out, no aggregation. The add chain is the same m exact
-  // scale-6 addends (decimal adds never round), cast back to sum()'s
-  // decimal(22,6), so values AND output schema are bit-identical to the
-  // aggregate form — every consumer stays hash-gated. The HOFs building
-  // the LUT run only on the broadcast-sized query side; the corpus side
-  // reads positional struct fields inside whole-stage codegen.
+  // ---- The TWO ADC forms and when each wins (r15 → r16) ---------------
+  // JOIN+SUM form: join the (vec_id, sub, code) code stream to the
+  // per-query distance table, hash-aggregate the per-(query, candidate)
+  // sum over PqM joined rows. LOOKUP form (classic FAISS ADC): codes
+  // pivot to ONE row per vector (sub is dense 0..m−1 by construction,
+  // so the sorted struct array is positional), the query side carries
+  // an array-of-maps LUT (sub → code → qd2; codeword ids are SPARSE
+  // seed vec_ids, hence a map, scanned by codegen'd element_at over
+  // ≤PqK entries), and the distance is m lookups summed in DECIMAL — a
+  // pure projection. Both produce bit-identical values AND schema (the
+  // lookup add chain is the same m exact scale-6 addends, decimal adds
+  // never round, cast back to sum()'s decimal(22,6)) — consumers stay
+  // hash-gated under either form.
+  //
+  // The r16 quiet-box A/B (clean, wx=0, min-of-2 at sf0.1) showed the
+  // r15 board-wide lookup rewrite was a net LOSS for bounded-candidate
+  // searches: the pivot aggregates the ENTIRE code stream (corpus×PqM
+  // collect_list + array_sort) below the candidate join, so when
+  // candidates ≪ corpus the join+sum form touches far fewer rows —
+  // s23 3.0→4.4 s, s24 1.3→2.0 s, s29 2.2→3.1 s, s18 0.8→1.0 s under
+  // lookup. The lookup form WINS when the candidate set is a corpus
+  // fraction with many queries per vector (the pivot amortizes and the
+  // join+sum aggregation is the measured CPU hot spot — d33: 3.2M
+  // joined rows → 402k groups, avgHashProbe ≈ 240; A/B 4.43→3.81 s
+  // under lookup). Policy: Similarity cores and AnnIndex's BOUNDED
+  // probe branch use join+sum; AnnIndex's LARGE-batch branch (the d33
+  // admission shape) uses lookup. encWide/qtabWide/adcCol stay for
+  // that branch.
 
   /** (vec_id, codes array<struct<sub,code>> sorted by sub) from the long
     * (vec_id, sub, `codeCol`) code stream — one row per vector.
@@ -502,13 +510,15 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
     val qtab = q.join(broadcast(cb), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-      .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
-    // flat ADC = every (query, vector) pair: the lookup form's pair
-    // generator is the same broadcast non-equi join exactTopKCore uses
-    val adc = encWide(enc, "cell")
-      .join(broadcast(qtabWide(qtab, Seq("q_id"), PqM)),
-        $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"), adcCol(PqM).as("adc"))
+      .select($"q_id", $"sub", $"cell", $"qd2")
+    // join+sum form (see the ADC-forms note above): flat all-pairs ADC
+    // joins the code stream to the broadcast distance table and
+    // partial-aggregates the per-(query, vector) sum in task
+    val adc = enc.join(broadcast(qtab), Seq("sub", "cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"qd2").as("adc"))
+      .select($"q_id", $"vec_id".as("n_id"), $"adc")
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), K)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -600,10 +610,13 @@ object Similarity {
       .join(broadcast(cb), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
-    val encW = encWide(enc)
-    val adc = encW.join(cand, encW("vec_id") === cand("n_id"))
-      .join(broadcast(qtabWide(qtab, Seq("q_id"), PqM)), "q_id")
-      .select($"q_id", $"n_id", adcCol(PqM).as("adc"))
+    // join+sum form: candidates ≪ corpus here (probed lists only), so
+    // joining the code stream to the bounded candidate set beats
+    // pivoting the whole corpus — see the ADC-forms note above
+    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
+      .join(broadcast(qtab), Seq("q_id", "sub", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qd2").as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), topK)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -766,12 +779,12 @@ object Similarity {
     val qtab = qrs.join(broadcast(cb.withColumnRenamed("cell", "code")), "sub")
       .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
       .select($"q_id", $"cell", $"sub", $"code", $"qd2")
-    // residual LUTs are per-(query, probed cell) — still broadcast-sized
-    val encW = encWide(enc)
-    val adc = encW.join(cand, encW("vec_id") === cand("n_id"))
-      .join(broadcast(qtabWide(qtab, Seq("q_id", "cell"), PqM)),
-        Seq("q_id", "cell"))
-      .select($"q_id", $"n_id", adcCol(PqM).as("adc"))
+    // join+sum form over the probed candidates; residual tables are
+    // per-(query, probed cell) — still broadcast-sized
+    val adc = enc.join(cand, enc("vec_id") === cand("n_id"))
+      .join(broadcast(qtab), Seq("q_id", "cell", "sub", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(sum($"qd2").as("adc"))
     val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
       struct($"adc", $"n_id"), K)
     val w = Window.partitionBy($"q_id").orderBy($"adc", $"n_id")
@@ -2226,11 +2239,13 @@ object Similarity {
           .select($"vec_id".as("q_id"), $"sub", $"sv".as("qsv"))
         val qtab = qsubs.join(broadcast(cb), "sub")
           .withColumn("qd2", kmDist2($"qsv", $"cv").cast("decimal(12,6)"))
-          .select($"q_id", $"sub", $"cell".as("code"), $"qd2")
-        val adc = encWide(enc.select($"vec_id", $"sub", $"cell"), "cell")
-          .join(broadcast(qtabWide(qtab, Seq("q_id"), m)),
-            $"q_id" =!= $"vec_id")
-          .select($"q_id", $"vec_id".as("n_id"), adcCol(m).as("adc"))
+          .select($"q_id", $"sub", $"cell", $"qd2")
+        val adc = enc.select($"vec_id", $"sub", $"cell")
+          .join(broadcast(qtab), Seq("sub", "cell"))
+          .filter($"q_id" =!= $"vec_id")
+          .groupBy($"q_id", $"vec_id")
+          .agg(sum($"qd2").as("adc"))
+          .select($"q_id", $"vec_id".as("n_id"), $"adc")
         val top = graft.plans.TopKPerKey(adc, Seq("q_id"),
             struct($"adc", $"n_id"), K)
           .select($"q_id", $"n_id")

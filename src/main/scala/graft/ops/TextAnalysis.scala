@@ -620,6 +620,11 @@ object TextAnalysis {
           expr("substring(head, i, 2)").as("bg"))
         // docs shorter than 2 chars contribute no (degenerate) bigrams
         .filter(length($"bg") === 2)
+      // NOTE (r16): a one-pass restructure (pre-aggregate to
+      // per-(doc, bg) counts feeding both profiles and the distinct
+      // set, checkpointed) measured FLAT at sf0.1 (warm 2.11 -> 2.21 s)
+      // — the duplicated explode below already unifies via exchange
+      // reuse — so the simpler two-consumer form stays.
       val profiles = bigrams
         .groupBy($"lang".as("p_lang"), $"bg")
         .agg(count(lit(1)).as("n"))

@@ -142,7 +142,21 @@ object MemoryGate {
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); q.awaitTermination(30000) }
+    finally {
+      // measurement hook (off by default): per-micro-batch duration
+      // breakdown to stderr, so gate cost attributes to addBatch /
+      // state commit / offset bookkeeping instead of guesswork
+      if (s.conf.get("spark.graft.gate.progress", "false") == "true")
+        q.recentProgress.foreach { p =>
+          System.err.println(s"[gate $name] batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+            s"state=${p.stateOperators.map(o =>
+              s"(rows=${o.numRowsTotal},updated=${o.numRowsUpdated}," +
+                s"commitMs=${o.commitTimeMs},mem=${o.memoryUsedBytes})")
+              .mkString(";")}")
+        }
+      q.stop(); q.awaitTermination(30000)
+    }
     g.table(name)
   }
 }

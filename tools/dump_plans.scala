@@ -1,5 +1,5 @@
 // Dump .explain("formatted") for a comma-separated list of declared
-// queries into plans/<round>/<name>_<suffix>.txt — the before/after
+// queries into plans/<round>/<name>_<suffix>.txt - the before/after
 // evidence files the optimization rounds commit.
 //
 // Usage (from the repo root, after sbt compile):

@@ -1,4 +1,4 @@
-// WindowExec-vs-closed-form crossover measurement — the per-class
+// WindowExec-vs-closed-form crossover measurement - the per-class
 // evidence the WindowGuard budget pricing assumes (r15 verdict item 7).
 //
 // For each rewrite class, times the SAME computation two ways over a

@@ -36,9 +36,11 @@ object Bench {
     * ±0.1 s noise. The full board cannot fit the driver's 2000-char
     * tail at any useful precision (246 entries × ~9 chars ≈ 2.2 KB),
     * so the line sheds this FIXED, name-designated set of trivial
-    * fixture-scale rows (each ≤0.31 s on every recorded clean board;
-    * exactly the set the r15 line happened to shed, so the driver's
-    * key set never churns at the transition either) instead of
+    * fixture-scale rows (each ≤0.31 s on every recorded clean board:
+    * the 42 keys the r15 line shed by value, plus 8 more chosen for
+    * headroom — a faster board prints MORE 3-char "0.x" values, so the
+    * r16 clean board's line sat at 1,899/1,900 with only the 42;
+    * the 50-row set leaves ~60 chars of breathing room) instead of
     * whichever rows measured cheapest this run. Safety valve: an
     * exempt row that measures ≥1.5 s or FAILED rides the line anyway —
     * a regression or failure must never be hidden by the exemption —
@@ -49,8 +51,11 @@ object Bench {
     "d04_simhash", "e02_json_stats", "e03_user_sessions",
     "e08_asof_attribution", "e11b_exact_cardinality", "e13_funnel_steps",
     "e20_incremental_rollup", "e25_rolling_range_window",
-    "m03_frame_sample", "m04_thumbnail_plan", "m06_chunk_plan",
-    "m09_frame_sample_plan", "p02_quality_filter", "p03_corpus_profile",
+    "m01_media_catalog", "m02_feature_extract", "m03_frame_sample",
+    "m04_thumbnail_plan", "m06_chunk_plan", "m09_frame_sample_plan",
+    "p02_quality_filter", "p06_sequence_pack", "p08_train_val_test",
+    "p10_domain_mixture", "p12_pack_manifest", "q04_customer_order_stats",
+    "q07_top_parts_per_brand", "p03_corpus_profile",
     "p05_skew_report", "p18_token_budget_epochs",
     "p21_pack_artifact_serving", "p22_pack_balance_audit",
     "p24_ingest_file_curve", "q06_forecast_revenue",
@@ -286,8 +291,11 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     // wx/rep ride the line only when they carry information (a clean
-    // run's ",\"wx\":0,\"rep\":0" is 16 dead chars of tail window)
-    val contExtra = (if (preExcess > 0) s""","wx":${f(preExcess)}""" else "") +
+    // run's ",\"wx\":0,\"rep\":0" is 16 dead chars of tail window) —
+    // and a sub-0.05 excess would PRINT as "wx":0 through f(), so the
+    // threshold matches the formatter's resolution
+    val contExtra =
+      (if (preExcess >= 0.05) s""","wx":${f(preExcess)}""" else "") +
       (if (repaired > 0) s""","rep":$repaired""" else "")
     // OVERFLOW GUARD for the tail window: the board grows every round
     // (185 queries → 1725 chars; the worst case — every value ≥ 10 s —

@@ -514,7 +514,17 @@ object AnnIndex {
         else
           enc.join(cand, enc("vec_id") === cand("n_id"))
             .join(qb(qtab), Seq("q_id", "cell", "sub", "code"))
-      joined.groupBy($"q_id", $"n_id").agg(sum($"qd2").as("adc"))
+      // same invariant guard as the lookup branch below: a candidate
+      // whose codes are not exactly dense sub 0..m−1 (torn re-ingest)
+      // would otherwise score a PARTIAL sum — a strict underestimate
+      // that can win the ascending top-k. Requiring exactly PqM
+      // addends makes both branches drop such candidates identically;
+      // healthy indexes always have PqM rows per (q_id, n_id), so the
+      // filter is a no-op there (oracle-gated).
+      joined.groupBy($"q_id", $"n_id")
+        .agg(sum($"qd2").as("adc"), count(lit(1)).as("__nsub"))
+        .filter($"__nsub" === Similarity.PqM)
+        .select($"q_id", $"n_id", $"adc")
     } else {
       val encW = Similarity.encWide(enc)
       (if (!residual)

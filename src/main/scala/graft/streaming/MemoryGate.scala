@@ -145,16 +145,24 @@ object MemoryGate {
     finally {
       // measurement hook (off by default): per-micro-batch duration
       // breakdown to stderr, so gate cost attributes to addBatch /
-      // state commit / offset bookkeeping instead of guesswork
-      if (s.conf.get("spark.graft.gate.progress", "false") == "true")
-        q.recentProgress.foreach { p =>
-          System.err.println(s"[gate $name] batch=${p.batchId} " +
-            s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
-            s"state=${p.stateOperators.map(o =>
-              s"(rows=${o.numRowsTotal},updated=${o.numRowsUpdated}," +
-                s"commitMs=${o.commitTimeMs},mem=${o.memoryUsedBytes})")
-              .mkString(";")}")
-        }
+      // state commit / offset bookkeeping instead of guesswork.
+      // Diagnostics must never preempt q.stop() (an exception here
+      // would leak a running query into the shared gate clone and
+      // mask the primary failure), so the hook swallows its own errors.
+      try {
+        if (s.conf.get("spark.graft.gate.progress", "false") == "true")
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[gate $name] batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+              s"state=${p.stateOperators.map(o =>
+                s"(rows=${o.numRowsTotal},updated=${o.numRowsUpdated}," +
+                  s"commitMs=${o.commitTimeMs},mem=${o.memoryUsedBytes})")
+                .mkString(";")}")
+          }
+      } catch { case e: Throwable =>
+        System.err.println(s"[gate $name] progress hook failed: " +
+          e.getMessage)
+      }
       q.stop(); q.awaitTermination(30000)
     }
     g.table(name)

@@ -496,20 +496,14 @@ class PlanShapeSpec extends SparkTestBase {
     // literal budgets, so the large branch is forced via the confs the
     // production switch reads — the pinned shape is the one d33 takes
     // at real scale.
-    val probeKey = "spark.graft.ann.probe.literalBudget"
-    val refineKey = "spark.graft.ann.refine.literalBudget"
-    spark.conf.set(probeKey, "1")
-    spark.conf.set(refineKey, "1")
-    try {
+    withConfs("spark.graft.ann.probe.literalBudget" -> "1",
+        "spark.graft.ann.refine.literalBudget" -> "1") {
       val p = plan("d33_semantic_admission_serving")
       assert(p.contains("element_at"),
         s"large-batch ADC must be the lookup projection:\n${p.take(2000)}")
       assert(!p.contains("partial_sum(qd2"),
         "large-batch ADC must not re-grow the per-candidate qd2 sum:\n" +
           p.take(2000))
-    } finally {
-      spark.conf.unset(probeKey)
-      spark.conf.unset(refineKey)
     }
   }
 
